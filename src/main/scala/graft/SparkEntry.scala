@@ -1,13 +1,483 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{GraftExpressions, TextFunctions}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract (see SURVEY.md §7): `queries` is the operator inventory,
+  * `oracleSql` the DuckDB-equivalent of each query. Every query is written
+  * to hash-match its oracle exactly:
+  *  - integer outputs are cast to long on the Spark side (DuckDB counts/len
+  *    are BIGINT) and aggregated integer sums are CAST(... AS BIGINT) on the
+  *    DuckDB side (its SUM(BIGINT) widens to HUGEINT);
+  *  - monetary sums go through DECIMAL(18,2) (order-independent) and return
+  *    as double;
+  *  - floating-point kernels (cosine, quality, LSH) use the same operation
+  *    order on both sides so doubles agree bit-for-bit (see OracleFragments);
+  *  - every result has a deterministic total order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O2/O3/O4-class relational coverage --------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("n_rows"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q03_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue")
+        )
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    "q04_window_topn" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+    "q05_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q06_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def keys(status: String) =
+        o.filter(col("o_orderstatus") === status).select(col("o_custkey")).distinct()
+      keys("O").intersect(keys("F")).except(keys("P")).orderBy(col("o_custkey"))
+    }),
+    "q07_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_no_orders"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q08_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          substring(col("o_orderpriority"), 1, 3).as("pri_pfx"),
+          floor(col("o_totalprice") / lit(1000.0)).cast("long").as("price_bucket"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag")
+        )
+        .orderBy(col("o_orderkey"))
+    }),
+    "q09_limit_count" -> ((s, dir) => {
+      t(s, dir, "lineitem").limit(1234).agg(count(lit(1)).as("n"))
+    }),
+    "q10_table_counts" -> ((s, dir) => {
+      val nl = t(s, dir, "lineitem").agg(count(lit(1)).as("n_lineitem"))
+      val no = t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+      val nc = t(s, dir, "customer").agg(count(lit(1)).as("n_customer"))
+      nl.crossJoin(no).crossJoin(nc)
+    }),
+    // events: json, event-time windows, sessions, as-of ------------------
+    "q11_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+    "q12_tumbling" -> ((s, dir) => {
+      EventOps.tumbling(t(s, dir, "events"), "1 hour").orderBy(col("window_start"), col("event_type"))
+    }),
+    "q13_sliding" -> ((s, dir) => {
+      EventOps.sliding(t(s, dir, "events"), "1 hour", "30 minutes").orderBy(col("window_start"))
+    }),
+    "q14_sessions" -> ((s, dir) => {
+      EventOps.sessions(t(s, dir, "events"), "30 minutes").orderBy(col("user_id"), col("session_start"))
+    }),
+    "q15_asof_join" -> ((s, dir) => {
+      EventOps.asofPurchaseSignup(t(s, dir, "events")).orderBy(col("event_id"))
+    }),
+    // documents: text analysis + dedup -----------------------------------
+    "q20_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents")).orderBy(col("canonical_id"))
+    }),
+    "q21_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextFunctions.distinctTokenCount(col("text")).cast("long").as("n_dtok")
+      ).groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          sum(col("n_dtok")).as("sum_distinct_tokens"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens")
+        )
+        .orderBy(col("lang"))
+    }),
+    "q22_quality" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(txt).cast("long").as("n_tokens"),
+          TextFunctions.bpeTokenCount(txt).cast("long").as("n_bpe"),
+          TextFunctions.punctCount(txt).cast("long").as("n_punct"),
+          round(TextFunctions.stopwordRatio(txt), 6).as("stop_ratio"),
+          round(TextFunctions.avgTokenLength(txt), 6).as("avg_token_len"),
+          TextFunctions.qualityScore(txt).as("quality")
+        )
+        .orderBy(col("doc_id"))
+    }),
+    "q23_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextFunctions.langId(col("text")).as("predicted"), col("lang"))
+        .groupBy(col("predicted"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_match")
+        )
+        .orderBy(col("predicted"))
+    }),
+    "q24_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q25_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(t(s, dir, "documents"), 0.8).orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.5).orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q27_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "q28_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), 0.4).orderBy(col("vec_a"), col("vec_b"))
+    }),
+    // similarity search ---------------------------------------------------
+    "q30_ann_brute" -> ((s, dir) => {
+      Similarity
+        .bruteForceTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .withColumn("rnk", col("rank").cast("long"))
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    "q31_ann_lsh" -> ((s, dir) => {
+      Similarity
+        .annLsh(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .withColumn("rnk", col("rank").cast("long"))
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    // multimodal plumbing --------------------------------------------------
+    "q40_multimodal_meta" -> ((s, dir) => {
+      Multimodal
+        .attachPayload(t(s, dir, "documents"))
+        .select(
+          col("doc_id"),
+          col("meta.n_bytes").cast("long").as("n_bytes"),
+          col("mime"),
+          col("meta.checksum").as("checksum"),
+          (floor((col("meta.n_bytes").cast("double") - lit(1.0)) / lit(64.0)).cast("long") + lit(1L))
+            .as("n_frames")
+        )
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  import OracleFragments._
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(l_quantity) / COUNT(*) AS avg_qty,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_agg" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q04_window_topn" ->
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+           FROM orders JOIN customer ON o_custkey = c_custkey) t
+         WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+    "q05_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q06_set_ops" ->
+      """(SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_custkey""",
+    "q07_semi_anti" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_no_orders
+         FROM customer WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+    "q08_scalar_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mon,
+         upper(o_orderpriority) AS pri_upper,
+         substring(o_orderpriority, 1, 3) AS pri_pfx,
+         CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_bucket,
+         o_orderstatus || '-' || o_orderpriority AS tag
+         FROM orders ORDER BY o_orderkey""",
+    "q09_limit_count" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT * FROM lineitem LIMIT 1234) t",
+    "q10_table_counts" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customer""",
+    "q11_json" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(k) AS BIGINT) AS sum_k,
+         CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+         FROM (SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+         GROUP BY 1 ORDER BY 1""",
+    "q12_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q13_sliding" ->
+      """SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events FROM (
+           SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+         ) t GROUP BY 1 ORDER BY 1""",
+    "q14_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), numbered AS (
+           SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked
+         )
+         SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q15_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""",
+    "q20_dedup_exact" ->
+      """SELECT MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY text ORDER BY canonical_id""",
+    "q21_token_stats" -> {
+      val tok = tokens("text")
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len($tok)) AS BIGINT) AS sum_tokens,
+         CAST(SUM(len(list_distinct($tok))) AS BIGINT) AS sum_distinct_tokens,
+         CAST(SUM(len($tok)) AS DOUBLE) / COUNT(*) AS avg_tokens
+         FROM documents GROUP BY 1 ORDER BY 1"""
+    },
+    "q22_quality" -> {
+      val tok = tokens("text")
+      val nTok = s"len($tok)"
+      val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
+      val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
+      val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
+      val avgTokLen = s"(CAST(length(text) - ($nTok - 1) AS DOUBLE) / CAST($nTok AS DOUBLE))"
+      val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
+      val stopScore = s"least(1.0, $stopRatio * 5.0)"
+      val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+      val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
+      s"""SELECT doc_id,
+         CAST($nTok AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '${TextFunctions.BpeRegex}')) AS BIGINT) AS n_bpe,
+         CAST($nPunct AS BIGINT) AS n_punct,
+         round($stopRatio, 6) AS stop_ratio,
+         round($avgTokLen, 6) AS avg_token_len,
+         round(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore, 6) AS quality
+         FROM documents ORDER BY doc_id"""
+    },
+    "q23_langid" -> {
+      val en = stopwordHits("text", TextFunctions.StopwordsEn)
+      val de = stopwordHits("text", TextFunctions.StopwordsDe)
+      val fr = stopwordHits("text", TextFunctions.StopwordsFr)
+      val es = stopwordHits("text", TextFunctions.StopwordsEs)
+      val pred =
+        s"""CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+           WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+           WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+           WHEN $es > 0 THEN 'es'
+           ELSE 'unknown' END"""
+      s"""SELECT predicted, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         FROM (SELECT $pred AS predicted, lang FROM documents) t
+         GROUP BY 1 ORDER BY 1"""
+    },
+    "q24_fingerprint" ->
+      s"SELECT doc_id, ${polyHash("text")} AS fp FROM documents ORDER BY doc_id",
+    "q25_minhash_pairs" -> {
+      val r = Dedup.RowsPerBand
+      s"""WITH sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
+             ${shingles("text")} AS sh
+           FROM documents
+         ), bands AS (
+           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bands l JOIN bands r
+             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+         )
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b, round(${jaccard("sa.sh", "sb.sh")}, 6) AS jaccard
+           FROM cand
+           JOIN sig sa ON doc_a = sa.doc_id
+           JOIN sig sb ON doc_b = sb.doc_id) v
+         WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+    },
+    "q26_ngram_jaccard" -> {
+      val tok = tokens("text")
+      s"""WITH keyed AS (
+           SELECT doc_id, array_to_string(($tok)[1:2], ' ') AS bucket,
+             ${shingles("text")} AS sh
+           FROM documents
+         )
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             round(${jaccard("l.sh", "r.sh")}, 6) AS jaccard
+           FROM keyed l JOIN keyed r
+             ON l.bucket = r.bucket AND l.doc_id < r.doc_id) v
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+    },
+    "q27_simhash" -> {
+      val sums = (0 until 32).map(i => s"SUM((h >> $i) & 1) AS s$i").mkString(", ")
+      val bits = (0 until 32)
+        .map(i => s"(CASE WHEN 2*s$i >= n THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents
+         ), h AS (
+           SELECT doc_id, ${polyHash("tok")} AS h FROM tok
+         ), agg AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, $sums FROM h GROUP BY doc_id
+         )
+         SELECT doc_id, ($bits) AS simhash FROM agg ORDER BY doc_id"""
+    },
+    "q28_embedding_neardup" ->
+      s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         round(${cosine("l.embedding", "r.embedding")}, 6) AS cosine
+         FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+         WHERE ${cosine("l.embedding", "r.embedding")} >= 0.4
+         ORDER BY vec_a, vec_b""",
+    "q30_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${cosine("q.embedding", "c.embedding")} AS cos
+           FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM scored
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q31_ann_lsh" -> {
+      val bucket = lshBucket("embedding", Similarity.LshPlanes, Similarity.Dim)
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         q AS (SELECT * FROM b WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${cosine("q.embedding", "c.embedding")} AS cos
+           FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM scored
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    },
+    "q40_multimodal_meta" ->
+      s"""SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         'text/plain' AS mime,
+         ${polyHash("text")} AS checksum,
+         CAST(floor((CAST(octet_length(encode(text)) AS DOUBLE) - 1.0) / 64.0) AS BIGINT) + 1
+           AS n_frames
+         FROM documents ORDER BY doc_id"""
+  )
 }

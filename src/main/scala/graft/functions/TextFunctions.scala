@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library: tokenization, token/char statistics,
+  * quality scoring, a stopword-vote language-ID heuristic, and document
+  * fingerprinting. Everything here is pure `org.apache.spark.sql.functions`
+  * composition (codegen'd, no UDFs) plus the custom [[PolyHash]] expression,
+  * and every function keeps DuckDB-mirrorable semantics: identical regexes,
+  * identical fold order, double arithmetic expressed the same way — which is
+  * what lets the correctness gate hash-compare results exactly.
+  *
+  * The reference performs no text analysis (SURVEY.md §2.1); this layer is
+  * the north-star extension for LLM training-data pipelines.
+  */
+object TextFunctions {
+
+  /** Stopword lists for the language-ID vote. Deliberately tiny and
+    * hard-coded: they are part of the operator's deterministic contract
+    * (the DuckDB oracle embeds the same lists).
+    */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "mit", "nicht", "ein")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "est", "dans", "une", "pour")
+  val StopwordsEs: Seq[String] = Seq("el", "los", "las", "y", "es", "que", "una", "por")
+
+  /** Single-space tokenizer — mirrors DuckDB `string_split(text, ' ')`
+    * exactly (including empty-token behavior on doubled spaces).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or a single
+    * other non-space character each count as one token. Same RE semantics in
+    * Java regex and DuckDB's RE2 for this class-only pattern.
+    */
+  val BpeRegex = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeRegex), lit(0)))
+
+  val PunctRegex = "[.,!?;:]"
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PunctRegex), lit(0)))
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(lit(words.toArray), t)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, StopwordsEn).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Mean token length in characters: non-space chars / token count, both
+    * exact integers before the one double division.
+    */
+  def avgTokenLength(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Quality score in [0,1]: length saturation + stopword signal − punctuation
+    * penalty. The formula is the contract; weights are part of it.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(lit(1.0), tokenCount(text).cast("double") / lit(100.0))
+    val stopScore = least(lit(1.0), stopwordRatio(text) * lit(5.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val punctScore = lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))
+    round(lit(0.5) * lenScore + lit(0.3) * stopScore + lit(0.2) * punctScore, 6)
+  }
+
+  /** n-gram/stopword language-ID heuristic: CJK codepoints force `zh`;
+    * otherwise the language whose stopword list scores the most hits wins,
+    * ties resolved in fixed order en > de > fr > es; zero hits → `unknown`.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, StopwordsEn)
+    val de = stopwordHits(text, StopwordsDe)
+    val fr = stopwordHits(text, StopwordsFr)
+    val es = stopwordHits(text, StopwordsEs)
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
+      .when(de >= fr && de >= es && de > 0, lit("de"))
+      .when(fr >= es && fr > 0, lit("fr"))
+      .when(es > 0, lit("es"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Document fingerprint: the engine-wide deterministic polynomial hash of
+    * the full text (custom codegen'd expression, see [[PolyHash]]).
+    */
+  def fingerprint(text: Column): Column = GraftExpressions.poly_hash(text)
+
+  /** Distinct k-token shingles, the unit of MinHash/Jaccard dedup.
+    * `slice` with a computed start keeps this inside codegen'd HOFs.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(t) - lit(k), lit(0))),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(k)))
+      )
+    )
+  }
+
+  /** Hashes of the distinct shingles — the set MinHash signatures minimize over. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => GraftExpressions.poly_hash(s))
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Output layout knobs, defaulting to the reference's tuning envelope
+  * (`dump_table.py:182-190`; `readme.md:15`): ~524k-row shards
+  * (rows_per_pq_file = 2^19), 1 MiB pages, and a row-group target. The
+  * reference expresses row groups in rows (2^17); parquet-mr expresses them
+  * in bytes (`parquet.block.size`), so the default here is 128 MiB — the
+  * parquet-mr default, which lands in the same "a few row groups per shard"
+  * envelope the reference tuned for.
+  */
+final case class ParquetLayout(
+    maxRecordsPerFile: Long = 524288L, // 2^19, dump_table.py:182
+    rowGroupBytes: Long = 128L * 1024 * 1024,
+    pageBytes: Long = 1048576L, // 2^20, dump_table.py:189
+    codec: String = "snappy"
+)
+
+/** One output shard as seen by the read-back verifier: path + footer row count. */
+final case class ShardInfo(path: String, rows: Long)
+
+/** Read-back verification report — parity with the reference's self-check
+  * (`dump_table.py:235-248`): unified schema, per-file counts, total.
+  */
+final case class DumpReport(schemaDdl: String, shards: Seq[ShardInfo]) {
+  def totalRows: Long = shards.map(_.rows).sum
+  def numFiles: Int = shards.size
+}
+
+/** O9 + O10 + O11 (SURVEY.md §2): sharded parquet sink with layout control,
+  * plus footer-only read-back verification.
+  *
+  * The reference hand-rolls file splitting with a flush buffer
+  * (`dump_table.py:213-233`); Spark's `maxRecordsPerFile` performs the same
+  * split exactly (and per-task, in parallel), with no driver-side buffering —
+  * and unlike the reference it cannot OOM, because nothing accumulates rows
+  * outside the streaming write path.
+  */
+object ShardedParquetSink {
+
+  def write(df: DataFrame, outputDir: String, layout: ParquetLayout = ParquetLayout()): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", layout.maxRecordsPerFile)
+      .option("parquet.block.size", layout.rowGroupBytes)
+      .option("parquet.page.size", layout.pageBytes)
+      .option("compression", layout.codec)
+      .parquet(outputDir)
+
+  /** O11: open the output directory as one dataset and count rows per file
+    * from parquet FOOTERS only — no data pages are read, matching the
+    * reference's fragment-metadata walk (`dump_table.py:243-248`).
+    */
+  def readBackReport(spark: SparkSession, outputDir: String): DumpReport = {
+    val schemaDdl = spark.read.parquet(outputDir).schema.toDDL
+    val conf = spark.sparkContext.hadoopConfiguration
+    val shards = listParquetFiles(conf, outputDir).map { p =>
+      ShardInfo(p.toString, footerRowCount(conf, p))
+    }
+    DumpReport(schemaDdl, shards)
+  }
+
+  private def listParquetFiles(conf: Configuration, dir: String): Seq[Path] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    fs.listStatus(path)
+      .toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+  }
+
+  private def footerRowCount(conf: Configuration, file: Path): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount.longValue).sum
+    finally reader.close()
+  }
+}
