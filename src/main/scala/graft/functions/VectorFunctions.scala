@@ -39,21 +39,22 @@ object VectorFunctions {
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a long.
     * Hyperplane components are pseudo-random but fully deterministic —
     * w[p][j] = ((p*dim+j) * 2654435761 mod 1000003) / 1000003 − 0.5 —
-    * so the DuckDB oracle reproduces the identical bucketing. Intermediates
-    * stay < 2^63 (no overflow trap in the oracle).
+    * so the DuckDB oracle reproduces the identical bucketing (integer
+    * intermediates stay < 2^63, and the double division/subtraction yields
+    * bit-identical values in Scala and SQL).
+    *
+    * The planes are computed once here and embedded as array LITERALS, so
+    * the per-row work is `planes` fused dot products — not re-deriving the
+    * hyperplanes from scratch per row as a giant expression tree.
     */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    def plane(p: Int): Array[Double] =
+      Array.tabulate(dim) { j =>
+        ((p.toLong * dim + j) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+      }
     def planeDot(p: Int): Column =
       aggregate(
-        zip_with(
-          vec,
-          transform(
-            sequence(lit(0), lit(dim - 1)),
-            j => ((lit(p.toLong * dim) + j.cast("long")) * lit(2654435761L) % lit(1000003L))
-              .cast("double") / lit(1000003.0) - lit(0.5)
-          ),
-          (x, w) => x.cast("double") * w
-        ),
+        zip_with(vec, lit(plane(p)), (x, w) => x.cast("double") * w),
         lit(0.0),
         (s, x) => s + x
       )

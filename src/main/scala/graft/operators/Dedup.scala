@@ -39,29 +39,36 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
 
-  /** MinHash signature: for permutation i, min over shingle hashes h of
+  /** MinHash signature over an already-materialized shingle-hash array
+    * column: for permutation i, min over shingle hashes h of
     * (h*(2i+1) + (i²*31+7)) mod P. Pure HOF pipeline — no UDF, no shuffle.
+    *
+    * Takes a column REFERENCE, not the hashing expression: a nested HOF
+    * re-evaluates its inner argument per outer element, so inlining the
+    * shingle pipeline here would hash every document NumHashes times.
+    * Callers project the hashes into a column first (see [[minhashBands]]).
     */
-  def minhashSignature(text: Column): Column = {
-    val hs = TextFunctions.shingleHashes(text, ShingleK)
+  def minhashSignature(shingleHashCol: Column): Column =
     transform(
       sequence(lit(0), lit(NumHashes - 1)),
       i => {
         val a = i.cast("long") * lit(2L) + lit(1L)
         val b = (i.cast("long") * i.cast("long") * lit(31L) + lit(7L)) % lit(P)
-        array_min(transform(hs, h => (h * a + b) % lit(P)))
+        array_min(transform(shingleHashCol, h => (h * a + b) % lit(P)))
       }
     )
-  }
 
   /** LSH banding: explode each signature into (band, bandKey) bucket rows.
     * Band key is the joined minhash slice — grouping on it is the one
     * shuffle of the whole near-dup pipeline.
     */
   def minhashBands(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sig = minhashSignature(col(textCol))
     docs
-      .select(col(idCol).as("doc_id"), sig.as("sig"))
+      .select(
+        col(idCol).as("doc_id"),
+        TextFunctions.shingleHashes(col(textCol), ShingleK).as("shs")
+      )
+      .select(col("doc_id"), minhashSignature(col("shs")).as("sig"))
       .select(
         col("doc_id"),
         explode(
