@@ -52,18 +52,32 @@ object OracleFragments {
     s"($dot / (sqrt($na) * sqrt($nb)))"
   }
 
-  /** Mirror of VectorFunctions.lshBucket: hyperplane w[p][j] =
-    * ((p*dim+j)*2654435761 mod 1000003)/1000003 − 0.5; bucket = packed sign
-    * bits of the plane dots.
+  /** Mirror of Kernels.planeWeight for a plane-index EXPRESSION `p` and
+    * component EXPRESSION `j`: two multiplicative rounds with xor-shift
+    * mixing between them (nonlinearity matters — see the kernel's scaladoc).
+    * All intermediates < 2^63; DuckDB BIGINT ops (`*`, `%`, `xor`, `>>`)
+    * evaluate the identical sequence.
     */
-  def lshBucket(vec: String, planes: Int, dim: Int): String = {
-    val terms = (0 until planes).map { p =>
-      val w = s"CAST((($p*$dim + j) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5"
-      val prods = s"list_transform(range(0, $dim), j -> CAST(($vec)[j+1] AS DOUBLE) * ($w))"
-      val dot = s"list_reduce(list_prepend(0.0, $prods), (x, y) -> x + y)"
-      s"(CASE WHEN $dot >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }
-    terms.mkString("(", " + ", ")")
+  def planeWeight(p: String, j: String, dim: Int): String = {
+    val idx = s"(($p) * $dim + ($j))"
+    val h1 = s"(($idx * 2654435761) % 2147483648)"
+    val h2 = s"xor($h1, $h1 >> 15)"
+    val h3 = s"(($h2 * 48271) % 2147483648)"
+    val h4 = s"xor($h3, $h3 >> 13)"
+    s"(CAST($h4 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)"
+  }
+
+  /** Mirror of Kernels.lshBuckets: list of `tables` packed sign-bit buckets,
+    * table t over planes [t*w, (t+1)*w). Nested lambdas keep the SQL compact;
+    * the inner fold runs in component order exactly like the kernel.
+    */
+  def lshBucketsList(vec: String, tables: Int, w: Int, dim: Int): String = {
+    val weight = planeWeight("t*" + w + " + j", "jd", dim)
+    val prods = s"list_transform(range(0, $dim), jd -> CAST(($vec)[jd+1] AS DOUBLE) * $weight)"
+    val dot = s"list_reduce(list_prepend(0.0, $prods), (x, y) -> x + y)"
+    val bit = s"(CASE WHEN $dot >= 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)"
+    s"list_transform(range(0, $tables), t -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $w), j -> $bit)), (a, b) -> a + b))"
   }
 
   def stopwordHits(col: String, words: Seq[String]): String = {

@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.{GraftExpressions, TextFunctions}
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
-import graft.sources.Tables
+import graft.operators.{Dedup, EventOps, Multimodal, OmopDump, Similarity}
+import graft.sources.{ParquetLayout, ParquetNoteSource, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -196,6 +196,9 @@ object SparkEntry {
     "q27_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "q29_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), 8).orderBy(col("doc_a"), col("doc_b"))
+    }),
     "q28_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), 0.4).orderBy(col("vec_a"), col("vec_b"))
     }),
@@ -203,16 +206,39 @@ object SparkEntry {
     "q30_ann_brute" -> ((s, dir) => {
       Similarity
         .bruteForceTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
-        .withColumn("rnk", col("rank").cast("long"))
-        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rnk"))
     }),
     "q31_ann_lsh" -> ((s, dir) => {
       Similarity
         .annLsh(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
-        .withColumn("rnk", col("rank").cast("long"))
-        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+    // parity dump pipeline (O9-O11, dump_table.py:175-248) ----------------
+    // A REAL dump runs inside the query: scan documents → sharded parquet
+    // write → footer-only read-back; the returned row is the report, which
+    // the oracle pins to pure counts over the same table. Input coalesced to
+    // one partition so file COUNT is deterministic (row totals never depend
+    // on partitioning; the multi-partition invariants live in ShardingSpec).
+    "q50_dump_roundtrip" -> ((s, dir) => {
+      val out = s"/root/repo/target/dump_q50_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val src = new ParquetNoteSource(s"$dir/documents.parquet", coalesceTo = Some(1))
+      val res = OmopDump.run(s, src, out, limit = None, ParquetLayout(maxRecordsPerFile = 1000L))
+      import s.implicits._
+      Seq(
+        (
+          res.report.totalRows,
+          res.report.numFiles.toLong,
+          res.report.shards.map(_.rows).max,
+          res.sourceCount
+        )
+      ).toDF("total_rows", "n_files", "max_file_rows", "source_count")
+    }),
+    "q51_dump_limit" -> ((s, dir) => {
+      val out = s"/root/repo/target/dump_q51_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val src = new ParquetNoteSource(s"$dir/documents.parquet", coalesceTo = Some(1))
+      val res = OmopDump.run(s, src, out, limit = Some(123L), ParquetLayout(maxRecordsPerFile = 1000L))
+      import s.implicits._
+      Seq((res.report.totalRows, res.sourceCount)).toDF("total_rows", "source_count")
     }),
     // multimodal plumbing --------------------------------------------------
     "q40_multimodal_meta" -> ((s, dir) => {
@@ -407,17 +433,24 @@ object SparkEntry {
          WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
     },
     "q26_ngram_jaccard" -> {
-      val tok = tokens("text")
-      s"""WITH keyed AS (
-           SELECT doc_id, array_to_string(($tok)[1:2], ' ') AS bucket,
+      val r = Dedup.RowsPerBandFine
+      s"""WITH sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
              ${shingles("text")} AS sh
            FROM documents
+         ), bands AS (
+           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.BandsFine})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bands l JOIN bands r
+             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
          )
          SELECT doc_a, doc_b, jaccard FROM (
-           SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-             round(${jaccard("l.sh", "r.sh")}, 6) AS jaccard
-           FROM keyed l JOIN keyed r
-             ON l.bucket = r.bucket AND l.doc_id < r.doc_id) v
+           SELECT doc_a, doc_b, round(${jaccard("sa.sh", "sb.sh")}, 6) AS jaccard
+           FROM cand
+           JOIN sig sa ON doc_a = sa.doc_id
+           JOIN sig sb ON doc_b = sb.doc_id) v
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
     },
     "q27_simhash" -> {
@@ -433,6 +466,27 @@ object SparkEntry {
            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, $sums FROM h GROUP BY doc_id
          )
          SELECT doc_id, ($bits) AS simhash FROM agg ORDER BY doc_id"""
+    },
+    "q29_simhash_pairs" -> {
+      val sums = (0 until 32).map(i => s"SUM((h >> $i) & 1) AS s$i").mkString(", ")
+      val bits = (0 until 32)
+        .map(i => s"(CASE WHEN 2*s$i >= n THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents
+         ), h AS (
+           SELECT doc_id, ${polyHash("tok")} AS h FROM tok
+         ), agg AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, $sums FROM h GROUP BY doc_id
+         ), sh AS (
+           SELECT doc_id, ($bits) AS simhash FROM agg
+         )
+         SELECT doc_a, doc_b, hamming FROM (
+           SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+           FROM sh l JOIN sh r
+             ON (l.simhash >> 16) = (r.simhash >> 16) AND l.doc_id < r.doc_id) v
+         WHERE hamming <= 8 ORDER BY doc_a, doc_b"""
     },
     "q28_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
@@ -455,22 +509,45 @@ object SparkEntry {
          SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
     "q31_ann_lsh" -> {
-      val bucket = lshBucket("embedding", Similarity.LshPlanes, Similarity.Dim)
-      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
-         q AS (SELECT * FROM b WHERE vec_id < 5),
-         scored AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      val L = Similarity.LshTables
+      val w = Similarity.LshPlanesPerTable
+      val buckets = lshBucketsList("embedding", L, w, Similarity.Dim)
+      val masks = Similarity.probeMasks(w).mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT vec_id, embedding, $buckets AS buckets FROM embeddings),
+         bt AS (
+           SELECT vec_id, embedding, t, buckets[t+1] AS bucket
+           FROM b, unnest(range(0, $L)) AS tt(t)
+         ), qp AS (
+           SELECT vec_id, embedding, t, xor(bucket, m) AS probe
+           FROM bt, unnest($masks) AS mm(m)
+           WHERE vec_id < 5
+         ), cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ${cosine("q.embedding", "c.embedding")} AS cos
-           FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           FROM qp q JOIN bt c
+             ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id
          ), ranked AS (
            SELECT query_id, neighbor_id, cos,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-           FROM scored
+           FROM cand
          )
          SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
     },
+    // the dump report is pinned to pure counts over the source table: total
+    // rows survive the round-trip, files split at exactly 1000 rows, and
+    // limit mode caps at min(limit, |table|) (dump_table.py:94,182,235-248)
+    "q50_dump_roundtrip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+         CAST(ceil(COUNT(*) / 1000.0) AS BIGINT) AS n_files,
+         CAST(least(1000, COUNT(*)) AS BIGINT) AS max_file_rows,
+         CAST(COUNT(*) AS BIGINT) AS source_count
+         FROM documents""",
+    "q51_dump_limit" ->
+      """SELECT CAST(least(123, COUNT(*)) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS source_count
+         FROM documents""",
     "q40_multimodal_meta" ->
       s"""SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

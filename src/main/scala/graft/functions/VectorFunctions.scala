@@ -36,30 +36,35 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x))
 
-  /** Random-hyperplane LSH signature: `planes` sign bits packed into a long.
-    * Hyperplane components are pseudo-random but fully deterministic —
-    * w[p][j] = ((p*dim+j) * 2654435761 mod 1000003) / 1000003 − 0.5 —
-    * so the DuckDB oracle reproduces the identical bucketing (integer
-    * intermediates stay < 2^63, and the double division/subtraction yields
-    * bit-identical values in Scala and SQL).
-    *
-    * The planes are computed once here and embedded as array LITERALS, so
-    * the per-row work is `planes` fused dot products — not re-deriving the
-    * hyperplanes from scratch per row as a giant expression tree.
+  /** Multi-table random-hyperplane LSH signature (array<long>, one packed
+    * bucket per table) — codegen'd expression over the shared deterministic
+    * xor-shift plane generator ([[Kernels.planeWeight]]). See
+    * [[graft.operators.Similarity]] for the probing scheme.
     */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
-    def plane(p: Int): Array[Double] =
-      Array.tabulate(dim) { j =>
-        ((p.toLong * dim + j) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
-      }
-    def planeDot(p: Int): Column =
+  def lshBuckets(vec: Column, tables: Int, planesPerTable: Int, dim: Int): Column =
+    GraftExpressions.lsh_buckets(vec, tables, planesPerTable, dim)
+
+  /** Built-in-only (interpreted HOF) mirror of [[lshBuckets]], with the
+    * plane weights embedded as literals from the same kernel — kept solely
+    * so tests can prove the codegen'd expression and the composable form
+    * bucket identically.
+    */
+  def lshBucketsHof(vec: Column, tables: Int, planesPerTable: Int, dim: Int): Column = {
+    def planeDot(p: Int): Column = {
+      val w = Array.tabulate(dim)(j => Kernels.planeWeight(p, j, dim))
       aggregate(
-        zip_with(vec, lit(plane(p)), (x, w) => x.cast("double") * w),
+        zip_with(vec, lit(w), (x, ww) => x.cast("double") * ww),
         lit(0.0),
         (s, x) => s + x
       )
-    (0 until planes)
-      .map(p => when(planeDot(p) >= lit(0.0), lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    }
+    val buckets = (0 until tables).map { t =>
+      (0 until planesPerTable)
+        .map(j =>
+          when(planeDot(t * planesPerTable + j) >= lit(0.0), lit(1L << j)).otherwise(lit(0L))
+        )
+        .reduce(_ + _)
+    }
+    array(buckets: _*)
   }
 }

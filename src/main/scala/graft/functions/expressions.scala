@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels shared by interpreted eval and generated code. Keeping the
@@ -22,8 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object Kernels {
   val HashPrime: Long = 1000000007L
 
-  def polyHash(s: UTF8String): Long = {
-    val str = s.toString
+  def polyHash(str: String): Long = {
     var h = 0L
     var i = 0
     val n = str.length
@@ -33,6 +33,140 @@ object Kernels {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  def polyHash(s: UTF8String): Long = polyHash(s.toString)
+
+  /** One-pass shingle + MinHash kernel: tokenize (single-space split, -1
+    * limit — the exact semantics of Spark's `split(text, " ")` and DuckDB's
+    * `string_split`), build distinct k-token shingles in first-occurrence
+    * order (matching `array_distinct`), polyHash each, and fold the
+    * `numHashes` permuted minima. Replaces a nested higher-order-function
+    * pipeline that Spark evaluated interpreted AND re-evaluated once per
+    * outer permutation — this kernel hashes each shingle exactly once.
+    *
+    * Returns struct(sh: array<string>, sig: array<long>) so the LSH banding
+    * and the exact-Jaccard verification both read from one projection.
+    */
+  def shingleMinhash(text: UTF8String, k: Int, numHashes: Int): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val last = math.max(n - k, 0)
+    val seen = new java.util.LinkedHashSet[String]((last + 1) * 2)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + k, n)
+      val sb = new java.lang.StringBuilder(32)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val m = seen.size
+    val sh = new Array[AnyRef](m)
+    val hashes = new Array[Long](m)
+    val it = seen.iterator()
+    var s = 0
+    while (it.hasNext) {
+      val str = it.next()
+      sh(s) = UTF8String.fromString(str)
+      hashes(s) = polyHash(str)
+      s += 1
+    }
+    val sig = new Array[Long](numHashes)
+    var p = 0
+    while (p < numHashes) {
+      val a = 2L * p + 1L
+      val b = (p.toLong * p * 31L + 7L) % HashPrime
+      var mn = Long.MaxValue
+      var q = 0
+      while (q < m) {
+        val v = (hashes(q) * a + b) % HashPrime
+        if (v < mn) mn = v
+        q += 1
+      }
+      sig(p) = mn
+      p += 1
+    }
+    new GenericInternalRow(
+      Array[Any](new GenericArrayData(sh), new GenericArrayData(sig))
+    )
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for global plane index
+    * `plane`, vector component `j`. The mix must be NONLINEAR (xor-shift
+    * between the multiplicative rounds): a pure linear-congruential chain on
+    * the sequential index (plane*dim + j) is a lattice — consecutive planes
+    * come out heavily correlated and LSH recall collapses (measured: 0.3 vs
+    * 0.9 after the fix). Every intermediate stays below 2^63 and uses only
+    * *, %, xor, >> — so DuckDB BIGINT arithmetic (which traps on overflow)
+    * reproduces it bit-for-bit.
+    */
+  def planeWeight(plane: Int, j: Int, dim: Int): Double = {
+    val idx = plane.toLong * dim + j
+    var h = (idx * 2654435761L) % 2147483648L
+    h = h ^ (h >> 15)
+    h = (h * 48271L) % 2147483648L
+    h = h ^ (h >> 13)
+    (h % 1000003L).toDouble / 1000003.0 - 0.5
+  }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  /** All `numPlanes` hyperplanes for `dim`, flattened [plane*dim + j],
+    * built once per JVM and shared across rows/tasks.
+    */
+  def planes(numPlanes: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent(
+      (numPlanes, dim),
+      _ => {
+        val w = new Array[Double](numPlanes * dim)
+        var p = 0
+        while (p < numPlanes) {
+          var j = 0
+          while (j < dim) {
+            w(p * dim + j) = planeWeight(p, j, dim)
+            j += 1
+          }
+          p += 1
+        }
+        w
+      }
+    )
+
+  /** Multi-table LSH signature: `tables` longs, table t packing the sign
+    * bits of planes [t*w, (t+1)*w) (bit j = plane t*w+j). The dot product
+    * accumulates double in component order — the same fold the DuckDB
+    * oracle performs — so the sign decision is bit-identical.
+    */
+  def lshBuckets(vec: ArrayData, tables: Int, w: Int, dim: Int): ArrayData = {
+    val pw = planes(tables * w, dim)
+    val n = math.min(vec.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < w) {
+        val base = (t * w + j) * dim
+        var dot = 0.0
+        var c = 0
+        while (c < n) {
+          dot += vec.getFloat(c).toDouble * pw(base + c)
+          c += 1
+        }
+        if (dot >= 0.0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Cosine similarity over float vectors, accumulated in double in index
@@ -115,6 +249,51 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `shingle_minhash(text) -> struct(sh array<string>, sig array<long>)` —
+  * the fused dedup kernel (see [[Kernels.shingleMinhash]]). One generated
+  * call per document replaces an interpreted nested-HOF pipeline that was
+  * 70% of the round-1 bench (`VERDICT.md` "What's wrong" #2–3).
+  */
+case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("sh", ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)
+    )
+  )
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingleMinhash(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleMinhash($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
+/** `lsh_buckets(vec) -> array<long>` — multi-table random-hyperplane LSH
+  * signature (see [[Kernels.lshBuckets]]); plane weights come from the
+  * shared deterministic xor-shift generator so the DuckDB oracle buckets
+  * identically.
+  */
+case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.lshBuckets(input.asInstanceOf[ArrayData], tables, planesPerTable, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"graft.functions.Kernels.lshBuckets($c, $tables, $planesPerTable, $dim)"
+    )
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object GraftExpressions {
   def poly_hash(c: Column): Column =
@@ -126,5 +305,16 @@ object GraftExpressions {
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProduct(GraftBridge.expression(a), GraftBridge.expression(b))
+    )
+  def shingle_minhash(text: Column, k: Int, numHashes: Int): Column =
+    GraftBridge.column(ShingleMinHash(GraftBridge.expression(text), k, numHashes))
+  def lsh_buckets(vec: Column, tables: Int, planesPerTable: Int, dim: Int): Column =
+    GraftBridge.column(
+      LshBuckets(GraftBridge.expression(vec), tables, planesPerTable, dim)
+    )
+  def top_k_neighbors(score: Column, id: Column, k: Int): Column =
+    GraftBridge.column(
+      TopKNeighbors(GraftBridge.expression(score), GraftBridge.expression(id), k)
+        .toAggregateExpression()
     )
 }

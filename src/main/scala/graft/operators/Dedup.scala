@@ -3,19 +3,25 @@ package graft.operators
 import graft.functions.{GraftExpressions, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for LLM training-data pipelines (north-star
   * extension; the reference has no dedup of any kind — SURVEY.md §2.1).
   *
   * Scale design notes (the 100 TB contract):
   *  - exact dedup is one hash-aggregate shuffle on the content key;
-  *  - MinHash/LSH turns the O(n²) near-dup problem into
-  *    signature computation (embarrassingly parallel, codegen'd HOFs) +
-  *    one `groupBy(band, key)` shuffle whose fan-in is bounded by collision
-  *    groups, never all-pairs;
+  *  - MinHash/LSH turns the O(n²) near-dup problem into a single fused
+  *    codegen'd signature pass per document ([[graft.functions.ShingleMinHash]],
+  *    persisted so the self-join computes it once) + one band-bucket
+  *    shuffle whose fan-in is bounded by collision groups, never all-pairs;
   *  - SimHash reduces each document to one 32-bit integer via a single
   *    explode+aggregate shuffle, then compares only within cheap buckets;
-  *  - n-gram Jaccard verification runs only on LSH/bucket candidates.
+  *  - n-gram Jaccard verification runs only on LSH-band candidates (the
+  *    band key is uniform by construction — never a Zipfian text prefix);
+  *  - exact embedding near-dup is a block-matrix triangle join: an
+  *    equi-join on block-pair task keys with ~B/2 replication, so the
+  *    unavoidable O(n²) compute distributes evenly with NO broadcast
+  *    nested-loop of the full corpus in the plan.
   *
   * All hash arithmetic stays below 2^63 and uses the engine-wide
   * `poly_hash` (mod 1e9+7) so the DuckDB oracle can replay every step.
@@ -24,7 +30,9 @@ object Dedup {
 
   val NumHashes = 32
   val Bands = 8
-  val RowsPerBand = 4 // NumHashes / Bands
+  val RowsPerBand = 4 // NumHashes / Bands — tuned for jaccard ~0.8
+  val BandsFine = 16
+  val RowsPerBandFine = 2 // 16x2 banding — higher recall at jaccard ~0.5
   val ShingleK = 3
   val P: Long = graft.functions.Kernels.HashPrime
 
@@ -39,52 +47,42 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
 
-  /** MinHash signature over an already-materialized shingle-hash array
-    * column: for permutation i, min over shingle hashes h of
-    * (h*(2i+1) + (i²*31+7)) mod P. Pure HOF pipeline — no UDF, no shuffle.
-    *
-    * Takes a column REFERENCE, not the hashing expression: a nested HOF
-    * re-evaluates its inner argument per outer element, so inlining the
-    * shingle pipeline here would hash every document NumHashes times.
-    * Callers project the hashes into a column first (see [[minhashBands]]).
+  /** Per-document (shingles, minhash signature) base frame, persisted:
+    * the signature pipeline is the expensive subtree of every near-dup
+    * query, and both the band self-join and the verification join read it —
+    * without the persist the fused kernel would run once per consumer.
     */
-  def minhashSignature(shingleHashCol: Column): Column =
-    transform(
-      sequence(lit(0), lit(NumHashes - 1)),
-      i => {
-        val a = i.cast("long") * lit(2L) + lit(1L)
-        val b = (i.cast("long") * i.cast("long") * lit(31L) + lit(7L)) % lit(P)
-        array_min(transform(shingleHashCol, h => (h * a + b) % lit(P)))
-      }
-    )
-
-  /** LSH banding: explode each signature into (band, bandKey) bucket rows.
-    * Band key is the joined minhash slice — grouping on it is the one
-    * shuffle of the whole near-dup pipeline.
-    */
-  def minhashBands(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def shingleSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
       .select(
         col(idCol).as("doc_id"),
-        TextFunctions.shingleHashes(col(textCol), ShingleK).as("shs")
+        GraftExpressions.shingle_minhash(col(textCol), ShingleK, NumHashes).as("sm")
       )
-      .select(col("doc_id"), minhashSignature(col("shs")).as("sig"))
+      .select(col("doc_id"), col("sm.sh").as("sh"), col("sm.sig").as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** LSH banding over a signature column: explode into (band, bandKey)
+    * bucket rows. Band key is the joined minhash slice — grouping on it is
+    * the one shuffle of the whole near-dup pipeline, and its distribution
+    * is uniform because the key is a hash slice, not natural-language text.
+    */
+  def bandsOf(base: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    base
       .select(
         col("doc_id"),
         explode(
           transform(
-            sequence(lit(0), lit(Bands - 1)),
+            sequence(lit(0), lit(bands - 1)),
             b =>
               struct(
                 b.as("band"),
-                concat_ws("_", slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)))
+                concat_ws("_", slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
                   .as("band_key")
               )
           )
         ).as("bk")
       )
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-  }
 
   /** Exact Jaccard between two distinct-element arrays, as the shared
     * formula |A∩B| / (|A|+|B|−|A∩B|) with the intersection computed by a
@@ -95,31 +93,51 @@ object Dedup {
     inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
-  /** MinHash+LSH near-duplicate pairs: band-bucket join for candidates, then
-    * exact shingle-set Jaccard verification at `threshold`.
+  /** Candidate pairs from an LSH banding, then exact shingle-set Jaccard
+    * verification at `threshold`, reading shingles from the persisted base.
+    */
+  private def bandedJaccardPairs(
+      base: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double
+  ): DataFrame = {
+    val bk = bandsOf(base, bands, rowsPerBand)
+    val candidates = bk
+      .as("l")
+      .join(bk.as("r"), expr("l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(base.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(base.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), round(jaccard(col("sa.sh"), col("sb.sh")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: 8×4 banding (high precision, tuned
+    * for jaccard ≥ ~0.8) for candidates, exact Jaccard verification.
     */
   def minhashPairs(
       docs: DataFrame,
       threshold: Double,
       textCol: String = "text",
       idCol: String = "doc_id"
-  ): DataFrame = {
-    val bands = minhashBands(docs, textCol, idCol)
-    val candidates = bands
-      .as("l")
-      .join(bands.as("r"), expr("l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    val sets = docs.select(
-      col(idCol).as("doc_id"),
-      TextFunctions.shingles(col(textCol), ShingleK).as("sh")
+  ): DataFrame =
+    bandedJaccardPairs(shingleSignatures(docs, textCol, idCol), Bands, RowsPerBand, threshold)
+
+  /** n-gram Jaccard near-dup pairs at a looser threshold: same signatures,
+    * finer 16×2 banding (two-row bands collide at much lower similarity, so
+    * recall holds at jaccard ~0.5). Replaces the round-1 first-two-tokens
+    * blocking key, which was Zipfian and went quadratic on one bucket.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    bandedJaccardPairs(
+      shingleSignatures(docs, "text", "doc_id"),
+      BandsFine,
+      RowsPerBandFine,
+      threshold
     )
-    candidates
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), round(jaccard(col("sa.sh"), col("sb.sh")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
 
   /** 32-bit SimHash per document via one explode + one aggregate: bit i is
     * set when at least half the token hashes have bit i set. The per-bit
@@ -151,43 +169,40 @@ object Dedup {
       .select(
         col("l.doc_id").as("doc_a"),
         col("r.doc_id").as("doc_b"),
-        expr("bit_count(l.simhash ^ r.simhash)").as("hamming")
+        expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** n-gram Jaccard near-dup pairs, candidate-bucketed by the first two
-    * tokens (cheap blocking key; at scale swap in the LSH bands above).
+  /** Exact embedding-cosine near-duplicates as a block-matrix triangle
+    * join. Each vector lands in block g = vec_id mod B; task (i,j), i ≤ j,
+    * compares block i against block j. The left side replicates to tasks
+    * (g, j≥g), the right side to tasks (i≤g, g) — an EQUI-join on the task
+    * key, so the plan is a shuffled hash join with ~B/2 replication, never
+    * a broadcast nested-loop of the full corpus. Exact all-pairs work is
+    * inherently O(n²); this shape distributes it evenly across B(B+1)/2
+    * tasks and is how you'd run it on 1000 executors. (For approximate
+    * near-dup at high thresholds, use the LSH candidates + this as the
+    * verifier.)
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val withKey = docs.select(
-      col("doc_id"),
-      concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 2)).as("bucket"),
-      TextFunctions.shingles(col("text"), ShingleK).as("sh")
-    )
-    withKey
+  def embeddingPairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"), pmod(col("vec_id"), lit(blocks)).as("g"))
+    val left = e
+      .withColumn("j", explode(sequence(col("g"), lit(blocks - 1))))
+      .select(col("vec_id"), col("embedding"), col("g"), col("g").as("i"), col("j"))
+    val right = e
+      .withColumn("i", explode(sequence(lit(0), col("g"))))
+      .select(col("vec_id"), col("embedding"), col("g"), col("i"), col("g").as("j"))
+    left
       .as("l")
-      .join(withKey.as("r"), expr("l.bucket = r.bucket AND l.doc_id < r.doc_id"))
-      .select(
-        col("l.doc_id").as("doc_a"),
-        col("r.doc_id").as("doc_b"),
-        round(jaccard(col("l.sh"), col("r.sh")), 6).as("jaccard")
+      .join(
+        right.as("r"),
+        col("l.i") === col("r.i") && col("l.j") === col("r.j") &&
+          (col("l.g") < col("r.g") || col("l.vec_id") < col("r.vec_id"))
       )
-      .filter(col("jaccard") >= threshold)
-  }
-
-  /** Embedding-cosine near-duplicates. Exact all-pairs form; the join is a
-    * single equi-free comparison so Spark plans a broadcast nested loop at
-    * fixture scale. At 100 TB use [[Similarity.annLsh]] buckets as the
-    * blocking stage and this as the verifier.
-    */
-  def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"))
-    e.as("l")
-      .join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(
-        col("l.vec_id").as("vec_a"),
-        col("r.vec_id").as("vec_b"),
+        least(col("l.vec_id"), col("r.vec_id")).as("vec_a"),
+        greatest(col("l.vec_id"), col("r.vec_id")).as("vec_b"),
         VectorFunctions.cosine(col("l.embedding"), col("r.embedding")).as("cos")
       )
       .filter(col("cos") >= threshold)

@@ -35,7 +35,15 @@ object OmopDump {
     // O2 parity: count at the source before the dump (dump_table.py:192).
     val sourceCount = source.countAtSource(spark)
     val scanned = source.scan(spark)
-    val limited = limit.fold(scanned)(n => scanned.limit(clampToInt(n)))
+    val limited = limit.fold(scanned) { n =>
+      // A silent clamp would dump fewer rows than asked — fail loudly; the
+      // reference's own > 2^31 case is GRAB_EVERYTHING (limit = None).
+      require(
+        n > 0 && n <= Int.MaxValue,
+        s"limit $n out of range (1..${Int.MaxValue}); use grab-everything (no limit) beyond that"
+      )
+      scanned.limit(n.toInt)
+    }
     ShardedParquetSink.write(limited, outputDir, layout)
     val report = ShardedParquetSink.readBackReport(spark, outputDir)
     val expected = limit.fold(sourceCount)(n => math.min(n, sourceCount))
@@ -45,7 +53,4 @@ object OmopDump {
     )
     Result(report, sourceCount)
   }
-
-  private def clampToInt(n: Long): Int =
-    if (n > Int.MaxValue) Int.MaxValue else n.toInt
 }

@@ -1,31 +1,64 @@
 package graft.operators
 
-import graft.functions.VectorFunctions
-import org.apache.spark.sql.expressions.Window
+import graft.functions.{GraftExpressions, VectorFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
-/** Approximate-nearest-neighbor search over an embedding column
-  * (`array<float>`, fixed dim). North-star extension — the reference has no
-  * vector operations (SURVEY.md §2.1).
+/** Similarity search over an embedding column (`array<float>`, fixed dim).
+  * North-star extension — the reference has no vector operations
+  * (SURVEY.md §2.1).
   *
-  * Two tiers, same contract:
+  * Two tiers, same output contract (query_id, rnk, neighbor_id, cosine):
   *  - [[bruteForceTopK]]: exact. The (small) query set is broadcast against
-  *    the corpus — a map-side nested loop with the codegen'd cosine kernel,
-  *    no shuffle until the final per-query top-k. This is the correct
-  *    baseline even at scale when |queries| is small: cost is
-  *    |corpus| × |queries| fused multiply-adds, embarrassingly parallel.
-  *  - [[annLsh]]: the scale path for query sets too large to broadcast-cross:
-  *    deterministic random-hyperplane signatures bucket both sides, the join
-  *    becomes an equi-join on bucket (shuffle bounded by bucket sizes, AQE
-  *    splits skewed buckets), and only in-bucket candidates pay the cosine.
-  *    Recall < 1 by construction; raise `planes` to sharpen buckets or probe
-  *    multiple buckets for higher recall.
+  *    the corpus — a map-side nested loop with the codegen'd cosine kernel —
+  *    and the per-query top-k is a bounded-heap AGGREGATE
+  *    ([[graft.functions.TopKNeighbors]]): each partition reduces to ≤ k
+  *    candidates before the shuffle, so no task ever sorts a full
+  *    per-query candidate list (the round-1 Window/row_number plan did —
+  *    VERDICT.md "What's wrong" #6).
+  *  - [[annLsh]]: the approximate scale path: multi-table random-hyperplane
+  *    LSH (L tables × W sign bits, codegen'd [[graft.functions.LshBuckets]])
+  *    with multi-probe (all buckets within Hamming distance ≤ 2 of the
+  *    query's bucket). Candidates come from an EQUI-join on (table, bucket),
+  *    so shuffle volume is bounded by bucket occupancy; only candidates pay
+  *    the exact cosine, and the same top-k aggregate finishes. Measured
+  *    recall@10 vs [[bruteForceTopK]] ≈ 0.88 on the sf0.1 fixture (gated
+  *    ≥ 0.8 in AnnRecallSpec) — this corpus's true neighbors sit at cosine
+  *    ~0.3, so tighter tables would collapse recall; L/W/probe radius are
+  *    the knobs to retune per corpus.
   */
 object Similarity {
 
-  val LshPlanes = 16
+  val LshTables = 12
+  val LshPlanesPerTable = 10
   val Dim = 64
+
+  /** Probe masks: XOR patterns for Hamming distance 0, 1 and 2 over
+    * W-bit buckets — 1 + W + W(W−1)/2 probes per (query, table).
+    */
+  def probeMasks(w: Int): Seq[Long] = {
+    val singles = (0 until w).map(j => 1L << j)
+    val doubles = for {
+      a <- 0 until w
+      b <- (a + 1) until w
+    } yield (1L << a) | (1L << b)
+    0L +: (singles ++ doubles)
+  }
+
+  /** Bounded per-query top-k over a scored (query_id, neighbor_id, cos)
+    * frame: partial heaps per partition, one merge, posexplode to ranks.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(GraftExpressions.top_k_neighbors(col("cos"), col("neighbor_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(
+        col("query_id"),
+        (col("pos") + lit(1)).cast("long").as("rnk"),
+        col("n.neighbor_id").as("neighbor_id"),
+        round(col("n.cos"), 6).as("cosine")
+      )
 
   /** Exact top-k neighbors for each query vector (queries = rows whose
     * `vec_id` is in `queryIds`), self-matches excluded, ties broken by
@@ -41,34 +74,47 @@ object Similarity {
         col("c.vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("q.embedding"), col("c.embedding")).as("cos")
       )
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+    topK(scored, k)
   }
 
-  /** Attach the deterministic LSH bucket id (see
-    * [[VectorFunctions.lshBucket]]) — the IVF-style coarse quantizer.
-    */
-  def withBucket(emb: DataFrame): DataFrame =
-    emb.withColumn("bucket", VectorFunctions.lshBucket(col("embedding"), LshPlanes, Dim))
+  /** Attach the L-table LSH signature column `buckets` (array<long>). */
+  def withBuckets(emb: DataFrame): DataFrame =
+    emb.withColumn(
+      "buckets",
+      GraftExpressions.lsh_buckets(col("embedding"), LshTables, LshPlanesPerTable, Dim)
+    )
 
-  /** ANN top-k: candidates restricted to the query's own LSH bucket. */
+  /** ANN top-k via multi-table multi-probe LSH. The corpus explodes to
+    * (table, bucket) rows once; each query probes every bucket within
+    * Hamming ≤ 2 per table. Candidates are deduped before ranking so a
+    * neighbor found by several tables is scored once.
+    */
   def annLsh(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val e = withBucket(emb).select(col("vec_id"), col("embedding"), col("bucket"))
-    val queries = e.filter(col("vec_id").isin(queryIds: _*))
+    val e = withBuckets(emb).select(col("vec_id"), col("embedding"), col("buckets"))
+    val corpus = e
+      .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val masks = probeMasks(LshPlanesPerTable).toArray
+    val queries = e
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("table"),
+        explode(transform(lit(masks), m => col("bucket").bitwiseXOR(m))).as("probe")
+      )
     val scored = broadcast(queries.as("q"))
-      .join(e.as("c"), col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .join(
+        corpus.as("c"),
+        col("q.table") === col("c.table") && col("q.probe") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id")
+      )
       .select(
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("q.embedding"), col("c.embedding")).as("cos")
       )
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .distinct()
+    topK(scored, k)
   }
 }

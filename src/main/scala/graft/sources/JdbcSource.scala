@@ -110,8 +110,16 @@ trait NoteSource {
   def countAtSource(spark: SparkSession): Long
 }
 
-final class ParquetNoteSource(path: String) extends NoteSource {
-  def scan(spark: SparkSession): DataFrame = spark.read.parquet(path)
+/** Parquet stand-in for the Oracle source. `coalesceTo` pins the scan's
+  * partition count when a caller needs a deterministic output-file layout
+  * (each write task shards independently, so file COUNT depends on input
+  * partitioning; row totals never do).
+  */
+final class ParquetNoteSource(path: String, coalesceTo: Option[Int] = None) extends NoteSource {
+  def scan(spark: SparkSession): DataFrame = {
+    val df = spark.read.parquet(path)
+    coalesceTo.fold(df)(df.coalesce)
+  }
   // Parquet footers carry exact counts; Spark answers count() from metadata
   // without a data scan, matching the reference's count-at-source semantics.
   def countAtSource(spark: SparkSession): Long = scan(spark).count()

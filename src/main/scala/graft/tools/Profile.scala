@@ -1,9 +1,9 @@
 package graft.tools
 
 import graft._
+import graft.functions.GraftExpressions
 import graft.sources.Tables
 import graft.operators.Dedup
-import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 
 /** Dev profiler: times the stages of the heaviest pipelines so regressions
@@ -19,23 +19,22 @@ object Profile {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    time("shingleHashes") {
-      docs.select(TextFunctions.shingleHashes(col("text"), 3).as("shs"))
-        .selectExpr("sum(size(shs))").collect()(0).getLong(0)
+    time("shingle_minhash kernel") {
+      docs.select(GraftExpressions.shingle_minhash(col("text"), Dedup.ShingleK, Dedup.NumHashes).as("sm"))
+        .selectExpr("sum(size(sm.sig))").collect()(0).getLong(0)
     }
-    time("signatures") {
-      docs.select(col("doc_id"), TextFunctions.shingleHashes(col("text"), 3).as("shs"))
-        .select(Dedup.minhashSignature(col("shs")).as("sig"))
-        .selectExpr("sum(size(sig))").collect()(0).getLong(0)
-    }
-    time("bands") { Dedup.minhashBands(docs, "text", "doc_id").count() }
-    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+    val base = Dedup.shingleSignatures(docs, "text", "doc_id")
+    time("signatures (persisted)") { base.count() }
+    val bands = Dedup.bandsOf(base, Dedup.Bands, Dedup.RowsPerBand)
+    time("bands") { bands.count() }
     time("candidates") {
       bands.as("l")
         .join(bands.as("r"), expr("l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id"))
         .distinct().count()
     }
+    base.unpersist()
     time("full minhashPairs") { Dedup.minhashPairs(docs, 0.8).count() }
+    time("full ngramJaccardPairs") { Dedup.ngramJaccardPairs(docs, 0.5).count() }
     spark.stop()
   }
 }
