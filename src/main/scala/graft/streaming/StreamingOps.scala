@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import java.sql.Timestamp
+import java.time.Instant
 
 /** Structured Streaming forms of the event-time operators. The reference is
   * strictly bounded (its generator loop, `dump_table.py:81-111`, is cursor
@@ -39,43 +39,78 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
-  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
-  final case class SessionState(start: Long, lastTs: Long, n: Long)
-  final case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long)
+  // java.time.Instant, not java.sql.Timestamp: Spark timestamps carry
+  // MICROSECONDS and Timestamp.getTime truncates to millis — a sessionizer
+  // built on getTime would emit session starts that no longer equal the
+  // batch operator's (micro-precision) output.
+  final case class Ev(event_id: Long, ts: Instant, user_id: Long, event_type: String, value: Double)
+  final case class OpenSession(start: Long, end: Long, n: Long) // epoch micros
+  final case class SessState(open: List[OpenSession])
+  final case class SessionOut(user_id: Long, session_start: Instant, n_events: Long)
 
-  /** Custom stateful sessionizer: emits a session row when the gap elapses
-    * (processing-time timeout drives emission between batches). Demonstrates
-    * the KeyValueGroupedDataset.flatMapGroupsWithState extension point for
-    * state machines the declarative API can't express.
+  private def micros(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def instant(us: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+
+  /** Custom stateful sessionizer via interval merge — the
+    * flatMapGroupsWithState extension point for state machines the
+    * declarative API can't express.
+    *
+    * Bounded by construction (the round-1 version buffered and SORTED a
+    * user's whole trigger batch in memory — a skewed user OOMs the task):
+    * each event is folded into the per-user set of open session intervals
+    * in O(#open sessions), order-insensitive, so out-of-order arrivals
+    * within the watermark need no sort and per-key state is proportional
+    * to concurrently-open sessions, not events. An event bridging two open
+    * intervals merges them — same semantics as `session_window`.
+    *
+    * Emission is event-time: a session closes when the watermark passes
+    * `end + gap` (no earlier event can still join it), driven by
+    * EventTimeTimeout between batches. Session membership is strict
+    * (`|t − boundary| < gap` joins, `= gap` starts a new session) —
+    * matching the batch EventOps.sessions / q14 oracle semantics.
     */
-  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+  def sessionize(
+      events: Dataset[Ev],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "0 seconds"
+  ): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append(),
-        GroupStateTimeout.ProcessingTimeTimeout
-      ) { (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
-        var cur = state.getOption
-        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-        sorted.foreach { ev =>
-          val t = ev.ts.getTime
-          cur match {
-            case Some(s) if t - s.lastTs <= gapMs =>
-              cur = Some(s.copy(lastTs = t, n = s.n + 1))
-            case Some(s) =>
-              out += SessionOut(user, new Timestamp(s.start), s.n)
-              cur = Some(SessionState(t, t, 1))
-            case None =>
-              cur = Some(SessionState(t, t, 1))
+        GroupStateTimeout.EventTimeTimeout
+      ) { (user: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+        val gapUs = gapMs * 1000L
+        var open: List[OpenSession] = state.getOption.map(_.open).getOrElse(Nil)
+        if (!state.hasTimedOut) {
+          rows.foreach { ev =>
+            val t = micros(ev.ts)
+            val (hit, rest) = open.partition(s => t > s.start - gapUs && t < s.end + gapUs)
+            val merged =
+              if (hit.isEmpty) OpenSession(t, t, 1)
+              else
+                OpenSession(
+                  math.min(hit.map(_.start).min, t),
+                  math.max(hit.map(_.end).max, t),
+                  hit.map(_.n).sum + 1
+                )
+            open = merged :: rest
           }
         }
-        cur match {
-          case Some(s) => state.update(s); state.setTimeoutDuration(gapMs)
-          case None => ()
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (closed, stillOpen) = open.partition(_.end + gapUs <= wmUs)
+        if (stillOpen.nonEmpty) {
+          state.update(SessState(stillOpen))
+          // earliest possible close, rounded up past the ms-granularity
+          // watermark (setTimeoutTimestamp must exceed the current watermark)
+          state.setTimeoutTimestamp(stillOpen.map(_.end).min / 1000L + gapMs + 1L)
+        } else {
+          state.remove()
         }
-        out.iterator
+        closed.sortBy(_.start).map(s => SessionOut(user, instant(s.start), s.n)).iterator
       }
   }
 

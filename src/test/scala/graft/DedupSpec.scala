@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, Sf0001, "documents")
+
+  test("exact dedup: one representative per distinct text, min id, idempotent") {
+    val deduped = Dedup.exact(docs)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(deduped.count() == distinctTexts)
+    // idempotence: dedup of an already-unique corpus is the identity (by count)
+    val uniq = docs
+      .join(deduped.withColumnRenamed("canonical_id", "doc_id"), "doc_id")
+      .select("doc_id", "text")
+    assert(Dedup.exact(uniq).count() == uniq.count())
+    // n_copies sums back to the corpus size
+    assert(deduped.agg(sum("n_copies")).as[Long].head() == docs.count())
+  }
+
+  test("minhashPairs finds a planted near-duplicate and nothing else") {
+    val a = "the quick brown fox jumps over the lazy dog again and again every day"
+    val aNear = "the quick brown fox jumps over the lazy cat again and again every day"
+    val b = "completely different content about spark catalyst optimizer internals"
+    val c = "yet another unrelated document mentioning parquet row groups and pages"
+    val df = Seq((0L, a), (1L, aNear), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, 0.5).select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((0L, 1L)))
+  }
+
+  test("identical documents reach jaccard 1.0 through the banding path") {
+    val t = "spark native engine with oracle verified operators at scale"
+    val df = Seq((10L, t), (20L, t)).toDF("doc_id", "text")
+    val got = Dedup.minhashPairs(df, 0.99).select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((10L, 20L, 1.0)))
+  }
+
+  test("ngramJaccardPairs: every returned pair meets the threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5)
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("block-matrix embedding pairs == naive all-pairs (triangle join is complete)") {
+    val emb = Tables.load(spark, Sf0001, "embeddings")
+    // naive: unblocked all-pairs cross join (fixture-scale oracle)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val naive = e.as("l")
+      .join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(
+        col("l.vec_id").as("vec_a"),
+        col("r.vec_id").as("vec_b"),
+        round(graft.functions.VectorFunctions.cosine(col("l.embedding"), col("r.embedding")), 6)
+          .as("cosine")
+      )
+      .filter(col("cosine") >= 0.3)
+    val blocked = Dedup.embeddingPairs(emb, 0.3, blocks = 5)
+    val nv = naive.as[(Long, Long, Double)].collect().toSet
+    val bl = blocked.as[(Long, Long, Double)].collect().toSet
+    assert(bl == nv, s"blocked ${bl.size} vs naive ${nv.size}")
+  }
+
+  test("simhashPairs hamming bound holds and pairs are bucket-consistent") {
+    val pairs = Dedup.simhashPairs(docs, 4)
+    assert(pairs.filter(col("hamming") > 4).count() == 0)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.EventOps
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.time.Instant
+
+/** Streaming == batch equivalence on the events fixture: the same logic
+  * must produce the same rows whether it runs as a bounded DataFrame job
+  * or through readStream with watermarks and state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.load(spark, Sf0001, "events")
+
+  private lazy val evSeq: Seq[Ev] = events
+    .select("event_id", "ts", "user_id", "event_type", "value")
+    .as[Ev]
+    .collect()
+    .toSeq
+
+  test("streaming windowedCounts (complete mode) == batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(evSeq)
+    val streamed = StreamingOps.runToMemory(
+      spark,
+      StreamingOps.windowedCounts(stream.toDF()),
+      "win_complete",
+      mode = "complete"
+    )
+    val batch = StreamingOps.windowedCounts(events) // watermark is a no-op in batch
+    val got = streamed.as[(Instant, String, Long, Double)].collect().toSet
+    val exp = batch.as[(Instant, String, Long, Double)].collect().toSet
+    assert(got == exp)
+  }
+
+  test("custom interval-merge sessionizer == batch sessions after watermark flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    // keep the test light: a user subset, fed across two batches to
+    // exercise state carry-over, then sentinel batches to advance the
+    // watermark past every real session's close
+    val subset = evSeq.filter(_.user_id < 40)
+    val (b1, b2) = subset.splitAt(subset.length / 2)
+    val maxTs = subset.map(_.ts.toEpochMilli).max
+    def sentinel(i: Int) =
+      Ev(-i.toLong, Instant.ofEpochMilli(maxTs + i * 10 * gapMs), -1L, "sentinel", 0.0)
+
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps
+      .sessionize(stream.toDS(), gapMs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_custom")
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    stream.addData(Seq(sentinel(1))); q.processAllAvailable()
+    stream.addData(Seq(sentinel(2))); q.processAllAvailable()
+    q.stop()
+
+    val got = spark
+      .table("sess_custom")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Instant, Long)]
+      .collect()
+      .toSet
+    val exp = EventOps
+      .sessions(events.filter(col("user_id") < 40), "30 minutes")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Instant, Long)]
+      .collect()
+      .toSet
+    assert(got == exp)
+  }
+
+  test("built-in session_window streaming == batch sessions after flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    val subset = evSeq.filter(_.user_id < 40)
+    val maxTs = subset.map(_.ts.toEpochMilli).max
+    def sentinel(i: Int) =
+      Ev(-i.toLong, Instant.ofEpochMilli(maxTs + i * 10 * gapMs), -1L, "sentinel", 0.0)
+
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps
+      .sessionCounts(stream.toDF(), watermark = "0 seconds")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_builtin")
+      .start()
+    stream.addData(subset); q.processAllAvailable()
+    stream.addData(Seq(sentinel(1))); q.processAllAvailable()
+    stream.addData(Seq(sentinel(2))); q.processAllAvailable()
+    q.stop()
+
+    val got = spark
+      .table("sess_builtin")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Instant, Long)]
+      .collect()
+      .toSet
+    val exp = EventOps
+      .sessions(events.filter(col("user_id") < 40), "30 minutes")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Instant, Long)]
+      .collect()
+      .toSet
+    assert(got == exp)
+  }
+}
