@@ -202,6 +202,62 @@ object SparkEntry {
     "q28_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), 0.4).orderBy(col("vec_a"), col("vec_b"))
     }),
+    "q32_dedup_clusters" -> ((s, dir) => {
+      Dedup.clusters(t(s, dir, "documents"), 0.8).orderBy(col("doc_id"))
+    }),
+    "q33_hash_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.splitAssign(col("text"), 80).as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))
+    }),
+    "q34_top_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = docs
+        .select(col("lang"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("df"))
+      // integer burstiness salience tf*1e6 div df — deliberately integer
+      // arithmetic (no ln()) so both engines rank identically bit-for-bit
+      val scored = tf
+        .join(df_, Seq("lang", "tok"))
+        .withColumn("salience", expr("tf * 1000000 div df"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("salience").desc, col("tok"))
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk"), col("tok"), col("salience"), col("tf"), col("df"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+    "q35_token_median" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(
+        col("lang"),
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")
+      )
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_tok"), col("doc_id"))
+      val ranked = toks.withColumn("rn", row_number().over(w).cast("long"))
+      val stats = toks
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok")
+        )
+      // lower median: the ceil(n/2)-th smallest — integer-exact, no
+      // interpolation semantics to disagree on between engines
+      ranked
+        .join(stats, "lang")
+        .filter(col("rn") === expr("(n_docs + 1) div 2"))
+        .select(col("lang"), col("n_docs"), col("min_tok"), col("max_tok"), col("n_tok").as("median_tok"))
+        .orderBy(col("lang"))
+    }),
     // similarity search ---------------------------------------------------
     "q30_ann_brute" -> ((s, dir) => {
       Similarity
@@ -487,6 +543,81 @@ object SparkEntry {
            FROM sh l JOIN sh r
              ON (l.simhash >> 16) = (r.simhash >> 16) AND l.doc_id < r.doc_id) v
          WHERE hamming <= 8 ORDER BY doc_a, doc_b"""
+    },
+    "q32_dedup_clusters" -> {
+      val r = Dedup.RowsPerBand
+      s"""WITH RECURSIVE sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
+             ${shingles("text")} AS sh
+           FROM documents
+         ), bands AS (
+           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bands l JOIN bands r
+             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+         ), pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
+             FROM cand
+             JOIN sig sa ON doc_a = sa.doc_id
+             JOIN sig sb ON doc_b = sb.doc_id) v
+           WHERE j >= 0.8
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), reach(n, l) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
+         )
+         SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id"""
+    },
+    "q33_hash_split" ->
+      s"""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+           SELECT lang,
+             CASE WHEN ${polyHash("text")} % 100 < 80 THEN 'train' ELSE 'val' END AS split
+           FROM documents) t
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q34_top_terms" -> {
+      val tok = tokens("text")
+      s"""WITH tf AS (
+           SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT lang, unnest($tok) AS tok FROM documents) t GROUP BY 1, 2
+         ), df AS (
+           SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT lang, unnest(list_distinct($tok)) AS tok FROM documents) t GROUP BY 1, 2
+         ), scored AS (
+           SELECT tf.lang, tf.tok, tf.tf, df.df,
+             CAST(tf.tf * 1000000 // df.df AS BIGINT) AS salience
+           FROM tf JOIN df ON tf.lang = df.lang AND tf.tok = df.tok
+         ), ranked AS (
+           SELECT lang, tok, tf, df, salience,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY salience DESC, tok) AS BIGINT) AS rnk
+           FROM scored
+         )
+         SELECT lang, rnk, tok, salience, tf, df
+         FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk"""
+    },
+    "q35_token_median" -> {
+      val tok = tokens("text")
+      s"""WITH t AS (
+           SELECT lang, doc_id, CAST(len($tok) AS BIGINT) AS n_tok FROM documents
+         ), ranked AS (
+           SELECT lang, n_tok,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS BIGINT) AS rn
+           FROM t
+         ), stats AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(n_tok) AS BIGINT) AS min_tok, CAST(MAX(n_tok) AS BIGINT) AS max_tok
+           FROM t GROUP BY 1
+         )
+         SELECT s.lang, s.n_docs, s.min_tok, s.max_tok, r.n_tok AS median_tok
+         FROM stats s JOIN ranked r
+           ON r.lang = s.lang AND r.rn = (s.n_docs + 1) // 2
+         ORDER BY s.lang"""
     },
     "q28_embedding_neardup" ->
       s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,

@@ -94,6 +94,15 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = GraftExpressions.poly_hash(text)
 
+  /** Deterministic content-hash train/val split: hash of the TEXT (not the
+    * id), so exact duplicates always land in the same split — the property
+    * that prevents train/val leakage in LLM pipelines. Pure function of
+    * content: stable across runs, partitionings, and engines.
+    */
+  def splitAssign(text: Column, trainPct: Int = 80): Column =
+    when(GraftExpressions.poly_hash(text) % lit(100L) < trainPct, lit("train"))
+      .otherwise(lit("val"))
+
   /** Distinct k-token shingles, the unit of MinHash/Jaccard dedup.
     * `slice` with a computed start keeps this inside codegen'd HOFs.
     */

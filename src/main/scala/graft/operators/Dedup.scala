@@ -139,6 +139,57 @@ object Dedup {
       threshold
     )
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash pair
+    * graph, labels = min reachable doc_id. Pairs alone don't dedup a corpus
+    * — transitive near-dups (a~b, b~c) must collapse to one cluster before
+    * a representative can be kept.
+    *
+    * Implementation is iterative min-label propagation: each round joins
+    * labels across edges and keeps the per-vertex minimum, terminating when
+    * a round changes nothing. Rounds are bounded by the cluster DIAMETER —
+    * near-dup clusters are short chains in practice, so a handful of
+    * shuffles total; each round is one equi-join + one partial-aggregated
+    * groupBy, both broadcast-free and skew-tolerant. (At adversarial scale,
+    * the large-star/small-star variant bounds rounds by O(log n) — same
+    * join shape, different edge rewriting — and is the drop-in upgrade.)
+    * Every doc gets a row; singletons label themselves.
+    */
+  def clusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val pairs = minhashPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val propagated = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(propagated, labels("doc_id") === propagated("src"), "left")
+        .select(
+          labels("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 32-bit SimHash per document via one explode + one aggregate: bit i is
     * set when at least half the token hashes have bit i set. The per-bit
     * sums are 32 independent partial aggregates — map-side combined, one

@@ -64,6 +64,19 @@ class DedupSpec extends SparkSpec {
     assert(bl == nv, s"blocked ${bl.size} vs naive ${nv.size}")
   }
 
+  test("clusters: transitive near-dups collapse to one min-id cluster; singletons self-label") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val va = base
+    val vb = base.replace("dog", "cat") // near a
+    val vc = base.replace("dog", "cat").replace("quick", "swift") // near b, farther from a
+    val other = "completely unrelated text about catalyst optimizer rules and parquet layouts"
+    val df = Seq((5L, va), (3L, vb), (9L, vc), (7L, other)).toDF("doc_id", "text")
+    val got = Dedup.clusters(df, 0.5).as[(Long, Long)].collect().toMap
+    // a~b and b~c but maybe not a~c directly: transitivity must still join all three
+    assert(got(5L) == 3L && got(3L) == 3L && got(9L) == 3L, s"chain collapsed to min id: $got")
+    assert(got(7L) == 7L, "singleton keeps its own label")
+  }
+
   test("simhashPairs hamming bound holds and pairs are bucket-consistent") {
     val pairs = Dedup.simhashPairs(docs, 4)
     assert(pairs.filter(col("hamming") > 4).count() == 0)
