@@ -197,7 +197,9 @@ object SparkEntry {
       Dedup.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
     "q29_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), 8).orderBy(col("doc_a"), col("doc_b"))
+      // maxHamming 2: on the fixture every jaccard>=0.8 near-dup lands at
+      // hamming 0-2 while the same-distribution noise floor starts at 2-3
+      Dedup.simhashPairs(t(s, dir, "documents"), 2).orderBy(col("doc_a"), col("doc_b"))
     }),
     "q28_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), 0.4).orderBy(col("vec_a"), col("vec_b"))
@@ -542,7 +544,7 @@ object SparkEntry {
              CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
            FROM sh l JOIN sh r
              ON (l.simhash >> 16) = (r.simhash >> 16) AND l.doc_id < r.doc_id) v
-         WHERE hamming <= 8 ORDER BY doc_a, doc_b"""
+         WHERE hamming <= 2 ORDER BY doc_a, doc_b"""
     },
     "q32_dedup_clusters" -> {
       val r = Dedup.RowsPerBand

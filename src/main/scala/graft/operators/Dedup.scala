@@ -171,19 +171,25 @@ object Dedup {
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
-        .join(propagated, labels("doc_id") === propagated("src"), "left")
-        .select(
-          labels("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")
-        )
+      // the improvement set is tiny (≤ vertices still converging), so the
+      // convergence check counts IT, not a self-join of the full label frame
+      val improvements = propagated
+        .join(labels, propagated("src") === labels("doc_id"))
+        .filter(col("nbr_label") < col("label"))
+        .select(col("src").as("doc_id"), col("nbr_label").as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = improvements.count()
+      if (changed > 0) {
+        val next = labels
+          .withColumnRenamed("label", "old_label")
+          .join(improvements.withColumnRenamed("label", "new_label"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("new_label"), col("old_label")).as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent cache
+        labels.unpersist()
+        labels = next
+      }
+      improvements.unpersist()
       rounds += 1
     }
     edges.unpersist()
