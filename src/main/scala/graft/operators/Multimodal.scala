@@ -42,7 +42,12 @@ object Multimodal {
       col("doc_id"),
       posexplode(
         transform(
-          sequence(lit(0), greatest((col("meta.n_bytes") - lit(1)) / lit(stride), lit(0))),
+          // integer division: `/` on columns is DOUBLE division, which
+          // sequence() rejects (and would mis-count frames if cast blindly)
+          sequence(
+            lit(0),
+            greatest(floor((col("meta.n_bytes") - lit(1)) / lit(stride)).cast("int"), lit(0))
+          ),
           i => substring(col("payload"), (i * lit(stride) + lit(1)).cast("int"), lit(frameLen))
         )
       ).as(Seq("frame_idx", "frame"))
