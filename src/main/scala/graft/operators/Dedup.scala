@@ -196,6 +196,20 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end near-dedup: the corpus with one representative per
+    * near-dup cluster (the min-id member). This is the operator a training
+    * pipeline actually calls — pairs and clusters are its building blocks.
+    * One extra semi-join over [[clusters]]; emits the surviving rows with
+    * their cluster id and the size of the group they represent.
+    */
+  def dedupNear(docs: DataFrame, threshold: Double): DataFrame = {
+    val cl = clusters(docs, threshold)
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    cl.filter(col("doc_id") === col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("n_members"))
+  }
+
   /** 32-bit SimHash per document via one explode + one aggregate: bit i is
     * set when at least half the token hashes have bit i set. The per-bit
     * sums are 32 independent partial aggregates — map-side combined, one

@@ -61,10 +61,17 @@ object ShardedParquetSink {
   def readBackReport(spark: SparkSession, outputDir: String): DumpReport = {
     val schemaDdl = spark.read.parquet(outputDir).schema.toDDL
     val conf = spark.sparkContext.hadoopConfiguration
-    val shards = listParquetFiles(conf, outputDir).map { p =>
-      ShardInfo(p.toString, footerRowCount(conf, p))
-    }
-    DumpReport(schemaDdl, shards)
+    val files = listParquetFiles(conf, outputDir)
+    // Footer reads are independent metadata IO — do them concurrently on
+    // the driver (a dump produces at most thousands of shards; at larger
+    // shard counts move this into an executor job over the path list).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(32, math.max(1, files.size)))
+    try {
+      val futures = files.map(p => pool.submit(new java.util.concurrent.Callable[ShardInfo] {
+        def call(): ShardInfo = ShardInfo(p.toString, footerRowCount(conf, p))
+      }))
+      DumpReport(schemaDdl, futures.map(_.get()))
+    } finally pool.shutdown()
   }
 
   private def listParquetFiles(conf: Configuration, dir: String): Seq[Path] = {
