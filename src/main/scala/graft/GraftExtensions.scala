@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions entry point: registers every custom Catalyst
+  * kernel as a SQL function, so `spark.sql("SELECT poly_hash(text) ...")`
+  * works anywhere the library is on the classpath — the standard
+  * extension-library surface (`--conf spark.sql.extensions=graft.GraftExtensions`,
+  * wired by default in [[GraftSession]]).
+  *
+  * The engine needs no custom Rule/Strategy (SURVEY.md §4: parity's
+  * optimizations are built into Catalyst); expressions + this registry are
+  * the whole extension footprint.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name)
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an INT literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("poly_hash"), info("poly_hash"), (args: Seq[Expression]) => PolyHash(args.head))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("dot_product"), info("dot_product"),
+        (args: Seq[Expression]) => DotProduct(args(0), args(1)))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("text_stats"), info("text_stats"),
+        (args: Seq[Expression]) => TextStats(args.head))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("shingle_minhash"), info("shingle_minhash"),
+        (args: Seq[Expression]) =>
+          ShingleMinHash(args(0), intLit(args(1), "k"), intLit(args(2), "numHashes")))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("lsh_buckets"), info("lsh_buckets"),
+        (args: Seq[Expression]) =>
+          LshBuckets(
+            args(0),
+            intLit(args(1), "tables"),
+            intLit(args(2), "planesPerTable"),
+            intLit(args(3), "dim")
+          ))
+    )
+  }
+}

@@ -143,13 +143,15 @@ object SparkEntry {
     "q20_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents")).orderBy(col("canonical_id"))
     }),
+    // q21-q23 all read the fused one-pass TextStats kernel — five
+    // interpreted passes (split + stopword HOF filters + two
+    // regexp_extract_all) collapsed into one codegen'd scan per document;
+    // formulas and oracles are unchanged.
     "q21_token_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("lang"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
-        TextFunctions.distinctTokenCount(col("text")).cast("long").as("n_dtok")
-      ).groupBy(col("lang"))
+      t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.stats(col("text")).as("st"))
+        .select(col("lang"), col("st.n_tokens").as("n_tok"), col("st.n_distinct_tokens").as("n_dtok"))
+        .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("sum_tokens"),
@@ -159,22 +161,44 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
     "q22_quality" -> ((s, dir) => {
-      val txt = col("text")
-      t(s, dir, "documents")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.stats(col("text")).as("st"))
+      val nTok = col("st.n_tokens")
+      val stopRatio = col("st.hits_en").cast("double") / greatest(nTok, lit(1L)).cast("double")
+      val lenScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
+      val stopScore = least(lit(1.0), stopRatio * lit(5.0))
+      val punctRatio =
+        col("st.n_punct").cast("double") / greatest(col("st.n_chars"), lit(1L)).cast("double")
+      val punctScore = lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))
+      base
         .select(
           col("doc_id"),
-          TextFunctions.tokenCount(txt).cast("long").as("n_tokens"),
-          TextFunctions.bpeTokenCount(txt).cast("long").as("n_bpe"),
-          TextFunctions.punctCount(txt).cast("long").as("n_punct"),
-          round(TextFunctions.stopwordRatio(txt), 6).as("stop_ratio"),
-          round(TextFunctions.avgTokenLength(txt), 6).as("avg_token_len"),
-          TextFunctions.qualityScore(txt).as("quality")
+          nTok.as("n_tokens"),
+          col("st.n_bpe").as("n_bpe"),
+          col("st.n_punct").as("n_punct"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(
+            (col("st.n_chars") - (nTok - lit(1L))).cast("double") / nTok.cast("double"),
+            6
+          ).as("avg_token_len"),
+          round(lit(0.5) * lenScore + lit(0.3) * stopScore + lit(0.2) * punctScore, 6)
+            .as("quality")
         )
         .orderBy(col("doc_id"))
     }),
     "q23_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(TextFunctions.langId(col("text")).as("predicted"), col("lang"))
+      val base = t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.stats(col("text")).as("st"))
+      val en = col("st.hits_en"); val de = col("st.hits_de")
+      val fr = col("st.hits_fr"); val es = col("st.hits_es")
+      val predicted = when(col("st.has_cjk"), lit("zh"))
+        .when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
+        .when(de >= fr && de >= es && de > 0, lit("de"))
+        .when(fr >= es && fr > 0, lit("fr"))
+        .when(es > 0, lit("es"))
+        .otherwise(lit("unknown"))
+      base
+        .select(predicted.as("predicted"), col("lang"))
         .groupBy(col("predicted"))
         .agg(
           count(lit(1)).as("n"),

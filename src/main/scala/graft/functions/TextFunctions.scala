@@ -25,6 +25,17 @@ object TextFunctions {
   val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "est", "dans", "une", "pour")
   val StopwordsEs: Seq[String] = Seq("el", "los", "las", "y", "es", "que", "una", "por")
 
+  // set views for the fused kernel's per-token membership checks
+  val StopEnSet: java.util.Set[String] = new java.util.HashSet(java.util.Arrays.asList(StopwordsEn: _*))
+  val StopDeSet: java.util.Set[String] = new java.util.HashSet(java.util.Arrays.asList(StopwordsDe: _*))
+  val StopFrSet: java.util.Set[String] = new java.util.HashSet(java.util.Arrays.asList(StopwordsFr: _*))
+  val StopEsSet: java.util.Set[String] = new java.util.HashSet(java.util.Arrays.asList(StopwordsEs: _*))
+
+  /** Fused one-pass statistics struct (see [[Kernels.textStats]]); q21–q23
+    * derive every metric from one scan instead of five.
+    */
+  def stats(text: Column): Column = GraftExpressions.text_stats(text)
+
   /** Single-space tokenizer — mirrors DuckDB `string_split(text, ' ')`
     * exactly (including empty-token behavior on doubled spaces).
     */

@@ -97,6 +97,64 @@ object Kernels {
     )
   }
 
+  private val BpePattern = java.util.regex.Pattern.compile("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+  private val PunctPattern = java.util.regex.Pattern.compile("[.,!?;:]")
+
+  private def countMatches(p: java.util.regex.Pattern, s: String): Long = {
+    val m = p.matcher(s)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  /** One-pass text statistics kernel: token counts, subword/punct regex
+    * counts, per-language stopword hits, codepoint length, CJK presence.
+    * Replaces five independent interpreted passes (split + HOF filter per
+    * stopword list + two regexp_extract_all materializing match arrays)
+    * with a single scan per document. Semantics are IDENTICAL to the
+    * composable forms in TextFunctions — same split(-1) tokenizer, same
+    * Java regexes, same codepoint length — so the DuckDB oracles are
+    * untouched.
+    */
+  def textStats(text: UTF8String): InternalRow = {
+    val str = text.toString
+    val toks = str.split(" ", -1)
+    val distinct = new java.util.HashSet[String]()
+    var hitsEn = 0L; var hitsDe = 0L; var hitsFr = 0L; var hitsEs = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      distinct.add(t)
+      if (TextFunctions.StopEnSet.contains(t)) hitsEn += 1
+      if (TextFunctions.StopDeSet.contains(t)) hitsDe += 1
+      if (TextFunctions.StopFrSet.contains(t)) hitsFr += 1
+      if (TextFunctions.StopEsSet.contains(t)) hitsEs += 1
+      i += 1
+    }
+    var hasCjk = false
+    var ci = 0
+    val n = str.length
+    while (ci < n && !hasCjk) {
+      val cp = str.codePointAt(ci)
+      if (cp >= 0x4e00 && cp <= 0x9fff) hasCjk = true
+      ci += Character.charCount(cp)
+    }
+    new GenericInternalRow(
+      Array[Any](
+        toks.length.toLong,
+        distinct.size.toLong,
+        countMatches(BpePattern, str),
+        countMatches(PunctPattern, str),
+        hitsEn,
+        hitsDe,
+        hitsFr,
+        hitsEs,
+        text.numChars().toLong,
+        hasCjk
+      )
+    )
+  }
+
   /** Deterministic pseudo-random hyperplane weight for global plane index
     * `plane`, vector component `j`. The mix must be NONLINEAR (xor-shift
     * between the multiplicative rounds): a pure linear-congruential chain on
@@ -294,6 +352,38 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int, dim: 
     copy(child = newChild)
 }
 
+/** `text_stats(text) -> struct(...)` — the fused one-pass text-statistics
+  * kernel (see [[Kernels.textStats]]).
+  */
+case class TextStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = TextStats.schema
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.textStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.textStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+  val schema: StructType = StructType(
+    Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_distinct_tokens", LongType, nullable = false),
+      StructField("n_bpe", LongType, nullable = false),
+      StructField("n_punct", LongType, nullable = false),
+      StructField("hits_en", LongType, nullable = false),
+      StructField("hits_de", LongType, nullable = false),
+      StructField("hits_fr", LongType, nullable = false),
+      StructField("hits_es", LongType, nullable = false),
+      StructField("n_chars", LongType, nullable = false),
+      StructField("has_cjk", org.apache.spark.sql.types.BooleanType, nullable = false)
+    )
+  )
+}
+
 /** Column-level entry points for the custom expressions. */
 object GraftExpressions {
   def poly_hash(c: Column): Column =
@@ -317,4 +407,6 @@ object GraftExpressions {
       TopKNeighbors(GraftBridge.expression(score), GraftBridge.expression(id), k)
         .toAggregateExpression()
     )
+  def text_stats(text: Column): Column =
+    GraftBridge.column(TextStats(GraftBridge.expression(text)))
 }
