@@ -114,6 +114,28 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
+    * with state bounded by the watermark (`dropDuplicatesWithinWatermark`
+    * evicts keys once no duplicate can still arrive). The streaming face of
+    * [[graft.operators.Dedup.exact]] for at-least-once ingest pipelines,
+    * where replayed batches re-deliver documents.
+    */
+  def dedupStream(
+      rows: DataFrame,
+      tsCol: String,
+      watermark: String,
+      keyCols: Seq[String]
+  ): DataFrame =
+    rows.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment: each micro-batch broadcast-joins a static
+    * dimension frame — no state, no stream-stream alignment; the static
+    * side is re-broadcast per batch. The standard shape for decorating an
+    * event stream with slowly-changing reference data.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Run a streaming frame to completion against bounded input via the
     * memory sink (used by tests; production would writeStream to parquet/
     * kafka with a real trigger).

@@ -81,6 +81,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("streaming dedup drops replayed duplicates; enrichment joins static dims") {
+    implicit val sqlCtx = spark.sqlContext
+    val subset = evSeq.filter(_.user_id < 20)
+    val stream = MemoryStream[Ev]
+    val deduped = StreamingOps.dedupStream(stream.toDF(), "ts", "1 hour", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup_s").start()
+    stream.addData(subset); q.processAllAvailable()
+    stream.addData(subset.take(50)) // replayed delivery inside the watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_s").select("event_id").as[Long].collect().toSeq
+    assert(got.length == subset.length, "replays dropped")
+    assert(got.distinct.length == got.length)
+
+    val dims = Seq((0L, "gold"), (1L, "silver")).toDF("user_id", "tier")
+    val stream2 = MemoryStream[Ev]
+    val enriched = StreamingOps.enrich(stream2.toDF(), dims, "user_id")
+    val q2 = enriched.writeStream.outputMode("append").format("memory").queryName("enrich_s").start()
+    stream2.addData(subset.filter(_.user_id <= 2)); q2.processAllAvailable()
+    q2.stop()
+    val out = spark.table("enrich_s")
+    assert(out.filter(col("user_id") === 0 && col("tier") =!= "gold").count() == 0)
+    assert(out.filter(col("user_id") === 2).count() > 0) // left join keeps unmatched
+    assert(out.filter(col("user_id") === 2 && col("tier").isNotNull).count() == 0)
+  }
+
   test("built-in session_window streaming == batch sessions after flush") {
     implicit val sqlCtx = spark.sqlContext
     val gapMs = 30 * 60 * 1000L
