@@ -155,6 +155,28 @@ object Kernels {
     )
   }
 
+  /** Exact Jaccard of two distinct-element string arrays via hash-set
+    * intersection — O(|A|+|B|) against the interpreted HOF form's
+    * O(|A|·|B|) contains-scan per pair (the verification hot path of every
+    * near-dup query). The final arithmetic keeps the exact evaluation
+    * order of the composable form (|A∩B| / (|A|+|B| − |A∩B|), all doubles)
+    * so results stay bit-identical to the DuckDB oracle.
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[UTF8String](nb * 2)
+    var i = 0
+    while (i < nb) { set.add(b.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < na) {
+      if (set.contains(a.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / (na.toDouble + nb.toDouble - inter.toDouble)
+  }
+
   /** Deterministic pseudo-random hyperplane weight for global plane index
     * `plane`, vector component `j`. The mix must be NONLINEAR (xor-shift
     * between the multiplicative rounds): a pure linear-congruential chain on
@@ -352,6 +374,22 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int, dim: 
     copy(child = newChild)
 }
 
+/** `jaccard_sim(array<string>, array<string>) -> double` — exact Jaccard
+  * over distinct-element arrays (see [[Kernels.jaccard]]).
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
 /** `text_stats(text) -> struct(...)` — the fused one-pass text-statistics
   * kernel (see [[Kernels.textStats]]).
   */
@@ -409,4 +447,6 @@ object GraftExpressions {
     )
   def text_stats(text: Column): Column =
     GraftBridge.column(TextStats(GraftBridge.expression(text)))
+  def jaccard_sim(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

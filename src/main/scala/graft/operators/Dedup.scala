@@ -84,11 +84,17 @@ object Dedup {
       )
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
 
-  /** Exact Jaccard between two distinct-element arrays, as the shared
-    * formula |A∩B| / (|A|+|B|−|A∩B|) with the intersection computed by a
-    * filter/contains scan — the form both engines evaluate identically.
+  /** Exact Jaccard between two distinct-element arrays — the codegen'd
+    * hash-set kernel ([[graft.functions.JaccardSim]]). Bit-identical to
+    * the composable HOF form below and to the DuckDB oracle's
+    * filter/contains formulation.
     */
-  def jaccard(a: Column, b: Column): Column = {
+  def jaccard(a: Column, b: Column): Column = GraftExpressions.jaccard_sim(a, b)
+
+  /** Interpreted HOF form of [[jaccard]] — kept as the equivalence-test
+    * oracle for the kernel (DedupSpec).
+    */
+  def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(filter(a, x => array_contains(b, x))).cast("double")
     inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }

@@ -64,6 +64,19 @@ class DedupSpec extends SparkSpec {
     assert(bl == nv, s"blocked ${bl.size} vs naive ${nv.size}")
   }
 
+  test("jaccard kernel == HOF form bit-for-bit on fixture shingle sets") {
+    val sets = docs.select(
+      col("doc_id"),
+      graft.functions.TextFunctions.shingles(col("text"), Dedup.ShingleK).as("sh")
+    )
+    val both = sets.as("l").join(sets.as("r"), col("l.doc_id") < col("r.doc_id")).limit(2000)
+      .select(
+        Dedup.jaccard(col("l.sh"), col("r.sh")).as("expr"),
+        Dedup.jaccardHof(col("l.sh"), col("r.sh")).as("hof")
+      )
+    assert(both.filter(col("expr") =!= col("hof")).count() == 0)
+  }
+
   test("clusters: transitive near-dups collapse to one min-id cluster; singletons self-label") {
     val base = "the quick brown fox jumps over the lazy dog again and again every single day"
     val va = base
