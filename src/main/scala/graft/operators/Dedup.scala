@@ -236,16 +236,19 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: compare within coarse buckets (top 16 bits
-    * equal) — the scale path; hamming distance ≤ maxHamming verified with
-    * xor+bit_count.
+    * equal), hamming ≤ maxHamming verified with xor+bit_count. On a
+    * homogeneous corpus most documents share ONE bucket (majority-vote
+    * bits converge), so the within-bucket comparison runs as a
+    * [[BlockedJoin.trianglePairs]] — the giant bucket splits across
+    * block-pair tasks instead of serializing into one.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int, blocks: Int = 8): DataFrame = {
     val sh = simhash(docs).withColumn("bucket", shiftright(col("simhash"), 16))
-    sh.as("l")
-      .join(sh.as("r"), expr("l.bucket = r.bucket AND l.doc_id < r.doc_id"))
+    BlockedJoin
+      .trianglePairs(sh, Seq("bucket"), "doc_id", blocks)
       .select(
-        col("l.doc_id").as("doc_a"),
-        col("r.doc_id").as("doc_b"),
+        least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"),
         expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
@@ -262,21 +265,9 @@ object Dedup {
     * near-dup at high thresholds, use the LSH candidates + this as the
     * verifier.)
     */
-  def embeddingPairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"), pmod(col("vec_id"), lit(blocks)).as("g"))
-    val left = e
-      .withColumn("j", explode(sequence(col("g"), lit(blocks - 1))))
-      .select(col("vec_id"), col("embedding"), col("g"), col("g").as("i"), col("j"))
-    val right = e
-      .withColumn("i", explode(sequence(lit(0), col("g"))))
-      .select(col("vec_id"), col("embedding"), col("g"), col("i"), col("g").as("j"))
-    left
-      .as("l")
-      .join(
-        right.as("r"),
-        col("l.i") === col("r.i") && col("l.j") === col("r.j") &&
-          (col("l.g") < col("r.g") || col("l.vec_id") < col("r.vec_id"))
-      )
+  def embeddingPairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame =
+    BlockedJoin
+      .trianglePairs(emb.select(col("vec_id"), col("embedding")), Nil, "vec_id", blocks)
       .select(
         least(col("l.vec_id"), col("r.vec_id")).as("vec_a"),
         greatest(col("l.vec_id"), col("r.vec_id")).as("vec_b"),
@@ -284,5 +275,4 @@ object Dedup {
       )
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
-  }
 }
