@@ -119,6 +119,51 @@ object SparkEntry {
       val nc = t(s, dir, "customer").agg(count(lit(1)).as("n_customer"))
       nl.crossJoin(no).crossJoin(nc)
     }),
+    // window frames, cube, correlated subquery, pivot ---------------------
+    "q16_window_funcs" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_custkey") < 200)
+      val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(running).cast("double").as("run_total"),
+        rank().over(byPrice).cast("long").as("price_rank")
+      ).orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    "q17_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    // q18 goes through spark.sql ON PURPOSE: a correlated scalar subquery
+    // exercises Catalyst's decorrelation (RewriteCorrelatedScalarSubquery),
+    // which the DataFrame API can't express directly. The predicate is
+    // price*n > sum (exact decimal) rather than price > avg to avoid
+    // engine-specific AVG result types.
+    "q18_correlated" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_q18")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_q18 o
+           WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+             (SELECT COUNT(*) FROM orders_q18 i WHERE i.o_custkey = o.o_custkey) >
+             (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders_q18 i
+              WHERE i.o_custkey = o.o_custkey) * 2
+           ORDER BY o_orderkey"""
+      )
+    }),
+    "q19_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+        .groupBy(col("hr"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("hr"))
+    }),
     // events: json, event-time windows, sessions, as-of ------------------
     "q11_json" -> ((s, dir) => {
       t(s, dir, "events")
@@ -406,6 +451,37 @@ object SparkEntry {
       """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customer""",
+    "q16_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice, 1) OVER w1 AS prev_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total,
+         CAST(RANK() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+         FROM orders WHERE o_custkey < 200
+         WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q17_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q18_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+           (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+           (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
+            WHERE i.o_custkey = o.o_custkey) * 2
+         ORDER BY o_orderkey""",
+    "q19_pivot" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+         CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+         CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q11_json" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(k) AS BIGINT) AS sum_k,
