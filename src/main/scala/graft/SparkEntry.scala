@@ -343,6 +343,19 @@ object SparkEntry {
         .annLsh(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // end-to-end multimodal pipeline: binary payload -> partition-parallel
+    // decode (stub codec, real plumbing) -> similarity over the decoded
+    // features. No oracleSql on purpose: the decode stage is mapPartitions,
+    // not SQL-expressible — the driver records a rows-only check and
+    // MultimodalSpec pins determinism and shape.
+    "q41_multimodal_ann" -> ((s, dir) => {
+      val media = Multimodal.attachPayload(t(s, dir, "documents"))
+      val feats = Multimodal
+        .decodeFeaturesStub(media, dim = 8)
+        .toDF()
+        .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+      Similarity.bruteForceTopK(feats, Seq(0L, 1L, 2L), 5).orderBy(col("query_id"), col("rnk"))
+    }),
     // parity dump pipeline (O9-O11, dump_table.py:175-248) ----------------
     // A REAL dump runs inside the query: scan documents → sharded parquet
     // write → footer-only read-back; the returned row is the report, which

@@ -32,6 +32,14 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(length(col("frame")) > frameLen).count() == 0)
   }
 
+  test("q41 pipeline: payload -> decode -> top-k is deterministic with full shape") {
+    def run() = SparkEntry.queries("q41_multimodal_ann")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "pipeline deterministic across runs")
+    assert(a.length == 3 * 5, "3 queries x k=5")
+  }
+
   test("decode stub: deterministic, fixed dim, values in [0,1)") {
     val a = Multimodal.decodeFeaturesStub(media, dim = 8).collect().sortBy(_.doc_id)
     val b = Multimodal.decodeFeaturesStub(media, dim = 8).collect().sortBy(_.doc_id)
