@@ -29,6 +29,13 @@ object OracleFragments {
   def shingleHashes(col: String, k: Int = Dedup.ShingleK): String =
     s"list_transform(${shingles(col, k)}, s -> ${polyHash("s")})"
 
+  /** Mirror of the ShingleMinHash kernel's `sh` field: DISTINCT hashed
+    * shingles, first-occurrence order (the arrays the Jaccard verification
+    * compares).
+    */
+  def shingleHashesDistinct(col: String, k: Int = Dedup.ShingleK): String =
+    s"list_distinct(${shingleHashes(col, k)})"
+
   /** Mirror of Dedup.minhashSignature: per permutation i, min over shingle
     * hashes of (h*(2i+1) + (i*i*31+7) mod P) mod P.
     */

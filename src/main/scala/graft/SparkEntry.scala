@@ -589,7 +589,7 @@ object SparkEntry {
       val r = Dedup.RowsPerBand
       s"""WITH sig AS (
            SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingles("text")} AS sh
+             ${shingleHashesDistinct("text")} AS sh
            FROM documents
          ), bands AS (
            SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
@@ -610,7 +610,7 @@ object SparkEntry {
       val r = Dedup.RowsPerBandFine
       s"""WITH sig AS (
            SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingles("text")} AS sh
+             ${shingleHashesDistinct("text")} AS sh
            FROM documents
          ), bands AS (
            SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
@@ -666,7 +666,7 @@ object SparkEntry {
       val r = Dedup.RowsPerBand
       s"""WITH RECURSIVE sig AS (
            SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingles("text")} AS sh
+             ${shingleHashesDistinct("text")} AS sh
            FROM documents
          ), bands AS (
            SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
@@ -696,7 +696,7 @@ object SparkEntry {
       val r = Dedup.RowsPerBand
       s"""WITH RECURSIVE sig AS (
            SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingles("text")} AS sh
+             ${shingleHashesDistinct("text")} AS sh
            FROM documents
          ), bands AS (
            SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key

