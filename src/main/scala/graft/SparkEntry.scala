@@ -383,6 +383,17 @@ object SparkEntry {
       import s.implicits._
       Seq((res.report.totalRows, res.sourceCount)).toDF("total_rows", "source_count")
     }),
+    // partitioned-layout round-trip: real write, read back with partition
+    // pruning; oracle pins totals + per-partition counts to pure SQL
+    "q52_dump_partitioned" -> ((s, dir) => {
+      val out = s"/root/repo/target/dump_q52_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      graft.sources.Layouts.writePartitioned(t(s, dir, "documents"), out, Seq("lang"))
+      val back = s.read.parquet(out)
+      back
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
     // multimodal plumbing --------------------------------------------------
     "q40_multimodal_meta" -> ((s, dir) => {
       Multimodal
@@ -832,6 +843,9 @@ object SparkEntry {
       """SELECT CAST(least(123, COUNT(*)) AS BIGINT) AS total_rows,
          CAST(COUNT(*) AS BIGINT) AS source_count
          FROM documents""",
+    "q52_dump_partitioned" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "q40_multimodal_meta" ->
       s"""SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
