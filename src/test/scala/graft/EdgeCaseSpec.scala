@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Dedup, EventOps, Similarity}
+import graft.sources.{ParquetLayout, ShardedParquetSink}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate inputs through every major operator: empty frames, single
+  * rows, all-identical corpora. Operators must return empty/identity
+  * results, never throw — at 100 TB some partition is always empty.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(
+    Seq(StructField("doc_id", LongType), StructField("text", StringType))
+  )
+  private lazy val emptyDocs =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+
+  test("dedup family on an empty corpus: empty results, no errors") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs, 0.8).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, 2).count() == 0)
+    assert(Dedup.clusters(emptyDocs, 0.8).count() == 0)
+    assert(Dedup.dedupNear(emptyDocs, 0.8).count() == 0)
+  }
+
+  test("single-document corpus: no pairs, one self-labeled cluster") {
+    val one = Seq((42L, "just one document here")).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(one, 0.1).count() == 0)
+    assert(Dedup.clusters(one, 0.1).as[(Long, Long)].collect().toSeq == Seq((42L, 42L)))
+  }
+
+  test("all-identical corpus: every pair found, one cluster") {
+    val same = (0L until 12L).map(i => (i, "identical text in every row")).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(same, 0.99).count() == 12 * 11 / 2)
+    val cl = Dedup.clusters(same, 0.99).as[(Long, Long)].collect()
+    assert(cl.forall(_._2 == 0L), "all collapse to min id 0")
+    assert(Dedup.dedupNear(same, 0.99).as[(Long, Long)].collect().toSeq == Seq((0L, 12L)))
+  }
+
+  test("similarity on empty / missing-query corpora") {
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))
+      ))
+    )
+    assert(Similarity.bruteForceTopK(emptyEmb, Seq(0L), 5).count() == 0)
+    assert(Similarity.annLsh(emptyEmb, Seq(0L), 5).count() == 0)
+    // query ids that don't exist in the corpus: empty result, no error
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(emb, Seq(999L), 5).count() == 0)
+  }
+
+  test("event ops on empty events") {
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)
+      ))
+    )
+    assert(EventOps.tumbling(emptyEvents).count() == 0)
+    assert(EventOps.sessions(emptyEvents).count() == 0)
+    assert(EventOps.asofPurchaseSignup(emptyEvents).count() == 0)
+  }
+
+  test("sharded write of an empty frame round-trips as zero rows") {
+    val dir = s"$testOut/empty_dump"
+    ShardedParquetSink.write(emptyDocs, dir, ParquetLayout(maxRecordsPerFile = 100L))
+    val report = ShardedParquetSink.readBackReport(spark, dir)
+    assert(report.totalRows == 0)
+  }
+}
