@@ -27,36 +27,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       throw new IllegalArgumentException(s"$what must be an INT literal, got $other")
   }
 
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args => {
+      require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+      build(args)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
-      (FunctionIdentifier("poly_hash"), info("poly_hash"), (args: Seq[Expression]) => PolyHash(args.head))
+      (FunctionIdentifier("poly_hash"), info("poly_hash"),
+        arity("poly_hash", 1)(args => PolyHash(args.head)))
     )
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"), info("cosine_sim"),
-        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
+        arity("cosine_sim", 2)(args => CosineSimilarity(args(0), args(1))))
     )
     ext.injectFunction(
       (FunctionIdentifier("dot_product"), info("dot_product"),
-        (args: Seq[Expression]) => DotProduct(args(0), args(1)))
+        arity("dot_product", 2)(args => DotProduct(args(0), args(1))))
     )
     ext.injectFunction(
       (FunctionIdentifier("text_stats"), info("text_stats"),
-        (args: Seq[Expression]) => TextStats(args.head))
+        arity("text_stats", 1)(args => TextStats(args.head)))
     )
     ext.injectFunction(
       (FunctionIdentifier("shingle_minhash"), info("shingle_minhash"),
-        (args: Seq[Expression]) =>
-          ShingleMinHash(args(0), intLit(args(1), "k"), intLit(args(2), "numHashes")))
+        arity("shingle_minhash", 3)(args =>
+          ShingleMinHash(args(0), intLit(args(1), "k"), intLit(args(2), "numHashes"))))
     )
     ext.injectFunction(
       (FunctionIdentifier("lsh_buckets"), info("lsh_buckets"),
-        (args: Seq[Expression]) =>
+        arity("lsh_buckets", 4)(args =>
           LshBuckets(
             args(0),
             intLit(args(1), "tables"),
             intLit(args(2), "planesPerTable"),
             intLit(args(3), "dim")
-          ))
+          )))
     )
   }
 }

@@ -363,7 +363,7 @@ object SparkEntry {
     // one partition so file COUNT is deterministic (row totals never depend
     // on partitioning; the multi-partition invariants live in ShardingSpec).
     "q50_dump_roundtrip" -> ((s, dir) => {
-      val out = s"/root/repo/target/dump_q50_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val out = s"/root/repo/target/dump_q50_${s.sparkContext.applicationId}_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
       val src = new ParquetNoteSource(s"$dir/documents.parquet", coalesceTo = Some(1))
       val res = OmopDump.run(s, src, out, limit = None, ParquetLayout(maxRecordsPerFile = 1000L))
       import s.implicits._
@@ -377,7 +377,7 @@ object SparkEntry {
       ).toDF("total_rows", "n_files", "max_file_rows", "source_count")
     }),
     "q51_dump_limit" -> ((s, dir) => {
-      val out = s"/root/repo/target/dump_q51_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val out = s"/root/repo/target/dump_q51_${s.sparkContext.applicationId}_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
       val src = new ParquetNoteSource(s"$dir/documents.parquet", coalesceTo = Some(1))
       val res = OmopDump.run(s, src, out, limit = Some(123L), ParquetLayout(maxRecordsPerFile = 1000L))
       import s.implicits._
@@ -386,7 +386,7 @@ object SparkEntry {
     // partitioned-layout round-trip: real write, read back with partition
     // pruning; oracle pins totals + per-partition counts to pure SQL
     "q52_dump_partitioned" -> ((s, dir) => {
-      val out = s"/root/repo/target/dump_q52_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val out = s"/root/repo/target/dump_q52_${s.sparkContext.applicationId}_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
       graft.sources.Layouts.writePartitioned(t(s, dir, "documents"), out, Seq("lang"))
       val back = s.read.parquet(out)
       back

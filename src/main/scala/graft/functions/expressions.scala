@@ -227,7 +227,14 @@ object Kernels {
     */
   def lshBuckets(vec: ArrayData, tables: Int, w: Int, dim: Int): ArrayData = {
     val pw = planes(tables * w, dim)
-    val n = math.min(vec.numElements(), dim)
+    // a silently truncated/zero-padded dot product would bucket this
+    // engine differently from the HOF mirror and the DuckDB oracle —
+    // reject mis-dimensioned vectors instead
+    require(
+      vec.numElements() == dim,
+      s"lsh_buckets: vector has ${vec.numElements()} components, expected dim=$dim"
+    )
+    val n = dim
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {

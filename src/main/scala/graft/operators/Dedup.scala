@@ -53,6 +53,13 @@ object Dedup {
     * all read it. The frame carries distinct shingle HASHES, not strings —
     * ≈400 B/doc vs 1-2 KB of strings, which measured 4× faster end-to-end
     * on a 200k-doc corpus (caching millions of strings dominated the run).
+    *
+    * Cache lifecycle: the returned frame stays persisted for the lazy
+    * result's lifetime (it cannot be unpersisted before the caller's
+    * action runs). Spark's CacheManager deduplicates identical plans, so
+    * repeated calls over the same input share one cache entry; a
+    * long-lived session processing MANY corpora should call
+    * `spark.catalog.clearCache()` between them.
     */
   def shingleSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
@@ -143,8 +150,13 @@ object Dedup {
     * recall holds at jaccard ~0.5). Replaces the round-1 first-two-tokens
     * blocking key, which was Zipfian and went quadratic on one bucket.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
-    bandedJaccardPairs(docs, "text", "doc_id", BandsFine, RowsPerBandFine, threshold)
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    bandedJaccardPairs(docs, textCol, idCol, BandsFine, RowsPerBandFine, threshold)
 
   /** Near-duplicate CLUSTERS: connected components over the MinHash pair
     * graph, labels = min reachable doc_id. Pairs alone don't dedup a corpus
@@ -161,10 +173,16 @@ object Dedup {
     * join shape, different edge rewriting — and is the drop-in upgrade.)
     * Every doc gets a row; singletons label themselves.
     */
-  def clusters(docs: DataFrame, threshold: Double): DataFrame = {
+  def clusters(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxRounds: Int = 64
+  ): DataFrame = {
     // verified pairs persist BEFORE the direction-doubling union — without
     // this the whole band+verify pipeline would evaluate once per union arm
-    val pairs = minhashPairs(docs, threshold)
+    val pairs = minhashPairs(docs, threshold, textCol, idCol)
       .select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
@@ -172,11 +190,11 @@ object Dedup {
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = docs
-      .select(col("doc_id"), col("doc_id").as("label"))
+      .select(col(idCol).as("doc_id"), col(idCol).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    while (changed > 0 && rounds < maxRounds) {
       val propagated = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
@@ -202,7 +220,19 @@ object Dedup {
       improvements.unpersist()
       rounds += 1
     }
+    // truncated propagation would emit multiple labels for one true
+    // component — wrong clusters, silently. Fail loudly instead; chains
+    // deeper than maxRounds need the large-star/small-star formulation.
+    require(
+      changed == 0,
+      s"cluster label propagation did not converge within $maxRounds rounds; " +
+        "raise maxRounds or switch to large-star/small-star for deep chains"
+    )
+    // labels are materialized (counted) — the working frames can go; a
+    // cache-evicted labels frame recomputes through unpersisted lineage,
+    // which is slow but correct
     edges.unpersist()
+    pairs.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -212,8 +242,13 @@ object Dedup {
     * One extra semi-join over [[clusters]]; emits the surviving rows with
     * their cluster id and the size of the group they represent.
     */
-  def dedupNear(docs: DataFrame, threshold: Double): DataFrame = {
-    val cl = clusters(docs, threshold)
+  def dedupNear(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val cl = clusters(docs, threshold, textCol, idCol)
     val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
     cl.filter(col("doc_id") === col("cluster_id"))
       .join(sizes, "cluster_id")

@@ -41,15 +41,20 @@ object Multimodal {
     media.select(
       col("doc_id"),
       posexplode(
-        transform(
-          // integer division: `/` on columns is DOUBLE division, which
-          // sequence() rejects (and would mis-count frames if cast blindly)
-          sequence(
-            lit(0),
-            greatest(floor((col("meta.n_bytes") - lit(1)) / lit(stride)).cast("int"), lit(0))
-          ),
-          i => substring(col("payload"), (i * lit(stride) + lit(1)).cast("int"), lit(frameLen))
-        )
+        // an empty payload has ZERO frames (ceil(0/stride)); without the
+        // guard the sequence(0,0) path would emit one phantom empty frame
+        when(col("meta.n_bytes") === 0, array().cast("array<binary>"))
+          .otherwise(
+            transform(
+              // integer division: `/` on columns is DOUBLE division, which
+              // sequence() rejects (and would mis-count frames if cast blindly)
+              sequence(
+                lit(0),
+                greatest(floor((col("meta.n_bytes") - lit(1)) / lit(stride)).cast("int"), lit(0))
+              ),
+              i => substring(col("payload"), (i * lit(stride) + lit(1)).cast("int"), lit(frameLen))
+            )
+          )
       ).as(Seq("frame_idx", "frame"))
     )
 
