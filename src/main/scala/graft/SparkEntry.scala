@@ -343,6 +343,11 @@ object SparkEntry {
         .annLsh(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "q37_ann_ivf" -> ((s, dir) => {
+      Similarity
+        .annIvf(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // end-to-end multimodal pipeline: binary payload -> partition-parallel
     // decode (stub codec, real plumbing) -> similarity over the decoded
     // features. No oracleSql on purpose: the decode stage is mapPartitions,
@@ -821,6 +826,40 @@ object SparkEntry {
              ${cosine("q.embedding", "c.embedding")} AS cos
            FROM qp q JOIN bt c
              ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM cand
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    },
+    "q37_ann_ivf" -> {
+      val c = Similarity.IvfCells
+      val p = Similarity.IvfProbes
+      s"""WITH nn AS (SELECT greatest(1, COUNT(*) // $c) AS stride FROM embeddings),
+         cent AS (
+           SELECT CAST(vec_id // stride AS BIGINT) AS cell, embedding AS c_emb
+           FROM embeddings, nn WHERE vec_id % stride = 0 AND vec_id < stride * $c
+         ), scores AS (
+           SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+           FROM embeddings e CROSS JOIN cent ct
+         ), ranked_cells AS (
+           SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+           FROM scores
+         ), assign1 AS (
+           SELECT vec_id, cell FROM ranked_cells WHERE r = 1
+         ), probes AS (
+           SELECT vec_id, cell FROM ranked_cells WHERE r <= $p AND vec_id < 5
+         ), cand AS (
+           SELECT DISTINCT pr.vec_id AS query_id, a.vec_id AS neighbor_id,
+             ${cosine("qe.embedding", "ce.embedding")} AS cos
+           FROM probes pr
+           JOIN assign1 a ON pr.cell = a.cell AND pr.vec_id <> a.vec_id
+           JOIN embeddings qe ON qe.vec_id = pr.vec_id
+           JOIN embeddings ce ON ce.vec_id = a.vec_id
          ), ranked AS (
            SELECT query_id, neighbor_id, cos,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -32,6 +32,8 @@ object Similarity {
   val LshTables = 12
   val LshPlanesPerTable = 10
   val Dim = 64
+  val IvfCells = 32
+  val IvfProbes = 8
 
   /** Probe masks: XOR patterns for Hamming distance 0, 1 and 2 over
     * W-bit buckets — 1 + W + W(W−1)/2 probes per (query, table).
@@ -83,6 +85,55 @@ object Similarity {
       "buckets",
       GraftExpressions.lsh_buckets(col("embedding"), LshTables, LshPlanesPerTable, Dim)
     )
+
+  /** IVF-style ANN: a deterministic coarse quantizer built from DATA
+    * vectors (every ⌊n/C⌋-th vector is a seed centroid — no training loop,
+    * so the DuckDB oracle reproduces the identical cells), corpus vectors
+    * assigned to their max-cosine cell, queries probing their `IvfProbes`
+    * nearest cells. Cell assignment and probing both reuse the bounded
+    * top-k aggregate (k=1 / k=nprobe) — no window sorts anywhere. The
+    * candidate join is an equi-join on cell id, so shuffle volume is
+    * bounded by cell occupancy; at production scale the seed quantizer is
+    * swapped for k-means centroids with the SAME assignment/probe plan.
+    *
+    * Lower recall than [[annLsh]] on diffuse corpora (cell membership is
+    * all-or-nothing; measured ≈ 0.6 on the fixture vs 0.88 for multi-probe
+    * LSH) — kept as the IVF family representative; LSH is the recall path.
+    */
+  def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val stride = math.max(1L, n / IvfCells)
+    val centroids = e
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * IvfCells)
+      .select(expr(s"vec_id div $stride").as("cell"), col("embedding").as("c_emb"))
+    val cellScores = e
+      .crossJoin(broadcast(centroids))
+      .select(
+        col("vec_id").as("query_id"), // reuse the top-k agg's column contract
+        col("cell").as("neighbor_id"),
+        VectorFunctions.cosine(col("embedding"), col("c_emb")).as("cos")
+      )
+    def assign(nCells: Int) =
+      topK(cellScores, nCells)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell"))
+    val corpusCells = e.join(assign(1), "vec_id")
+    val queryCells = e
+      .filter(col("vec_id").isin(queryIds: _*))
+      .join(assign(IvfProbes), "vec_id")
+    val scored = broadcast(queryCells.as("q"))
+      .join(
+        corpusCells.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id")
+      )
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("q.embedding"), col("c.embedding")).as("cos")
+      )
+      .distinct()
+    topK(scored, k)
+  }
 
   /** ANN top-k via multi-table multi-probe LSH. The corpus explodes to
     * (table, bucket) rows once; each query probes every bucket within

@@ -136,6 +136,53 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming near-duplicate detection against a STATIC reference corpus —
+    * the in-flight ingest filter of an LLM data pipeline: each arriving
+    * document is checked against the existing corpus before admission.
+    *
+    * Pure stream-static composition of the batch dedup kernels: the corpus
+    * side is banded once (persisted signatures + LSH band index); each
+    * micro-batch computes the fused shingle+minhash kernel per incoming
+    * doc, explodes its band keys, equi-joins the static band index for
+    * candidates, and verifies exact hashed-shingle Jaccard. No streaming
+    * state at all — every operator is per-batch — so there is nothing to
+    * watermark and nothing that grows. STATELESSNESS over tidiness: a pair
+    * matching in several bands emits once per band (≤ Bands rows); a
+    * stateful dedup would reintroduce unbounded state. Consumers dedupe
+    * per batch (foreachBatch + dropDuplicates) if they need exactly-one.
+    *
+    * Emits (doc_id, corpus_doc_id, jaccard) for every match ≥ threshold.
+    */
+  def nearDupAgainst(
+      corpus: DataFrame,
+      stream: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    import graft.operators.Dedup
+    val base = Dedup.shingleSignatures(corpus, "text", "doc_id")
+    val corpusBands = Dedup
+      .bandsOf(base, Dedup.Bands, Dedup.RowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_doc_id")
+    val streamSig = stream.select(
+      col("doc_id"),
+      graft.functions.GraftExpressions
+        .shingle_minhash(col("text"), Dedup.ShingleK, Dedup.NumHashes)
+        .as("sm")
+    )
+    val streamBands = Dedup
+      .bandsOf(streamSig.select(col("doc_id"), col("sm.sig").as("sig")), Dedup.Bands, Dedup.RowsPerBand)
+      .join(streamSig.select(col("doc_id"), col("sm.sh").as("sh")), "doc_id")
+    streamBands
+      .join(corpusBands, Seq("band", "band_key"))
+      .join(base.select(col("doc_id").as("corpus_doc_id"), col("sh").as("c_sh")), "corpus_doc_id")
+      .select(
+        col("doc_id"),
+        col("corpus_doc_id"),
+        round(Dedup.jaccard(col("sh"), col("c_sh")), 6).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Run a streaming frame to completion against bounded input via the
     * memory sink (used by tests; production would writeStream to parquet/
     * kafka with a real trigger).

@@ -107,6 +107,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("user_id") === 2 && col("tier").isNotNull).count() == 0)
   }
 
+  test("streaming near-dup against a static corpus finds each doc's own copy") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val sample = docs.select("doc_id", "text").as[(Long, String)].collect().take(30)
+    val stream = MemoryStream[(Long, String)]
+    val flagged = StreamingOps.nearDupAgainst(docs, stream.toDF().toDF("doc_id", "text"), 0.99)
+    val q = flagged.writeStream.outputMode("append").format("memory").queryName("neardup_s").start()
+    stream.addData(sample); q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .table("neardup_s")
+      .select("doc_id", "corpus_doc_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet // bands may emit a pair multiple times; set-dedupe
+    // every streamed doc is already in the corpus: its own copy must be found
+    sample.foreach { case (id, _) =>
+      assert(got.contains((id, id)), s"doc $id should match itself in the corpus")
+    }
+  }
+
   test("built-in session_window streaming == batch sessions after flush") {
     implicit val sqlCtx = spark.sqlContext
     val gapMs = 30 * 60 * 1000L
