@@ -208,12 +208,13 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = improvements.count()
       if (changed > 0) {
+        // localCheckpoint truncates lineage — each round otherwise embeds
+        // every prior round's plan and analysis cost grows with round count
         val next = labels
           .withColumnRenamed("label", "old_label")
           .join(improvements.withColumnRenamed("label", "new_label"), Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("new_label"), col("old_label")).as("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent cache
+          .localCheckpoint(true)
         labels.unpersist()
         labels = next
       }
@@ -234,6 +235,86 @@ object Dedup {
     edges.unpersist()
     pairs.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — converges in O(log n) rounds regardless of component
+    * DIAMETER, where [[clusters]]' plain min-label propagation needs
+    * diameter rounds (a 1000-revision near-dup chain = 1000 shuffles
+    * there, ~10 here). Each half-round is one groupBy(min) + one join —
+    * the same shuffle shapes, just a rewiring of which edges survive:
+    *  - large-star: every neighbor v > u re-attaches to m(u) = min(N(u)∪u)
+    *  - small-star: every neighbor v ≤ u (and u itself) attaches to m(u)
+    * Fixpoint = the edge set is a union of stars centered at component
+    * minima; labels read off as m(u). Prefer this form whenever chains may
+    * run deep; results are identical to [[clusters]] on the same pairs.
+    */
+  def clustersScalable(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxRounds: Int = 30
+  ): DataFrame = {
+    val pairs = minhashPairs(docs, threshold, textCol, idCol)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    def minsOf(e: DataFrame): DataFrame =
+      e.groupBy(col("u")).agg(min(col("v")).as("nmin")).select(col("u"), least(col("nmin"), col("u")).as("m"))
+
+    def largeStar(e: DataFrame): DataFrame =
+      e.join(minsOf(e), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.join(minsOf(e), "u")
+      withM
+        .filter(col("v") <= col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")).distinct())
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, cannot overflow (sum of full-range
+      // hashes trips ANSI overflow checking)
+      val row = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+
+    // localCheckpoint, not persist: each round's plan embeds the previous
+    // round's FULL logical plan (~12 subtree references through the
+    // sym/star compositions), so without lineage truncation analysis cost
+    // grows exponentially — measured 15 s → 243 s between rounds 0 and 1.
+    // Checkpointing materializes the round and cuts the plan back to a
+    // leaf. (On a cluster use reliable checkpoint() for fault tolerance.)
+    var edges = sym(pairs).localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val next = sym(smallStar(sym(largeStar(edges)))).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
+      rounds += 1
+    }
+    require(converged, s"large-star/small-star did not converge within $maxRounds rounds")
+    val labels = minsOf(edges).select(col("u").as("doc_id"), col("m").as("cluster_id"))
+    val out = docs
+      .select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    pairs.unpersist()
+    out
   }
 
   /** End-to-end near-dedup: the corpus with one representative per

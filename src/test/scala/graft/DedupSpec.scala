@@ -92,6 +92,28 @@ class DedupSpec extends SparkSpec {
     assert(got(7L) == 7L, "singleton keeps its own label")
   }
 
+  test("large-star/small-star == plain propagation; deep chains need it") {
+    // a 150-doc revision chain: doc i = tokens w_i..w_59+i, so docs within
+    // 6 positions are near-dups — component diameter ~25 edge hops
+    val chain = (0 until 150).map { i =>
+      (i.toLong, (i until i + 60).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val scalable = Dedup.clustersScalable(chain, 0.8, maxRounds = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(scalable.values.forall(_ == 0L), "one component, labeled by min id 0")
+    // plain propagation agrees when given enough rounds...
+    val plain = Dedup.clusters(chain, 0.8, maxRounds = 64).as[(Long, Long)].collect().toMap
+    assert(plain == scalable)
+    // ...but FAILS LOUDLY (not silently wrong) when the diameter exceeds its budget
+    intercept[IllegalArgumentException] {
+      Dedup.clusters(chain, 0.8, maxRounds = 5).collect()
+    }
+    // equivalence on the real fixture corpus too
+    val a = Dedup.clustersScalable(docs, 0.8).as[(Long, Long)].collect().toSet
+    val b = Dedup.clusters(docs, 0.8).as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("simhashPairs hamming bound holds and pairs are bucket-consistent") {
     val pairs = Dedup.simhashPairs(docs, 4)
     assert(pairs.filter(col("hamming") > 4).count() == 0)
