@@ -276,6 +276,10 @@ object SparkEntry {
     "q32_dedup_clusters" -> ((s, dir) => {
       Dedup.clusters(t(s, dir, "documents"), 0.8).orderBy(col("doc_id"))
     }),
+    // same components, O(log n)-round algorithm — both formulations gated
+    "q38_dedup_clusters_star" -> ((s, dir) => {
+      Dedup.clustersScalable(t(s, dir, "documents"), 0.8).orderBy(col("doc_id"))
+    }),
     "q36_dedup_near" -> ((s, dir) => {
       Dedup.dedupNear(t(s, dir, "documents"), 0.8).orderBy(col("doc_id"))
     }),
@@ -679,6 +683,36 @@ object SparkEntry {
          WHERE hamming <= 2 ORDER BY doc_a, doc_b"""
     },
     "q32_dedup_clusters" -> {
+      val r = Dedup.RowsPerBand
+      s"""WITH RECURSIVE sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
+             ${shingleHashesDistinct("text")} AS sh
+           FROM documents
+         ), bands AS (
+           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bands l JOIN bands r
+             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+         ), pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
+             FROM cand
+             JOIN sig sa ON doc_a = sa.doc_id
+             JOIN sig sb ON doc_b = sb.doc_id) v
+           WHERE j >= 0.8
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), reach(n, l) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
+         )
+         SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id"""
+    },
+    "q38_dedup_clusters_star" -> {
       val r = Dedup.RowsPerBand
       s"""WITH RECURSIVE sig AS (
            SELECT doc_id, ${minhashSignature("text")} AS sig,
