@@ -265,6 +265,9 @@ object SparkEntry {
     "q27_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "q39_simhash_weighted" -> ((s, dir) => {
+      Dedup.simhashWeighted(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
     "q29_simhash_pairs" -> ((s, dir) => {
       // maxHamming 2: on the fixture every jaccard>=0.8 near-dup lands at
       // hamming 0-2 while the same-distribution noise floor starts at 2-3
@@ -658,6 +661,20 @@ object SparkEntry {
            SELECT doc_id, ${polyHash("tok")} AS h FROM tok
          ), agg AS (
            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, $sums FROM h GROUP BY doc_id
+         )
+         SELECT doc_id, ($bits) AS simhash FROM agg ORDER BY doc_id"""
+    },
+    "q39_simhash_weighted" -> {
+      val sums = (0 until 32).map(i => s"SUM(((h >> $i) & 1) * w) AS s$i").mkString(", ")
+      val bits = (0 until 32)
+        .map(i => s"(CASE WHEN 2*s$i >= wsum THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents
+         ), h AS (
+           SELECT doc_id, ${polyHash("tok")} AS h, CAST(length(tok) AS BIGINT) AS w FROM tok
+         ), agg AS (
+           SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum, $sums FROM h GROUP BY doc_id
          )
          SELECT doc_id, ($bits) AS simhash FROM agg ORDER BY doc_id"""
     },

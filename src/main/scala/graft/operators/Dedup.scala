@@ -355,6 +355,33 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Length-WEIGHTED 32-bit SimHash: bit i set when the token-length-
+    * weighted vote for bit i wins (Σ len(tok)·bit_i(h) ≥ Σ len(tok) / 2).
+    * Unweighted simhash collapses on homogeneous corpora — the majority
+    * vote is dominated by corpus-common short tokens, so most documents
+    * land within hamming 2-4 of each other (measured on the fixture).
+    * Token length is a zero-cost informativeness proxy (longer tokens are
+    * rarer), sharpening separation without a second df pass; the weighting
+    * stays a single explode + one aggregate, map-side combinable.
+    */
+  def simhashWeighted(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok")
+    )
+    val hashed = tok.select(
+      col("doc_id"),
+      GraftExpressions.poly_hash(col("tok")).as("h"),
+      length(col("tok")).cast("long").as("w")
+    )
+    val bitSums = (0 until 32).map(i => sum((shiftright(col("h"), i) % lit(2L)) * col("w")).as(s"s$i"))
+    val agg = hashed.groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"), bitSums: _*)
+    val sim = (0 until 32)
+      .map(i => when(col(s"s$i") * lit(2L) >= col("wsum"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
   /** SimHash near-dup pairs: compare within coarse buckets (top 16 bits
     * equal), hamming ≤ maxHamming verified with xor+bit_count. On a
     * homogeneous corpus most documents share ONE bucket (majority-vote
