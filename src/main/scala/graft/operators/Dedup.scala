@@ -361,8 +361,11 @@ object Dedup {
     * vote is dominated by corpus-common short tokens, so most documents
     * land within hamming 2-4 of each other (measured on the fixture).
     * Token length is a zero-cost informativeness proxy (longer tokens are
-    * rarer), sharpening separation without a second df pass; the weighting
-    * stays a single explode + one aggregate, map-side combinable.
+    * rarer); the weighting stays a single explode + one aggregate,
+    * map-side combinable. Honest caveat: on the SYNTHETIC fixture (near-
+    * uniform token lengths) the measured hamming separation matches the
+    * unweighted form — the value here is the weighting MECHANISM, which is
+    * what you swap IDF or custom term weights into on a real corpus.
     */
   def simhashWeighted(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(
