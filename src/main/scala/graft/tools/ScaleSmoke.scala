@@ -66,6 +66,35 @@ object ScaleSmoke {
       Dedup.clusters(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)
     )
     println(s"[scale] exact=$exact pairs=$pairs clusters=$clusters (expect pairs≈${n / 100}, clusters≈${n - n / 100})")
+
+    // similarity at scale: deterministic synthetic embeddings, 64-dim
+    val nVec = math.min(n, 100000L)
+    val emb = spark
+      .range(nVec)
+      .map { id =>
+        val v = Array.tabulate(64)(j => ((mix(id * 64L + j) % 1000L).toFloat / 500f) - 1f)
+        (id, v)
+      }
+      .toDF("vec_id", "embedding")
+      .persist()
+    println(s"[scale] vectors: ${emb.count()}")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    time("brute-force top-10")(graft.operators.Similarity.bruteForceTopK(emb, qids, 10).count())
+    time("LSH ANN top-10")(graft.operators.Similarity.annLsh(emb, qids, 10).count())
+
+    // event-time ops at scale: synthetic events over 30 days
+    val nEv = math.min(n * 10, 2000000L)
+    val events = spark
+      .range(nEv)
+      .map { id =>
+        val ts = new java.sql.Timestamp(1700000000000L + mix(id) % (30L * 86400 * 1000))
+        (id, ts, mix(id * 7L) % 5000L, if (id % 11 == 0) "purchase" else if (id % 7 == 0) "signup" else "view", 1.0)
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .persist()
+    println(s"[scale] events: ${events.count()}")
+    time("sessions (30m gap)")(graft.operators.EventOps.sessions(events).count())
+    time("as-of join")(graft.operators.EventOps.asofPurchaseSignup(events).count())
     spark.stop()
   }
 }
