@@ -270,7 +270,9 @@ object SparkEntry {
     }),
     "q29_simhash_pairs" -> ((s, dir) => {
       // maxHamming 2: on the fixture every jaccard>=0.8 near-dup lands at
-      // hamming 0-2 while the same-distribution noise floor starts at 2-3
+      // hamming 0-2 while the same-distribution noise floor starts at 2-3.
+      // Pigeonhole banding is COMPLETE, so the oracle is the unrestricted
+      // all-pairs hamming join — the gate verifies completeness itself.
       Dedup.simhashPairs(t(s, dir, "documents"), 2).orderBy(col("doc_a"), col("doc_b"))
     }),
     "q28_embedding_neardup" -> ((s, dir) => {
@@ -695,8 +697,7 @@ object SparkEntry {
          SELECT doc_a, doc_b, hamming FROM (
            SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
              CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-           FROM sh l JOIN sh r
-             ON (l.simhash >> 16) = (r.simhash >> 16) AND l.doc_id < r.doc_id) v
+           FROM sh l JOIN sh r ON l.doc_id < r.doc_id) v
          WHERE hamming <= 2 ORDER BY doc_a, doc_b"""
     },
     "q32_dedup_clusters" -> {

@@ -119,16 +119,50 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("hamming") > 4).count() == 0)
   }
 
-  test("simhashPairs triangle blocking == naive bucket self-join (skewed single bucket)") {
-    // every doc in ONE simhash bucket — the skew case the triangle join exists for
+  test("simhashPairs triangle blocking == naive all-pairs hamming join (skewed corpus)") {
+    // near-identical docs pile into the same band buckets — the skew case
+    // the triangle join exists for; maxHamming 31 = 32 one-bit bands, the
+    // widest explode the banding generator produces
     val t = "alpha beta gamma delta epsilon zeta eta theta"
     val df = (0L until 60L).map(i => (i, if (i % 3 == 0) t else s"$t extra$i")).toDF("doc_id", "text")
-    val blocked = Dedup.simhashPairs(df, 32, blocks = 7) // hamming cap off: all in-bucket pairs
+    val blocked = Dedup.simhashPairs(df, 31, blocks = 7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val sh = Dedup.simhash(df).withColumn("bucket", shiftright(col("simhash"), 16))
+    val sh = Dedup.simhash(df)
     val naive = sh.as("l")
-      .join(sh.as("r"), expr("l.bucket = r.bucket AND l.doc_id < r.doc_id"))
+      .join(sh.as("r"), expr("l.doc_id < r.doc_id AND bit_count(l.simhash ^ r.simhash) <= 31"))
       .select(col("l.doc_id"), col("r.doc_id")).as[(Long, Long)].collect().toSet
     assert(blocked == naive, s"blocked ${blocked.size} vs naive ${naive.size}")
+  }
+
+  test("simhashPairsOf pigeonhole banding is COMPLETE, including low-bit-only diffs") {
+    // handcrafted bit patterns: the round-2 single-band generator bucketed
+    // on simhash >> 16 and silently missed every pair whose differing bits
+    // all fell below bit 16 — exactly what docs 1-2, 1-3, 2-3 plant here
+    val x = 0x5AC3A5F1L
+    val vals = Seq(
+      1L -> x,
+      2L -> (x ^ 1L), // hamming 1, lowest bit
+      3L -> (x ^ ((1L << 1) | (1L << 14))), // hamming 2, both diffs in low 16 bits
+      4L -> (x ^ (1L << 31)), // hamming 1, highest bit
+      5L -> (x ^ ((1L << 3) | (1L << 29))), // hamming 2, straddling bands
+      6L -> (x ^ 0xFFL) // hamming 8 vs doc 1 — excluded
+    )
+    val byId = vals.toMap
+    val expected = (for {
+      (a, va) <- vals
+      (b, vb) <- vals
+      if a < b
+      h = java.lang.Long.bitCount(va ^ vb).toLong
+      if h <= 2
+    } yield (a, b, h)).toSet
+    // regression guard: the fixture MUST exercise a pair whose xor sits
+    // entirely below bit 16 (otherwise this test can't catch the r02 bug)
+    assert(expected.exists { case (a, b, _) => (byId(a) ^ byId(b)) < (1L << 16) })
+    val got = Dedup
+      .simhashPairsOf(vals.toDF("doc_id", "simhash"), 2, blocks = 3)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(got == expected, s"got $got expected $expected")
   }
 }
