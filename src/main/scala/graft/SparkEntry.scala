@@ -890,13 +890,40 @@ object SparkEntry {
     "q37_ann_ivf" -> {
       val c = Similarity.IvfCells
       val p = Similarity.IvfProbes
+      val q = Similarity.IvfQuant // prints as 1000000.0
+      // one Lloyd round: argmax assignment under cent$idx, then
+      // integer-quantized element-wise means -> cent${idx+1} (parallel
+      // unnests zip in DuckDB; SUM(BIGINT) cast back down from HUGEINT)
+      def lloyd(idx: Int): String =
+        s"""s$idx AS (
+           SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+           FROM embeddings e CROSS JOIN cent$idx ct
+         ), a$idx AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+             FROM s$idx) t WHERE r = 1
+         ), ex$idx AS (
+           SELECT a.cell, unnest(e.embedding) AS x, unnest(range(len(e.embedding))) AS j
+           FROM a$idx a JOIN embeddings e ON a.vec_id = e.vec_id
+         ), sm$idx AS (
+           SELECT cell, j,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * $q + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ex$idx GROUP BY 1, 2
+         ), cent${idx + 1} AS (
+           SELECT cell, list(CAST(CAST(sx AS DOUBLE) / (cnt * $q) AS FLOAT) ORDER BY j) AS c_emb
+           FROM sm$idx GROUP BY cell
+         )"""
+      val rounds = (0 until Similarity.IvfLloydRounds).map(lloyd).mkString(", ")
+      val fin = s"cent${Similarity.IvfLloydRounds}"
       s"""WITH nn AS (SELECT greatest(1, COUNT(*) // $c) AS stride FROM embeddings),
-         cent AS (
+         cent0 AS (
            SELECT CAST(vec_id // stride AS BIGINT) AS cell, embedding AS c_emb
            FROM embeddings, nn WHERE vec_id % stride = 0 AND vec_id < stride * $c
-         ), scores AS (
+         ), $rounds, scores AS (
            SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
-           FROM embeddings e CROSS JOIN cent ct
+           FROM embeddings e CROSS JOIN $fin ct
          ), ranked_cells AS (
            SELECT vec_id, cell,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r

@@ -33,7 +33,17 @@ object Similarity {
   val LshPlanesPerTable = 10
   val Dim = 64
   val IvfCells = 32
-  val IvfProbes = 8
+  val IvfProbes = 12
+  val IvfLloydRounds = 2
+
+  /** Centroid means are computed over integer-QUANTIZED components
+    * (`floor(x·1e6 + 0.5)` summed as longs): integer sums are
+    * order-independent, so the resulting centroid doubles are bit-identical
+    * between Spark and the DuckDB oracle regardless of aggregation order —
+    * a raw double SUM would drift by partition order and flip boundary
+    * cell assignments.
+    */
+  val IvfQuant = 1000000.0
 
   /** Probe masks: XOR patterns for Hamming distance 0, 1 and 2 over
     * W-bit buckets — 1 + W + W(W−1)/2 probes per (query, table).
@@ -86,41 +96,85 @@ object Similarity {
       GraftExpressions.lsh_buckets(col("embedding"), LshTables, LshPlanesPerTable, Dim)
     )
 
-  /** IVF-style ANN: a deterministic coarse quantizer built from DATA
-    * vectors (every ⌊n/C⌋-th vector is a seed centroid — no training loop,
-    * so the DuckDB oracle reproduces the identical cells), corpus vectors
-    * assigned to their max-cosine cell, queries probing their `IvfProbes`
-    * nearest cells. Cell assignment and probing both reuse the bounded
-    * top-k aggregate (k=1 / k=nprobe) — no window sorts anywhere. The
-    * candidate join is an equi-join on cell id, so shuffle volume is
-    * bounded by cell occupancy; at production scale the seed quantizer is
-    * swapped for k-means centroids with the SAME assignment/probe plan.
+  /** IVF ANN with a deterministic k-means quantizer: seed centroids are
+    * every ⌊n/C⌋-th DATA vector, refined by `IvfLloydRounds` fixed Lloyd
+    * iterations (assign to max-cosine cell, recompute each cell's
+    * element-wise mean over quantized components — see [[IvfQuant]]).
+    * Fixed rounds + integer-exact means keep the whole trainer
+    * reproducible in the DuckDB oracle, unlike seeded-random k-means.
+    * Corpus vectors are assigned to their max-cosine cell; queries probe
+    * their `IvfProbes` nearest cells. Assignment and probing both reuse
+    * the bounded top-k aggregate (k=1 / k=nprobe) — no window sorts
+    * anywhere. The candidate join is an equi-join on cell id, so shuffle
+    * volume is bounded by cell occupancy.
     *
-    * Lower recall than [[annLsh]] on diffuse corpora (cell membership is
-    * all-or-nothing; measured ≈ 0.6 on the fixture vs 0.88 for multi-probe
-    * LSH) — kept as the IVF family representative; LSH is the recall path.
+    * FULLY LAZY: the stride is a 1-row count frame cross-joined into the
+    * seed plan (mirroring the oracle's scalar subquery), so composing the
+    * query triggers zero Spark jobs — round 2's `e.count()` at build time
+    * broke that contract. At 100 TB the trainer runs over the same
+    * distributed plan (a production deployment would train on a sample
+    * and persist the codebook; the assignment/probe shape is unchanged).
     */
   def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val n = e.count()
-    val stride = math.max(1L, n / IvfCells)
-    val centroids = e
-      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * IvfCells)
-      .select(expr(s"vec_id div $stride").as("cell"), col("embedding").as("c_emb"))
-    val cellScores = e
-      .crossJoin(broadcast(centroids))
+    val nRow = e.agg(count(lit(1)).as("__n"))
+    val seed = e
+      .crossJoin(broadcast(nRow))
+      .withColumn("__stride", greatest(lit(1L), expr(s"__n div $IvfCells")))
+      .filter(
+        col("vec_id") % col("__stride") === 0 &&
+          col("vec_id") < col("__stride") * lit(IvfCells.toLong)
+      )
+      .select(expr("vec_id div __stride").as("cell"), col("embedding").as("c_emb"))
+
+    def cellScores(cent: DataFrame): DataFrame = e
+      .crossJoin(broadcast(cent))
       .select(
         col("vec_id").as("query_id"), // reuse the top-k agg's column contract
         col("cell").as("neighbor_id"),
         VectorFunctions.cosine(col("embedding"), col("c_emb")).as("cos")
       )
-    def assign(nCells: Int) =
-      topK(cellScores, nCells)
+    def assign(cent: DataFrame, nCells: Int): DataFrame =
+      topK(cellScores(cent), nCells)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell"))
-    val corpusCells = e.join(assign(1), "vec_id")
+
+    // one Lloyd round: argmax-cosine assignment, then integer-quantized
+    // element-wise mean per (cell, component); empty cells drop out (their
+    // seeds attracted nothing — identical behavior in the oracle's GROUP BY)
+    def refine(cent: DataFrame): DataFrame =
+      e.join(assign(cent, 1), "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("j", "x")))
+        .groupBy(col("cell"), col("j"))
+        .agg(
+          sum(floor(col("x").cast("double") * lit(IvfQuant) + lit(0.5)).cast("long")).as("sx"),
+          count(lit(1)).as("cnt")
+        )
+        .groupBy(col("cell"))
+        .agg(
+          transform(
+            array_sort(
+              collect_list(
+                struct(
+                  col("j"),
+                  (col("sx").cast("double") / (col("cnt") * lit(IvfQuant))).cast("float").as("v")
+                )
+              )
+            ),
+            s => s.getField("v")
+          ).as("c_emb")
+        )
+
+    val centroids = (1 to IvfLloydRounds).foldLeft(seed)((c, _) => refine(c))
+    // ONE ranking serves both sides (mirroring the oracle's ranked_cells):
+    // corpus assignment is rank 1, query probes are ranks 1..IvfProbes —
+    // identical aggregate subtrees, so the exchange under them is computed
+    // once and reused instead of re-running the Lloyd chain per consumer
+    val rankedCells = topK(cellScores(centroids), IvfProbes)
+      .select(col("query_id").as("vec_id"), col("rnk"), col("neighbor_id").as("cell"))
+    val corpusCells = e.join(rankedCells.filter(col("rnk") === 1).select("vec_id", "cell"), "vec_id")
     val queryCells = e
       .filter(col("vec_id").isin(queryIds: _*))
-      .join(assign(IvfProbes), "vec_id")
+      .join(rankedCells.select("vec_id", "cell"), "vec_id")
     val scored = broadcast(queryCells.as("q"))
       .join(
         corpusCells.as("c"),
