@@ -29,6 +29,12 @@ object Bench {
     // at fixture scale rivals the query itself and made run-to-run totals
     // swing ±25%. Best-of-2 is the steady-state number a cluster would see.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query honesty: drop cache entries leaked by EARLIER queries
+      // (CacheManager dedups identical persisted plans, so without this the
+      // later dedup-family queries silently ride caches the earlier ones
+      // warmed and their timings look better than a cold run). Within the
+      // query, best-of-2 still measures the steady state it builds itself.
+      spark.catalog.clearCache()
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =

@@ -28,6 +28,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed writes go through saveAsTable; root the warehouse in
+      // tmpdir so managed tables never land in the (possibly read-only /
+      // non-repo) current working directory
+      .config(
+        "spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-warehouse"
+      )
 
   def local(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores.toString).getOrCreate()

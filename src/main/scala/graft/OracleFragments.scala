@@ -18,6 +18,19 @@ object OracleFragments {
 
   def tokens(col: String): String = s"string_split($col, ' ')"
 
+  /** Mirror of Kernels.remix32 for a simple column reference `h` (the
+    * expression inlines `h` 8 times — pass a column name, not a subquery).
+    * Spreads polyHash's 30 bits of entropy across all 32 bit positions;
+    * see the kernel's scaladoc for why SimHash must not vote on raw
+    * polyHash bits.
+    */
+  def remix32(h: String): String = {
+    val h1 = s"((($h) * 2654435761) % 4294967296)"
+    val h2 = s"xor($h1, ($h1 >> 16))"
+    val h3 = s"((($h2) * 48271) % 4294967296)"
+    s"xor($h3, ($h3 >> 13))"
+  }
+
   /** Mirror of TextFunctions.shingles: distinct k-token windows. */
   def shingles(col: String, k: Int = Dedup.ShingleK): String = {
     val t = tokens(col)

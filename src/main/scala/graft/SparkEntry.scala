@@ -24,6 +24,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Output root for the dump queries (q50-q52): `GRAFT_TARGET_DIR` env /
+    * `graft.target.dir` sysprop, else the JVM tmpdir — never an absolute
+    * repo path, so the queries run from any checkout. Paths under it are
+    * stable per (query, sf-dir) and every dump writes mode=overwrite, so
+    * re-runs replace the previous output instead of accumulating
+    * applicationId-suffixed directories.
+    */
+  private def dumpRoot: String =
+    sys.env
+      .get("GRAFT_TARGET_DIR")
+      .orElse(sys.props.get("graft.target.dir"))
+      .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-dumps")
+
+  private def dumpPath(query: String, dir: String): String =
+    s"$dumpRoot/${query}_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -288,6 +304,18 @@ object SparkEntry {
     "q36_dedup_near" -> ((s, dir) => {
       Dedup.dedupNear(t(s, dir, "documents"), 0.8).orderBy(col("doc_id"))
     }),
+    // quality-aware dedup: keep each cluster's highest-quality member, not
+    // its min-id member — one argmax aggregate over the clustering
+    "q42_dedup_best" -> ((s, dir) => {
+      Dedup.dedupNearBest(t(s, dir, "documents"), 0.8).orderBy(col("cluster_id"))
+    }),
+    // raw text -> hashing-trick embedding -> exact ANN, end to end: no
+    // external model, every step deterministic and oracle-replayable
+    "q43_text_embed_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), TextFunctions.embed(col("text"), 32).as("embedding"))
+      Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 5).orderBy(col("query_id"), col("rnk"))
+    }),
     "q33_hash_split" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"), TextFunctions.splitAssign(col("text"), 80).as("split"))
@@ -359,9 +387,11 @@ object SparkEntry {
     }),
     // end-to-end multimodal pipeline: binary payload -> partition-parallel
     // decode (stub codec, real plumbing) -> similarity over the decoded
-    // features. No oracleSql on purpose: the decode stage is mapPartitions,
-    // not SQL-expressible — the driver records a rows-only check and
-    // MultimodalSpec pins determinism and shape.
+    // features. The decode stage is mapPartitions (not SQL), but the STUB
+    // codec is a deterministic byte-fold over UTF-8 payloads — which IS
+    // SQL-expressible, so the oracle mirrors it per-codepoint (the fixture
+    // is pure ASCII: bytes == codepoints) and the whole pipeline gets a
+    // full hash-match instead of round 2's rows-only check.
     "q41_multimodal_ann" -> ((s, dir) => {
       val media = Multimodal.attachPayload(t(s, dir, "documents"))
       val feats = Multimodal
@@ -377,7 +407,7 @@ object SparkEntry {
     // one partition so file COUNT is deterministic (row totals never depend
     // on partitioning; the multi-partition invariants live in ShardingSpec).
     "q50_dump_roundtrip" -> ((s, dir) => {
-      val out = s"/root/repo/target/dump_q50_${s.sparkContext.applicationId}_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val out = dumpPath("dump_q50", dir)
       val src = new ParquetNoteSource(s"$dir/documents.parquet", coalesceTo = Some(1))
       val res = OmopDump.run(s, src, out, limit = None, ParquetLayout(maxRecordsPerFile = 1000L))
       import s.implicits._
@@ -391,7 +421,7 @@ object SparkEntry {
       ).toDF("total_rows", "n_files", "max_file_rows", "source_count")
     }),
     "q51_dump_limit" -> ((s, dir) => {
-      val out = s"/root/repo/target/dump_q51_${s.sparkContext.applicationId}_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val out = dumpPath("dump_q51", dir)
       val src = new ParquetNoteSource(s"$dir/documents.parquet", coalesceTo = Some(1))
       val res = OmopDump.run(s, src, out, limit = Some(123L), ParquetLayout(maxRecordsPerFile = 1000L))
       import s.implicits._
@@ -400,13 +430,34 @@ object SparkEntry {
     // partitioned-layout round-trip: real write, read back with partition
     // pruning; oracle pins totals + per-partition counts to pure SQL
     "q52_dump_partitioned" -> ((s, dir) => {
-      val out = s"/root/repo/target/dump_q52_${s.sparkContext.applicationId}_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val out = dumpPath("dump_q52", dir)
       graft.sources.Layouts.writePartitioned(t(s, dir, "documents"), out, Seq("lang"))
       val back = s.read.parquet(out)
       back
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
+    }),
+    // bucketed-layout round-trip: write both join sides co-bucketed on the
+    // join key (real saveAsTable through the catalog), join the BUCKETED
+    // tables back, aggregate. Promotes LayoutsSpec's no-Exchange plan proof
+    // into the oracle gate: the oracle computes the same join over the raw
+    // parquet, so a bucketing write that drops/duplicates rows hash-fails.
+    "q53_bucketed_join" -> ((s, dir) => {
+      graft.sources.Layouts.writeBucketed(t(s, dir, "orders"), "graft_q53_orders", 8, "o_custkey")
+      graft.sources.Layouts.writeBucketed(
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        "graft_q53_customer", 8, "o_custkey"
+      )
+      s.table("graft_q53_orders")
+        .join(s.table("graft_q53_customer"), "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_customers")
+        )
+        .orderBy(col("c_mktsegment"))
     }),
     // multimodal plumbing --------------------------------------------------
     "q40_multimodal_meta" -> ((s, dir) => {
@@ -659,8 +710,10 @@ object SparkEntry {
         .mkString(" + ")
       s"""WITH tok AS (
            SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents
+         ), h0 AS (
+           SELECT doc_id, ${polyHash("tok")} AS ph FROM tok
          ), h AS (
-           SELECT doc_id, ${polyHash("tok")} AS h FROM tok
+           SELECT doc_id, ${remix32("ph")} AS h FROM h0
          ), agg AS (
            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, $sums FROM h GROUP BY doc_id
          )
@@ -673,8 +726,10 @@ object SparkEntry {
         .mkString(" + ")
       s"""WITH tok AS (
            SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents
+         ), h0 AS (
+           SELECT doc_id, ${polyHash("tok")} AS ph, CAST(length(tok) AS BIGINT) AS w FROM tok
          ), h AS (
-           SELECT doc_id, ${polyHash("tok")} AS h, CAST(length(tok) AS BIGINT) AS w FROM tok
+           SELECT doc_id, ${remix32("ph")} AS h, w FROM h0
          ), agg AS (
            SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum, $sums FROM h GROUP BY doc_id
          )
@@ -687,8 +742,10 @@ object SparkEntry {
         .mkString(" + ")
       s"""WITH tok AS (
            SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents
+         ), h0 AS (
+           SELECT doc_id, ${polyHash("tok")} AS ph FROM tok
          ), h AS (
-           SELECT doc_id, ${polyHash("tok")} AS h FROM tok
+           SELECT doc_id, ${remix32("ph")} AS h FROM h0
          ), agg AS (
            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, $sums FROM h GROUP BY doc_id
          ), sh AS (
@@ -795,6 +852,59 @@ object SparkEntry {
          SELECT c.doc_id, s.n_members FROM cc c JOIN sizes s ON c.cluster_id = s.cluster_id
          WHERE c.doc_id = c.cluster_id ORDER BY c.doc_id"""
     },
+    // q36's clustering CTE + q22's quality formula; representative = argmax
+    // score with min-doc_id tie-break (ROW_NUMBER ordered score DESC, doc_id)
+    "q42_dedup_best" -> {
+      val r = Dedup.RowsPerBand
+      val tok = tokens("text")
+      val nTok = s"len($tok)"
+      val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
+      val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
+      val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
+      val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
+      val stopScore = s"least(1.0, $stopRatio * 5.0)"
+      val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+      val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
+      s"""WITH RECURSIVE sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
+             ${shingleHashesDistinct("text")} AS sh
+           FROM documents
+         ), bands AS (
+           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bands l JOIN bands r
+             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+         ), pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
+             FROM cand
+             JOIN sig sa ON doc_a = sa.doc_id
+             JOIN sig sb ON doc_b = sb.doc_id) v
+           WHERE j >= 0.8
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), reach(n, l) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r2.l FROM edges e JOIN reach r2 ON e.dst = r2.n
+         ), cc AS (
+           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+         ), scored AS (
+           SELECT doc_id,
+             round(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore, 6) AS score
+           FROM documents
+         ), ranked AS (
+           SELECT c.cluster_id, c.doc_id, s.score,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY s.score DESC, c.doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
+           FROM cc c JOIN scored s ON c.doc_id = s.doc_id
+         )
+         SELECT cluster_id, doc_id, score, n_members
+         FROM ranked WHERE rn = 1 ORDER BY cluster_id"""
+    },
     "q33_hash_split" ->
       s"""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
            SELECT lang,
@@ -860,6 +970,63 @@ object SparkEntry {
          )
          SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // mirrors Multimodal.decodeFeaturesStub byte-for-byte: the payload is
+    // the UTF-8 encoding of `text` and the fixture is pure ASCII, so byte i
+    // == unicode(char i); lane j folds bytes j, j+8, ... then (sum % 1000)
+    // as REAL / 1000 reproduces the Float arithmetic exactly
+    "q41_multimodal_ann" ->
+      s"""WITH ch AS (
+           SELECT doc_id, list_transform(string_split_regex(text, ''), c -> unicode(c)) AS codes
+           FROM documents
+         ), feats AS (
+           SELECT doc_id AS vec_id,
+             list_transform(range(0, 8), j ->
+               CAST(coalesce(list_sum(list_transform(
+                 list_filter(range(0, len(codes)), i -> i % 8 = j),
+                 i -> codes[i+1])), 0) % 1000 AS REAL) / CAST(1000 AS REAL)) AS embedding
+           FROM ch
+         ), q AS (SELECT vec_id, embedding FROM feats WHERE vec_id IN (0, 1, 2)),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${cosine("q.embedding", "c.embedding")} AS cos
+           FROM q JOIN feats c ON q.vec_id <> c.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM scored
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // mirrors Kernels.featureHash: token -> lane polyHash % 32, sign from
+    // (h // 32) % 2, integer lane sums cast to REAL (exact below 2^24)
+    "q43_text_embed_ann" -> {
+      val d = 32
+      s"""WITH hs AS (
+           SELECT doc_id,
+             list_transform(${tokens("text")}, tk -> ${polyHash("tk")}) AS hashes
+           FROM documents
+         ), feats AS (
+           SELECT doc_id AS vec_id,
+             list_transform(range(0, $d), j ->
+               CAST(coalesce(list_sum(list_transform(
+                 list_filter(hashes, h -> h % $d = j),
+                 h -> CASE WHEN (h // $d) % 2 = 0 THEN 1 ELSE -1 END)), 0) AS REAL)) AS embedding
+           FROM hs
+         ), q AS (SELECT vec_id, embedding FROM feats WHERE vec_id IN (0, 1, 2)),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${cosine("q.embedding", "c.embedding")} AS cos
+           FROM q JOIN feats c ON q.vec_id <> c.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM scored
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
     "q31_ann_lsh" -> {
       val L = Similarity.LshTables
       val w = Similarity.LshPlanesPerTable
@@ -964,6 +1131,13 @@ object SparkEntry {
     "q52_dump_partitioned" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q53_bucketed_join" ->
+      """SELECT c.c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "q40_multimodal_meta" ->
       s"""SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

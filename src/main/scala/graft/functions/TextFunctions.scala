@@ -100,10 +100,36 @@ object TextFunctions {
       .otherwise(lit("unknown"))
   }
 
+  /** [[qualityScore]] computed from the fused one-pass [[stats]] kernel —
+    * same formula bit-for-bit (q22 pins it against the DuckDB oracle), but
+    * ONE codegen'd scan instead of five interpreted HOF passes. Use this
+    * form anywhere quality feeds another operator (e.g. quality-aware
+    * dedup representative selection).
+    */
+  def qualityScoreFused(text: Column): Column = {
+    val st = GraftExpressions.text_stats(text)
+    val nTok = st.getField("n_tokens")
+    val stopRatio = st.getField("hits_en").cast("double") / greatest(nTok, lit(1L)).cast("double")
+    val lenScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    val stopScore = least(lit(1.0), stopRatio * lit(5.0))
+    val punctRatio =
+      st.getField("n_punct").cast("double") / greatest(st.getField("n_chars"), lit(1L)).cast("double")
+    val punctScore = lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))
+    round(lit(0.5) * lenScore + lit(0.3) * stopScore + lit(0.2) * punctScore, 6)
+  }
+
   /** Document fingerprint: the engine-wide deterministic polynomial hash of
     * the full text (custom codegen'd expression, see [[PolyHash]]).
     */
   def fingerprint(text: Column): Column = GraftExpressions.poly_hash(text)
+
+  /** Hashing-trick text embedding (`array<float>`, see
+    * [[Kernels.featureHash]]): vocabulary-free, deterministic, one codegen
+    * pass — the bridge from raw text into the similarity stack (cosine /
+    * ANN / embedding near-dup) without an external model.
+    */
+  def embed(text: Column, dim: Int = 32): Column =
+    GraftExpressions.feature_hash(text, dim)
 
   /** Deterministic content-hash train/val split: hash of the TEXT (not the
     * id), so exact duplicates always land in the same split — the property

@@ -278,6 +278,87 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Feature-hashing text embedder (the "hashing trick"): token t lands in
+    * lane polyHash(t) % dim with sign from the next hash bit-range
+    * ((h div dim) mod 2), lanes accumulate as exact integers and convert to
+    * float once at the end. Deterministic, vocabulary-free, one pass —
+    * gives every text document an `array<float>` embedding that the whole
+    * similarity stack (cosine kernel, top-k aggregate, LSH) consumes
+    * directly, and every step is integer arithmetic the DuckDB oracle
+    * replays bit-for-bit (signs and sums exact; Long→Float conversion is
+    * exact below 2^24).
+    */
+  def featureHash(text: UTF8String, dim: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < toks.length) {
+      val h = polyHash(toks(i))
+      val lane = (h % dim).toInt
+      acc(lane) += (if ((h / dim) % 2L == 0L) 1L else -1L)
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) { out(j) = acc(j).toFloat; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Remix of a polyHash value into 32 UNIFORM bits. polyHash lives in
+    * [0, 1e9+7) — below 2^30 — so its bits 30-31 are constant-zero and
+    * 28-29 heavily biased. A SimHash voting on those bits directly gives
+    * every document the same top bits, which collapses the top pigeonhole
+    * band into ONE bucket: measured on a 200k-doc corpus, the band-2
+    * bucket held all 197k docs → 19.4 BILLION candidate pairs (the 2048
+    * buckets the band's 10 bits promise would give ~24M). Two
+    * multiplicative rounds with xor-shifts spread the 30 bits of entropy
+    * across all 32 positions; every intermediate stays below 2^63 using
+    * only *, %, xor, >> — DuckDB replays it exactly.
+    */
+  def remix32(h0: Long): Long = {
+    var h = (h0 * 2654435761L) % 4294967296L
+    h = h ^ (h >> 16)
+    h = (h * 48271L) % 4294967296L
+    h ^ (h >> 13)
+  }
+
+  /** One-pass 32-bit SimHash. SimHash is a PURE function of the document's
+    * own tokens — the round-2 explode + groupBy formulation shuffled one
+    * row per token for an embarrassingly-parallel computation; this kernel
+    * removes that shuffle entirely (q27/q39 become scan-only, and the
+    * simhash feeding q29's banding is free). Bit i is set when the
+    * (weight-)vote for bit i wins: Σ w·bit_i(remix32(polyHash(tok))) · 2 ≥
+    * Σ w, with w = 1 (unweighted) or w = codepoint length of the token
+    * (weighted) — exactly the aggregate formula the DuckDB oracles mirror.
+    * The [[remix32]] stage is what makes all 32 fingerprint bits carry
+    * signal (see its scaladoc for the measured failure without it).
+    */
+  def simhash32(text: UTF8String, weighted: Boolean): Long = {
+    val toks = text.toString.split(" ", -1)
+    val sums = new Array[Long](32)
+    var wsum = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val h = remix32(polyHash(t))
+      val w = if (weighted) t.codePointCount(0, t.length).toLong else 1L
+      wsum += w
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) sums(b) += w
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (sums(b) * 2L >= wsum) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -382,6 +463,38 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int, dim: 
     copy(child = newChild)
 }
 
+/** `simhash32(text) -> long` — one-pass SimHash fingerprint (see
+  * [[Kernels.simhash32]]).
+  */
+case class SimHash32(child: Expression, weighted: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simhash32(input.asInstanceOf[UTF8String], weighted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash32($c, $weighted)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** `feature_hash(text) -> array<float>` — hashing-trick text embedding
+  * (see [[Kernels.featureHash]]).
+  */
+case class FeatureHash(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.featureHash(input.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.featureHash($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): FeatureHash =
+    copy(child = newChild)
+}
+
 /** `jaccard_sim(array<long>, array<long>) -> double` — exact Jaccard
   * over distinct-element hash arrays (see [[Kernels.jaccard]]).
   */
@@ -457,4 +570,8 @@ object GraftExpressions {
     GraftBridge.column(TextStats(GraftBridge.expression(text)))
   def jaccard_sim(a: Column, b: Column): Column =
     GraftBridge.column(JaccardSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def feature_hash(text: Column, dim: Int): Column =
+    GraftBridge.column(FeatureHash(GraftBridge.expression(text), dim))
+  def simhash32(text: Column, weighted: Boolean = false): Column =
+    GraftBridge.column(SimHash32(GraftBridge.expression(text), weighted))
 }

@@ -57,9 +57,10 @@ object Dedup {
     * Cache lifecycle: the returned frame stays persisted for the lazy
     * result's lifetime (it cannot be unpersisted before the caller's
     * action runs). Spark's CacheManager deduplicates identical plans, so
-    * repeated calls over the same input share one cache entry; a
-    * long-lived session processing MANY corpora should call
-    * `spark.catalog.clearCache()` between them.
+    * repeated calls over the same input share one cache entry. A
+    * long-lived service processing MANY corpora should use
+    * [[withSignatures]], which unpersists when the scope closes; the
+    * cluster operators below release their signature frames themselves.
     */
   def shingleSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
@@ -74,24 +75,32 @@ object Dedup {
     * bucket rows. Band key is the joined minhash slice — grouping on it is
     * the one shuffle of the whole near-dup pipeline, and its distribution
     * is uniform because the key is a hash slice, not natural-language text.
+    * `carry` columns ride along through the explode — streaming callers use
+    * this to keep the shingle hashes next to the band rows in ONE stateless
+    * projection instead of joining the banding back to its own source
+    * (which on a streaming frame would plan a stateful stream-stream
+    * self-join).
     */
-  def bandsOf(base: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  def bandsOf(base: DataFrame, bands: Int, rowsPerBand: Int, carry: Seq[String] = Nil): DataFrame =
     base
       .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b =>
-              struct(
-                b.as("band"),
-                concat_ws("_", slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
-                  .as("band_key")
-              )
-          )
-        ).as("bk")
+        col("doc_id") +: carry.map(col) :+
+          explode(
+            transform(
+              sequence(lit(0), lit(bands - 1)),
+              b =>
+                struct(
+                  b.as("band"),
+                  concat_ws("_", slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
+                    .as("band_key")
+                )
+            )
+          ).as("bk"): _*
       )
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .select(
+        col("doc_id") +: carry.map(col) :+
+          col("bk.band").as("band") :+ col("bk.band_key").as("band_key"): _*
+      )
 
   /** Exact Jaccard between two distinct-element arrays — the codegen'd
     * hash-set kernel ([[graft.functions.JaccardSim]]). Bit-identical to
@@ -108,19 +117,38 @@ object Dedup {
     inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
+  /** Scoped signature cache for multi-corpus services: persists the
+    * signature frame, hands it to `f` (compose pairs with
+    * [[minhashPairsOf]] / [[ngramJaccardPairsOf]] and RUN the actions
+    * inside the scope), and unpersists when the scope closes — no cache
+    * entry outlives the call, however many corpora a session processes.
+    */
+  def withSignatures[T](docs: DataFrame, textCol: String = "text", idCol: String = "doc_id")(
+      f: DataFrame => T
+  ): T = {
+    val base = shingleSignatures(docs, textCol, idCol)
+    try f(base)
+    finally base.unpersist()
+  }
+
+  /** [[minhashPairs]] over a prebuilt [[shingleSignatures]] frame. */
+  def minhashPairsOf(base: DataFrame, threshold: Double): DataFrame =
+    pairsFrom(base, Bands, RowsPerBand, threshold)
+
+  /** [[ngramJaccardPairs]] over a prebuilt [[shingleSignatures]] frame. */
+  def ngramJaccardPairsOf(base: DataFrame, threshold: Double): DataFrame =
+    pairsFrom(base, BandsFine, RowsPerBandFine, threshold)
+
   /** Candidate pairs from an LSH banding, then exact hashed-shingle Jaccard
     * verification at `threshold`, reading both signatures and shingle
     * hashes from the one persisted base frame.
     */
-  private def bandedJaccardPairs(
-      docs: DataFrame,
-      textCol: String,
-      idCol: String,
+  private def pairsFrom(
+      base: DataFrame,
       bands: Int,
       rowsPerBand: Int,
       threshold: Double
   ): DataFrame = {
-    val base = shingleSignatures(docs, textCol, idCol)
     val bk = bandsOf(base, bands, rowsPerBand)
     val candidates = bk
       .as("l")
@@ -143,7 +171,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame =
-    bandedJaccardPairs(docs, textCol, idCol, Bands, RowsPerBand, threshold)
+    minhashPairsOf(shingleSignatures(docs, textCol, idCol), threshold)
 
   /** n-gram Jaccard near-dup pairs at a looser threshold: same signatures,
     * finer 16×2 banding (two-row bands collide at much lower similarity, so
@@ -156,7 +184,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame =
-    bandedJaccardPairs(docs, textCol, idCol, BandsFine, RowsPerBandFine, threshold)
+    ngramJaccardPairsOf(shingleSignatures(docs, textCol, idCol), threshold)
 
   /** Near-duplicate CLUSTERS: connected components over the MinHash pair
     * graph, labels = min reachable doc_id. Pairs alone don't dedup a corpus
@@ -181,10 +209,16 @@ object Dedup {
       maxRounds: Int = 64
   ): DataFrame = {
     // verified pairs persist BEFORE the direction-doubling union — without
-    // this the whole band+verify pipeline would evaluate once per union arm
-    val pairs = minhashPairs(docs, threshold, textCol, idCol)
-      .select(col("doc_a"), col("doc_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // this the whole band+verify pipeline would evaluate once per union arm.
+    // Materializing them inside the withSignatures scope lets the signature
+    // cache be released here instead of outliving the clustering.
+    val pairs = withSignatures(docs, textCol, idCol) { base =>
+      val p = minhashPairsOf(base, threshold)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -257,9 +291,13 @@ object Dedup {
       idCol: String = "doc_id",
       maxRounds: Int = 30
   ): DataFrame = {
-    val pairs = minhashPairs(docs, threshold, textCol, idCol)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = withSignatures(docs, textCol, idCol) { base =>
+      val p = minhashPairsOf(base, threshold)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
 
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -282,12 +320,13 @@ object Dedup {
         .union(withM.select(col("u"), col("m").as("v")).distinct())
     }
 
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      // bit_xor: order-independent, cannot overflow (sum of full-range
-      // hashes trips ANSI overflow checking)
-      val row = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
-      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-    }
+    // Convergence is checked EXACTLY: the symmetric difference of the two
+    // checkpointed edge sets must be empty. (A hash fingerprint can collide
+    // between distinct edge sets and terminate early with silently wrong
+    // labels; both frames are already materialized by localCheckpoint, so
+    // the except-pair costs one extra aggregate-shaped job per round.)
+    def sameEdges(a: DataFrame, b: DataFrame): Boolean =
+      a.except(b).union(b.except(a)).isEmpty
 
     // localCheckpoint, not persist: each round's plan embeds the previous
     // round's FULL logical plan (~12 subtree references through the
@@ -296,15 +335,12 @@ object Dedup {
     // Checkpointing materializes the round and cuts the plan back to a
     // leaf. (On a cluster use reliable checkpoint() for fault tolerance.)
     var edges = sym(pairs).localCheckpoint(true)
-    var fp = fingerprint(edges)
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged && rounds < maxRounds) {
       val next = sym(smallStar(sym(largeStar(edges)))).localCheckpoint(true)
-      val nfp = fingerprint(next)
-      converged = nfp == fp
+      converged = sameEdges(next, edges)
       edges = next
-      fp = nfp
       rounds += 1
     }
     require(converged, s"large-star/small-star did not converge within $maxRounds rounds")
@@ -317,43 +353,101 @@ object Dedup {
     out
   }
 
+  /** Clustering strategy selector for [[dedupNear]]. Both produce
+    * IDENTICAL labels (min doc_id per connected component); they differ
+    * only in round complexity.
+    */
+  sealed trait ClusterAlgo
+  object ClusterAlgo {
+
+    /** Large-star/small-star contraction — O(log n) rounds regardless of
+      * component diameter. The production default: a 1000-revision chain
+      * dedups instead of blowing the propagation round budget.
+      */
+    case object Star extends ClusterAlgo
+
+    /** Diameter-bounded min-label propagation — fewer shuffles on the
+      * shallow clusters typical of web-corpus near-dups, but
+      * `require`-fails on chains deeper than its round budget.
+      */
+    case object Propagate extends ClusterAlgo
+  }
+
   /** End-to-end near-dedup: the corpus with one representative per
     * near-dup cluster (the min-id member). This is the operator a training
     * pipeline actually calls — pairs and clusters are its building blocks.
-    * One extra semi-join over [[clusters]]; emits the surviving rows with
-    * their cluster id and the size of the group they represent.
+    * One extra semi-join over the clustering; emits the surviving rows
+    * with their cluster id and the size of the group they represent.
+    * Defaults to the O(log n) star-contraction clusterer so adversarially
+    * deep chains complete (the propagation variant stays available for
+    * corpora known to be shallow).
     */
   def dedupNear(
       docs: DataFrame,
       threshold: Double,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      algo: ClusterAlgo = ClusterAlgo.Star
   ): DataFrame = {
-    val cl = clusters(docs, threshold, textCol, idCol)
+    val cl = algo match {
+      case ClusterAlgo.Star      => clustersScalable(docs, threshold, textCol, idCol)
+      case ClusterAlgo.Propagate => clusters(docs, threshold, textCol, idCol)
+    }
     val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
     cl.filter(col("doc_id") === col("cluster_id"))
       .join(sizes, "cluster_id")
       .select(col("doc_id"), col("n_members"))
   }
 
-  /** 32-bit SimHash per document via one explode + one aggregate: bit i is
-    * set when at least half the token hashes have bit i set. The per-bit
-    * sums are 32 independent partial aggregates — map-side combined, one
-    * shuffle total, no per-document array state.
+  /** Quality-aware near-dedup: one representative per near-dup cluster,
+    * chosen as the HIGHEST-quality member (ties → min doc_id) — what a
+    * training pipeline actually wants: when a crawl has five variants of a
+    * page, keep the cleanest one, not the one with the smallest id.
+    * `scoreOf` maps the text column to a score (default: the fused
+    * one-pass quality kernel, q22's oracle-pinned formula).
+    *
+    * Representative selection is ONE aggregate — `max(struct(score,
+    * -doc_id))` picks argmax-score with min-id tie-break via partial
+    * map-side aggregation, no window sort over cluster members.
     */
-  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(
-      col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok")
-    )
-    val hashed = tok.select(col("doc_id"), GraftExpressions.poly_hash(col("tok")).as("h"))
-    val bitSums = (0 until 32).map(i => sum(shiftright(col("h"), i) % lit(2L)).as(s"s$i"))
-    val agg = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"), bitSums: _*)
-    val sim = (0 until 32)
-      .map(i => when(col(s"s$i") * lit(2L) >= col("n"), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
+  def dedupNearBest(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      scoreOf: Column => Column = TextFunctions.qualityScoreFused,
+      algo: ClusterAlgo = ClusterAlgo.Star
+  ): DataFrame = {
+    val cl = algo match {
+      case ClusterAlgo.Star      => clustersScalable(docs, threshold, textCol, idCol)
+      case ClusterAlgo.Propagate => clusters(docs, threshold, textCol, idCol)
+    }
+    val scored = docs.select(col(idCol).as("doc_id"), scoreOf(col(textCol)).as("score"))
+    cl.join(scored, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("b"),
+        count(lit(1)).as("n_members")
+      )
+      .select(
+        col("cluster_id"),
+        (-col("b.neg_id")).as("doc_id"),
+        col("b.score").as("score"),
+        col("n_members")
+      )
   }
+
+  /** 32-bit SimHash per document: bit i is set when at least half the
+    * token hashes have bit i set. SimHash is a pure per-document function,
+    * so this is ONE codegen'd kernel call per row — scan-only, zero
+    * shuffle ([[graft.functions.SimHash32]]; the round-2 explode +
+    * groupBy formulation shuffled a row per token for nothing).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      GraftExpressions.simhash32(col(textCol)).as("simhash")
+    )
 
   /** Length-WEIGHTED 32-bit SimHash: bit i set when the token-length-
     * weighted vote for bit i wins (Σ len(tok)·bit_i(h) ≥ Σ len(tok) / 2).
@@ -361,29 +455,17 @@ object Dedup {
     * vote is dominated by corpus-common short tokens, so most documents
     * land within hamming 2-4 of each other (measured on the fixture).
     * Token length is a zero-cost informativeness proxy (longer tokens are
-    * rarer); the weighting stays a single explode + one aggregate,
-    * map-side combinable. Honest caveat: on the SYNTHETIC fixture (near-
+    * rarer); the weighting runs in the same shuffle-free one-pass kernel
+    * as the unweighted form. Honest caveat: on the SYNTHETIC fixture (near-
     * uniform token lengths) the measured hamming separation matches the
     * unweighted form — the value here is the weighting MECHANISM, which is
     * what you swap IDF or custom term weights into on a real corpus.
     */
-  def simhashWeighted(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(
+  def simhashWeighted(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
       col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok")
+      GraftExpressions.simhash32(col(textCol), weighted = true).as("simhash")
     )
-    val hashed = tok.select(
-      col("doc_id"),
-      GraftExpressions.poly_hash(col("tok")).as("h"),
-      length(col("tok")).cast("long").as("w")
-    )
-    val bitSums = (0 until 32).map(i => sum((shiftright(col("h"), i) % lit(2L)) * col("w")).as(s"s$i"))
-    val agg = hashed.groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"), bitSums: _*)
-    val sim = (0 until 32)
-      .map(i => when(col(s"s$i") * lit(2L) >= col("wsum"), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
-  }
 
   /** SimHash near-dup pairs — COMPLETE for the hamming contract via
     * pigeonhole banding: the 32 simhash bits split into `maxHamming + 1`

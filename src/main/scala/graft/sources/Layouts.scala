@@ -44,7 +44,16 @@ object Layouts {
       buckets: Int,
       key: String,
       layout: ParquetLayout = ParquetLayout()
-  ): Unit =
+  ): Unit = {
+    // a fresh in-memory catalog forgets managed tables from previous
+    // sessions but their directories survive in the warehouse, and
+    // saveAsTable refuses to adopt an existing location — drop both the
+    // catalog entry and any stale directory so overwrite means overwrite
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val path = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write
       .mode("overwrite")
       .format("parquet")
@@ -53,4 +62,5 @@ object Layouts {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 }

@@ -128,6 +128,32 @@ object StreamingOps {
   ): DataFrame =
     rows.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dedup within the stream itself: drops any arriving
+    * document whose 32-bit SimHash fingerprint was already admitted inside
+    * the watermark. SimHash collision is a locality-sensitive near-dup
+    * signal: exact duplicates always collide, light rewrites (token swaps
+    * that don't flip a majority vote) usually do, unrelated documents
+    * almost never. The fingerprint is the one-pass codegen kernel
+    * ([[graft.functions.SimHash32]]) — per-row column work, no
+    * pre-aggregation — so the ONLY stateful operator is
+    * `dropDuplicatesWithinWatermark` itself, whose state is one row per
+    * distinct fingerprint and is evicted once no in-watermark arrival can
+    * still collide. The streaming face of [[graft.operators.Dedup]]'s
+    * near-dedup for ingest pipelines that must admit-or-drop in flight;
+    * run the full banded MinHash dedup in batch for the stronger contract.
+    */
+  def nearDedupStream(
+      stream: DataFrame,
+      tsCol: String,
+      watermark: String,
+      textCol: String = "text"
+  ): DataFrame =
+    stream
+      .withColumn("fp", graft.functions.GraftExpressions.simhash32(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+      .drop("fp")
+
   /** Stream-static enrichment: each micro-batch broadcast-joins a static
     * dimension frame — no state, no stream-stream alignment; the static
     * side is re-broadcast per batch. The standard shape for decorating an
@@ -143,13 +169,18 @@ object StreamingOps {
     * Pure stream-static composition of the batch dedup kernels: the corpus
     * side is banded once (persisted signatures + LSH band index); each
     * micro-batch computes the fused shingle+minhash kernel per incoming
-    * doc, explodes its band keys, equi-joins the static band index for
-    * candidates, and verifies exact hashed-shingle Jaccard. No streaming
-    * state at all — every operator is per-batch — so there is nothing to
-    * watermark and nothing that grows. STATELESSNESS over tidiness: a pair
-    * matching in several bands emits once per band (≤ Bands rows); a
-    * stateful dedup would reintroduce unbounded state. Consumers dedupe
-    * per batch (foreachBatch + dropDuplicates) if they need exactly-one.
+    * doc, then explodes its band keys WITH the shingle hashes carried
+    * alongside — one straight-line projection, so the stream side never
+    * references itself. (Joining the banding back to its own source on
+    * doc_id — the round-2 shape — made both join inputs derive from the
+    * stream, which Spark plans as a stateful stream-stream self-join with
+    * no watermark: unbounded state, and replayed doc_ids matching rows
+    * from earlier batches.) No streaming state at all — every operator is
+    * per-batch — so there is nothing to watermark and nothing that grows.
+    * STATELESSNESS over tidiness: a pair matching in several bands emits
+    * once per band (≤ Bands rows); a stateful dedup would reintroduce
+    * unbounded state. Consumers dedupe per batch (foreachBatch +
+    * dropDuplicates) if they need exactly-one.
     *
     * Emits (doc_id, corpus_doc_id, jaccard) for every match ≥ threshold.
     */
@@ -163,15 +194,15 @@ object StreamingOps {
     val corpusBands = Dedup
       .bandsOf(base, Dedup.Bands, Dedup.RowsPerBand)
       .withColumnRenamed("doc_id", "corpus_doc_id")
-    val streamSig = stream.select(
-      col("doc_id"),
-      graft.functions.GraftExpressions
-        .shingle_minhash(col("text"), Dedup.ShingleK, Dedup.NumHashes)
-        .as("sm")
-    )
-    val streamBands = Dedup
-      .bandsOf(streamSig.select(col("doc_id"), col("sm.sig").as("sig")), Dedup.Bands, Dedup.RowsPerBand)
-      .join(streamSig.select(col("doc_id"), col("sm.sh").as("sh")), "doc_id")
+    val streamSig = stream
+      .select(
+        col("doc_id"),
+        graft.functions.GraftExpressions
+          .shingle_minhash(col("text"), Dedup.ShingleK, Dedup.NumHashes)
+          .as("sm")
+      )
+      .select(col("doc_id"), col("sm.sh").as("sh"), col("sm.sig").as("sig"))
+    val streamBands = Dedup.bandsOf(streamSig, Dedup.Bands, Dedup.RowsPerBand, carry = Seq("sh"))
     streamBands
       .join(corpusBands, Seq("band", "band_key"))
       .join(base.select(col("doc_id").as("corpus_doc_id"), col("sh").as("c_sh")), "corpus_doc_id")

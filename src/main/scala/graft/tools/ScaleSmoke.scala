@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * Run: java -cp target/scala-2.13/classes:/opt/spark/jars/'*' \
   *   graft.tools.ScaleSmoke [nDocs]
+  *
+  * `ScaleSmoke skew [nDocs]` runs the SKEW-ADVERSARIAL variant instead:
+  * uniform-corpus numbers argue nothing about skew tolerance, so this
+  * plants the pathologies a real crawl has — a mega-cluster of mutual
+  * near-dups (every member collides into the SAME LSH bucket in every
+  * band), a text duplicated tens of thousands of times (one giant
+  * hash-aggregate group), and a mega-user owning half the event stream
+  * (one giant session key) — and measures that the pair/cluster/session
+  * operators complete in time proportional to their OUTPUT, not stuck on
+  * one straggler task. Results are recorded in BASELINE.md.
   */
 object ScaleSmoke {
 
@@ -34,7 +44,92 @@ object ScaleSmoke {
     sb.toString
   }
 
+  /** Skew-adversarial pass. The mega-cluster is a CLIQUE: its pair count
+    * is C(m,2) — quadratic in the cluster size by the operator's own
+    * output contract — so the check is that the banding DISTRIBUTES that
+    * inherent work (trianglePairs for simhash's giant bucket, AQE skew
+    * splitting for the band join) instead of serializing it into one task,
+    * and that cluster resolution collapses the clique in O(1) rounds.
+    */
+  private def skewMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 200000L
+    val mega = 3000L // mega-cluster members → ~4.5M mutual pairs
+    val dupCopies = 50000L // exact-dup copies of one text
+    val spark = GraftSession.local("scale-smoke-skew", 32)
+    import spark.implicits._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[skew] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // exact-dup skew corpus: one text duplicated dupCopies times — a giant
+    // group in the content hash-aggregate. SEPARATE corpus from the
+    // near-dup one: identical docs are jaccard-1.0 mutual near-dups, so
+    // leaving them in the near-dup corpus would make the pair OUTPUT
+    // itself C(50k,2) ≈ 1.2B rows — an output-size wall, not a skew test.
+    val exactDocs = spark
+      .range(n)
+      .map(id => (id, if (id < dupCopies) genText(0) else genText(id)))
+      .toDF("doc_id", "text")
+      .persist()
+    println(s"[skew] exact corpus: ${exactDocs.count()} docs; $dupCopies copies of one text")
+
+    // near-dup skew corpus: docs 0..mega-1 are one-token variants of doc 0
+    // (jaccard ≈ 0.92 pairwise, all above 0.5) — every member lands in the
+    // SAME bucket in EVERY band.
+    val docs = spark
+      .range(n)
+      .map { id =>
+        val text =
+          if (id < mega) {
+            val toks = genText(0).split(" ")
+            toks((id % 47L).toInt + 1) = s"v$id"
+            toks.mkString(" ")
+          } else genText(id)
+        (id, text)
+      }
+      .toDF("doc_id", "text")
+      .persist()
+    println(s"[skew] near-dup corpus: ${docs.count()} docs; mega-cluster=$mega")
+
+    val nExact = time("exact dedup")(Dedup.exact(exactDocs).count())
+    exactDocs.unpersist()
+    val nPairs = time("minhash pairs")(Dedup.minhashPairs(docs, 0.5).count())
+    val nClusters = time("cluster resolution")(
+      Dedup.clusters(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    )
+    val nClustersStar = time("cluster resolution star")(
+      Dedup.clustersScalable(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    )
+    val nSim = time("simhash pairs (h<=2)")(Dedup.simhashPairs(docs, 2).count())
+    println(
+      s"[skew] exact=$nExact pairs=$nPairs clusters=$nClusters/star=$nClustersStar simhashPairs=$nSim " +
+        s"(clique pairs ≈ ${mega * (mega - 1) / 2} × LSH recall; clusters must agree with star exactly)"
+    )
+
+    // mega-user: half the stream on ONE session key; sessions and the as-of
+    // join must finish without a single-task straggler dominating
+    val nEv = math.min(n * 10, 2000000L)
+    val events = spark
+      .range(nEv)
+      .map { id =>
+        val ts = new java.sql.Timestamp(1700000000000L + mix(id) % (30L * 86400 * 1000))
+        val user = if (id % 2 == 0) 0L else mix(id * 7L) % 5000L
+        (id, ts, user, if (id % 11 == 0) "purchase" else if (id % 7 == 0) "signup" else "view", 1.0)
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .persist()
+    println(s"[skew] events: ${events.count()} (${nEv / 2} on user 0)")
+    time("sessions (30m gap)")(graft.operators.EventOps.sessions(events).count())
+    time("as-of join")(graft.operators.EventOps.asofPurchaseSignup(events).count())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) { skewMain(args); return }
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val spark = GraftSession.local("scale-smoke", 32)
     import spark.implicits._

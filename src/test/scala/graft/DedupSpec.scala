@@ -114,9 +114,57 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dedupNear default survives a chain deeper than propagation's 64-round budget") {
+    // 420 sliding windows, near-dup links only within 6 positions
+    // ((58-j)/(58+j) >= 0.8 iff j <= 6) — one component of edge-hop
+    // diameter ~70 > the propagation default maxRounds=64. The default
+    // star-contraction path must dedup it to a single representative.
+    val chain = (0 until 420).map { i =>
+      (i.toLong, (i until i + 60).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.dedupNear(chain, 0.8).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 420L)), s"expected one min-id representative, got $got")
+  }
+
+  test("dedupNearBest keeps the argmax-quality member (min-id tiebreak) per cluster") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val best = Dedup.dedupNearBest(docs, 0.8)
+    // independent oracle: clustering + window argmax (score DESC, doc_id ASC)
+    val cl = Dedup.clustersScalable(docs, 0.8)
+    val scored = docs.select(col("doc_id"), TextFunctions.qualityScoreFused(col("text")).as("score"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
+    val expected = cl
+      .join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect().toSet
+    val got = best.select(col("cluster_id"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // representatives cover every cluster exactly once
+    assert(best.count() == cl.select("cluster_id").distinct().count())
+  }
+
   test("simhashPairs hamming bound holds and pairs are bucket-consistent") {
     val pairs = Dedup.simhashPairs(docs, 4)
     assert(pairs.filter(col("hamming") > 4).count() == 0)
+  }
+
+  test("simhash fingerprints carry entropy in ALL 32 bits (remix regression)") {
+    // polyHash < 2^30, so voting on raw polyHash bits pins bits 30-31 to
+    // zero for EVERY document — which collapsed the top pigeonhole band
+    // into one bucket holding the whole corpus (19.4B candidate pairs at
+    // 200k docs). The remix32 stage must make every bit vary somewhere.
+    val sh = Dedup.simhash(docs).persist()
+    try {
+      (0 until 32).foreach { b =>
+        val set = sh.filter(expr(s"(simhash >> $b) % 2 = 1")).count()
+        val n = sh.count()
+        assert(set > 0 && set < n, s"bit $b is constant across the corpus ($set/$n set)")
+      }
+    } finally sh.unpersist()
   }
 
   test("simhashPairs triangle blocking == naive all-pairs hamming join (skewed corpus)") {

@@ -114,7 +114,17 @@ class StreamingSpec extends SparkSpec {
     val stream = MemoryStream[(Long, String)]
     val flagged = StreamingOps.nearDupAgainst(docs, stream.toDF().toDF("doc_id", "text"), 0.99)
     val q = flagged.writeStream.outputMode("append").format("memory").queryName("neardup_s").start()
+    // two batches: the second replays half of the first. Statelessness means
+    // a replayed doc matches only the STATIC corpus again — row counts stay
+    // per-batch, nothing joins against rows remembered from batch 1.
     stream.addData(sample); q.processAllAvailable()
+    val batch1Rows = spark.table("neardup_s").count()
+    stream.addData(sample.take(15)); q.processAllAvailable()
+    // the whole pipeline must plan stateless — a stream-stream self-join
+    // (the round-2 bug: banding joined back to its own streaming source)
+    // would show up here as a stateful operator with unbounded state
+    val stateOps = q.lastProgress.stateOperators
+    assert(stateOps.isEmpty, s"nearDupAgainst must be stateless, found state operators: ${stateOps.map(_.operatorName).mkString(",")}")
     q.stop()
     val got = spark
       .table("neardup_s")
@@ -126,6 +136,44 @@ class StreamingSpec extends SparkSpec {
     sample.foreach { case (id, _) =>
       assert(got.contains((id, id)), s"doc $id should match itself in the corpus")
     }
+    // replayed docs re-match the corpus identically: batch 2 emits exactly
+    // the batch-1 rows for the replayed half (15 of 30 docs), not cross-batch
+    // pairs against previously-streamed rows
+    assert(spark.table("neardup_s").count() > batch1Rows, "replay batch produced no output")
+  }
+
+  test("nearDedupStream drops in-watermark near-dup arrivals, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    // 100 tokens, 5 distinct × 20 repeats: every simhash bit's vote margin
+    // is ≥ 20, so a ONE-token rewrite (±2 votes per bit) cannot flip any
+    // majority — the fingerprints of base and variant collide by
+    // construction, not by luck
+    val base = Seq.fill(20)("alpha beta gamma delta epsilon").mkString(" ")
+    val nearVariant = base.replaceFirst("alpha", "zeta") // one-token rewrite
+    val distinctDoc = "completely unrelated content about catalyst optimizer rule injection order"
+    // the near-dup claim is only valid when the fingerprints actually
+    // collide — pin that premise explicitly so the test can't pass vacuously
+    assert(
+      graft.functions.Kernels.simhash32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(base), false
+      ) == graft.functions.Kernels.simhash32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(nearVariant), false
+      ),
+      "premise: one-token rewrite keeps the simhash fingerprint"
+    )
+    val t0 = java.sql.Timestamp.from(Instant.parse("2024-01-01T00:00:00Z"))
+    def ts(s: Long) = java.sql.Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = StreamingOps.nearDedupStream(
+      stream.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes"
+    )
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("neardedup_s").start()
+    stream.addData(Seq((1L, t0, base), (2L, ts(30), base), (3L, ts(60), nearVariant), (4L, ts(90), distinctDoc)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("neardedup_s").select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(4L), "distinct doc admitted")
+    assert((kept & Set(1L, 2L, 3L)).size == 1, s"one representative of the near-dup trio, got $kept")
   }
 
   test("built-in session_window streaming == batch sessions after flush") {

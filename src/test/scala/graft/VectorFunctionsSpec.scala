@@ -21,6 +21,29 @@ class VectorFunctionsSpec extends SparkSpec {
     )
   }
 
+  test("feature_hash: signed lane sums match a direct reimplementation") {
+    import graft.functions.TextFunctions
+    val dim = 8
+    def expected(text: String): Seq[Float] = {
+      val acc = new Array[Long](dim)
+      text.split(" ", -1).foreach { t =>
+        val h = Kernels.polyHash(t)
+        acc((h % dim).toInt) += (if ((h / dim) % 2L == 0L) 1L else -1L)
+      }
+      acc.map(_.toFloat).toSeq
+    }
+    val texts = Seq("a b a", "the quick brown fox", "", "x", "a a a a a a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df
+      .select(col("doc_id"), TextFunctions.embed(col("text"), dim).as("e"))
+      .as[(Long, Seq[Float])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == expected(t), s"mismatch for '$t'")
+    }
+    // deterministic: same text, same embedding, dim respected
+    assert(got.values.forall(_.length == dim))
+  }
+
   test("cosine: symmetric, bounded, self-similarity 1 over 100 random pairs") {
     val df = randomPairs(100, 16, seed = 42L).toDF("a", "b")
     val rows = df
