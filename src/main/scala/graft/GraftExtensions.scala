@@ -66,5 +66,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(args(3), "dim")
           )))
     )
+    ext.injectFunction(
+      (FunctionIdentifier("jaccard_sim"), info("jaccard_sim"),
+        arity("jaccard_sim", 2)(args => JaccardSim(args(0), args(1))))
+    )
+    // simhash32(text, weighted BOOLEAN literal) -> 32-bit fingerprint
+    ext.injectFunction(
+      (FunctionIdentifier("simhash32"), info("simhash32"),
+        arity("simhash32", 2)(args =>
+          SimHash32(
+            args(0),
+            args(1) match {
+              case Literal(v: Boolean, _) => v
+              case other =>
+                throw new IllegalArgumentException(s"weighted must be a BOOLEAN literal, got $other")
+            }
+          )))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("feature_hash"), info("feature_hash"),
+        arity("feature_hash", 2)(args => FeatureHash(args(0), intLit(args(1), "dim"))))
+    )
   }
 }

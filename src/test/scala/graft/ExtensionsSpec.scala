@@ -42,6 +42,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(stats == 3L)
   }
 
+  test("simhash32 / feature_hash / jaccard_sim are SQL-callable and match the kernels") {
+    val sh = spark
+      .sql("SELECT simhash32('the quick fox', false) AS h")
+      .as[Long].head()
+    assert(sh == Kernels.simhash32(org.apache.spark.unsafe.types.UTF8String.fromString("the quick fox"), false))
+    val fh = spark
+      .sql("SELECT size(feature_hash('a b c', 16)) AS n")
+      .as[Int].head()
+    assert(fh == 16)
+    val j = spark
+      .sql("SELECT jaccard_sim(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+      .as[Double].head()
+    assert(j == 0.5)
+  }
+
   test("non-literal tuning params are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_minhash('x', cast(rand()*3 as int), 32)").collect()

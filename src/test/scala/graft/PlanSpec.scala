@@ -39,6 +39,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q31_ann_lsh").contains("Window"))
   }
 
+  test("simhash operators are scan-only — zero exchanges in the plan") {
+    // SimHash is a pure per-document function; the one-pass kernel must
+    // keep it that way (the r02 explode+groupBy form shuffled per token).
+    // The operators are asserted directly — the q27/q39 queries append an
+    // orderBy for deterministic oracle output, whose sort Exchange is the
+    // query's, not the operator's.
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val p27 = graft.operators.Dedup.simhash(docs).queryExecution.executedPlan.toString
+    val p39 = graft.operators.Dedup.simhashWeighted(docs).queryExecution.executedPlan.toString
+    assert(!p27.contains("Exchange"), s"unweighted simhash shuffles: $p27")
+    assert(!p39.contains("Exchange"), s"weighted simhash shuffles: $p39")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
