@@ -438,6 +438,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
     }),
+    // small-file compaction round-trip: fragment documents into ~50-row
+    // files, compact to 1000-row files, report (rows, files before/after)
+    // — all three pinned to pure COUNT arithmetic in the oracle
+    "q54_compact" -> ((s, dir) => {
+      val small = dumpPath("compact_q54_small", dir)
+      val out = dumpPath("compact_q54_out", dir)
+      t(s, dir, "documents")
+        .coalesce(1)
+        .write.mode("overwrite").option("maxRecordsPerFile", 50L).parquet(small)
+      val rep = graft.sources.Layouts.compact(s, small, out, 1000L)
+      import s.implicits._
+      Seq((rep.rows, rep.filesBefore.toLong, rep.filesAfter.toLong))
+        .toDF("n_rows", "files_before", "files_after")
+    }),
     // bucketed-layout round-trip: write both join sides co-bucketed on the
     // join key (real saveAsTable through the catalog), join the BUCKETED
     // tables back, aggregate. Promotes LayoutsSpec's no-Exchange plan proof
@@ -1131,6 +1145,14 @@ object SparkEntry {
     "q52_dump_partitioned" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
          FROM documents GROUP BY 1 ORDER BY 1""",
+    // compaction invariants as pure count arithmetic: 50-row fragments
+    // from one task -> ceil(n/50) files; compaction to 1000-row targets ->
+    // ceil(n/1000) evenly-filled round-robin partitions = files
+    "q54_compact" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST((COUNT(*) + 49) // 50 AS BIGINT) AS files_before,
+         CAST((COUNT(*) + 999) // 1000 AS BIGINT) AS files_after
+         FROM documents""",
     "q53_bucketed_join" ->
       """SELECT c.c_mktsegment,
          CAST(COUNT(*) AS BIGINT) AS n_orders,

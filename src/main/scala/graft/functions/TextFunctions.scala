@@ -123,6 +123,26 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = GraftExpressions.poly_hash(text)
 
+  /** Redaction patterns for [[scrub]]: pure character-class regexes, which
+    * behave identically under Java regex and RE2 — no backrefs, no
+    * lookaround, so the operator stays portable across engines.
+    */
+  val EmailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val LongNumberRegex = "[0-9]{7,}"
+
+  /** PII-style scrubbing for training corpora: emails → `<email>`,
+    * 7+-digit number runs (phone/account/SSN-shaped) → `<num>`. Order
+    * matters — emails first, so a numeric local-part is not half-eaten by
+    * the number pass. Column-level `regexp_replace` chain: codegen'd,
+    * scan-only, no UDF.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRegex, "<email>"),
+      LongNumberRegex,
+      "<num>"
+    )
+
   /** Hashing-trick text embedding (`array<float>`, see
     * [[Kernels.featureHash]]): vocabulary-free, deterministic, one codegen
     * pass — the bridge from raw text into the similarity stack (cosine /

@@ -214,6 +214,32 @@ object StreamingOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Continuous ingest — the streaming face of the dump pipeline
+    * (O9/O10): stream → sharded parquet with the same layout knobs as
+    * [[graft.sources.ShardedParquetSink]], exactly-once via the
+    * checkpointed file-sink log. `Trigger.AvailableNow` drains everything
+    * available then stops — the batch-friendly trigger for scheduled
+    * ingest runs; pass a processing-time trigger for true always-on
+    * tailing. Micro-batch writers fragment files over time; compose with
+    * [[graft.sources.Layouts.compact]] as the maintenance pass.
+    */
+  def streamDump(
+      stream: DataFrame,
+      dir: String,
+      checkpointDir: String,
+      layout: graft.sources.ParquetLayout = graft.sources.ParquetLayout()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpointDir)
+      .option("maxRecordsPerFile", layout.maxRecordsPerFile)
+      .option("parquet.block.size", layout.rowGroupBytes)
+      .option("parquet.page.size", layout.pageBytes)
+      .option("compression", layout.codec)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Run a streaming frame to completion against bounded input via the
     * memory sink (used by tests; production would writeStream to parquet/
     * kafka with a real trigger).

@@ -12,6 +12,23 @@ import org.apache.spark.sql.types._
 class EdgeCaseSpec extends SparkSpec {
   import spark.implicits._
 
+  test("scrub redacts emails and long number runs, leaves clean text alone") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, "contact bob.smith+spam@example.co.uk or call 5551234567 now"),
+      (2L, "order 42 of 100 items"), // short numbers survive
+      (3L, "no pii here at all"),
+      (4L, "double 12345678901 and a@b.io end")
+    ).toDF("doc_id", "text")
+    val got = rows
+      .select(col("doc_id"), TextFunctions.scrub(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "contact <email> or call <num> now")
+    assert(got(2L) == "order 42 of 100 items")
+    assert(got(3L) == "no pii here at all")
+    assert(got(4L) == "double <num> and <email> end")
+  }
+
   private val docSchema = StructType(
     Seq(StructField("doc_id", LongType), StructField("text", StringType))
   )

@@ -23,6 +23,24 @@ class LayoutsSpec extends SparkSpec {
     assert(!plan.contains("event_type=click"), "pruned partitions absent from scan")
   }
 
+  test("compact merges small files without losing or duplicating rows") {
+    val small = s"$testOut/compact_small"
+    val out = s"$testOut/compact_out"
+    val docs = Tables.load(spark, Sf0001, "documents")
+    docs.coalesce(1).write.mode("overwrite").option("maxRecordsPerFile", 7L).parquet(small)
+    val rep = Layouts.compact(spark, small, out, 100L)
+    val n = docs.count()
+    assert(rep.rows == n)
+    assert(rep.filesBefore == ((n + 6) / 7).toInt, s"fragmented into ${rep.filesBefore} files")
+    assert(rep.filesAfter == ((n + 99) / 100).toInt, s"compacted to ${rep.filesAfter} files")
+    assert(rep.filesAfter < rep.filesBefore)
+    // content round-trips exactly (same rows, nothing dropped/duplicated)
+    val back = spark.read.parquet(out)
+    assert(back.count() == n)
+    assert(back.select("doc_id").except(docs.select("doc_id")).isEmpty)
+    assert(docs.select("doc_id").except(back.select("doc_id")).isEmpty)
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -176,6 +176,26 @@ class StreamingSpec extends SparkSpec {
     assert((kept & Set(1L, 2L, 3L)).size == 1, s"one representative of the near-dup trio, got $kept")
   }
 
+  test("streamDump writes checkpointed parquet shards that read back exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = s"$testOut/stream_dump"
+    val ckpt = s"$testOut/stream_dump_ckpt"
+    // clean slate: the file-sink log remembers previous runs
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val docs = Tables.load(spark, Sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    val q = StreamingOps.streamDump(stream.toDF().toDF("doc_id", "text"), dir, ckpt)
+    q.awaitTermination() // AvailableNow: drains the batch then stops
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.length)
+    assert(back.select("doc_id").distinct().count() == docs.length)
+  }
+
   test("built-in session_window streaming == batch sessions after flush") {
     implicit val sqlCtx = spark.sqlContext
     val gapMs = 30 * 60 * 1000L
