@@ -452,6 +452,26 @@ object SparkEntry {
       Seq((rep.rows, rep.filesBefore.toLong, rep.filesAfter.toLong))
         .toDF("n_rows", "files_before", "files_after")
     }),
+    // salted skew join: same aggregate as q53 but through the manual
+    // salt-and-replicate path — the oracle (a plain join) pins that
+    // salting changes the PLAN, never the RESULT
+    "q55_salted_join" -> ((s, dir) => {
+      graft.operators.SkewJoin
+        .saltedJoin(
+          t(s, dir, "orders"),
+          t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+          "o_custkey",
+          factUniqueCol = "o_orderkey",
+          salts = 8
+        )
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_customers")
+        )
+        .orderBy(col("c_mktsegment"))
+    }),
     // bucketed-layout round-trip: write both join sides co-bucketed on the
     // join key (real saveAsTable through the catalog), join the BUCKETED
     // tables back, aggregate. Promotes LayoutsSpec's no-Exchange plan proof
@@ -1154,6 +1174,14 @@ object SparkEntry {
          CAST((COUNT(*) + 999) // 1000 AS BIGINT) AS files_after
          FROM documents""",
     "q53_bucketed_join" ->
+      """SELECT c.c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    // the salted join must be RESULT-identical to the plain join
+    "q55_salted_join" ->
       """SELECT c.c_mktsegment,
          CAST(COUNT(*) AS BIGINT) AS n_orders,
          CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

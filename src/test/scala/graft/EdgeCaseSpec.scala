@@ -12,6 +12,20 @@ import org.apache.spark.sql.types._
 class EdgeCaseSpec extends SparkSpec {
   import spark.implicits._
 
+  test("saltedJoin is result-identical to the plain join (including salts=1)") {
+    import graft.operators.SkewJoin
+    import graft.sources.Tables
+    val orders = Tables.load(spark, Sf0001, "orders")
+    val cust = Tables.load(spark, Sf0001, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, "o_custkey")
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
+    Seq(1, 8).foreach { salts =>
+      val salted = SkewJoin.saltedJoin(orders, cust, "o_custkey", "o_orderkey", salts)
+        .select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
+      assert(salted == plain, s"salted($salts) diverges from the plain join")
+    }
+  }
+
   test("scrub redacts emails and long number runs, leaves clean text alone") {
     import graft.functions.TextFunctions
     val rows = Seq(
