@@ -23,9 +23,14 @@ final case class JdbcSourceConfig(
     fetchSize: Int = 2048,
     /** key column to range-partition the scan on (NOTE_ID for the NOTE table) */
     partitionColumn: Option[String] = None,
-    numPartitions: Int = 1
+    numPartitions: Int = 1,
+    /** full JDBC URL override — for TNS descriptors, wallet URLs, or a
+      * non-Oracle engine (the embedded-Derby integration test uses this;
+      * Spark's per-engine JdbcDialect picks up type rewrites from the URL)
+      */
+    urlOverride: Option[String] = None
 ) {
-  def url: String = s"jdbc:oracle:thin:@//$host:$port/$service"
+  def url: String = urlOverride.getOrElse(s"jdbc:oracle:thin:@//$host:$port/$service")
   override def toString: String =
     s"JdbcSourceConfig($url, user=$user, fetchSize=$fetchSize, " +
       s"partitionColumn=$partitionColumn, numPartitions=$numPartitions)"
@@ -97,7 +102,10 @@ object JdbcSource {
       .option("user", cfg.user)
       .option("password", cfg.password)
       .load()
-    df.collect()(0).getAs[Number]("n").longValue()
+    // positional, not by name: identifier case-folding is engine-specific
+    // (Derby/Oracle upper-case an unquoted alias to N — found by the live
+    // Derby integration test; a name lookup works on some engines only)
+    df.collect()(0).getAs[Number](0).longValue()
   }
 }
 
