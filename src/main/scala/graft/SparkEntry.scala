@@ -316,6 +316,43 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), TextFunctions.embed(col("text"), 32).as("embedding"))
       Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 5).orderBy(col("query_id"), col("rnk"))
     }),
+    // deterministic 20% content-hash sample: reproducible subsampling, per
+    // lang counts pinned to the same modular predicate in DuckDB
+    "q56_hash_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(TextFunctions.sampledBy(col("text"), 20))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+    // incremental dedup: the 'val' split is the incoming delta, the
+    // 'train' split the existing corpus — admit only delta docs with no
+    // near-dup already ingested
+    "q57_dedup_against" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val delta = docs.filter(TextFunctions.splitAssign(col("text"), 80) === "val")
+      val corpus = docs.filter(TextFunctions.splitAssign(col("text"), 80) === "train")
+      Dedup
+        .dedupAgainst(delta, corpus, 0.8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    // overlapping token-window chunking (context-window prep): 64-token
+    // chunks, 8-token overlap, windows replayed identically in DuckDB
+    "q58_chunking" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          posexplode(TextFunctions.chunks(col("text"), 64, 8)).as(Seq("chunk_idx", "chunk"))
+        )
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tok")
+        )
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
     "q33_hash_split" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"), TextFunctions.splitAssign(col("text"), 80).as("split"))
@@ -939,6 +976,47 @@ object SparkEntry {
          SELECT cluster_id, doc_id, score, n_members
          FROM ranked WHERE rn = 1 ORDER BY cluster_id"""
     },
+    "q56_hash_sample" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+         WHERE ${polyHash("text")} % 100 < 20
+         GROUP BY 1 ORDER BY 1""",
+    "q57_dedup_against" -> {
+      val r = Dedup.RowsPerBand
+      s"""WITH sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
+             ${shingleHashesDistinct("text")} AS sh,
+             (CASE WHEN ${polyHash("text")} % 100 < 80 THEN 'train' ELSE 'val' END) AS split
+           FROM documents
+         ), bands AS (
+           SELECT doc_id, split, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_doc_id
+           FROM bands n JOIN bands c ON n.b = c.b AND n.band_key = c.band_key
+           WHERE n.split = 'val' AND c.split = 'train'
+         ), dup AS (
+           SELECT DISTINCT cand.doc_id
+           FROM cand JOIN sig a ON cand.doc_id = a.doc_id
+                     JOIN sig b2 ON cand.corpus_doc_id = b2.doc_id
+           WHERE ${jaccard("a.sh", "b2.sh")} >= 0.8
+         )
+         SELECT s.doc_id FROM sig s
+         WHERE s.split = 'val' AND s.doc_id NOT IN (SELECT doc_id FROM dup)
+         ORDER BY s.doc_id"""
+    },
+    // chunk i covers tokens [i*56+1, i*56+64] (1-based inclusive on both
+    // engines: Spark slice(start,len) == DuckDB list[a:b])
+    "q58_chunking" ->
+      s"""WITH t AS (
+           SELECT doc_id, ${tokens("text")} AS toks FROM documents
+         ), c AS (
+           SELECT doc_id, i AS chunk_idx,
+             array_to_string(toks[i*56+1:i*56+64], ' ') AS chunk
+           FROM t, unnest(range(0, greatest(CAST(ceil(len(toks) / 56.0) AS INT), 1))) AS u(i)
+         )
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok
+         FROM c ORDER BY doc_id, chunk_idx""",
     "q33_hash_split" ->
       s"""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
            SELECT lang,

@@ -160,6 +160,38 @@ object TextFunctions {
     when(GraftExpressions.poly_hash(text) % lit(100L) < trainPct, lit("train"))
       .otherwise(lit("val"))
 
+  /** Deterministic content-hash sampling predicate: keep a row iff
+    * `poly_hash(key) mod 100 < keepPct`. Same machinery as
+    * [[splitAssign]] but for SUBSAMPLING: reproducible across runs,
+    * engines, and partitionings (unlike `df.sample`, whose output depends
+    * on partition layout), and exact duplicates sample identically — so a
+    * sampled corpus stays dedup-consistent.
+    */
+  def sampledBy(key: Column, keepPct: Int): Column =
+    GraftExpressions.poly_hash(key) % lit(100L) < keepPct
+
+  /** Overlapping token-window chunking — the context-window prep step of
+    * an LLM training pipeline: chunk i covers tokens [i·(size−overlap),
+    * i·(size−overlap)+size), starts advance by `size − overlap`, and
+    * every token position below `n` starts-or-belongs to some chunk
+    * (chunk count = ⌈n / step⌉; the tail chunk may be short). Pure
+    * `transform`/`slice` composition so the DuckDB oracle can replay the
+    * identical windows.
+    */
+  def chunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(
+      chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap"
+    )
+    val step = chunkSize - overlap
+    val t = tokens(text)
+    val nChunks = ceil(size(t).cast("double") / lit(step.toDouble)).cast("int")
+    transform(
+      sequence(lit(0), greatest(nChunks - lit(1), lit(0))),
+      i => concat_ws(" ", slice(t, i * lit(step) + lit(1), lit(chunkSize)))
+    )
+  }
+
   /** Distinct k-token shingles, the unit of MinHash/Jaccard dedup.
     * `slice` with a computed start keeps this inside codegen'd HOFs.
     */

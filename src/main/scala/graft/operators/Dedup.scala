@@ -399,6 +399,43 @@ object Dedup {
       .select(col("doc_id"), col("n_members"))
   }
 
+  /** INCREMENTAL near-dedup: admit only the `newDocs` with no near-dup in
+    * the existing `corpus` — the daily-crawl-increment operator (dedup the
+    * delta against what's already ingested without re-clustering the
+    * world). One-sided LSH: both sides band once, candidates come from the
+    * band equi-join, exact hashed-shingle Jaccard verifies, and a
+    * LEFT ANTI join keeps the new docs with no verified match. Note the
+    * asymmetric contract: new-vs-new duplicates are NOT collapsed here
+    * (run [[dedupNear]] on the delta first if it can self-duplicate) —
+    * keeping the pass one-sided is what lets it run as two scans + one
+    * bounded band join at any corpus size.
+    */
+  def dedupAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val nBase = shingleSignatures(newDocs, textCol, idCol)
+    val cBase = shingleSignatures(corpus, textCol, idCol)
+    val nBands = bandsOf(nBase, Bands, RowsPerBand)
+    val cBands = bandsOf(cBase, Bands, RowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_doc_id")
+    val candidates = nBands
+      .join(cBands, Seq("band", "band_key"))
+      .select(col("doc_id"), col("corpus_doc_id"))
+      .distinct()
+    val dupIds = candidates
+      .join(nBase.as("a"), Seq("doc_id"))
+      .join(cBase.withColumnRenamed("doc_id", "corpus_doc_id").as("b"), Seq("corpus_doc_id"))
+      .filter(jaccard(col("a.sh"), col("b.sh")) >= threshold)
+      .select(col("doc_id"))
+      .distinct()
+    newDocs
+      .join(dupIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Quality-aware near-dedup: one representative per near-dup cluster,
     * chosen as the HIGHEST-quality member (ties → min doc_id) — what a
     * training pipeline actually wants: when a crawl has five variants of a

@@ -126,6 +126,34 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((0L, 420L)), s"expected one min-id representative, got $got")
   }
 
+  test("dedupAgainst admits only delta docs with no near-dup in the corpus") {
+    val corpusText = "the quick brown fox jumps over the lazy dog again and again every day"
+    val nearText = corpusText.replace("dog", "cat") // near-dup of the corpus doc
+    val freshText = "completely different content about catalyst optimizer internals and codegen"
+    val corpus = Seq((100L, corpusText), (101L, "some other corpus document entirely")).toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, corpusText), // exact dup of corpus -> dropped
+      (2L, nearText), // near-dup of corpus -> dropped
+      (3L, freshText) // novel -> admitted
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.dedupAgainst(delta, corpus, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(3L), s"expected only the novel doc, got $admitted")
+    // one-sided contract: an empty corpus admits everything
+    val emptyCorpus = corpus.filter(col("doc_id") < 0)
+    assert(Dedup.dedupAgainst(delta, emptyCorpus, 0.5).count() == 3)
+  }
+
+  test("chunks covers every token with the declared overlap and tail semantics") {
+    import graft.functions.TextFunctions
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = df.select(TextFunctions.chunks(col("text"), 4, 1).as("c"))
+      .select(explode(col("c"))).as[String].collect().toSeq
+    // step 3: starts 0,3,6,9 -> 4 chunks, last one short
+    assert(got == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+  }
+
   test("dedupNearBest keeps the argmax-quality member (min-id tiebreak) per cluster") {
     import graft.functions.TextFunctions
     import org.apache.spark.sql.expressions.Window
