@@ -353,6 +353,27 @@ object SparkEntry {
         )
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    // data-quality gate: one-scan profile + referential-orphan count over
+    // orders vs customer, every number pinned to plain SQL aggregates
+    "q59_quality_checks" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val prof = graft.operators.QualityChecks
+        .profile(orders, "o_orderkey", Seq("o_custkey", "o_orderdate"))
+        .head()
+      val orphans = graft.operators.QualityChecks
+        .orphanCount(orders, customer, "o_custkey", "c_custkey")
+      Seq(
+        (
+          prof.getAs[Long]("n_rows"),
+          prof.getAs[Long]("n_distinct_key"),
+          prof.getAs[Long]("n_null_o_custkey"),
+          prof.getAs[Long]("n_null_o_orderdate"),
+          orphans
+        )
+      ).toDF("n_rows", "n_distinct_key", "n_null_custkey", "n_null_orderdate", "n_orphans")
+    }),
     "q33_hash_split" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"), TextFunctions.splitAssign(col("text"), 80).as("split"))
@@ -976,6 +997,14 @@ object SparkEntry {
          SELECT cluster_id, doc_id, score, n_members
          FROM ranked WHERE rn = 1 ORDER BY cluster_id"""
     },
+    "q59_quality_checks" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_key,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_custkey,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_orderdate,
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphans
+         FROM orders""",
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20

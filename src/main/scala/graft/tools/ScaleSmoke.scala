@@ -97,6 +97,30 @@ object ScaleSmoke {
 
     val nExact = time("exact dedup")(Dedup.exact(exactDocs).count())
     exactDocs.unpersist()
+
+    // Bucket-occupancy audit: every hash-derived bucket key in the engine,
+    // measured at 40x fixture scale. This is the check that caught the
+    // SimHash top-band collapse (one bucket holding the whole corpus —
+    // invisible at sf0.1): a max bucket within ~an order of magnitude of
+    // corpus/buckets means the scheme distributes; corpus-sized means a
+    // degenerate key. Run it again whenever a banding changes.
+    def audit(name: String, df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit = {
+      val occ = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      val row = occ.agg(max(col("n")), expr("percentile_approx(n, 0.99)"), count(lit(1))).head()
+      println(f"[skew] bucket audit $name%-18s max=${row.getLong(0)}%8d p99=${row.getLong(1)}%6d buckets=${row.getLong(2)}%8d")
+    }
+    val sigs = Dedup.shingleSignatures(docs, "text", "doc_id")
+    audit("minhash 8x4", Dedup.bandsOf(sigs, Dedup.Bands, Dedup.RowsPerBand), Seq("band", "band_key"))
+    audit("minhash 16x2", Dedup.bandsOf(sigs, Dedup.BandsFine, Dedup.RowsPerBandFine), Seq("band", "band_key"))
+    sigs.unpersist()
+    val simBands = Dedup.simhashBands(2).map { case (off, w) =>
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1L))
+    }
+    audit(
+      "simhash 3-band",
+      Dedup.simhash(docs).select(posexplode(array(simBands: _*)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket")
+    )
     val nPairs = time("minhash pairs")(Dedup.minhashPairs(docs, 0.5).count())
     val nClusters = time("cluster resolution")(
       Dedup.clusters(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)

@@ -52,6 +52,12 @@ class PlanSpec extends SparkSpec {
     assert(!p39.contains("Exchange"), s"weighted simhash shuffles: $p39")
   }
 
+  test("q57: incremental dedup stays equi-join + anti-join — no cartesian") {
+    val p = plan("q57_dedup_against")
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no BNLJ")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
