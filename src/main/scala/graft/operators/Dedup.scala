@@ -320,13 +320,14 @@ object Dedup {
         .union(withM.select(col("u"), col("m").as("v")).distinct())
     }
 
-    // Convergence is checked EXACTLY: the symmetric difference of the two
-    // checkpointed edge sets must be empty. (A hash fingerprint can collide
-    // between distinct edge sets and terminate early with silently wrong
-    // labels; both frames are already materialized by localCheckpoint, so
-    // the except-pair costs one extra aggregate-shaped job per round.)
-    def sameEdges(a: DataFrame, b: DataFrame): Boolean =
-      a.except(b).union(b.except(a)).isEmpty
+    // Convergence is checked EXACTLY, but cheaply: both edge sets are
+    // DISTINCT by construction (sym ends in distinct), so equal counts
+    // plus a one-sided next ⊆ edges imply set equality — half the
+    // shuffle work of a symmetric except-union, and each round's count is
+    // remembered instead of recomputed. (A hash fingerprint would be
+    // cheaper still but can collide between distinct edge sets and
+    // terminate early with silently wrong labels.)
+    def subsetOf(a: DataFrame, b: DataFrame): Boolean = a.except(b).isEmpty
 
     // localCheckpoint, not persist: each round's plan embeds the previous
     // round's FULL logical plan (~12 subtree references through the
@@ -335,12 +336,15 @@ object Dedup {
     // Checkpointing materializes the round and cuts the plan back to a
     // leaf. (On a cluster use reliable checkpoint() for fault tolerance.)
     var edges = sym(pairs).localCheckpoint(true)
+    var edgeCount = edges.count()
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0L
     while (!converged && rounds < maxRounds) {
       val next = sym(smallStar(sym(largeStar(edges)))).localCheckpoint(true)
-      converged = sameEdges(next, edges)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && subsetOf(next, edges)
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     require(converged, s"large-star/small-star did not converge within $maxRounds rounds")

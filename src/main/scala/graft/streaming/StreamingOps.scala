@@ -214,6 +214,37 @@ object StreamingOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Watermarked STREAM-STREAM interval join — the attribution shape: for
+    * each purchase, every signup by the same user in the `window` before
+    * it (inclusive on both ends). Both sides carry a watermark and the
+    * join condition bounds signup_ts to [purchase_ts − window,
+    * purchase_ts], so Spark derives exactly how long each side's rows can
+    * still match and evicts state beyond it — the one join shape where
+    * stream-vs-stream state stays BOUNDED. (Contrast the batch as-of join,
+    * which picks the single most recent signup over an UNBOUNDED past —
+    * that contract cannot bound state and is deliberately not offered on
+    * streams; bound the lookback or run it in batch.)
+    */
+  def purchaseAttribution(
+      purchases: DataFrame,
+      signups: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val s = signups
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    p.join(
+      s,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $window") &&
+        col("signup_ts") <= col("purchase_ts")
+    ).select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("signup_id"), col("signup_ts"))
+  }
+
   /** Continuous ingest — the streaming face of the dump pipeline
     * (O9/O10): stream → sharded parquet with the same layout knobs as
     * [[graft.sources.ShardedParquetSink]], exactly-once via the

@@ -176,6 +176,34 @@ class StreamingSpec extends SparkSpec {
     assert((kept & Set(1L, 2L, 3L)).size == 1, s"one representative of the near-dup trio, got $kept")
   }
 
+  test("stream-stream interval join == batch join on the same window") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = evSeq.filter(e => e.event_type == "purchase" && e.user_id < 50)
+    val signups = evSeq.filter(e => e.event_type == "signup" && e.user_id < 50)
+    val ps = MemoryStream[Ev]
+    val ss = MemoryStream[Ev]
+    val joined = StreamingOps.purchaseAttribution(ps.toDF(), ss.toDF())
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("attr_s").start()
+    // two batches per side — matches must form across batch boundaries
+    ps.addData(purchases.take(purchases.length / 2)); ss.addData(signups)
+    q.processAllAvailable()
+    ps.addData(purchases.drop(purchases.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_s")
+      .select("purchase_id", "signup_id").as[(Long, Long)].collect().toSet
+    // batch oracle: same interval condition as a plain join
+    val p = purchases.toDF().select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val s2 = signups.toDF().select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("signup_ts"))
+    val exp = p.join(
+      s2,
+      col("user_id") === col("su") &&
+        col("signup_ts") >= col("purchase_ts") - expr("INTERVAL 1 hour") &&
+        col("signup_ts") <= col("purchase_ts")
+    ).select("purchase_id", "signup_id").as[(Long, Long)].collect().toSet
+    assert(got == exp, s"stream ${got.size} vs batch ${exp.size} matches")
+  }
+
   test("streamDump writes checkpointed parquet shards that read back exactly") {
     implicit val sqlCtx = spark.sqlContext
     val dir = s"$testOut/stream_dump"
