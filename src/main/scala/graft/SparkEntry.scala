@@ -552,6 +552,22 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
     // multimodal plumbing --------------------------------------------------
+    // resize-to-fixed-shape on the binary payload: truncate-or-pad to 128
+    // bytes; the fixture payload is ASCII so the oracle mirrors the byte
+    // ops as string ops and re-encodes
+    "q44_multimodal_resize" -> ((s, dir) => {
+      // raw binary can't hash-compare through the oracle harness (pandas
+      // can't factorize bytearrays), so the gate pins length + content
+      // CHECKSUM of the resized bytes
+      Multimodal
+        .resizePayload(Multimodal.attachPayload(t(s, dir, "documents")), 128)
+        .select(
+          col("doc_id"),
+          octet_length(col("payload_resized")).cast("long").as("n_bytes"),
+          GraftExpressions.poly_hash(decode(col("payload_resized"), "UTF-8")).as("checksum")
+        )
+        .orderBy(col("doc_id"))
+    }),
     "q40_multimodal_meta" -> ((s, dir) => {
       Multimodal
         .attachPayload(t(s, dir, "documents"))
@@ -1295,6 +1311,11 @@ object SparkEntry {
          CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY 1 ORDER BY 1""",
+    "q44_multimodal_resize" ->
+      s"""SELECT doc_id,
+         CAST(128 AS BIGINT) AS n_bytes,
+         ${polyHash("rpad(substring(text, 1, 128), 128, ' ')")} AS checksum
+         FROM documents ORDER BY doc_id""",
     "q40_multimodal_meta" ->
       s"""SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

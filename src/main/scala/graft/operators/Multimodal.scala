@@ -58,6 +58,18 @@ object Multimodal {
       ).as(Seq("frame_idx", "frame"))
     )
 
+  /** Resize stage on the raw bytes: truncate-or-pad every payload to
+    * exactly `nBytes` (pad byte 0x20) — the byte-level skeleton of an
+    * image resize-to-fixed-shape step, and the normalization a
+    * fixed-input-size feature extractor needs before batching. Pure
+    * binary column ops (substring + rpad on BINARY), codegen'd, no UDF.
+    */
+  def resizePayload(media: DataFrame, nBytes: Int): DataFrame =
+    media.select(
+      col("doc_id"),
+      expr(s"rpad(substring(payload, 1, $nBytes), $nBytes, x'20')").as("payload_resized")
+    )
+
   final case class MediaFeature(doc_id: Long, dim: Int, features: Array[Float])
 
   /** DECODE STUB — deterministic fake feature extractor.

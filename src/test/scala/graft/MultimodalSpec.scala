@@ -32,6 +32,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(length(col("frame")) > frameLen).count() == 0)
   }
 
+  test("resizePayload truncates long payloads and pads short ones to exactly nBytes") {
+    val n = 64
+    val resized = Multimodal.resizePayload(media, n)
+    assert(resized.filter(octet_length(col("payload_resized")) =!= n).count() == 0)
+    // truncation preserves the prefix; padding appends 0x20 bytes
+    val short = Multimodal.attachPayload(Seq((1L, "tiny")).toDF("doc_id", "text"))
+    val row = Multimodal.resizePayload(short, 8).select("payload_resized").head().getAs[Array[Byte]](0)
+    assert(row.toSeq == ("tiny" + "    ").getBytes("UTF-8").toSeq)
+  }
+
   test("q41 pipeline: payload -> decode -> top-k is deterministic with full shape") {
     def run() = SparkEntry.queries("q41_multimodal_ann")(spark, Sf0001)
       .collect().map(_.toSeq).toSeq
