@@ -224,6 +224,37 @@ class StreamingSpec extends SparkSpec {
     assert(back.select("doc_id").distinct().count() == docs.length)
   }
 
+  test("full ingest pipeline: stream -> in-flight near-dedup -> parquet shards") {
+    // the operators compose: nearDedupStream's stateful drop feeds
+    // streamDump's checkpointed file sink in ONE streaming query — the
+    // complete admit-or-drop ingest a training pipeline runs
+    implicit val sqlCtx = spark.sqlContext
+    val dir = s"$testOut/dedup_ingest"
+    val ckpt = s"$testOut/dedup_ingest_ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    def ts(s: Long) = java.sql.Timestamp.from(t0.plusSeconds(s))
+    val base = Seq.fill(20)("alpha beta gamma delta epsilon").mkString(" ")
+    val other = "some completely different document contents for the second admit"
+    val rows = Seq(
+      (1L, ts(0), base),
+      (2L, ts(10), base), // exact dup inside watermark -> dropped
+      (3L, ts(20), other)
+    )
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream.addData(rows)
+    val deduped = StreamingOps.nearDedupStream(
+      stream.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes"
+    )
+    val q = StreamingOps.streamDump(deduped, dir, ckpt)
+    q.awaitTermination()
+    val back = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+    assert(back.size == 2 && back.contains(3L), s"expected one of {1,2} plus 3, got $back")
+  }
+
   test("built-in session_window streaming == batch sessions after flush") {
     implicit val sqlCtx = spark.sqlContext
     val gapMs = 30 * 60 * 1000L
