@@ -374,6 +374,31 @@ object SparkEntry {
         )
       ).toDF("n_rows", "n_distinct_key", "n_null_custkey", "n_null_orderdate", "n_orphans")
     }),
+    // sequence packing: chunks -> fixed token-budget training sequences.
+    // Budget assignment is a PER-DOCUMENT running sum (window partitioned
+    // by doc — parallel across docs, never a global sort): chunk c lands
+    // in sequence floor(tokens_before_c / 96)
+    "q60_sequence_pack" -> ((s, dir) => {
+      val ch = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          posexplode(TextFunctions.chunks(col("text"), 64, 8)).as(Seq("chunk_idx", "chunk"))
+        )
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tok")
+        )
+      val w = Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ch.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id", expr("(cum - n_tok) div 96"))
+        .groupBy(col("doc_id"), col("seq_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
     "q33_hash_split" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"), TextFunctions.splitAssign(col("text"), 80).as("split"))
@@ -1021,6 +1046,23 @@ object SparkEntry {
          CAST((SELECT COUNT(*) FROM orders o
                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphans
          FROM orders""",
+    "q60_sequence_pack" ->
+      s"""WITH t AS (
+           SELECT doc_id, ${tokens("text")} AS toks FROM documents
+         ), c AS (
+           SELECT doc_id, i AS chunk_idx,
+             CAST(len(string_split(array_to_string(toks[i*56+1:i*56+64], ' '), ' ')) AS BIGINT) AS n_tok
+           FROM t, unnest(range(0, greatest(CAST(ceil(len(toks) / 56.0) AS INT), 1))) AS u(i)
+         ), r AS (
+           SELECT doc_id, chunk_idx, n_tok,
+             SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM c
+         )
+         SELECT doc_id, (cum - n_tok) // 96 AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20
