@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftExpressions, TextFunctions}
-import graft.operators.{Dedup, EventOps, Multimodal, OmopDump, Similarity}
+import graft.operators.{Dedup, EventOps, Multimodal, OmopDump, SequencePack, Similarity}
 import graft.sources.{ParquetLayout, ParquetNoteSource, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -374,29 +374,11 @@ object SparkEntry {
         )
       ).toDF("n_rows", "n_distinct_key", "n_null_custkey", "n_null_orderdate", "n_orphans")
     }),
-    // sequence packing: chunks -> fixed token-budget training sequences.
-    // Budget assignment is a PER-DOCUMENT running sum (window partitioned
-    // by doc — parallel across docs, never a global sort): chunk c lands
-    // in sequence floor(tokens_before_c / 96)
+    // sequence packing: chunks -> fixed token-budget training sequences
+    // (per-document running sum — parallel across docs, never a global sort)
     "q60_sequence_pack" -> ((s, dir) => {
-      val ch = t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          posexplode(TextFunctions.chunks(col("text"), 64, 8)).as(Seq("chunk_idx", "chunk"))
-        )
-        .select(
-          col("doc_id"),
-          col("chunk_idx").cast("long").as("chunk_idx"),
-          size(split(col("chunk"), " ")).cast("long").as("n_tok")
-        )
-      val w = Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("chunk_idx"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ch.withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("seq_id", expr("(cum - n_tok) div 96"))
-        .groupBy(col("doc_id"), col("seq_id"))
-        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+      SequencePack
+        .pack(t(s, dir, "documents"), budget = 96, chunkSize = 64, overlap = 8)
         .orderBy(col("doc_id"), col("seq_id"))
     }),
     "q33_hash_split" -> ((s, dir) => {

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SequencePack
+
+/** Laws of greedy in-order sequence packing, checked on the real fixture
+  * corpus (sf0.001 documents) so they hold over genuine length skew.
+  */
+class SequencePackSpec extends SparkSpec {
+  private val Budget = 96
+  private val ChunkSize = 64
+  private val Overlap = 8
+
+  private lazy val docs = sources.Tables.load(spark, Sf0001, "documents")
+
+  test("token conservation: packed totals == chunk totals per document") {
+    val chunkTotals = SequencePack
+      .chunkFrame(docs, ChunkSize, Overlap)
+      .groupBy("doc_id")
+      .agg(sum("n_tok").as("chunk_toks"), count(lit(1)).as("n_chunks"))
+    val packTotals = SequencePack
+      .pack(docs, Budget, ChunkSize, Overlap)
+      .groupBy("doc_id")
+      .agg(sum("n_tokens").as("pack_toks"), sum("n_chunks").as("pack_chunks"))
+    val mismatches = chunkTotals
+      .join(packTotals, "doc_id")
+      .filter(col("chunk_toks") =!= col("pack_toks") || col("n_chunks") =!= col("pack_chunks"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("budget law: sequence totals live in (budget - chunkSize, budget + chunkSize)") {
+    // greedy close-on-crossing: a sequence's total is < budget + its last
+    // chunk's tokens; a NON-final sequence spans from a start boundary
+    // overhung by at most one chunk to past its own end boundary, so it
+    // holds strictly more than budget - chunkSize tokens (it may hold less
+    // than budget when the previous sequence's overhang ate into it)
+    val packed = SequencePack.pack(docs, Budget, ChunkSize, Overlap).persist()
+    try {
+      assert(packed.filter(col("n_tokens") >= Budget + ChunkSize).count() === 0L)
+      val lastSeq = packed
+        .groupBy("doc_id")
+        .agg(max("seq_id").as("last_seq"))
+      val tooShortNonFinal = packed
+        .join(lastSeq, "doc_id")
+        .filter(col("seq_id") < col("last_seq") && col("n_tokens") <= Budget - ChunkSize)
+        .count()
+      assert(tooShortNonFinal === 0L)
+    } finally packed.unpersist()
+  }
+
+  test("seq_ids are contiguous from 0 per document") {
+    val bad = SequencePack
+      .pack(docs, Budget, ChunkSize, Overlap)
+      .groupBy("doc_id")
+      .agg(min("seq_id").as("lo"), max("seq_id").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("assignment is deterministic under repartitioning") {
+    val a = SequencePack.assign(docs, Budget, ChunkSize, Overlap)
+      .select("doc_id", "chunk_idx", "seq_id")
+    val b = SequencePack.assign(docs.repartition(13), Budget, ChunkSize, Overlap)
+      .select("doc_id", "chunk_idx", "seq_id")
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+  }
+
+  test("hand-checked packing on a crafted document") {
+    import spark.implicits._
+    // 130 tokens, chunkSize 10, overlap 0, budget 25:
+    // chunks of 10 tokens each (13 chunks); tokens_before = 0,10,...,120
+    // seq_id = tokens_before div 25 -> 0,0,0,1,1,2,2,2,3,3,4,4,4
+    val doc = Seq((1L, (1 to 130).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = SequencePack
+      .assign(doc, budget = 25, chunkSize = 10, overlap = 0)
+      .orderBy("chunk_idx")
+      .select("seq_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    assert(got === Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 4L, 4L, 4L))
+  }
+}
