@@ -52,6 +52,20 @@ class PlanSpec extends SparkSpec {
     assert(!p39.contains("Exchange"), s"weighted simhash shuffles: $p39")
   }
 
+  test("sequence packing shuffles by doc hash only — never a global sort") {
+    // pack's window is partitioned by doc_id: one hash exchange, with the
+    // sort local to each partition. A rangepartitioning exchange would mean
+    // a global sort — the thing that dies first at 100 TB. (The q60 query
+    // appends an orderBy for deterministic oracle output; the operator is
+    // asserted directly, without it.)
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val p = graft.operators.SequencePack
+      .pack(docs, budget = 96, chunkSize = 64, overlap = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(doc_id"), s"expected doc-hash exchange: $p")
+    assert(!p.contains("rangepartitioning"), s"global sort in pack plan: $p")
+  }
+
   test("q57: incremental dedup stays equi-join + anti-join — no cartesian") {
     val p = plan("q57_dedup_against")
     assert(!p.contains("CartesianProduct"), "no cartesian")
