@@ -42,6 +42,28 @@ object OracleFragments {
   def shingleHashes(col: String, k: Int = Dedup.ShingleK): String =
     s"list_transform(${shingles(col, k)}, s -> ${polyHash("s")})"
 
+  /** Mirror of [[graft.functions.Kernels.winnow]]'s positional shingle
+    * hashes: k-token window hashes in position order (NOT distinct —
+    * winnowing needs positions).
+    */
+  def positionalShingleHashes(col: String, k: Int): String = {
+    val t = tokens(col)
+    val sh = s"list_transform(range(0, greatest(len($t) - $k, 0) + 1), " +
+      s"i -> array_to_string(($t)[i+1:i+$k], ' '))"
+    s"list_transform($sh, s -> ${polyHash("s")})"
+  }
+
+  /** Mirror of the winnowing window-minimum step over a precomputed
+    * positional-hash list column `hs`: distinct sliding-window minima,
+    * short documents yielding the minimum of what they have (DuckDB's
+    * slice clamps like Spark's). NOTE list_distinct does not preserve
+    * order — compare the result only through order-insensitive
+    * aggregates (count/min/max/xor), never element-wise.
+    */
+  def winnowFromHashes(hs: String, w: Int): String =
+    s"list_distinct(list_transform(range(0, greatest(len($hs) - $w, 0) + 1), " +
+      s"j -> list_min(($hs)[j+1:j+$w])))"
+
   /** Mirror of the ShingleMinHash kernel's `sh` field: DISTINCT hashed
     * shingles, first-occurrence order (the arrays the Jaccard verification
     * compares).

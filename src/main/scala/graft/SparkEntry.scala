@@ -381,6 +381,27 @@ object SparkEntry {
         .pack(t(s, dir, "documents"), budget = 96, chunkSize = 64, overlap = 8)
         .orderBy(col("doc_id"), col("seq_id"))
     }),
+    // winnowed fingerprints (one-pass O(n) kernel), compared through
+    // order-insensitive set digests (DuckDB list_distinct reorders)
+    "q61_winnow" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.winnow(col("text"), 3, 8).as("fp"))
+        .select(
+          col("doc_id"),
+          size(col("fp")).cast("long").as("n_fp"),
+          array_min(col("fp")).as("fp_min"),
+          array_max(col("fp")).as("fp_max"),
+          aggregate(col("fp"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor")
+        )
+        .orderBy(col("doc_id"))
+    }),
+    // MOSS-style copy detection: pairs sharing >= 2 rare winnowed
+    // fingerprints — catches copied RUNS that whole-doc Jaccard misses
+    "q62_copy_pairs" -> ((s, dir) => {
+      Dedup
+        .winnowedPairs(t(s, dir, "documents"), k = 3, w = 8, minShared = 2, maxDf = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "q33_hash_split" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"), TextFunctions.splitAssign(col("text"), 80).as("split"))
@@ -1045,6 +1066,34 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q61_winnow" ->
+      s"""WITH h AS (
+           SELECT doc_id, ${positionalShingleHashes("text", 3)} AS hs FROM documents
+         ), wn AS (
+           SELECT doc_id, ${winnowFromHashes("hs", 8)} AS fp FROM h
+         )
+         SELECT doc_id,
+           CAST(len(fp) AS BIGINT) AS n_fp,
+           list_min(fp) AS fp_min,
+           list_max(fp) AS fp_max,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), fp), (a, x) -> xor(a, x)) AS fp_xor
+         FROM wn ORDER BY doc_id""",
+    "q62_copy_pairs" ->
+      s"""WITH h AS (
+           SELECT doc_id, ${positionalShingleHashes("text", 3)} AS hs FROM documents
+         ), wn AS (
+           SELECT doc_id, ${winnowFromHashes("hs", 8)} AS fp FROM h
+         ), f AS (
+           SELECT doc_id, unnest(fp) AS fp FROM wn
+         ), rare AS (
+           SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50
+         ), kept AS (
+           SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)
+         )
+         SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+         FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""",
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20

@@ -123,6 +123,20 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = GraftExpressions.poly_hash(text)
 
+  /** Winnowed fingerprints (Schleimer et al., SIGMOD 2003): the distinct
+    * sliding-window minima of the positional k-token shingle hashes — a
+    * SET of substring-robust fingerprints instead of [[fingerprint]]'s
+    * single whole-document hash, so two documents sharing any run of
+    * ≥ `w + k - 1` tokens are guaranteed at least one common fingerprint.
+    * One-pass O(n) codegen kernel ([[Kernels.winnow]]); the MOSS-style
+    * pair detector over these lives in
+    * [[graft.operators.Dedup.winnowedPairs]].
+    */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, s"need k > 0 and w > 0, got k=$k w=$w")
+    GraftExpressions.winnow_fps(text, k, w)
+  }
+
   /** Redaction patterns for [[scrub]]: pure character-class regexes, which
     * behave identically under Java regex and RE2 — no backrefs, no
     * lookaround, so the operator stays portable across engines.

@@ -98,6 +98,79 @@ object Kernels {
     )
   }
 
+  /** One-pass winnowing kernel (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): positional
+    * k-token shingle hashes (NOT deduplicated — winnowing needs positions),
+    * sliding-window minimum over `w` consecutive hashes via a monotonic
+    * deque, distinct minima in first-window-occurrence order.
+    *
+    * Semantically equal to the composable form
+    * `array_distinct(transform(windows, j -> array_min(slice(hashes, j+1, w))))`
+    * that the DuckDB oracle replays — but O(n) amortized instead of
+    * O(n·w), and the hash array is computed once (the HOF form re-evaluates
+    * the whole positional-hash pipeline on every window because the array
+    * sits inside the lambda body, not in the transform argument).
+    *
+    * The selected set is "every window's minimum VALUE": tie-breaking
+    * position rules (rightmost-min in the paper) pick among equal values,
+    * so the value SET — which is all a set-intersection copy detector
+    * compares — is identical. A document shorter than one full window
+    * contributes the minimum of what it has (mirroring `slice`'s tail
+    * semantics).
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val last = math.max(n - k, 0)
+    val m = last + 1
+    // positional shingle hash = polyHash of the ' '-joined k tokens,
+    // folded incrementally so no shingle string is materialized
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + k, n)
+      var h = 0L
+      var j = i
+      while (j < end) {
+        if (j > i) h = (h * 31L + 32L) % HashPrime // ' ' separator codepoint
+        val s = toks(j)
+        var ci = 0
+        val sn = s.length
+        while (ci < sn) {
+          val cp = s.codePointAt(ci)
+          h = (h * 31L + cp) % HashPrime
+          ci += Character.charCount(cp)
+        }
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    // sliding-window minimum: deque of indices with increasing hash values
+    val we = math.min(w, m) // effective window (short-doc tail semantics)
+    val out = new java.util.LinkedHashSet[java.lang.Long](16)
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    var idx = 0
+    while (idx < m) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(idx)) tail -= 1
+      deque(tail) = idx
+      tail += 1
+      val wStart = idx - we + 1 // window [wStart, idx] complete once wStart >= 0
+      if (wStart >= 0) {
+        while (deque(head) < wStart) head += 1
+        out.add(hashes(deque(head)))
+      }
+      idx += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) { res(r) = it.next(); r += 1 }
+    new GenericArrayData(res)
+  }
+
   private val BpePattern = java.util.regex.Pattern.compile("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
   private val PunctPattern = java.util.regex.Pattern.compile("[.,!?;:]")
 
@@ -441,6 +514,24 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** `winnow_fps(text, k, w) -> array<long>` — winnowed document
+  * fingerprints (see [[Kernels.winnow]]): the substring-robust upgrade of
+  * the whole-document [[PolyHash]] fingerprint, and the unit of MOSS-style
+  * copy detection ([[graft.operators.Dedup.winnowedPairs]]).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** `lsh_buckets(vec) -> array<long>` — multi-table random-hyperplane LSH
   * signature (see [[Kernels.lshBuckets]]); plane weights come from the
   * shared deterministic xor-shift generator so the DuckDB oracle buckets
@@ -574,4 +665,6 @@ object GraftExpressions {
     GraftBridge.column(FeatureHash(GraftBridge.expression(text), dim))
   def simhash32(text: Column, weighted: Boolean = false): Column =
     GraftBridge.column(SimHash32(GraftBridge.expression(text), weighted))
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
 }

@@ -186,6 +186,80 @@ object Dedup {
   ): DataFrame =
     ngramJaccardPairsOf(shingleSignatures(docs, textCol, idCol), threshold)
 
+  /** Per-document winnowed fingerprint rows `(doc_id, fp)`, persisted for
+    * the same reason [[shingleSignatures]] is: the frame feeds the
+    * document-frequency cap AND both sides of the pair self-join. Same
+    * cache lifecycle contract — CacheManager dedups repeated plans;
+    * multi-corpus services should scope with [[withWinnowed]].
+    */
+  def winnowedFingerprints(
+      docs: DataFrame,
+      k: Int,
+      w: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        explode(TextFunctions.winnow(col(textCol), k, w)).as("fp")
+      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Scoped [[winnowedFingerprints]] cache — run actions inside `f`. */
+  def withWinnowed[T](
+      docs: DataFrame,
+      k: Int,
+      w: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  )(f: DataFrame => T): T = {
+    val fps = winnowedFingerprints(docs, k, w, textCol, idCol)
+    try f(fps)
+    finally fps.unpersist()
+  }
+
+  /** MOSS-style copy detection (Schleimer et al., SIGMOD 2003): document
+    * pairs sharing ≥ `minShared` winnowed fingerprints — i.e. pairs with
+    * copied RUNS of text, which whole-document near-dup (MinHash Jaccard)
+    * misses when the rest of the documents differ.
+    *
+    * Scale shape: candidate generation is a self-EQUI-join on the
+    * fingerprint value, and every fingerprint kept in the join appears in
+    * at most `maxDf` documents (ubiquitous fingerprints — boilerplate,
+    * stop-phrases — carry no copy signal and would each fan out O(df²)
+    * pairs; dropping them is the standard winnowing-index move). So one
+    * bucket contributes ≤ maxDf²/2 pairs and the join never goes
+    * quadratic in the corpus. No cross join, no all-pairs.
+    */
+  def winnowedPairsOf(fps: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
+    val rare = fps
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df")) // fps are distinct per doc → count == document frequency
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(rare, "fp")
+    kept
+      .as("l")
+      .join(kept.as("r"), expr("l.fp = r.fp AND l.doc_id < r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** [[winnowedPairsOf]] over freshly winnowed `docs`. */
+  def winnowedPairs(
+      docs: DataFrame,
+      k: Int = ShingleK,
+      w: Int = 8,
+      minShared: Int = 2,
+      maxDf: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    winnowedPairsOf(winnowedFingerprints(docs, k, w, textCol, idCol), minShared, maxDf)
+
   /** Near-duplicate CLUSTERS: connected components over the MinHash pair
     * graph, labels = min reachable doc_id. Pairs alone don't dedup a corpus
     * — transitive near-dups (a~b, b~c) must collapse to one cluster before
