@@ -87,5 +87,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("feature_hash"), info("feature_hash"),
         arity("feature_hash", 2)(args => FeatureHash(args(0), intLit(args(1), "dim"))))
     )
+    ext.injectFunction(
+      (FunctionIdentifier("winnow_fps"), info("winnow_fps"),
+        arity("winnow_fps", 3)(args =>
+          WinnowFingerprints(args(0), intLit(args(1), "k"), intLit(args(2), "w"))))
+    )
   }
 }

@@ -55,6 +55,13 @@ class ExtensionsSpec extends SparkSpec {
       .sql("SELECT jaccard_sim(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
       .as[Double].head()
     assert(j == 0.5)
+    val wn = spark
+      .sql("SELECT winnow_fps('a b c d e f g h i j k l', 3, 8) AS fp")
+      .as[Seq[Long]].head()
+    val expect = Kernels
+      .winnow(org.apache.spark.unsafe.types.UTF8String.fromString("a b c d e f g h i j k l"), 3, 8)
+      .toLongArray().toSeq
+    assert(wn == expect && wn.nonEmpty)
   }
 
   test("non-literal tuning params are rejected with a clear error") {
