@@ -121,6 +121,16 @@ object ScaleSmoke {
       Dedup.simhash(docs).select(posexplode(array(simBands: _*)).as(Seq("band", "bucket"))),
       Seq("band", "bucket")
     )
+    // winnowed copy detection under skew: the mega-cluster's shared
+    // fingerprints have df = mega (one corpus-wide bucket each, shown by
+    // the audit) — the document-frequency cap must drop them so the pair
+    // join scales; recall on mega-duplicated content is exact/minhash
+    // dedup's job, not the copy detector's.
+    val wfps = Dedup.winnowedFingerprints(docs, 3, 8)
+    audit("winnow fp", wfps, Seq("fp"))
+    time("winnowed copy pairs")(Dedup.winnowedPairsOf(wfps, 2, 50).count())
+    wfps.unpersist()
+
     val nPairs = time("minhash pairs")(Dedup.minhashPairs(docs, 0.5).count())
     val nClusters = time("cluster resolution")(
       Dedup.clusters(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)
@@ -184,7 +194,13 @@ object ScaleSmoke {
     val clusters = time("cluster resolution")(
       Dedup.clusters(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)
     )
-    println(s"[scale] exact=$exact pairs=$pairs clusters=$clusters (expect pairs≈${n / 100}, clusters≈${n - n / 100})")
+    val copyPairs = Dedup.withWinnowed(docs, 3, 8) { fps =>
+      time("winnowed copy pairs")(Dedup.winnowedPairsOf(fps, 2, 50).count())
+    }
+    println(
+      s"[scale] exact=$exact pairs=$pairs clusters=$clusters copyPairs=$copyPairs " +
+        s"(expect pairs≈${n / 100}, clusters≈${n - n / 100}, copyPairs ⊇ planted near-dups)"
+    )
 
     // similarity at scale: deterministic synthetic embeddings, 64-dim
     val nVec = math.min(n, 100000L)
