@@ -214,6 +214,48 @@ object StreamingOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming COPY detection against a static reference corpus — the
+    * winnowing counterpart of [[nearDupAgainst]]: flags arriving documents
+    * that share rare winnowed fingerprints with an existing document,
+    * i.e. copied RUNS of ≥ w+k−1 tokens, which whole-document similarity
+    * misses when the rest of the document is new.
+    *
+    * Stream-static and stateless by the same discipline as
+    * [[nearDupAgainst]]: the corpus fingerprint index is winnowed,
+    * df-capped (ubiquitous boilerplate fingerprints dropped — they carry
+    * no copy signal and would fan out per batch) and persisted ONCE on
+    * the static side; each micro-batch winnows its own documents in one
+    * straight-line projection + explode and equi-joins the index. No
+    * aggregation crosses batches, so there is no state and nothing to
+    * watermark. STATELESSNESS over tidiness: emits one row per shared
+    * rare fingerprint (doc_id, corpus_doc_id, fp); consumers wanting a
+    * per-pair shared count aggregate within foreachBatch (a streaming
+    * groupBy here would reintroduce unbounded state).
+    */
+  def copyDetectAgainst(
+      corpus: DataFrame,
+      stream: DataFrame,
+      k: Int = graft.operators.Dedup.ShingleK,
+      w: Int = 8,
+      maxDf: Int = 50
+  ): DataFrame = {
+    import graft.operators.Dedup
+    val corpusFps = Dedup.winnowedFingerprints(corpus, k, w)
+    val rare = corpusFps
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val index = corpusFps.join(rare, "fp").withColumnRenamed("doc_id", "corpus_doc_id")
+    stream
+      .select(
+        col("doc_id"),
+        explode(graft.functions.TextFunctions.winnow(col("text"), k, w)).as("fp")
+      )
+      .join(index, "fp")
+      .select(col("doc_id"), col("corpus_doc_id"), col("fp"))
+  }
+
   /** Watermarked STREAM-STREAM interval join — the attribution shape: for
     * each purchase, every signup by the same user in the `window` before
     * it (inclusive on both ends). Both sides carry a watermark and the

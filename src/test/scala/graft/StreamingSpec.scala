@@ -107,6 +107,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("user_id") === 2 && col("tier").isNotNull).count() == 0)
   }
 
+  test("streaming copy detection flags lifted paragraphs, stateless, == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val para = (1 to 30).map(i => s"lifted$i").mkString(" ")
+    val corpus = Seq(
+      (100L, (1 to 80).map(i => s"c$i").mkString(" ") + " " + para),
+      (101L, (1 to 60).map(i => s"d$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, para + " " + (1 to 80).map(i => s"n$i").mkString(" ")), // lifts the paragraph
+      (2L, (1 to 80).map(i => s"z$i").mkString(" ")) // clean
+    )
+    val stream = MemoryStream[(Long, String)]
+    val flagged = StreamingOps.copyDetectAgainst(corpus, stream.toDF().toDF("doc_id", "text"))
+    val q = flagged.writeStream.outputMode("append").format("memory").queryName("copydetect_s").start()
+    stream.addData(arrivals); q.processAllAvailable()
+    assert(
+      q.lastProgress.stateOperators.isEmpty,
+      "copyDetectAgainst must plan stateless"
+    )
+    q.stop()
+    val got = spark
+      .table("copydetect_s")
+      .select("doc_id", "corpus_doc_id", "fp")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.contains(1L) && byDoc(1L).map(_._2) == Set(100L), "doc 1 flagged against doc 100 only")
+    assert(byDoc(1L).size >= 2, "the lifted paragraph shares several fingerprints")
+    assert(!byDoc.contains(2L), "clean doc not flagged")
+    // streaming == batch: the same composition over a batch frame agrees row-for-row
+    val batch = StreamingOps
+      .copyDetectAgainst(corpus, arrivals.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(got == batch)
+  }
+
   test("streaming near-dup against a static corpus finds each doc's own copy") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, Sf0001, "documents")
