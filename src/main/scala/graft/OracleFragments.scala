@@ -31,27 +31,29 @@ object OracleFragments {
     s"xor($h3, ($h3 >> 13))"
   }
 
-  /** Mirror of TextFunctions.shingles: distinct k-token windows. */
-  def shingles(col: String, k: Int = Dedup.ShingleK): String = {
+  /** k-token windows in position order (NOT distinct) — the shared window
+    * transform both [[shingles]] and [[positionalShingleHashes]] build on
+    * (one source of truth for the slice semantics).
+    */
+  def positionalShingles(col: String, k: Int): String = {
     val t = tokens(col)
-    s"list_distinct(list_transform(range(0, greatest(len($t) - $k, 0) + 1), " +
-      s"i -> array_to_string(($t)[i+1:i+$k], ' ')))"
+    s"list_transform(range(0, greatest(len($t) - $k, 0) + 1), " +
+      s"i -> array_to_string(($t)[i+1:i+$k], ' '))"
   }
+
+  /** Mirror of TextFunctions.shingles: distinct k-token windows. */
+  def shingles(col: String, k: Int = Dedup.ShingleK): String =
+    s"list_distinct(${positionalShingles(col, k)})"
 
   /** Mirror of TextFunctions.shingleHashes. */
   def shingleHashes(col: String, k: Int = Dedup.ShingleK): String =
     s"list_transform(${shingles(col, k)}, s -> ${polyHash("s")})"
 
   /** Mirror of [[graft.functions.Kernels.winnow]]'s positional shingle
-    * hashes: k-token window hashes in position order (NOT distinct —
-    * winnowing needs positions).
+    * hashes: [[positionalShingles]] polyHashed, order preserved.
     */
-  def positionalShingleHashes(col: String, k: Int): String = {
-    val t = tokens(col)
-    val sh = s"list_transform(range(0, greatest(len($t) - $k, 0) + 1), " +
-      s"i -> array_to_string(($t)[i+1:i+$k], ' '))"
-    s"list_transform($sh, s -> ${polyHash("s")})"
-  }
+  def positionalShingleHashes(col: String, k: Int): String =
+    s"list_transform(${positionalShingles(col, k)}, s -> ${polyHash("s")})"
 
   /** Mirror of the winnowing window-minimum step over a precomputed
     * positional-hash list column `hs`: distinct sliding-window minima,

@@ -385,7 +385,10 @@ object SparkEntry {
     // order-insensitive set digests (DuckDB list_distinct reorders)
     "q61_winnow" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.winnow(col("text"), 3, 8).as("fp"))
+        .select(
+          col("doc_id"),
+          TextFunctions.winnow(col("text"), Dedup.ShingleK, Dedup.WinnowW).as("fp")
+        )
         .select(
           col("doc_id"),
           size(col("fp")).cast("long").as("n_fp"),
@@ -399,7 +402,7 @@ object SparkEntry {
     // fingerprints — catches copied RUNS that whole-doc Jaccard misses
     "q62_copy_pairs" -> ((s, dir) => {
       Dedup
-        .winnowedPairs(t(s, dir, "documents"), k = 3, w = 8, minShared = 2, maxDf = 50)
+        .winnowedPairs(t(s, dir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q33_hash_split" -> ((s, dir) => {
@@ -1068,9 +1071,9 @@ object SparkEntry {
          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
     "q61_winnow" ->
       s"""WITH h AS (
-           SELECT doc_id, ${positionalShingleHashes("text", 3)} AS hs FROM documents
+           SELECT doc_id, ${positionalShingleHashes("text", Dedup.ShingleK)} AS hs FROM documents
          ), wn AS (
-           SELECT doc_id, ${winnowFromHashes("hs", 8)} AS fp FROM h
+           SELECT doc_id, ${winnowFromHashes("hs", Dedup.WinnowW)} AS fp FROM h
          )
          SELECT doc_id,
            CAST(len(fp) AS BIGINT) AS n_fp,
@@ -1080,20 +1083,20 @@ object SparkEntry {
          FROM wn ORDER BY doc_id""",
     "q62_copy_pairs" ->
       s"""WITH h AS (
-           SELECT doc_id, ${positionalShingleHashes("text", 3)} AS hs FROM documents
+           SELECT doc_id, ${positionalShingleHashes("text", Dedup.ShingleK)} AS hs FROM documents
          ), wn AS (
-           SELECT doc_id, ${winnowFromHashes("hs", 8)} AS fp FROM h
+           SELECT doc_id, ${winnowFromHashes("hs", Dedup.WinnowW)} AS fp FROM h
          ), f AS (
            SELECT doc_id, unnest(fp) AS fp FROM wn
          ), rare AS (
-           SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50
+           SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= ${Dedup.WinnowMaxDf}
          ), kept AS (
            SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)
          )
          SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS shared_fps
          FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
-         GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""",
+         GROUP BY 1, 2 HAVING COUNT(*) >= ${Dedup.WinnowMinShared} ORDER BY 1, 2""",
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20

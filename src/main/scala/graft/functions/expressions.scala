@@ -119,6 +119,10 @@ object Kernels {
     * semantics).
     */
   def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    // validated here, not just in TextFunctions.winnow, because the SQL
+    // function path (winnow_fps) reaches the kernel directly
+    if (k <= 0 || w <= 0)
+      throw new IllegalArgumentException(s"winnow needs k > 0 and w > 0, got k=$k w=$w")
     val toks = text.toString.split(" ", -1)
     val n = toks.length
     val last = math.max(n - k, 0)

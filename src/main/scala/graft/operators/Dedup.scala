@@ -34,6 +34,13 @@ object Dedup {
   val BandsFine = 16
   val RowsPerBandFine = 2 // 16x2 banding — higher recall at jaccard ~0.5
   val ShingleK = 3
+  // winnowing defaults: window of 8 shingles -> guaranteed detection of any
+  // copied run >= w+k-1 = 10 tokens; fingerprints in > WinnowMaxDf docs are
+  // boilerplate, not copy signal. Shared by q62's oracle SQL, ScaleSmoke,
+  // and the streaming detector — change here, not at call sites.
+  val WinnowW = 8
+  val WinnowMinShared = 2
+  val WinnowMaxDf = 50
   val P: Long = graft.functions.Kernels.HashPrime
 
   /** Exact dedup, deterministic representative: group rows by content and
@@ -186,13 +193,9 @@ object Dedup {
   ): DataFrame =
     ngramJaccardPairsOf(shingleSignatures(docs, textCol, idCol), threshold)
 
-  /** Per-document winnowed fingerprint rows `(doc_id, fp)`, persisted for
-    * the same reason [[shingleSignatures]] is: the frame feeds the
-    * document-frequency cap AND both sides of the pair self-join. Same
-    * cache lifecycle contract — CacheManager dedups repeated plans;
-    * multi-corpus services should scope with [[withWinnowed]].
-    */
-  def winnowedFingerprints(
+  /** Per-document winnowed fingerprint rows `(doc_id, fp)`, unpersisted —
+    * one scan-and-explode over the corpus. */
+  def winnowedFingerprintRows(
       docs: DataFrame,
       k: Int,
       w: Int,
@@ -204,6 +207,21 @@ object Dedup {
         col(idCol).as("doc_id"),
         explode(TextFunctions.winnow(col(textCol), k, w)).as("fp")
       )
+
+  /** [[winnowedFingerprintRows]] persisted, for callers that read the frame
+    * more than once (an audit plus a pair pass, or repeated incremental
+    * checks). Same cache lifecycle contract as [[shingleSignatures]] —
+    * CacheManager dedups repeated plans; multi-corpus services should
+    * scope with [[withWinnowed]].
+    */
+  def winnowedFingerprints(
+      docs: DataFrame,
+      k: Int,
+      w: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    winnowedFingerprintRows(docs, k, w, textCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Scoped [[winnowedFingerprints]] cache — run actions inside `f`. */
@@ -224,25 +242,32 @@ object Dedup {
     * copied RUNS of text, which whole-document near-dup (MinHash Jaccard)
     * misses when the rest of the documents differ.
     *
-    * Scale shape: candidate generation is a self-EQUI-join on the
-    * fingerprint value, and every fingerprint kept in the join appears in
-    * at most `maxDf` documents (ubiquitous fingerprints — boilerplate,
-    * stop-phrases — carry no copy signal and would each fan out O(df²)
-    * pairs; dropping them is the standard winnowing-index move). So one
-    * bucket contributes ≤ maxDf²/2 pairs and the join never goes
-    * quadratic in the corpus. No cross join, no all-pairs.
+    * Scale shape: candidates come from grouping by fingerprint value and
+    * expanding pairs WITHIN each bucket, and every bucket that expands
+    * holds at most `maxDf` documents (ubiquitous fingerprints —
+    * boilerplate, stop-phrases — carry no copy signal and would each fan
+    * out O(df²) pairs; dropping them is the standard winnowing-index
+    * move). So one bucket contributes ≤ maxDf²/2 pairs and the pipeline
+    * never goes quadratic in the corpus. No cross join, no all-pairs, and
+    * no self-join — the fingerprint rows are read exactly once.
     */
   def winnowedPairsOf(fps: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
-    val rare = fps
+    // bucket-local pair expansion instead of an fp self-join: ONE pass over
+    // the fingerprint rows (a self-join would evaluate the whole upstream
+    // subtree twice unless separately cached), with the df cap bounding
+    // each bucket's fan-out at maxDf²/2. fps are distinct per doc, so a
+    // bucket's list length == document frequency.
+    val buckets = fps
       .groupBy("fp")
-      .agg(count(lit(1)).as("df")) // fps are distinct per doc → count == document frequency
-      .filter(col("df") <= maxDf)
-      .select("fp")
-    val kept = fps.join(rare, "fp")
-    kept
-      .as("l")
-      .join(kept.as("r"), expr("l.fp = r.fp AND l.doc_id < r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    buckets
+      .select(
+        explode(
+          expr("filter(flatten(transform(ds, a -> transform(ds, b -> struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)")
+        ).as("p")
+      )
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
@@ -252,13 +277,14 @@ object Dedup {
   def winnowedPairs(
       docs: DataFrame,
       k: Int = ShingleK,
-      w: Int = 8,
-      minShared: Int = 2,
-      maxDf: Int = 50,
+      w: Int = WinnowW,
+      minShared: Int = WinnowMinShared,
+      maxDf: Int = WinnowMaxDf,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame =
-    winnowedPairsOf(winnowedFingerprints(docs, k, w, textCol, idCol), minShared, maxDf)
+    // the one-pass pair shape reads the fingerprint rows once — no cache
+    winnowedPairsOf(winnowedFingerprintRows(docs, k, w, textCol, idCol), minShared, maxDf)
 
   /** Near-duplicate CLUSTERS: connected components over the MinHash pair
     * graph, labels = min reachable doc_id. Pairs alone don't dedup a corpus

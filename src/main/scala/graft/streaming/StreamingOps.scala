@@ -236,17 +236,24 @@ object StreamingOps {
       corpus: DataFrame,
       stream: DataFrame,
       k: Int = graft.operators.Dedup.ShingleK,
-      w: Int = 8,
-      maxDf: Int = 50
+      w: Int = graft.operators.Dedup.WinnowW,
+      maxDf: Int = graft.operators.Dedup.WinnowMaxDf
   ): DataFrame = {
     import graft.operators.Dedup
-    val corpusFps = Dedup.winnowedFingerprints(corpus, k, w)
+    // persist the POST-cap index, not the raw fingerprints: the df-cap
+    // aggregate and rare-join run once (first batch materializes the
+    // cache); later batches replay a plain cached-table join instead of a
+    // corpus-wide shuffle aggregation per micro-batch
+    val corpusFps = Dedup.winnowedFingerprintRows(corpus, k, w)
     val rare = corpusFps
       .groupBy("fp")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("fp")
-    val index = corpusFps.join(rare, "fp").withColumnRenamed("doc_id", "corpus_doc_id")
+    val index = corpusFps
+      .join(rare, "fp")
+      .withColumnRenamed("doc_id", "corpus_doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream
       .select(
         col("doc_id"),

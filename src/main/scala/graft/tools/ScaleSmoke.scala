@@ -126,10 +126,12 @@ object ScaleSmoke {
     // the audit) — the document-frequency cap must drop them so the pair
     // join scales; recall on mega-duplicated content is exact/minhash
     // dedup's job, not the copy detector's.
-    val wfps = Dedup.winnowedFingerprints(docs, 3, 8)
-    audit("winnow fp", wfps, Seq("fp"))
-    time("winnowed copy pairs")(Dedup.winnowedPairsOf(wfps, 2, 50).count())
-    wfps.unpersist()
+    Dedup.withWinnowed(docs, Dedup.ShingleK, Dedup.WinnowW) { wfps =>
+      audit("winnow fp", wfps, Seq("fp"))
+      time("winnowed copy pairs")(
+        Dedup.winnowedPairsOf(wfps, Dedup.WinnowMinShared, Dedup.WinnowMaxDf).count()
+      )
+    }
 
     val nPairs = time("minhash pairs")(Dedup.minhashPairs(docs, 0.5).count())
     val nClusters = time("cluster resolution")(
@@ -194,9 +196,8 @@ object ScaleSmoke {
     val clusters = time("cluster resolution")(
       Dedup.clusters(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)
     )
-    val copyPairs = Dedup.withWinnowed(docs, 3, 8) { fps =>
-      time("winnowed copy pairs")(Dedup.winnowedPairsOf(fps, 2, 50).count())
-    }
+    // one-pass pair shape reads the corpus once — no cache scope needed
+    val copyPairs = time("winnowed copy pairs")(Dedup.winnowedPairs(docs).count())
     println(
       s"[scale] exact=$exact pairs=$pairs clusters=$clusters copyPairs=$copyPairs " +
         s"(expect pairs≈${n / 100}, clusters≈${n - n / 100}, copyPairs ⊇ planted near-dups)"
