@@ -392,12 +392,51 @@ object Dedup {
       maxRounds: Int = 30
   ): DataFrame = {
     val pairs = withSignatures(docs, textCol, idCol) { base =>
-      val p = minhashPairsOf(base, threshold)
-        .select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val p = minhashPairsOf(base, threshold).persist(StorageLevel.MEMORY_AND_DISK)
       p.count()
       p
     }
+    try clustersFromPairs(docs, pairs, idCol = idCol, maxRounds = maxRounds)
+    finally pairs.unpersist()
+  }
+
+  /** Connected-component labels over an ARBITRARY pair frame — the
+    * generic clustering entry: every pair operator in the engine
+    * (minhash, n-gram, simhash, embedding near-dup, winnowed copy
+    * detection) emits a `(doc_a, doc_b)` frame this can consume, so
+    * "cluster whatever notion of sameness you detected" is one call,
+    * not a per-operator reimplementation. Labels are the min member id
+    * per component; documents of `docs` in no pair label themselves
+    * (singleton clusters).
+    *
+    * Reads `pairs` twice before the first lineage checkpoint (the
+    * symmetric edge doubling) — pass a persisted frame when the pair
+    * pipeline is expensive. Star contraction: O(log n) rounds in the
+    * largest component, exact convergence check, loud failure past
+    * `maxRounds`.
+    */
+  def clustersFromPairs(
+      docs: DataFrame,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      idCol: String = "doc_id",
+      maxRounds: Int = 30
+  ): DataFrame = {
+    val edges0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val labels = componentsOf(edges0, maxRounds)
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** The star-contraction core: min-member component labels for every
+    * vertex APPEARING in the `(u, v)` edge frame. Materializes each round
+    * via localCheckpoint, so the result does not retain lineage into
+    * `edges0`.
+    */
+  def componentsOf(edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
 
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -435,7 +474,7 @@ object Dedup {
     // grows exponentially — measured 15 s → 243 s between rounds 0 and 1.
     // Checkpointing materializes the round and cuts the plan back to a
     // leaf. (On a cluster use reliable checkpoint() for fault tolerance.)
-    var edges = sym(pairs).localCheckpoint(true)
+    var edges = sym(edges0).localCheckpoint(true)
     var edgeCount = edges.count()
     var rounds = 0
     var converged = edgeCount == 0L
@@ -448,13 +487,7 @@ object Dedup {
       rounds += 1
     }
     require(converged, s"large-star/small-star did not converge within $maxRounds rounds")
-    val labels = minsOf(edges).select(col("u").as("doc_id"), col("m").as("cluster_id"))
-    val out = docs
-      .select(col(idCol).as("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    pairs.unpersist()
-    out
+    minsOf(edges).select(col("u").as("doc_id"), col("m").as("cluster_id"))
   }
 
   /** Clustering strategy selector for [[dedupNear]]. Both produce

@@ -89,6 +89,28 @@ class WinnowSpec extends SparkSpec {
     assert(capped < 100L, s"cap leaves only boundary noise, got $capped")
   }
 
+  test("copy pairs cluster transitively through the generic clustersFromPairs") {
+    import spark.implicits._
+    // A shares para1 with B, B shares para2 with C, A and C share nothing
+    // directly -> the pair graph is a chain and the component is {A, B, C}
+    val para1 = (1 to 25).map(i => s"p1x$i").mkString(" ")
+    val para2 = (1 to 25).map(i => s"p2x$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 60).map(i => s"a$i").mkString(" ") + " " + para1),
+      (2L, para1 + " " + (1 to 40).map(i => s"b$i").mkString(" ") + " " + para2),
+      (3L, para2 + " " + (1 to 60).map(i => s"c$i").mkString(" ")),
+      (4L, (1 to 60).map(i => s"d$i").mkString(" ")) // unrelated singleton
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedPairs(docs, k = K, w = W, minShared = 2, maxDf = 3)
+    val labels = Dedup
+      .clustersFromPairs(docs, pairs)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L, s"chain collapses: $labels")
+    assert(labels(4L) === 4L, "unrelated doc stays a singleton")
+  }
+
   test("copied paragraph is found even when overall similarity is low") {
     import spark.implicits._
     val para = (1 to 30).map(i => s"quoted$i").mkString(" ")
