@@ -89,6 +89,14 @@ class WinnowSpec extends SparkSpec {
     assert(capped < 100L, s"cap leaves only boundary noise, got $capped")
   }
 
+  test("empty corpus yields no pairs and flags nothing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.winnowedPairs(empty).count() === 0L)
+    val arrival = Seq((1L, "entirely new text")).toDF("doc_id", "text")
+    assert(streaming.StreamingOps.copyDetectAgainst(empty, arrival).count() === 0L)
+  }
+
   test("copy pairs cluster transitively through the generic clustersFromPairs") {
     import spark.implicits._
     // A shares para1 with B, B shares para2 with C, A and C share nothing
