@@ -405,6 +405,13 @@ object SparkEntry {
         .winnowedPairs(t(s, dir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // balanced per-group sampling: n smallest content hashes per language
+    // via the bounded-heap aggregate — no per-group sort anywhere
+    "q63_balanced_sample" -> ((s, dir) => {
+      graft.operators.Sampling
+        .balanced(t(s, dir, "documents"), "lang", 20, "text")
+        .orderBy(col("lang"), col("doc_id"))
+    }),
     "q33_hash_split" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"), TextFunctions.splitAssign(col("text"), 80).as("split"))
@@ -1097,6 +1104,15 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS shared_fps
          FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= ${Dedup.WinnowMinShared} ORDER BY 1, 2""",
+    "q63_balanced_sample" ->
+      s"""WITH s0 AS (
+           SELECT lang, doc_id, ${polyHash("text")} AS h FROM documents
+         ), s AS (
+           SELECT lang, doc_id, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+           FROM s0
+         )
+         SELECT lang, doc_id, h FROM s WHERE rn <= 20 ORDER BY lang, doc_id""",
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20

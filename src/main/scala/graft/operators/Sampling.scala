@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExpressions
+
+/** Deterministic BALANCED subsampling — keep the `n` documents with the
+  * smallest content hashes per group (language, domain, source...): the
+  * training-mix operator that a flat percentage sample
+  * ([[graft.functions.TextFunctions.sampledBy]]) cannot express, because a
+  * flat rate keeps the corpus's group imbalance.
+  *
+  * Selection is by `poly_hash(key)` rank, so it is reproducible across
+  * runs, engines, and partitionings — and it needs NO per-group sort: the
+  * [[graft.functions.TopKNeighbors]] bounded-heap aggregate reduces each
+  * input partition to ≤ n candidates per group before the shuffle
+  * (map-side partials), so a group with a billion rows costs its scan, not
+  * a single-task sort. The same property makes it skew-safe: the biggest
+  * group's reduction work is spread across every partition that holds its
+  * rows. Deterministic tie-break: (hash asc, id asc) — the aggregate's
+  * (score desc, id asc) ordering over the negated hash.
+  */
+object Sampling {
+
+  def balanced(
+      df: DataFrame,
+      groupCol: String,
+      n: Int,
+      keyCol: String,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    df
+      .select(
+        col(groupCol),
+        col(idCol),
+        GraftExpressions.poly_hash(col(keyCol)).as("h")
+      )
+      .groupBy(col(groupCol))
+      // poly_hash < 2^31, exact in double; negate so "top k" = smallest
+      .agg(
+        GraftExpressions
+          .top_k_neighbors(-col("h").cast("double"), col(idCol), n)
+          .as("picks")
+      )
+      .select(col(groupCol), explode(col("picks")).as("p"))
+      .select(
+        col(groupCol),
+        col("p.neighbor_id").as(idCol),
+        (-col("p.cos")).cast("long").as("h")
+      )
+  }
+}
