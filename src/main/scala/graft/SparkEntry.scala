@@ -405,6 +405,15 @@ object SparkEntry {
         .winnowedPairs(t(s, dir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // cross-document packing: fill 256-token training rows from whole
+    // docs, greedy within 8 content-hash buckets (parallel, deterministic)
+    "q64_pack_across" -> ((s, dir) => {
+      SequencePack
+        .packAcross(t(s, dir, "documents"), budget = 256, buckets = 8)
+        .groupBy(col("bucket"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("bucket"), col("seq_id"))
+    }),
     // balanced per-group sampling: n smallest content hashes per language
     // via the bounded-heap aggregate — no per-group sort anywhere
     "q63_balanced_sample" -> ((s, dir) => {
@@ -1113,6 +1122,21 @@ object SparkEntry {
            FROM s0
          )
          SELECT lang, doc_id, h FROM s WHERE rn <= 20 ORDER BY lang, doc_id""",
+    "q64_pack_across" ->
+      s"""WITH s0 AS (
+           SELECT doc_id, ${polyHash("text")} AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents
+         ), s AS (
+           SELECT doc_id, h, n_tok, h % 8 AS bucket,
+             SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM s0
+         )
+         SELECT bucket, (cum - n_tok) // 256 AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20

@@ -93,4 +93,45 @@ object SequencePack {
     assign(docs, budget, chunkSize, overlap, textCol, idCol)
       .groupBy(col(idCol), col("seq_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+
+  /** CROSS-document packing — fill fixed token-budget training rows from
+    * many (typically short) documents, the corpus-level counterpart of
+    * [[pack]]'s within-document chunk packing.
+    *
+    * A globally optimal bin packing is inherently sequential, so the
+    * scalable form shards the corpus into `buckets` content-hash buckets
+    * and packs greedily WITHIN each bucket in deterministic
+    * (hash, id) order: seq = floor(tokens_before / budget) over a window
+    * partitioned by bucket. Buckets are hash-uniform (no natural-key
+    * skew), each sorts only its own share, and the assignment is
+    * reproducible across runs and partitionings. Waste per sequence is
+    * bounded by the last document's overhang, exactly as in [[pack]].
+    *
+    * Returns `(bucket, seq_id, doc_id, h, n_tok, cum)` — one row per
+    * document with its assigned training row; aggregate or write
+    * partitioned by (bucket, seq_id) downstream.
+    */
+  def packAcross(
+      docs: DataFrame,
+      budget: Int,
+      buckets: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(budget > 0 && buckets > 0, s"need budget > 0 and buckets > 0, got $budget, $buckets")
+    val scored = docs.select(
+      col(idCol),
+      graft.functions.GraftExpressions.poly_hash(col(textCol)).as("h"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok")
+    )
+    val w = Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+      .select(col("bucket"), col("seq_id"), col(idCol), col("h"), col("n_tok"), col("cum"))
+  }
 }

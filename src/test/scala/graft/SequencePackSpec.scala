@@ -68,6 +68,32 @@ class SequencePackSpec extends SparkSpec {
     assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
   }
 
+  test("packAcross: conservation, budget bound, determinism, bucket-local seq ids") {
+    val packed = SequencePack.packAcross(docs, budget = 256, buckets = 8).persist()
+    try {
+      // every document appears exactly once
+      assert(packed.count() === docs.count())
+      // budget law: a training row closes before budget + its last doc's tokens;
+      // doc token counts vary, so bound by the max doc length
+      val maxDoc = packed.agg(max("n_tok")).head().getLong(0)
+      val rows = packed
+        .groupBy("bucket", "seq_id")
+        .agg(sum("n_tok").as("n_tokens"))
+      assert(rows.filter(col("n_tokens") >= 256L + maxDoc).count() === 0L)
+      // seq ids contiguous from 0 within each bucket
+      val bad = rows
+        .groupBy("bucket")
+        .agg(min("seq_id").as("lo"), max("seq_id").as("hi"), count(lit(1)).as("n"))
+        .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1)
+        .count()
+      assert(bad === 0L)
+      // deterministic under repartitioning
+      val again = SequencePack
+        .packAcross(docs.repartition(13), budget = 256, buckets = 8)
+      assert(packed.except(again).count() === 0L && again.except(packed).count() === 0L)
+    } finally packed.unpersist()
+  }
+
   test("hand-checked packing on a crafted document") {
     import spark.implicits._
     // 130 tokens, chunkSize 10, overlap 0, budget 25:
