@@ -1081,7 +1081,7 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM c
          )
-         SELECT doc_id, (cum - n_tok) // 96 AS seq_id,
+         SELECT doc_id, CAST((cum - n_tok) // 96 AS BIGINT) AS seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -1133,7 +1133,7 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM s0
          )
-         SELECT bucket, (cum - n_tok) // 256 AS seq_id,
+         SELECT bucket, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",

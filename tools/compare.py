@@ -28,9 +28,24 @@ def cells_equal(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # The driver hashes typed values, so int 0 vs float 0.0 is a mismatch
+    # there; mirror that exactly instead of relying on Python's 0 == 0.0.
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if pd.isna(a) and pd.isna(b):
         return True
     return a == b
+
+
+def kind_mismatch(g: pd.DataFrame, e: pd.DataFrame):
+    """Integer-kind vs float-kind column pairs hash differently in the driver."""
+    for col in g.columns:
+        gk, ek = g[col].dtype.kind, e[col].dtype.kind
+        if {gk, ek} <= {"i", "u"} or gk == ek:
+            continue
+        if "f" in (gk, ek) and (gk in "iu" or ek in "iu"):
+            return (col, g[col].dtype, e[col].dtype)
+    return None
 
 
 def main(sf_dir, out_dir):
@@ -47,12 +62,26 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         try:
-            exp = con.sql(sql).df()
+            rel = con.sql(sql)
+            huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
+            if huge:
+                # HUGEINT becomes float64 in pandas and the driver hashes the
+                # floats — the oracle must CAST these columns to BIGINT.
+                print(f"FAIL {name}: oracle columns {huge} are HUGEINT (uncast aggregate?) — cast to BIGINT")
+                failures += 1
+                continue
+            exp = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")
             failures += 1
             continue
         g, e = canon(got), canon(exp)
+        km = kind_mismatch(g, e)
+        if km:
+            col, gd, ed = km
+            print(f"FAIL {name}: dtype kind mismatch col={col}: spark={gd} oracle={ed}")
+            failures += 1
+            continue
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
             failures += 1
