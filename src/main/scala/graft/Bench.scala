@@ -77,9 +77,22 @@ object Bench {
     def recall(approx: Set[(Long, Long)]): Double = (exact & approx).size.toDouble / exact.size
     val rLsh = recall(recallOf(graft.operators.Similarity.annLsh(emb, qids, 10)))
     val rIvf = recall(recallOf(graft.operators.Similarity.annIvf(emb, qids, 10)))
-    println(
+    val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.length - ok.length},"recall_at_10":{"ann_lsh":${f"$rLsh%.3f"},"ann_ivf":${f"$rIvf%.3f"}},"sf":"$sfDir"}"""
-    )
+    println(json)
+    // sbt wraps stdout lines in "[info] " — a consumer grepping for a bare
+    // JSON line never finds one. Emit the same line to a file (path
+    // overridable via SPARK_GRAFT_BENCH_OUT) so the result is parseable
+    // regardless of what log framework wraps the streams.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      )
+    catch {
+      case e: Exception => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (results.length != ok.length) sys.exit(1)
   }

@@ -406,13 +406,26 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     // cross-document packing: fill 256-token training rows from whole
-    // docs, greedy within 8 content-hash buckets (parallel, deterministic)
+    // docs, greedy within content-hash buckets whose COUNT is derived
+    // from the corpus size (~64 docs/bucket here so the derivation is
+    // exercised at fixture scale) — per-bucket sort stays bounded at any
+    // corpus size instead of growing with it
     "q64_pack_across" -> ((s, dir) => {
       SequencePack
-        .packAcross(t(s, dir, "documents"), budget = 256, buckets = 8)
+        .packAcrossAuto(t(s, dir, "documents"), budget = 256, targetDocsPerBucket = 64)
         .groupBy(col("bucket"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy(col("bucket"), col("seq_id"))
+    }),
+    // the COMPOSED training-data pipeline: scrub -> quality gate -> exact
+    // dedup -> near dedup (best-quality rep) -> balanced per-lang sample
+    // -> chunk -> pack. Every stage is gated individually (q22/q20/q42/
+    // q63/q58/q60); this gates their COMPOSITION — the inter-stage column
+    // contracts and cache scopes a real corpus build exercises
+    "q65_training_pipeline" -> ((s, dir) => {
+      graft.operators.Pipeline
+        .trainingData(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("seq_id"))
     }),
     // balanced per-group sampling: n smallest content hashes per language
     // via the bounded-heap aggregate — no per-group sort anywhere
@@ -1127,16 +1140,107 @@ object SparkEntry {
            SELECT doc_id, ${polyHash("text")} AS h,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
            FROM documents
+         ), nb AS (
+           SELECT CAST(greatest(1, (COUNT(*) + 63) // 64) AS BIGINT) AS n_buckets FROM s0
          ), s AS (
-           SELECT doc_id, h, n_tok, h % 8 AS bucket,
-             SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+           SELECT doc_id, h, n_tok, h % n_buckets AS bucket,
+             SUM(n_tok) OVER (PARTITION BY h % n_buckets ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           FROM s0
+           FROM s0, nb
          )
          SELECT bucket, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    // composed pipeline: q22's quality formula gates scrubbed text, q20's
+    // exact dedup, q42's LSH+clustering+argmax-rep chain, q63's balanced
+    // rank, then q60's chunk+pack windows — one CTE chain end to end
+    "q65_training_pipeline" -> {
+      val r = Dedup.RowsPerBand
+      val tok = tokens("text")
+      val nTok = s"len($tok)"
+      val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
+      val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
+      val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
+      val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
+      val stopScore = s"least(1.0, $stopRatio * 5.0)"
+      val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+      val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
+      val quality = s"(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore)"
+      s"""WITH RECURSIVE scrubbed AS (
+           SELECT doc_id, lang,
+             regexp_replace(regexp_replace(text, '${TextFunctions.EmailRegex}', '<email>', 'g'),
+               '${TextFunctions.LongNumberRegex}', '<num>', 'g') AS text
+           FROM documents
+         ), qual AS (
+           SELECT doc_id, lang, text FROM scrubbed WHERE $quality >= 0.4275
+         ), ex AS (
+           SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY text
+         ), exd AS (
+           SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN ex USING (doc_id)
+         ), sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
+             ${shingleHashesDistinct("text")} AS sh
+           FROM exd
+         ), bands AS (
+           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b
+           FROM bands l JOIN bands rr
+             ON l.b = rr.b AND l.band_key = rr.band_key AND l.doc_id < rr.doc_id
+         ), pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
+             FROM cand
+             JOIN sig sa ON doc_a = sa.doc_id
+             JOIN sig sb ON doc_b = sb.doc_id) v
+           WHERE j >= 0.8
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), reach(n, l) AS (
+           SELECT doc_id, doc_id FROM exd
+           UNION
+           SELECT e.src, r2.l FROM edges e JOIN reach r2 ON e.dst = r2.n
+         ), cc AS (
+           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+         ), scored AS (
+           SELECT doc_id, $quality AS score FROM exd
+         ), ranked AS (
+           SELECT c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY s.score DESC, c.doc_id) AS rn
+           FROM cc c JOIN scored s ON c.doc_id = s.doc_id
+         ), surv AS (
+           SELECT exd.doc_id, exd.lang, exd.text
+           FROM exd JOIN ranked ON exd.doc_id = ranked.doc_id AND ranked.rn = 1
+         ), bal0 AS (
+           SELECT lang, doc_id, ${polyHash("text")} AS h FROM surv
+         ), bal AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+             FROM bal0) b
+           WHERE rn <= 40
+         ), samp AS (
+           SELECT surv.doc_id, surv.lang, surv.text FROM surv JOIN bal USING (doc_id)
+         ), tt AS (
+           SELECT doc_id, lang, $tok AS toks FROM samp
+         ), chnk AS (
+           SELECT doc_id, lang, i AS chunk_idx,
+             CAST(len(string_split(array_to_string(toks[i*56+1:i*56+64], ' '), ' ')) AS BIGINT) AS n_tok
+           FROM tt, unnest(range(0, greatest(CAST(ceil(len(toks) / 56.0) AS INT), 1))) AS u(i)
+         ), run AS (
+           SELECT doc_id, lang, chunk_idx, n_tok,
+             SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM chnk
+         )
+         SELECT doc_id, lang, CAST((cum - n_tok) // 96 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM run GROUP BY 1, 2, 3 ORDER BY 1, 3"""
+    },
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20

@@ -72,29 +72,50 @@ object Multimodal {
 
   final case class MediaFeature(doc_id: Long, dim: Int, features: Array[Float])
 
-  /** DECODE STUB — deterministic fake feature extractor.
-    *
-    * ??? real codec goes here: in production this body is the only thing
-    * that changes (JNI/ImageIO decode → resize → embed). The surrounding
-    * machinery — partition-parallel batched iteration, fixed-dim float
-    * output schema, no driver involvement — is the real, tested contract.
+  /** The decode contract shared by every codec: partition-parallel batched
+    * iteration (`mapPartitions` — one iterator per partition, the JVM
+    * analog of `mapInPandas`), fixed-dim float output schema, no driver
+    * involvement. Only `decode` differs between the stub and the real
+    * codecs below.
     */
-  def decodeFeaturesStub(media: DataFrame, dim: Int = 8): Dataset[MediaFeature] = {
+  private def decodeWith(media: DataFrame, dim: Int)(
+      decode: Array[Byte] => Array[Float]
+  ): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (id, bytes) =>
-          val feats = Array.tabulate(dim) { j =>
-            // deterministic fake: byte-sum folded per lane, NOT a real codec
-            var acc = 0L
-            var i = j
-            while (i < bytes.length) { acc += (bytes(i) & 0xff); i += dim }
-            (acc % 1000L).toFloat / 1000.0f
-          }
-          MediaFeature(id, dim, feats)
-        }
+        batch.map { case (id, bytes) => MediaFeature(id, dim, decode(bytes)) }
       }
   }
+
+  /** DECODE STUB — deterministic fake feature extractor for payloads with
+    * no parseable container (the fixture's synthetic bytes): byte-sum
+    * folded per lane. Kept because the q41 gate needs a decode the DuckDB
+    * oracle can mirror per-codepoint; real formats go through
+    * [[decodeFeaturesWav]] / [[decodeFeaturesBmp]].
+    */
+  def decodeFeaturesStub(media: DataFrame, dim: Int = 8): Dataset[MediaFeature] =
+    decodeWith(media, dim) { bytes =>
+      Array.tabulate(dim) { j =>
+        var acc = 0L
+        var i = j
+        while (i < bytes.length) { acc += (bytes(i) & 0xff); i += dim }
+        (acc % 1000L).toFloat / 1000.0f
+      }
+    }
+
+  /** REAL WAV decode ([[Codecs.parseWav]]: RIFF/PCM via `java.nio`) →
+    * `dim` mean-absolute-amplitude bins per document. Same contract as
+    * the stub; malformed payloads fail loudly inside the task.
+    */
+  def decodeFeaturesWav(media: DataFrame, dim: Int = 8): Dataset[MediaFeature] =
+    decodeWith(media, dim)(Codecs.wavFeatures(_, dim))
+
+  /** REAL BMP decode ([[Codecs.parseBmp]]: 24bpp BI_RGB via `java.nio`) →
+    * `dim` mean-luminance bins per document. Same contract as the stub.
+    */
+  def decodeFeaturesBmp(media: DataFrame, dim: Int = 8): Dataset[MediaFeature] =
+    decodeWith(media, dim)(Codecs.bmpFeatures(_, dim))
 }

@@ -41,19 +41,20 @@ object SequencePack {
       chunkSize: Int,
       overlap: Int,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      carry: Seq[String] = Nil
   ): DataFrame =
     docs
       .select(
-        col(idCol),
-        posexplode(TextFunctions.chunks(col(textCol), chunkSize, overlap))
-          .as(Seq("chunk_idx", "chunk"))
+        col(idCol) +: carry.map(col) :+
+          posexplode(TextFunctions.chunks(col(textCol), chunkSize, overlap))
+            .as(Seq("chunk_idx", "chunk")): _*
       )
       .select(
-        col(idCol),
-        col("chunk_idx").cast("long").as("chunk_idx"),
-        col("chunk"),
-        size(split(col("chunk"), " ")).cast("long").as("n_tok")
+        col(idCol) +: carry.map(col) :+
+          col("chunk_idx").cast("long").as("chunk_idx") :+
+          col("chunk") :+
+          size(split(col("chunk"), " ")).cast("long").as("n_tok"): _*
       )
 
   /** Chunk→sequence assignment for every chunk: adds `seq_id` (the training
@@ -67,20 +68,25 @@ object SequencePack {
       chunkSize: Int,
       overlap: Int,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      carry: Seq[String] = Nil
   ): DataFrame = {
     require(budget > 0, s"need budget > 0, got $budget")
     val w = Window
       .partitionBy(col(idCol))
       .orderBy(col("chunk_idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunkFrame(docs, chunkSize, overlap, textCol, idCol)
+    chunkFrame(docs, chunkSize, overlap, textCol, idCol, carry)
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
   }
 
   /** Per-sequence summary: `(doc_id, seq_id, n_chunks, n_tokens)`. The q60
-    * gate hash-matches this against the DuckDB oracle.
+    * gate hash-matches this against the DuckDB oracle. `carry` lists
+    * doc-constant columns (e.g. `lang`) to ride through the aggregate —
+    * adding them to the grouping key is free (doc_id already determines
+    * them) and saves the caller a join back to the source frame, i.e. a
+    * whole second evaluation of whatever pipeline produced `docs`.
     */
   def pack(
       docs: DataFrame,
@@ -88,10 +94,11 @@ object SequencePack {
       chunkSize: Int,
       overlap: Int,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      carry: Seq[String] = Nil
   ): DataFrame =
-    assign(docs, budget, chunkSize, overlap, textCol, idCol)
-      .groupBy(col(idCol), col("seq_id"))
+    assign(docs, budget, chunkSize, overlap, textCol, idCol, carry)
+      .groupBy(col(idCol) +: col("seq_id") +: carry.map(col): _*)
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
 
   /** CROSS-document packing — fill fixed token-budget training rows from
@@ -119,17 +126,71 @@ object SequencePack {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(budget > 0 && buckets > 0, s"need budget > 0 and buckets > 0, got $budget, $buckets")
-    val scored = docs.select(
+    greedyWithinBuckets(
+      scoredOf(docs, textCol, idCol).withColumn("bucket", pmod(col("h"), lit(buckets.toLong))),
+      budget,
+      idCol
+    )
+  }
+
+  /** [[packAcross]] with the bucket count DERIVED from the corpus size:
+    * `buckets = max(1, ⌈n_docs / targetDocsPerBucket⌉)`, computed inside
+    * the plan (one broadcast single-row count — no driver action, no
+    * collect). A fixed bucket count is a driver-sized constant: at 100×
+    * the corpus each bucket's single-task window sort grows 100×.
+    * Deriving holds per-bucket work at ~`targetDocsPerBucket` rows at ANY
+    * corpus size — the bucket count scales instead of the task. The
+    * default target keeps a bucket's sort comfortably inside one
+    * executor task (~1M docs ≈ tens of MB of (id, hash, count) triples);
+    * the gated example passes a small target so the derivation itself is
+    * exercised (multiple buckets) at fixture scale.
+    */
+  def packAcrossAuto(
+      docs: DataFrame,
+      budget: Int,
+      targetDocsPerBucket: Long = 1L << 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(
+      budget > 0 && targetDocsPerBucket > 0,
+      s"need budget > 0 and targetDocsPerBucket > 0, got $budget, $targetDocsPerBucket"
+    )
+    val nb = docs
+      .select(col(idCol))
+      .agg(
+        greatest(
+          lit(1L),
+          expr(s"(count(1) + ${targetDocsPerBucket - 1}) div $targetDocsPerBucket")
+        ).as("n_buckets")
+      )
+    greedyWithinBuckets(
+      scoredOf(docs, textCol, idCol)
+        .crossJoin(broadcast(nb))
+        .withColumn("bucket", pmod(col("h"), col("n_buckets"))),
+      budget,
+      idCol
+    )
+  }
+
+  /** `(id, content hash, token count)` — the packing working set. */
+  private def scoredOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
       col(idCol),
       graft.functions.GraftExpressions.poly_hash(col(textCol)).as("h"),
       size(split(col(textCol), " ")).cast("long").as("n_tok")
     )
+
+  /** The greedy running-sum assignment shared by both bucket strategies:
+    * seq = floor(tokens_before / budget) over a window partitioned by
+    * `bucket`, ordered (hash, id) for cross-run determinism.
+    */
+  private def greedyWithinBuckets(bucketed: DataFrame, budget: Int, idCol: String): DataFrame = {
     val w = Window
       .partitionBy(col("bucket"))
       .orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+    bucketed
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
       .select(col("bucket"), col("seq_id"), col(idCol), col("h"), col("n_tok"), col("cum"))

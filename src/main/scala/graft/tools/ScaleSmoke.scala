@@ -203,6 +203,24 @@ object ScaleSmoke {
         s"(expect pairs≈${n / 100}, clusters≈${n - n / 100}, copyPairs ⊇ planted near-dups)"
     )
 
+    // cross-doc packing at scale: derived bucket count (~64k docs/bucket)
+    // keeps every per-bucket window sort bounded regardless of corpus
+    // size; report the bucket count and the max per-bucket row share so
+    // the "no single-task sort grows with the corpus" claim is measured
+    val packed = graft.operators.SequencePack
+      .packAcrossAuto(docs, budget = 4096, targetDocsPerBucket = 65536)
+    val packStats = time("packAcross (derived)")(
+      packed
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .agg(count(lit(1)), max(col("n_docs")), sum(col("n_docs")))
+        .head()
+    )
+    println(
+      s"[scale] packAcross buckets=${packStats.getLong(0)} " +
+        s"maxBucketDocs=${packStats.getLong(1)} totalDocs=${packStats.getLong(2)}"
+    )
+
     // similarity at scale: deterministic synthetic embeddings, 64-dim
     val nVec = math.min(n, 100000L)
     val emb = spark

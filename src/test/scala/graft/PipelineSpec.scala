@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Pipeline, SequencePack}
+
+/** Laws of the COMPOSED training pipeline (q65): stage contracts hold end
+  * to end, not just per stage.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = sources.Tables.load(spark, Sf0001, "documents")
+
+  test("composition laws: sample bound, quality gate, dedup, conservation") {
+    val cfg = Pipeline.Config()
+    val out = Pipeline.trainingData(docs, cfg).persist()
+    try {
+      val outDocs = out.select("doc_id", "lang").distinct()
+      // at most perGroupN docs per lang
+      val over = outDocs
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > cfg.perGroupN)
+        .count()
+      assert(over === 0L)
+      // carried lang matches the source table's lang for every doc
+      val langMismatch = outDocs
+        .join(docs.select(col("doc_id"), col("lang").as("src_lang")), "doc_id")
+        .filter(col("lang") =!= col("src_lang"))
+        .count()
+      assert(langMismatch === 0L)
+      // every surviving doc passes the quality gate on its scrubbed text
+      val belowGate = docs
+        .join(outDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+        .filter(
+          TextFunctions.qualityScoreFused(TextFunctions.scrub(col("text"))) < cfg.minQuality
+        )
+        .count()
+      assert(belowGate === 0L)
+      // no two surviving docs share identical scrubbed text (exact dedup)
+      val dupTexts = docs
+        .join(outDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy(TextFunctions.scrub(col("text")).as("t"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .count()
+      assert(dupTexts === 0L)
+      // token conservation: per-doc packed totals == chunk totals of the
+      // same scrubbed text under the same chunking constants
+      val scrubbedKept = docs
+        .join(outDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextFunctions.scrub(col("text")).as("text"))
+      val chunkTotals = SequencePack
+        .chunkFrame(scrubbedKept, cfg.chunkSize, cfg.overlap)
+        .groupBy("doc_id")
+        .agg(sum("n_tok").as("chunk_toks"))
+      val mism = out
+        .groupBy("doc_id")
+        .agg(sum("n_tokens").as("pack_toks"))
+        .join(chunkTotals, "doc_id")
+        .filter(col("pack_toks") =!= col("chunk_toks"))
+        .count()
+      assert(mism === 0L)
+      // deterministic under repartitioning
+      val again = Pipeline.trainingData(docs.repartition(13), cfg)
+      assert(out.except(again).count() === 0L && again.except(out).count() === 0L)
+    } finally out.unpersist()
+  }
+
+  test("scrub runs BEFORE hashing: docs differing only in PII collapse") {
+    import spark.implicits._
+    // 120 stopword tokens → quality 1.0 (passes any gate); docs 1 and 2
+    // differ only by the email local-part, so they are distinct strings
+    // raw but IDENTICAL after scrub — exact dedup must collapse them,
+    // which can only happen if scrubbing precedes the text hash
+    val base = Seq.fill(12)("the a of to and in is it you that").mkString(" ")
+    val crafted = Seq(
+      (1L, "en", s"$base alice@example.com"),
+      (2L, "en", s"$base bob@example.com"),
+      (3L, "en", base)
+    ).toDF("doc_id", "lang", "text")
+    val out = Pipeline.trainingData(crafted)
+    val kept = out.select("doc_id").distinct().as[Long].collect().toSet
+    // {1,2} collapse exactly; near-dedup then merges 3 into the same
+    // cluster (the texts share nearly all shingles) and the tie on
+    // quality resolves to the min id — one survivor, doc 1
+    assert(kept === Set(1L))
+  }
+}

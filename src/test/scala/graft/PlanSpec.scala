@@ -66,6 +66,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), s"global sort in pack plan: $p")
   }
 
+  test("packAcrossAuto: derived bucket count adds no global sort or shuffle-join") {
+    // the count that derives n_buckets must arrive as a broadcast one-row
+    // frame (a BNLJ against a single row is the right plan — it is the
+    // 'attach a scalar' shape, not a join blowup), and the packing itself
+    // stays a bucket-hash window exactly like the fixed-bucket form
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val p = graft.operators.SequencePack
+      .packAcrossAuto(docs, budget = 256, targetDocsPerBucket = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"bucket count not broadcast: $p")
+    assert(p.contains("hashpartitioning(bucket"), s"expected bucket-hash exchange: $p")
+    assert(!p.contains("rangepartitioning"), s"global sort in packAcrossAuto plan: $p")
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+  }
+
+  test("composed pipeline: no cartesian and no global sort anywhere") {
+    // six stages chained (q65 without its presentation orderBy): every
+    // join in the composition must stay an equi-join and every sort stay
+    // partition-local — one accidental cross join or rangepartitioning
+    // here multiplies at 100 TB
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val p = graft.operators.Pipeline
+      .trainingData(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "no cartesian in pipeline")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no BNLJ in pipeline")
+    assert(!p.contains("rangepartitioning"), s"global sort in pipeline plan: $p")
+  }
+
   test("q57: incremental dedup stays equi-join + anti-join — no cartesian") {
     val p = plan("q57_dedup_against")
     assert(!p.contains("CartesianProduct"), "no cartesian")

@@ -94,6 +94,25 @@ class SequencePackSpec extends SparkSpec {
     } finally packed.unpersist()
   }
 
+  test("packAcrossAuto: derives ceil(n/target) buckets and matches fixed-bucket packing") {
+    val n = docs.count()
+    val target = 40L
+    val expectBuckets = ((n + target - 1) / target).max(1L)
+    val auto = SequencePack.packAcrossAuto(docs, budget = 256, targetDocsPerBucket = target).persist()
+    try {
+      // the derived bucket count is ceil(n/target) (hash-uniform buckets:
+      // every one of them is hit at fixture scale)
+      assert(auto.select("bucket").distinct().count() === expectBuckets)
+      // identical assignment to packAcross called with that same count —
+      // the derivation changes WHERE the constant comes from, not the math
+      val fixed = SequencePack.packAcross(docs, budget = 256, buckets = expectBuckets.toInt)
+      assert(auto.except(fixed).count() === 0L && fixed.except(auto).count() === 0L)
+      // singleton corpus degenerates to one bucket, not zero
+      val one = SequencePack.packAcrossAuto(docs.limit(1), budget = 256, targetDocsPerBucket = target)
+      assert(one.select("bucket").distinct().count() === 1L)
+    } finally auto.unpersist()
+  }
+
   test("hand-checked packing on a crafted document") {
     import spark.implicits._
     // 130 tokens, chunkSize 10, overlap 0, budget 25:
