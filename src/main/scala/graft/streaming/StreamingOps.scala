@@ -320,6 +320,68 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Composed streaming INGEST ADMISSION — the streaming twin of
+    * [[graft.operators.Pipeline.trainingData]]'s front half: scrub →
+    * quality gate → exact dedup within the batch → near-dedup against a
+    * static corpus snapshot → append to sharded parquet. One call gives a
+    * crawl consumer the complete admit-or-drop path with the dump layout
+    * knobs.
+    *
+    * The scrub + quality stages are stateless column ops on the stream
+    * itself; the dedup stages run INSIDE `foreachBatch`, i.e. in batch
+    * land with exact semantics and zero streaming state — the same
+    * micro-batch-exact discipline as [[copyDetectAgainst]]. Contracts,
+    * stated honestly:
+    *  - admission is against the FIXED corpus snapshot passed in (its
+    *    banded signature index is persisted once and reused across
+    *    batches by plan-cache identity); near-dups BETWEEN separate
+    *    micro-batches are not collapsed — re-index periodically, exactly
+    *    like a daily-crawl incremental dedup;
+    *  - within one batch, exact duplicates collapse to the min id and
+    *    near-dups are delegated to [[graft.operators.Dedup.dedupAgainst]]
+    *    (whose new-vs-new caveat applies);
+    *  - `foreachBatch` + append parquet is at-least-once under retry (the
+    *    file-sink transaction log is bypassed); admission is a pure
+    *    function of content, so a replayed batch writes identical rows —
+    *    dedupe by doc_id downstream if exactly-once matters.
+    */
+  def admitIngest(
+      corpus: DataFrame,
+      stream: DataFrame,
+      dir: String,
+      checkpointDir: String,
+      minQuality: Double = 0.4275,
+      threshold: Double = 0.8,
+      layout: graft.sources.ParquetLayout = graft.sources.ParquetLayout()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    val gated = stream
+      .withColumn("text", TextFunctions.scrub(col("text")))
+      .filter(TextFunctions.qualityScoreFused(col("text")) >= minQuality)
+    gated.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val exact = batch.join(
+          batch.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+          Seq("doc_id"),
+          "left_semi"
+        )
+        Dedup
+          .dedupAgainst(exact, corpus, threshold)
+          .write
+          .mode("append")
+          .option("maxRecordsPerFile", layout.maxRecordsPerFile)
+          .option("parquet.block.size", layout.rowGroupBytes)
+          .option("parquet.page.size", layout.pageBytes)
+          .option("compression", layout.codec)
+          .parquet(dir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run a streaming frame to completion against bounded input via the
     * memory sink (used by tests; production would writeStream to parquet/
     * kafka with a real trigger).

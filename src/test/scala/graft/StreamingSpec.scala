@@ -294,6 +294,64 @@ class StreamingSpec extends SparkSpec {
     assert(back.size == 2 && back.contains(3L), s"expected one of {1,2} plus 3, got $back")
   }
 
+  test("admitIngest: composed streaming admission == the batch front half") {
+    // the streaming twin of Pipeline.trainingData's front half: scrub ->
+    // quality -> batch-exact dedup -> near-dedup vs a corpus snapshot ->
+    // parquet. Fed the documents fixture in TWO micro-batches against a
+    // corpus of its own 'train' split, the written rows must equal the
+    // batch composition over the same data (per-batch exact semantics) —
+    // modulo cross-batch near-dup admission, which the contract scopes out,
+    // so the split here puts each doc's near-dups in the corpus, not in the
+    // other batch.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    val dir = s"$testOut/admit_ingest"
+    val ckpt = s"$testOut/admit_ingest_ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val corpus = docs.filter(TextFunctions.splitAssign(col("text"), 80) === "train")
+    val deltaRows = docs
+      .filter(TextFunctions.splitAssign(col("text"), 80) === "val")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)]
+      .collect()
+      .toSeq
+    val (b1, b2) = deltaRows.splitAt(deltaRows.length / 2)
+
+    val stream = MemoryStream[(Long, String, String)]
+    stream.addData(b1)
+    stream.addData(b2)
+    val q = StreamingOps.admitIngest(
+      corpus,
+      stream.toDF().toDF("doc_id", "lang", "text"),
+      dir,
+      ckpt
+    )
+    q.awaitTermination()
+    val got = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+
+    // batch reference: same stages per half-batch, unioned
+    def admitBatch(rows: Seq[(Long, String, String)]): Set[Long] = {
+      val b = rows.toDF("doc_id", "lang", "text")
+        .withColumn("text", TextFunctions.scrub(col("text")))
+        .filter(TextFunctions.qualityScoreFused(col("text")) >= 0.4275)
+      val exact = b.join(
+        b.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        Seq("doc_id"),
+        "left_semi"
+      )
+      Dedup.dedupAgainst(exact, corpus, 0.8).select("doc_id").as[Long].collect().toSet
+    }
+    val want = admitBatch(b1) ++ admitBatch(b2)
+    assert(got === want, s"streaming admission != batch: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty, "admission should admit something from the fixture delta")
+  }
+
   test("built-in session_window streaming == batch sessions after flush") {
     implicit val sqlCtx = spark.sqlContext
     val gapMs = 30 * 60 * 1000L
