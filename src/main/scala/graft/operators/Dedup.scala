@@ -138,6 +138,21 @@ object Dedup {
     finally base.unpersist()
   }
 
+  /** Drop the cache entry [[shingleSignatures]] holds for this input —
+    * for callers whose ACTION runs outside any [[withSignatures]] scope
+    * (e.g. a streaming `foreachBatch` that calls [[dedupAgainst]] then
+    * writes). Spark's CacheManager matches by canonicalized plan, so
+    * rebuilding the signature frame here addresses the same entry the
+    * earlier call persisted; if none exists this is a no-op (persist/
+    * unpersist without an action materializes nothing).
+    */
+  def releaseSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): Unit =
+    shingleSignatures(docs, textCol, idCol).unpersist()
+
   /** [[minhashPairs]] over a prebuilt [[shingleSignatures]] frame. */
   def minhashPairsOf(base: DataFrame, threshold: Double): DataFrame =
     pairsFrom(base, Bands, RowsPerBand, threshold)

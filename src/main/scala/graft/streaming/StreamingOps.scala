@@ -361,20 +361,34 @@ object StreamingOps {
       .filter(TextFunctions.qualityScoreFused(col("text")) >= minQuality)
     gated.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val exact = batch.join(
-          batch.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        // the batch feeds both the exact-dedup aggregate and the semi
+        // join, and dedupAgainst reads the survivors twice more — persist
+        // for the batch's lifetime, release before returning
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exact = b.join(
+          b.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
           Seq("doc_id"),
           "left_semi"
         )
-        Dedup
-          .dedupAgainst(exact, corpus, threshold)
-          .write
-          .mode("append")
-          .option("maxRecordsPerFile", layout.maxRecordsPerFile)
-          .option("parquet.block.size", layout.rowGroupBytes)
-          .option("parquet.page.size", layout.pageBytes)
-          .option("compression", layout.codec)
-          .parquet(dir)
+        try
+          Dedup
+            .dedupAgainst(exact, corpus, threshold)
+            .write
+            .mode("append")
+            .option("maxRecordsPerFile", layout.maxRecordsPerFile)
+            .option("parquet.block.size", layout.rowGroupBytes)
+            .option("parquet.page.size", layout.pageBytes)
+            .option("compression", layout.codec)
+            .parquet(dir)
+        finally {
+          // dedupAgainst persisted a signature frame for THIS batch's
+          // delta (a distinct plan every batch — left alone, a
+          // long-running ingest accumulates one dead cache entry per
+          // micro-batch); the corpus-side entry deliberately stays, it
+          // is the cross-batch index
+          Dedup.releaseSignatures(exact)
+          b.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -326,6 +326,7 @@ class StreamingSpec extends SparkSpec {
     val stream = MemoryStream[(Long, String, String)]
     stream.addData(b1)
     stream.addData(b2)
+    val cachedBefore = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
     val q = StreamingOps.admitIngest(
       corpus,
       stream.toDF().toDF("doc_id", "lang", "text"),
@@ -334,6 +335,14 @@ class StreamingSpec extends SparkSpec {
     )
     q.awaitTermination()
     val got = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+    // cache hygiene: per-batch signature/batch caches are released inside
+    // foreachBatch — only the corpus-side index may persist across the
+    // run, so cached-RDD growth must not scale with the batch count
+    val cachedAfter = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    assert(
+      (cachedAfter -- cachedBefore).size <= 1,
+      s"per-batch cache leak: ${(cachedAfter -- cachedBefore).size} new cached RDDs for 2 batches"
+    )
 
     // batch reference: same stages per half-batch, unioned
     def admitBatch(rows: Seq[(Long, String, String)]): Set[Long] = {
