@@ -56,6 +56,31 @@ object Pipeline {
       textCol: String = "text",
       idCol: String = "doc_id",
       groupCol: String = "lang"
+  ): DataFrame =
+    // 6. chunk + pack (q58/q60 semantics); groupCol rides through the
+    //    pack aggregate as a carry column so no second pipeline
+    //    evaluation is needed to re-attach it.
+    SequencePack.pack(
+      selectCorpus(docs, cfg, textCol, idCol, groupCol),
+      cfg.budget,
+      cfg.chunkSize,
+      cfg.overlap,
+      textCol,
+      idCol,
+      carry = Seq(groupCol)
+    )
+
+  /** The SELECTION half of the pipeline — stages 1-5 (scrub → quality →
+    * exact dedup → near dedup → balanced sample), returning the surviving
+    * documents `(id, <groupCol>, <textCol>)` with scrubbed text.
+    * [[trainingData]] packs this; [[writeCorpus]] persists it.
+    */
+  def selectCorpus(
+      docs: DataFrame,
+      cfg: Config = Config(),
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      groupCol: String = "lang"
   ): DataFrame = {
     // 1. scrub: PII-shaped redaction BEFORE any hashing, so duplicates of
     //    a page differing only in a scrubbed email still collapse.
@@ -84,24 +109,37 @@ object Pipeline {
     val reps = Dedup
       .dedupNearBest(exactKept, cfg.nearDupThreshold, textCol, idCol)
       .select(col("doc_id").as(idCol))
-    val survivors = exactKept.join(reps, Seq(idCol), "left_semi")
+    // checkpoint the survivors as well: the sampling stage reads them
+    // twice (heap-pick derivation + the semi join back), and each read
+    // would otherwise re-run the cluster-label join and argmax aggregate
+    val survivors = exactKept.join(reps, Seq(idCol), "left_semi").localCheckpoint(true)
     // 5. balanced sample: n smallest content hashes per group — the
     //    training-mix step (q63 semantics, bounded-heap, no group sort).
     val picks = Sampling
       .balanced(survivors, groupCol, cfg.perGroupN, textCol, idCol)
       .select(col(idCol))
-    val sampled = survivors.join(picks, Seq(idCol), "left_semi")
-    // 6. chunk + pack (q58/q60 semantics); groupCol rides through the
-    //    pack aggregate as a carry column so no second pipeline
-    //    evaluation is needed to re-attach it.
-    SequencePack.pack(
-      sampled,
-      cfg.budget,
-      cfg.chunkSize,
-      cfg.overlap,
-      textCol,
-      idCol,
-      carry = Seq(groupCol)
-    )
+    survivors.join(picks, Seq(idCol), "left_semi")
+  }
+
+  /** Build AND persist the training corpus: run the selection, write it
+    * through the sharded parquet sink with the reference's layout
+    * envelope (524k-row shards, 1 MiB pages — `ShardedParquetSink`), and
+    * verify by footer-only read-back, exactly as the dump path does
+    * (O9–O11). This is the full circle: the reference's entire program —
+    * extract, shard, verify (`dump_table.py:175-248`) — applied to the
+    * corpus the training pipeline selected.
+    */
+  def writeCorpus(
+      docs: DataFrame,
+      outputDir: String,
+      cfg: Config = Config(),
+      layout: graft.sources.ParquetLayout = graft.sources.ParquetLayout(),
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      groupCol: String = "lang"
+  ): graft.sources.DumpReport = {
+    val selected = selectCorpus(docs, cfg, textCol, idCol, groupCol)
+    graft.sources.ShardedParquetSink.write(selected, outputDir, layout)
+    graft.sources.ShardedParquetSink.readBackReport(docs.sparkSession, outputDir)
   }
 }

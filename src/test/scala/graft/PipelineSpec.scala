@@ -68,6 +68,28 @@ class PipelineSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("writeCorpus: selection persists through the sharded sink and verifies") {
+    val dir = s"$testOut/pipeline_corpus"
+    val report = Pipeline.writeCorpus(docs, dir)
+    val selected = Pipeline.selectCorpus(docs)
+    // footer read-back total == selection count (the reference's own
+    // self-check applied to the pipeline output)
+    assert(report.totalRows === selected.count())
+    assert(report.numFiles >= 1)
+    assert(report.schemaDdl.contains("doc_id") && report.schemaDdl.contains("text"))
+    // the written rows ARE the selection (ids round-trip exactly)
+    val back = spark.read.parquet(dir)
+    assert(back.select("doc_id").except(selected.select("doc_id")).count() === 0L)
+    assert(selected.select("doc_id").except(back.select("doc_id")).count() === 0L)
+    // packing the written corpus equals packing the in-flight selection:
+    // the persisted artifact is a faithful pipeline checkpoint
+    val cfg = Pipeline.Config()
+    val packedBack = graft.operators.SequencePack
+      .pack(back, cfg.budget, cfg.chunkSize, cfg.overlap, carry = Seq("lang"))
+    val packedLive = Pipeline.trainingData(docs)
+    assert(packedBack.except(packedLive).count() === 0L && packedLive.except(packedBack).count() === 0L)
+  }
+
   test("scrub runs BEFORE hashing: docs differing only in PII collapse") {
     import spark.implicits._
     // 120 stopword tokens → quality 1.0 (passes any gate); docs 1 and 2
