@@ -11,7 +11,128 @@ import org.apache.spark.sql.functions._
   * (classes + the spark jars dir): `java -cp ... graft.tools.Profile [sfDir]`.
   */
 object Profile {
+
+  /** `Profile pipeline [nDocs]` — per-stage wall times of the COMPOSED
+    * pipeline on the ScaleSmoke synthetic corpus, to attribute composed
+    * cost to a stage when the end-to-end number moves.
+    */
+  private def pipelineMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 500000L
+    val spark = GraftSession.local("prof-pipeline", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.operators.{Dedup, Pipeline, Sampling, SequencePack}
+    def mix(x: Long): Long = {
+      var h = (x * 2654435761L) % 2147483648L
+      h = h ^ (h >> 15); h = (h * 48271L) % 2147483648L; h ^ (h >> 13)
+    }
+    def genText(id: Long): String =
+      (0 until 50).map(i => s"tok${mix(id * 53L + i) % 5000L}").mkString(" ")
+    val docs = spark
+      .range(n)
+      .map { id =>
+        val text =
+          if (id % 100 == 1) {
+            val toks = genText(id - 1).split(" "); toks(3) = "swapped"; toks.mkString(" ")
+          } else genText(id)
+        (id, (id % 5).toString, text)
+      }
+      .toDF("doc_id", "lang", "text")
+      .persist()
+    println(s"[pprof] corpus ${docs.count()}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pprof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$r")
+    }
+    val cfg = Pipeline.Config(perGroupN = 1000)
+    val scrubbed = docs.select(col("doc_id"), col("lang"), TextFunctions.scrub(col("text")).as("text"))
+    val qualified = scrubbed.filter(TextFunctions.qualityScoreFused(col("text")) >= cfg.minQuality)
+    time("quality gate")(qualified.count())
+    var exactKept: org.apache.spark.sql.DataFrame = null
+    time("exact dedup + checkpoint") {
+      exactKept = qualified
+        .join(
+          qualified.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+          Seq("doc_id"),
+          "left_semi"
+        )
+        .localCheckpoint(true)
+      exactKept.count()
+    }
+    var reps: org.apache.spark.sql.DataFrame = null
+    time("near-dedup best (cluster+argmax)") {
+      reps = Dedup.dedupNearBest(exactKept, cfg.nearDupThreshold).select(col("doc_id"))
+      reps.count()
+    }
+    var survivors: org.apache.spark.sql.DataFrame = null
+    time("survivors checkpoint") {
+      survivors = exactKept.join(reps, Seq("doc_id"), "left_semi").localCheckpoint(true)
+      survivors.count()
+    }
+    time("balanced sample") {
+      Sampling.balanced(survivors, "lang", cfg.perGroupN, "text").count()
+    }
+    time("chunk+pack of sampled") {
+      val picks = Sampling.balanced(survivors, "lang", cfg.perGroupN, "text").select(col("doc_id"))
+      val sampled = survivors.join(picks, Seq("doc_id"), "left_semi")
+      SequencePack.pack(sampled, cfg.budget, cfg.chunkSize, cfg.overlap, carry = Seq("lang")).count()
+    }
+    spark.stop()
+  }
+
+  /** `Profile micro [nDocs]` — isolates the per-row cost of the quality
+    * gate's expression shapes. FilterExec generates its predicate without
+    * subexpression elimination, so a predicate containing k `getField`s
+    * over one `text_stats(scrub(text))` struct evaluates the kernel (and
+    * the scrub regexes inside it) k times per row; ProjectExec CSEs the
+    * same shape to one evaluation. These timings pin that asymmetry.
+    */
+  private def microMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 200000L
+    val spark = GraftSession.local("prof-micro", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def mix(x: Long): Long = {
+      var h = (x * 2654435761L) % 2147483648L
+      h = h ^ (h >> 15); h = (h * 48271L) % 2147483648L; h ^ (h >> 13)
+    }
+    val docs = spark
+      .range(n)
+      .map(id => (id, (0 until 50).map(i => s"tok${mix(id * 53L + i) % 5000L}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .persist()
+    println(s"[micro] corpus ${docs.count()}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[micro] $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$r")
+    }
+    time("scan count")(docs.count())
+    time("sum(length) scan")(docs.agg(sum(length(col("text")))).count())
+    time("scrub-only scan") {
+      docs.select(TextFunctions.scrub(col("text")).as("t")).agg(sum(length(col("t")))).count()
+    }
+    time("quality FILTER (raw text)") {
+      docs.filter(TextFunctions.qualityScoreFused(col("text")) >= 0.4275).count()
+    }
+    time("quality FILTER (scrubbed)") {
+      docs
+        .select(col("doc_id"), TextFunctions.scrub(col("text")).as("text"))
+        .filter(TextFunctions.qualityScoreFused(col("text")) >= 0.4275)
+        .count()
+    }
+    time("quality PROJECT then agg") {
+      docs
+        .select(TextFunctions.qualityScoreFused(TextFunctions.scrub(col("text"))).as("q"))
+        .agg(sum(col("q"))).count()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pipeline")) { pipelineMain(args); return }
+    if (args.headOption.contains("micro")) { microMain(args); return }
     val spark = GraftSession.local("prof", 32)
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val docs = Tables.load(spark, dir, "documents")

@@ -203,6 +203,19 @@ object ScaleSmoke {
         s"(expect pairs≈${n / 100}, clusters≈${n - n / 100}, copyPairs ⊇ planted near-dups)"
     )
 
+    // the COMPOSED pipeline at scale: scrub -> quality -> exact+near dedup
+    // -> balanced sample -> chunk -> pack, end to end on the synthetic
+    // corpus (every doc scores 0.45 on the quality formula, above the
+    // default 0.4275 gate; groups synthesized 5-way). The interesting
+    // number is that composition adds stage costs, not a multiplier —
+    // the clustering inside dominates, exactly as in the standalone runs.
+    val grouped = docs.withColumn("lang", pmod(col("doc_id"), lit(5L)).cast("string"))
+    val pipelineCfg = graft.operators.Pipeline.Config(perGroupN = 1000)
+    val nPacked = time("composed pipeline")(
+      graft.operators.Pipeline.trainingData(grouped, pipelineCfg).count()
+    )
+    println(s"[scale] composed pipeline -> $nPacked training sequences (<= 5 groups x 1000 docs)")
+
     // cross-doc packing at scale: derived bucket count (~64k docs/bucket)
     // keeps every per-bucket window sort bounded regardless of corpus
     // size; report the bucket count and the max per-bucket row share so
