@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("text_stats", 1)(args => TextStats(args.head)))
     )
     ext.injectFunction(
+      (FunctionIdentifier("quality_score"), info("quality_score"),
+        arity("quality_score", 1)(args => QualityScore(args.head)))
+    )
+    ext.injectFunction(
       (FunctionIdentifier("shingle_minhash"), info("shingle_minhash"),
         arity("shingle_minhash", 3)(args =>
           ShingleMinHash(args(0), intLit(args(1), "k"), intLit(args(2), "numHashes"))))

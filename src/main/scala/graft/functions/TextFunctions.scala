@@ -100,23 +100,16 @@ object TextFunctions {
       .otherwise(lit("unknown"))
   }
 
-  /** [[qualityScore]] computed from the fused one-pass [[stats]] kernel —
-    * same formula bit-for-bit (q22 pins it against the DuckDB oracle), but
-    * ONE codegen'd scan instead of five interpreted HOF passes. Use this
-    * form anywhere quality feeds another operator (e.g. quality-aware
-    * dedup representative selection).
+  /** [[qualityScore]] as ONE custom expression — same formula bit-for-bit
+    * (q22 pins it against the DuckDB oracle), one kernel call per row. Use
+    * this form anywhere quality feeds another operator, and ALWAYS when
+    * quality appears in a FILTER: FilterExec generates predicates without
+    * subexpression elimination, so the earlier `text_stats`+getField
+    * composition re-ran the stats kernel once per referenced field there —
+    * measured 50–175× slower than this form at 200k docs (`Profile micro`).
     */
-  def qualityScoreFused(text: Column): Column = {
-    val st = GraftExpressions.text_stats(text)
-    val nTok = st.getField("n_tokens")
-    val stopRatio = st.getField("hits_en").cast("double") / greatest(nTok, lit(1L)).cast("double")
-    val lenScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
-    val stopScore = least(lit(1.0), stopRatio * lit(5.0))
-    val punctRatio =
-      st.getField("n_punct").cast("double") / greatest(st.getField("n_chars"), lit(1L)).cast("double")
-    val punctScore = lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))
-    round(lit(0.5) * lenScore + lit(0.3) * stopScore + lit(0.2) * punctScore, 6)
-  }
+  def qualityScoreFused(text: Column): Column =
+    GraftExpressions.quality_score(text)
 
   /** Document fingerprint: the engine-wide deterministic polynomial hash of
     * the full text (custom codegen'd expression, see [[PolyHash]]).

@@ -93,16 +93,17 @@ object Pipeline {
     val qualified = scrubbed
       .filter(TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality)
     // 3. exact dedup: keep the min-id document per identical text (q20
-    //    semantics) — one hash-aggregate + a semi join back for columns.
-    //    localCheckpoint: the near-dedup stage below runs its own
-    //    actions while clustering; without materialization each would
-    //    re-scan and re-filter the corpus.
+    //    semantics) — ONE hash-aggregate carrying the keeper's columns via
+    //    min_by, instead of groupBy + a semi join back: the join shape
+    //    evaluated the scrub+quality scan above on BOTH sides (the
+    //    dominant cost of the composed pipeline at 500k docs) and added a
+    //    second shuffle. localCheckpoint: the near-dedup stage below runs
+    //    its own actions while clustering; without materialization each
+    //    would re-scan and re-filter the corpus.
     val exactKept = qualified
-      .join(
-        qualified.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(col(idCol)),
-        Seq(idCol),
-        "left_semi"
-      )
+      .groupBy(col(textCol))
+      .agg(min_by(struct(col(idCol), col(groupCol)), col(idCol)).as("__keeper"))
+      .select(col(s"__keeper.$idCol"), col(s"__keeper.$groupCol"), col(textCol))
       .localCheckpoint(true)
     // 4. near dedup, quality-aware: one representative per MinHash-LSH
     //    cluster, the highest-scoring member (q42 semantics).

@@ -52,11 +52,9 @@ object Profile {
     var exactKept: org.apache.spark.sql.DataFrame = null
     time("exact dedup + checkpoint") {
       exactKept = qualified
-        .join(
-          qualified.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
-          Seq("doc_id"),
-          "left_semi"
-        )
+        .groupBy(col("text"))
+        .agg(min_by(struct(col("doc_id"), col("lang")), col("doc_id")).as("__keeper"))
+        .select(col("__keeper.doc_id"), col("__keeper.lang"), col("text"))
         .localCheckpoint(true)
       exactKept.count()
     }

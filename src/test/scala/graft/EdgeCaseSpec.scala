@@ -43,6 +43,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got(4L) == "double <num> and <email> end")
   }
 
+  test("quality_score kernel is bit-identical to the composable Column formula") {
+    import graft.functions.TextFunctions
+    import graft.sources.Tables
+    // adversarial shapes: empty, single token, rounding-tie-prone short
+    // docs, punct-only, stopword-dense, >100 tokens (lenScore saturation)
+    val crafted = Seq(
+      "", " ", "a", "the", "the the the the the", "...,,,!!!???;;;:::",
+      "the and of to a in is it you that he was for on are", // all stopwords
+      (1 to 150).map(i => s"w$i").mkString(" "),
+      "mixed: the quick brown fox, jumps! over? the lazy; dog."
+    ).zipWithIndex.map { case (t, i) => (i.toLong + 1000000L, t) }
+    val fixture = Tables
+      .load(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val both = (crafted ++ fixture).toDF("doc_id", "text").select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("composed"),
+      TextFunctions.qualityScoreFused(col("text")).as("fused")
+    )
+    val diverging = both
+      .filter(!(col("composed") <=> col("fused")))
+      .as[(Long, Double, Double)].collect()
+    assert(diverging.isEmpty, s"kernel diverges from Column formula: ${diverging.take(5).toSeq}")
+  }
+
   private val docSchema = StructType(
     Seq(StructField("doc_id", LongType), StructField("text", StringType))
   )
