@@ -164,8 +164,86 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** `ScaleSmoke cluster [nDocs]` — cluster resolution ALONE in a fresh
+    * JVM, to split plan cost from the cache/GC pressure the full probe
+    * accumulates by the time its clustering stage runs (at 1M docs the
+    * full run showed 29.7 s here vs 8.9 s at 500k — superlinear only
+    * with the earlier stages' persisted frames still resident).
+    */
+  private def clusterMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 1000000L
+    val spark = GraftSession.local("scale-cluster", 32)
+    import spark.implicits._
+    val docs = spark
+      .range(n)
+      .map { id =>
+        val text =
+          if (id % 100 == 1) {
+            val toks = genText(id - 1).split(" "); toks(3) = "swapped"; toks.mkString(" ")
+          } else genText(id)
+        (id, text)
+      }
+      .toDF("doc_id", "text")
+      .persist()
+    println(s"[cluster] corpus: ${docs.count()} docs")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[cluster] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // signatures first so the band+verify timings below read one shared
+    // cache; then the SAME band+verify pipeline with and without an outer
+    // persist() — a cached-plan (InMemoryRelation) build runs without AQE
+    // by default, which is the suspected 2× on the banding self-join
+    val sig = Dedup.shingleSignatures(docs, "text", "doc_id")
+    time("signatures (persist)")(sig.count())
+    time("band+verify (no persist)") {
+      Dedup.minhashPairs(docs, 0.5).count()
+    }
+    val p = time("band+verify (persist)") {
+      val x = Dedup.minhashPairs(docs, 0.5).persist(); x.count(); x
+    }
+    // same pipeline with signatures RECOMPUTED per scan (the doc_id >= -1
+    // filter is a no-op that dodges CacheManager's plan match): 4 scans of
+    // a 2.3 s kernel vs 4 reads of the cached columnar array frame
+    time("band+verify (no cache, recompute)") {
+      import graft.functions.GraftExpressions
+      val rawSig = docs
+        .filter(col("doc_id") >= -1L)
+        .select(
+          col("doc_id"),
+          GraftExpressions.shingle_minhash(col("text"), Dedup.ShingleK, Dedup.NumHashes).as("sm")
+        )
+        .select(col("doc_id"), col("sm.sh").as("sh"), col("sm.sig").as("sig"))
+      val bk = Dedup.bandsOf(rawSig, Dedup.Bands, Dedup.RowsPerBand)
+      val cand = bk.as("l")
+        .join(bk.as("r"), expr("l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(rawSig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(rawSig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), round(Dedup.jaccard(col("sa.sh"), col("sb.sh")), 6).as("j"))
+        .filter(col("j") >= 0.5)
+        .count()
+    }
+    time("star loop (cached pairs)") {
+      Dedup.clustersFromPairs(docs, p).agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    }
+    // the internal pairs build CacheManager-dedups against p, so these two
+    // isolate each label loop's cost over the SAME cached pair frame
+    time("propagation (cached pairs)") {
+      Dedup.clusters(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    }
+    time("star full (cached pairs)") {
+      Dedup.clustersScalable(docs, 0.5).agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) { skewMain(args); return }
+    if (args.headOption.contains("cluster")) { clusterMain(args); return }
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val spark = GraftSession.local("scale-smoke", 32)
     import spark.implicits._
