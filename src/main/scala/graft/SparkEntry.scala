@@ -427,6 +427,52 @@ object SparkEntry {
         .trainingData(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("seq_id"))
     }),
+    // benchmark decontamination: content-hash split into corpus (80%) vs
+    // benchmark (20%); every corpus doc sharing an exact 4-gram with the
+    // benchmark reports its distinct shared-gram count. The benchmark
+    // n-gram index broadcasts; the corpus is never shuffled on gram
+    "q66_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = GraftExpressions.poly_hash(col("text")) % 10
+      graft.operators.Decontaminate
+        .overlapReport(docs.filter(bucket < 8), docs.filter(bucket >= 8), k = 4)
+        .orderBy(col("doc_id"))
+    }),
+    // Gopher-style within-document repetition: duplicate-2-gram and
+    // top-2-gram occupancy fractions — the degenerate-text signals the
+    // length/stopword quality score cannot see
+    "q67_repetition" -> ((s, dir) => {
+      graft.operators.Repetition
+        .gramStats(t(s, dir, "documents"), n = 2)
+        .orderBy(col("doc_id"))
+    }),
+    // KMV distinct-count sketch per source (k=8 so the estimation path
+    // fires at fixture scale), joined to the exact distinct count it
+    // approximates so the estimate's accuracy is part of the gated result
+    "q68_kmv_distinct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sketch
+        .kmvDistinct(docs, "source", "text", k = 8)
+        .join(
+          docs.groupBy(col("source")).agg(countDistinct(col("text")).as("n_exact")),
+          Seq("source")
+        )
+        .orderBy(col("source"))
+    }),
+    // weighted mixture sampling: per-language keep rates applied through
+    // the content hash — scan-only, reproducible, dedup-consistent
+    "q69_weighted_mix" -> ((s, dir) => {
+      graft.operators.Sampling
+        .weightedBy(
+          t(s, dir, "documents"),
+          "lang",
+          Map("en" -> 0.5, "de" -> 0.75, "fr" -> 1.0, "es" -> 0.2),
+          "text",
+          defaultRate = 0.1
+        )
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     // balanced per-group sampling: n smallest content hashes per language
     // via the bounded-heap aggregate — no per-group sort anywhere
     "q63_balanced_sample" -> ((s, dir) => {
@@ -1241,6 +1287,71 @@ object SparkEntry {
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM run GROUP BY 1, 2, 3 ORDER BY 1, 3"""
     },
+    // decontamination: same content-hash split, distinct 4-gram hashes per
+    // side, shared-gram count per corpus doc
+    "q66_decontaminate" ->
+      s"""WITH split AS (
+           SELECT doc_id, text, (${polyHash("text")} % 10) AS b FROM documents
+         ), bench AS (
+           SELECT DISTINCT unnest(${shingleHashesDistinct("text", 4)}) AS gh
+           FROM split WHERE b >= 8
+         ), corp AS (
+           SELECT doc_id, unnest(${shingleHashesDistinct("text", 4)}) AS gh
+           FROM split WHERE b < 8
+         )
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM corp JOIN bench USING (gh)
+         GROUP BY 1 ORDER BY 1""",
+    "q67_repetition" ->
+      s"""WITH g AS (
+           SELECT doc_id, unnest(${positionalShingleHashes("text", 2)}) AS gh
+           FROM documents
+         ), c AS (
+           SELECT doc_id, gh, COUNT(*) AS c FROM g GROUP BY 1, 2
+         ), d AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_count
+           FROM c GROUP BY 1
+         )
+         SELECT doc_id, n_grams, n_distinct,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_frac,
+           round(CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_frac
+         FROM d ORDER BY doc_id""",
+    // KMV: k smallest distinct poly hashes per source; kth = the largest
+    // kept; estimate (k-1)*M // kth, short-circuiting to exact below k
+    "q68_kmv_distinct" -> {
+      val k = 8
+      val m = graft.operators.Sketch.M
+      s"""WITH d AS (
+           SELECT DISTINCT source, ${remix32("h0")} AS h
+           FROM (SELECT source, ${polyHash("text")} AS h0 FROM documents) t0
+         ), r AS (
+           SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+           FROM d
+         ), s AS (
+           SELECT source,
+             CAST(least(MAX(cnt), $k) AS BIGINT) AS n_kept,
+             CAST(MAX(CASE WHEN rn = least(cnt, $k) THEN h END) AS BIGINT) AS kth_hash,
+             MAX(cnt) AS cnt
+           FROM r GROUP BY 1
+         ), e AS (
+           SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+           FROM documents GROUP BY 1
+         )
+         SELECT s.source, n_kept, kth_hash,
+           CAST(CASE WHEN cnt < $k THEN cnt
+             ELSE ${(k - 1).toLong * m} // greatest(kth_hash, 1) END AS BIGINT) AS est_distinct,
+           n_exact
+         FROM s JOIN e USING (source) ORDER BY source"""
+    },
+    "q69_weighted_mix" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${polyHash("text")} % 10000 <
+           (CASE lang WHEN 'de' THEN 7500 WHEN 'en' THEN 5000 WHEN 'es' THEN 2000
+             WHEN 'fr' THEN 10000 ELSE 1000 END)
+         ORDER BY doc_id""",
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20

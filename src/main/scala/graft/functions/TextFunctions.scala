@@ -199,18 +199,29 @@ object TextFunctions {
     )
   }
 
-  /** Distinct k-token shingles, the unit of MinHash/Jaccard dedup.
-    * `slice` with a computed start keeps this inside codegen'd HOFs.
+  /** k-token windows in POSITION order (not distinct) — the shared window
+    * transform [[shingles]] and the repetition metrics build on. `slice`
+    * with a computed start keeps this inside codegen'd HOFs; mirrors
+    * `OracleFragments.positionalShingles` exactly (including the
+    * shorter-than-k clamp on short documents).
     */
-  def shingles(text: Column, k: Int): Column = {
+  def positionalShingles(text: Column, k: Int): Column = {
     val t = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(t) - lit(k), lit(0))),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(k)))
-      )
+    transform(
+      sequence(lit(0), greatest(size(t) - lit(k), lit(0))),
+      i => concat_ws(" ", slice(t, i + lit(1), lit(k)))
     )
   }
+
+  /** Positional shingle hashes (order preserved, repeats preserved) — the
+    * occurrence stream the repetition metrics count over.
+    */
+  def positionalShingleHashes(text: Column, k: Int): Column =
+    transform(positionalShingles(text, k), s => GraftExpressions.poly_hash(s))
+
+  /** Distinct k-token shingles, the unit of MinHash/Jaccard dedup. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(positionalShingles(text, k))
 
   /** Hashes of the distinct shingles — the set MinHash signatures minimize over. */
   def shingleHashes(text: Column, k: Int): Column =

@@ -51,4 +51,38 @@ object Sampling {
         (-col("p.cos")).cast("long").as("h")
       )
   }
+
+  /** Per-group WEIGHTED mixture sampling — keep each group at its own
+    * rate (`rates`, in [0, 1]; groups not listed fall back to
+    * `defaultRate`): the training-mix operator when the recipe says "50%
+    * of web, all of books, 10% of the rest", which [[balanced]]'s
+    * fixed-n-per-group cannot express and a flat rate cannot either.
+    *
+    * The keep decision is `poly_hash(key) mod 10000 < rate·10000` — a pure
+    * scan-side predicate (NO shuffle, no sort, no per-group state), a
+    * deterministic function of CONTENT: reproducible across runs, engines,
+    * and partitionings, and exact duplicates sample identically, so the
+    * mix stays dedup-consistent (same properties as
+    * [[graft.functions.TextFunctions.sampledBy]], lifted to per-group
+    * rates). Rates are quantized to 1/10000 at the driver so both engines
+    * compare against the identical integer threshold.
+    */
+  def weightedBy(
+      df: DataFrame,
+      groupCol: String,
+      rates: Map[String, Double],
+      keyCol: String,
+      defaultRate: Double = 0.0
+  ): DataFrame = {
+    val Scale = 10000L
+    def quantize(r: Double): Long = {
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r")
+      math.round(r * Scale)
+    }
+    // fixed fold order (sorted keys) so the when-chain is deterministic
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(quantize(defaultRate))) {
+      case (acc, (g, r)) => when(col(groupCol) === lit(g), lit(quantize(r))).otherwise(acc)
+    }
+    df.filter(GraftExpressions.poly_hash(col(keyCol)) % Scale < threshold)
+  }
 }

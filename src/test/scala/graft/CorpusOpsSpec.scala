@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, TextFunctions}
+import graft.operators.{Decontaminate, Repetition, Sampling, Sketch}
+
+/** Laws of the corpus-hygiene operators added in round 5: benchmark
+  * decontamination, within-document repetition metrics, the KMV
+  * distinct-count sketch, and weighted mixture sampling.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = sources.Tables.load(spark, Sf001, "documents")
+
+  // ----------------------------------------------------------- decontaminate
+
+  private lazy val bucket = GraftExpressions.poly_hash(col("text")) % 10
+  private lazy val corpus = docs.filter(bucket < 8)
+  private lazy val benchmark = docs.filter(bucket >= 8)
+
+  test("decontaminate: overlapReport == naive string-n-gram intersection") {
+    val k = 4
+    val naive = corpus
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), k)).as("g"))
+      .join(
+        benchmark
+          .select(explode(TextFunctions.shingles(col("text"), k)).as("g"))
+          .distinct(),
+        Seq("g")
+      )
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    val fast = Decontaminate.overlapReport(corpus, benchmark, k)
+    assert(fast.except(naive).count() === 0L && naive.except(fast).count() === 0L)
+  }
+
+  test("decontaminate: clean + contaminated partition the corpus") {
+    val report = Decontaminate.overlapReport(corpus, benchmark, 4)
+    val clean = Decontaminate.clean(corpus, benchmark, 4)
+    assert(clean.count() + report.count() === corpus.count())
+    // no contaminated doc survives cleaning
+    assert(clean.join(report, Seq("doc_id"), "left_semi").count() === 0L)
+  }
+
+  test("decontaminate: empty benchmark contaminates nothing") {
+    val none = Decontaminate.overlapReport(corpus, benchmark.limit(0), 4)
+    assert(none.count() === 0L)
+    assert(Decontaminate.clean(corpus, benchmark.limit(0), 4).count() === corpus.count())
+  }
+
+  test("decontaminate: shuffled-join fallback matches the broadcast path") {
+    val b = Decontaminate.overlapReport(corpus, benchmark, 4, broadcastIndex = true)
+    val s = Decontaminate.overlapReport(corpus, benchmark, 4, broadcastIndex = false)
+    assert(b.except(s).count() === 0L && s.except(b).count() === 0L)
+  }
+
+  test("decontaminate: benchmark index broadcasts in the physical plan") {
+    val p = Decontaminate
+      .overlapReport(corpus, benchmark, 4)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(p.contains("BroadcastHashJoin"), s"benchmark index should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on gram:\n$p")
+  }
+
+  // --------------------------------------------------------------- repetition
+
+  test("repetition: hand-checked fractions on crafted documents") {
+    val crafted = Seq(
+      (1L, "a b a b a b"), // 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+      (2L, "v w x y z"), // 4 grams, all distinct
+      (3L, "q") // shorter than n: one clamped window
+    ).toDF("doc_id", "text")
+    val got = Repetition
+      .gramStats(crafted, 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_distinct", "dup_frac", "top_frac")
+      .as[(Long, Long, Long, Double, Double)]
+      .collect()
+    assert(got(0) === ((1L, 5L, 2L, 0.6, 0.6)))
+    assert(got(1) === ((2L, 4L, 4L, 0.0, 0.25)))
+    assert(got(2) === ((3L, 1L, 1L, 0.0, 1.0)))
+  }
+
+  test("repetition: filterRepetitive keeps exactly the docs under both thresholds") {
+    val stats = Repetition.gramStats(docs, 2)
+    val wantIds = stats
+      .filter(col("dup_frac") <= 0.05 && col("top_frac") <= 0.1)
+      .select("doc_id")
+    val got = Repetition.filterRepetitive(docs, 2, 0.05, 0.1)
+    assert(got.count() === wantIds.count())
+    assert(got.select("doc_id").except(wantIds).count() === 0L)
+    // thresholds bite on the fixture (not everything passes, something does)
+    assert(got.count() > 0L && got.count() < docs.count())
+  }
+
+  test("repetition: no Window and no sort in the physical plan") {
+    val p = Repetition.gramStats(docs, 2).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"repetition must stay an aggregate:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin"), s"no join at all expected:\n$p")
+  }
+
+  // ------------------------------------------------------------------- sketch
+
+  test("kmv: groups under k short-circuit to the exact distinct count") {
+    // per (source, lang) groups are small; with k above every group size the
+    // estimate must BE the exact count
+    val est = Sketch.kmvDistinct(docs, "source", "text", k = 512)
+    val exact = docs.groupBy("source").agg(countDistinct(col("text")).as("n_exact"))
+    val bad = est
+      .join(exact, "source")
+      .filter(col("est_distinct") =!= col("n_exact"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("kmv: estimate lands within 3 standard errors on a large group") {
+    // one group, 10k distinct synthetic values; stderr ~ n/sqrt(k-2)
+    val k = 64
+    val n = 10000
+    val vals = spark.range(n).select(lit("g").as("grp"), concat(lit("value "), col("id")).as("v"))
+    val Array(est) = Sketch
+      .kmvDistinct(vals, "grp", "v", k)
+      .select("est_distinct")
+      .as[Long]
+      .collect()
+    val stderr = n / math.sqrt(k - 2)
+    assert(math.abs(est - n) < 3 * stderr, s"est $est too far from $n (stderr $stderr)")
+  }
+
+  test("kmv: deterministic under repartitioning") {
+    val a = Sketch.kmvDistinct(docs, "lang", "text", 16)
+    val b = Sketch.kmvDistinct(docs.repartition(17), "lang", "text", 16)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+  }
+
+  test("kmv: no Window in the physical plan, heap aggregate present") {
+    val p = Sketch.kmvDistinct(docs, "source", "text", 8).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"per-group sort crept into the sketch:\n$p")
+    assert(p.contains("ObjectHashAggregate"), "bounded-heap aggregate plans as ObjectHashAggregate")
+  }
+
+  // ------------------------------------------------------------- weighted mix
+
+  private val rates = Map("en" -> 0.5, "de" -> 0.75, "fr" -> 1.0, "es" -> 0.2)
+
+  test("weightedBy: rate 1.0 keeps the whole group, unlisted groups use the default") {
+    val kept = Sampling.weightedBy(docs, "lang", rates, "text", defaultRate = 0.0)
+    val frCount = docs.filter(col("lang") === "fr").count()
+    assert(kept.filter(col("lang") === "fr").count() === frCount)
+    // zh is unlisted and defaultRate = 0.0 -> dropped entirely
+    assert(kept.filter(col("lang") === "zh").count() === 0L)
+  }
+
+  test("weightedBy: lower rate selects a subset of the higher rate's picks") {
+    val lo = Sampling.weightedBy(docs, "lang", Map("en" -> 0.2), "text")
+    val hi = Sampling.weightedBy(docs, "lang", Map("en" -> 0.6), "text")
+    assert(lo.except(hi).count() === 0L, "thresholds are nested, so picks must be")
+  }
+
+  test("weightedBy: duplicate texts sample identically (dedup-consistent)") {
+    val dup = docs
+      .select(col("lang"), col("text"))
+      .union(docs.select(col("lang"), col("text")))
+    val kept = Sampling.weightedBy(dup, "lang", rates, "text", defaultRate = 0.3)
+    // every kept text appears an even number of times: both copies or neither
+    val odd = kept.groupBy("lang", "text").count().filter(col("count") % 2 =!= 0).count()
+    assert(odd === 0L)
+  }
+
+  test("weightedBy: scan-only plan — no shuffle, no join") {
+    val p = Sampling
+      .weightedBy(docs, "lang", rates, "text", 0.1)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!p.contains("Exchange"), s"weighted sampling must not shuffle:\n$p")
+  }
+}
