@@ -263,6 +263,37 @@ object StreamingOps {
       .select(col("doc_id"), col("corpus_doc_id"), col("fp"))
   }
 
+  /** Streaming DECONTAMINATION — flag in-flight documents sharing an
+    * exact k-gram with a static benchmark set
+    * ([[graft.operators.Decontaminate]]'s check applied at ingest time,
+    * before a contaminated page ever lands in the corpus). Returns
+    * `(doc_id, gh)` per shared gram hash; filter the ingest with an anti
+    * join inside `foreachBatch`, or count per doc there (a streaming
+    * groupBy here would add needless state).
+    *
+    * Same discipline as [[copyDetectAgainst]]: the stream side is one
+    * stateless projection (explode + broadcast-able equi-join against a
+    * persisted static index), so there is NO streaming state — the
+    * benchmark index is built and persisted once, and every micro-batch
+    * replays a plain cached-table join.
+    */
+  def decontaminateAgainst(
+      benchmark: DataFrame,
+      stream: DataFrame,
+      k: Int = graft.operators.Decontaminate.DefaultK
+  ): DataFrame = {
+    val index = graft.operators.Decontaminate
+      .benchmarkIndex(benchmark, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stream
+      .select(
+        col("doc_id"),
+        explode(graft.functions.TextFunctions.shingleHashes(col("text"), k)).as("gh")
+      )
+      .join(index, "gh")
+      .select(col("doc_id"), col("gh"))
+  }
+
   /** Watermarked STREAM-STREAM interval join — the attribution shape: for
     * each purchase, every signup by the same user in the `window` before
     * it (inclusive on both ends). Both sides carry a watermark and the

@@ -146,6 +146,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming decontamination flags benchmark k-gram overlap, stateless, == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalItem = (1 to 10).map(i => s"bench$i").mkString(" ")
+    val benchmark = Seq((900L, evalItem)).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, (1 to 40).map(i => s"a$i").mkString(" ") + " " + evalItem), // contains the eval item
+      (2L, (1 to 40).map(i => s"b$i").mkString(" ")) // clean
+    )
+    val stream = MemoryStream[(Long, String)]
+    val flagged =
+      StreamingOps.decontaminateAgainst(benchmark, stream.toDF().toDF("doc_id", "text"), k = 4)
+    val q = flagged.writeStream.outputMode("append").format("memory").queryName("decon_s").start()
+    stream.addData(arrivals); q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty, "decontaminateAgainst must plan stateless")
+    q.stop()
+    val got = spark.table("decon_s").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got.forall(_._1 == 1L), "only the contaminated doc is flagged")
+    // streaming == batch row-for-row
+    val batch = StreamingOps
+      .decontaminateAgainst(benchmark, arrivals.toDF("doc_id", "text"), k = 4)
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(got == batch)
+  }
+
   test("streaming near-dup against a static corpus finds each doc's own copy") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, Sf0001, "documents")
