@@ -459,6 +459,14 @@ object SparkEntry {
         )
         .orderBy(col("source"))
     }),
+    // C4-style segment dedup: every non-first occurrence of a repeated
+    // 5-token segment removed corpus-wide, documents reassembled from
+    // their surviving segments — the boilerplate remover
+    "q70_segment_dedup" -> ((s, dir) => {
+      graft.operators.SegmentDedup
+        .dedupSegments(t(s, dir, "documents"), segTokens = 5)
+        .orderBy(col("doc_id"))
+    }),
     // weighted mixture sampling: per-language keep rates applied through
     // the content hash — scan-only, reproducible, dedup-consistent
     "q69_weighted_mix" -> ((s, dir) => {
@@ -1352,6 +1360,23 @@ object SparkEntry {
            (CASE lang WHEN 'de' THEN 7500 WHEN 'en' THEN 5000 WHEN 'es' THEN 2000
              WHEN 'fr' THEN 10000 ELSE 1000 END)
          ORDER BY doc_id""",
+    // segment dedup: the q58 tiling at width 5/overlap 0; global first
+    // occurrence per segment hash wins, docs reassembled in segment order
+    "q70_segment_dedup" ->
+      s"""WITH t AS (
+           SELECT doc_id, ${tokens("text")} AS toks FROM documents
+         ), segs AS (
+           SELECT doc_id, i AS seg_idx,
+             array_to_string(toks[i*5+1:i*5+5], ' ') AS seg
+           FROM t, unnest(range(0, greatest(CAST(ceil(len(toks) / 5.0) AS INT), 1))) AS u(i)
+         ), ranked AS (
+           SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY ${polyHash("seg")} ORDER BY doc_id, seg_idx) AS rn
+           FROM segs
+         )
+         SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+         FROM ranked WHERE rn = 1
+         GROUP BY doc_id ORDER BY doc_id""",
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20

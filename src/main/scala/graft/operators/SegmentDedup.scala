@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, TextFunctions}
+
+/** C4-style SEGMENT-LEVEL dedup — remove duplicated token segments
+  * ACROSS the whole corpus while keeping the documents themselves: every
+  * occurrence of a repeated segment except the globally first one (min
+  * `(doc, position)`) is cut out, and each document is reassembled from
+  * its surviving segments. This is the boilerplate remover — cookie
+  * banners, nav bars, license headers repeated across millions of pages —
+  * that document-level dedup ([[Dedup]]) cannot express, because the
+  * documents CONTAINING the boilerplate are distinct.
+  *
+  * Segments are the non-overlapping `segTokens`-token tiling of the text
+  * ([[TextFunctions.chunks]] with overlap 0 — the q58-gated windows), the
+  * whitespace analog of C4's "three-sentence span" unit.
+  *
+  * Scale shape: one explode, one aggregate on segment hash (partial —
+  * a billion-fold repeated banner collapses map-side; its min-occurrence
+  * struct is a 16-byte partial per partition), one join back on the SAME
+  * hash key (the aggregate's partitioning is reused, no extra exchange),
+  * and one per-document reassembly aggregate keyed on the well-distributed
+  * doc id. No windows, no global sort; `array_sort` orders each document's
+  * own surviving segments in memory (bounded by document length).
+  *
+  * Determinism: occurrence order is the total order `(doc id, segment
+  * index)`, reproducible across runs, engines, and partitionings; segment
+  * identity is `poly_hash` (a collision merges two segments at ~2^-30 —
+  * mirrored exactly by the oracle).
+  */
+object SegmentDedup {
+
+  /** Per-occurrence keep/cut decision: `(idCol, seg_idx, seg, keep)` —
+    * the audit view; [[dedupSegments]] is its reassembled form.
+    */
+  def segmentOccurrences(
+      docs: DataFrame,
+      segTokens: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(segTokens > 0, s"need segTokens > 0, got $segTokens")
+    val segs = docs
+      .select(
+        col(idCol),
+        posexplode(TextFunctions.chunks(col(textCol), segTokens, 0))
+          .as(Seq("seg_idx", "seg"))
+      )
+      .select(
+        col(idCol),
+        col("seg_idx").cast("long").as("seg_idx"),
+        col("seg"),
+        GraftExpressions.poly_hash(col("seg")).as("h")
+      )
+    val first = segs
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("first_occ"))
+    segs
+      .join(first, Seq("h"))
+      .select(
+        col(idCol),
+        col("seg_idx"),
+        col("seg"),
+        (struct(col(idCol), col("seg_idx")) === col("first_occ")).as("keep")
+      )
+  }
+
+  /** The corpus with every non-first occurrence of a repeated segment
+    * removed and documents reassembled from their surviving segments in
+    * original order: `(idCol, textCol)`. Documents whose every segment
+    * was cut (pure boilerplate) are dropped entirely — the C4 behavior.
+    */
+  def dedupSegments(
+      docs: DataFrame,
+      segTokens: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    segmentOccurrences(docs, segTokens, textCol, idCol)
+      .filter(col("keep"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg")
+          ),
+          " "
+        ).as(textCol)
+      )
+}

@@ -143,6 +143,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "bounded-heap aggregate plans as ObjectHashAggregate")
   }
 
+  // ------------------------------------------------------------ segment dedup
+
+  test("segment dedup: shared tile removed from the later doc, text reassembled in order") {
+    import graft.operators.SegmentDedup
+    val banner = "cookie notice applies to this" // exactly one 5-token tile
+    val crafted = Seq(
+      (1L, s"$banner p q r s t"),
+      (2L, s"$banner x y z w v"), // same banner tile at the same position
+      (3L, banner) // PURE boilerplate: loses its only segment -> dropped
+    ).toDF("doc_id", "text")
+    val got = SegmentDedup
+      .dedupSegments(crafted, 5)
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+    assert(got.toSeq === Seq((1L, s"$banner p q r s t"), (2L, "x y z w v")))
+  }
+
+  test("segment dedup: exactly one keeper per segment hash") {
+    import graft.operators.SegmentDedup
+    val occ = SegmentDedup.segmentOccurrences(docs, 5)
+    val bad = occ
+      .groupBy(GraftExpressions.poly_hash(col("seg")))
+      .agg(sum(col("keep").cast("long")).as("keepers"))
+      .filter(col("keepers") =!= 1L)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("segment dedup: kept token mass equals reassembled token mass") {
+    import graft.operators.SegmentDedup
+    val keptTokens = SegmentDedup
+      .segmentOccurrences(docs, 5)
+      .filter(col("keep"))
+      .select(size(split(col("seg"), " ")).cast("long").as("n"))
+      .agg(sum("n"))
+      .as[Long]
+      .head()
+    val outTokens = SegmentDedup
+      .dedupSegments(docs, 5)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n"))
+      .as[Long]
+      .head()
+    assert(keptTokens === outTokens)
+  }
+
+  test("segment dedup: no Window in the physical plan") {
+    import graft.operators.SegmentDedup
+    val p = SegmentDedup.dedupSegments(docs, 5).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"global first-occurrence must be an aggregate, not a window:\n$p")
+  }
+
   // ------------------------------------------------------------- weighted mix
 
   private val rates = Map("en" -> 0.5, "de" -> 0.75, "fr" -> 1.0, "es" -> 0.2)
