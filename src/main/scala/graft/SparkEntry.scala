@@ -467,6 +467,14 @@ object SparkEntry {
         .dedupSegments(t(s, dir, "documents"), segTokens = 5)
         .orderBy(col("doc_id"))
     }),
+    // SemDeDup: k-means cells over the embedding space, exact cosine
+    // pairs within each cell, connected components, min-id representative
+    // — the semantic-pruning step of a curation pipeline
+    "q71_semdedup" -> ((s, dir) => {
+      Similarity
+        .semDedup(t(s, dir, "embeddings"), 0.4)
+        .orderBy(col("vec_id"))
+    }),
     // weighted mixture sampling: per-language keep rates applied through
     // the content hash — scan-only, reproducible, dedup-consistent
     "q69_weighted_mix" -> ((s, dir) => {
@@ -700,6 +708,46 @@ object SparkEntry {
   // ------------------------------------------------------------ oracle SQL
 
   import OracleFragments._
+
+  /** The deterministic IVF k-means trainer as a DuckDB CTE chain (mirrors
+    * `Similarity.trainedCentroids` exactly — seed = every ⌊n/C⌋-th vector,
+    * then fixed Lloyd rounds of argmax assignment + integer-quantized
+    * element-wise means; parallel unnests zip in DuckDB; SUM(BIGINT) cast
+    * back down from HUGEINT). The final codebook CTE is [[ivfFinalCent]].
+    * Shared by the q37 (ANN) and q71 (semantic dedup) oracles.
+    */
+  private lazy val ivfFinalCent: String = s"cent${Similarity.IvfLloydRounds}"
+  private lazy val ivfTrainerCtes: String = {
+    val c = Similarity.IvfCells
+    val q = Similarity.IvfQuant // prints as 1000000.0
+    def lloyd(idx: Int): String =
+      s"""s$idx AS (
+         SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+         FROM embeddings e CROSS JOIN cent$idx ct
+       ), a$idx AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+           FROM s$idx) t WHERE r = 1
+       ), ex$idx AS (
+         SELECT a.cell, unnest(e.embedding) AS x, unnest(range(len(e.embedding))) AS j
+         FROM a$idx a JOIN embeddings e ON a.vec_id = e.vec_id
+       ), sm$idx AS (
+         SELECT cell, j,
+           CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * $q + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM ex$idx GROUP BY 1, 2
+       ), cent${idx + 1} AS (
+         SELECT cell, list(CAST(CAST(sx AS DOUBLE) / (cnt * $q) AS FLOAT) ORDER BY j) AS c_emb
+         FROM sm$idx GROUP BY cell
+       )"""
+    val rounds = (0 until Similarity.IvfLloydRounds).map(lloyd).mkString(", ")
+    s"""nn AS (SELECT greatest(1, COUNT(*) // $c) AS stride FROM embeddings),
+       cent0 AS (
+         SELECT CAST(vec_id // stride AS BIGINT) AS cell, embedding AS c_emb
+         FROM embeddings, nn WHERE vec_id % stride = 0 AND vec_id < stride * $c
+       ), $rounds"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1354,6 +1402,38 @@ object SparkEntry {
            n_exact
          FROM s JOIN e USING (source) ORDER BY source"""
     },
+    // SemDeDup: same trainer CTEs as q37, argmax cell assignment, exact
+    // intra-cell cosine pairs at >= 0.4, recursive components, min label
+    "q71_semdedup" ->
+      s"""WITH RECURSIVE $ivfTrainerCtes, scores AS (
+           SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+           FROM embeddings e CROSS JOIN $ivfFinalCent ct
+         ), assigned AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+             FROM scores) t WHERE r = 1
+         ), pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM assigned a
+           JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id
+           WHERE ${cosine("ea.embedding", "eb.embedding")} >= 0.4
+         ), edges AS (
+           SELECT vec_a AS src, vec_b AS dst FROM pairs
+           UNION ALL SELECT vec_b, vec_a FROM pairs
+         ), reach(n, l) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
+         ), labels AS (
+           SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+         )
+         SELECT a.vec_id, a.cell, lb.cluster_id,
+           (a.vec_id = lb.cluster_id) AS keep
+         FROM assigned a JOIN labels lb ON a.vec_id = lb.vec_id
+         ORDER BY a.vec_id""",
     "q69_weighted_mix" ->
       s"""SELECT doc_id, lang FROM documents
          WHERE ${polyHash("text")} % 10000 <
@@ -1568,42 +1648,10 @@ object SparkEntry {
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
     },
     "q37_ann_ivf" -> {
-      val c = Similarity.IvfCells
       val p = Similarity.IvfProbes
-      val q = Similarity.IvfQuant // prints as 1000000.0
-      // one Lloyd round: argmax assignment under cent$idx, then
-      // integer-quantized element-wise means -> cent${idx+1} (parallel
-      // unnests zip in DuckDB; SUM(BIGINT) cast back down from HUGEINT)
-      def lloyd(idx: Int): String =
-        s"""s$idx AS (
+      s"""WITH $ivfTrainerCtes, scores AS (
            SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
-           FROM embeddings e CROSS JOIN cent$idx ct
-         ), a$idx AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
-             FROM s$idx) t WHERE r = 1
-         ), ex$idx AS (
-           SELECT a.cell, unnest(e.embedding) AS x, unnest(range(len(e.embedding))) AS j
-           FROM a$idx a JOIN embeddings e ON a.vec_id = e.vec_id
-         ), sm$idx AS (
-           SELECT cell, j,
-             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * $q + 0.5) AS BIGINT)) AS BIGINT) AS sx,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM ex$idx GROUP BY 1, 2
-         ), cent${idx + 1} AS (
-           SELECT cell, list(CAST(CAST(sx AS DOUBLE) / (cnt * $q) AS FLOAT) ORDER BY j) AS c_emb
-           FROM sm$idx GROUP BY cell
-         )"""
-      val rounds = (0 until Similarity.IvfLloydRounds).map(lloyd).mkString(", ")
-      val fin = s"cent${Similarity.IvfLloydRounds}"
-      s"""WITH nn AS (SELECT greatest(1, COUNT(*) // $c) AS stride FROM embeddings),
-         cent0 AS (
-           SELECT CAST(vec_id // stride AS BIGINT) AS cell, embedding AS c_emb
-           FROM embeddings, nn WHERE vec_id % stride = 0 AND vec_id < stride * $c
-         ), $rounds, scores AS (
-           SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
-           FROM embeddings e CROSS JOIN $fin ct
+           FROM embeddings e CROSS JOIN $ivfFinalCent ct
          ), ranked_cells AS (
            SELECT vec_id, cell,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r

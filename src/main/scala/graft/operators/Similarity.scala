@@ -115,8 +115,25 @@ object Similarity {
     * distributed plan (a production deployment would train on a sample
     * and persist the codebook; the assignment/probe shape is unchanged).
     */
-  def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"))
+  /** Score every vector of `e` against every centroid — the shared
+    * assignment input for [[annIvf]] and [[semDedup]]. Column names reuse
+    * the top-k aggregate's (query_id, neighbor_id, cos) contract.
+    */
+  private def cellScores(e: DataFrame, cent: DataFrame): DataFrame = e
+    .crossJoin(broadcast(cent))
+    .select(
+      col("vec_id").as("query_id"),
+      col("cell").as("neighbor_id"),
+      VectorFunctions.cosine(col("embedding"), col("c_emb")).as("cos")
+    )
+
+  /** The deterministic k-means codebook over `e` (`vec_id`, `embedding`):
+    * seed centroids are every ⌊n/C⌋-th DATA vector, refined by
+    * [[IvfLloydRounds]] fixed Lloyd iterations (argmax-cosine assignment,
+    * integer-quantized element-wise means — see [[IvfQuant]]). Fully lazy
+    * and oracle-reproducible; shared by [[annIvf]] and [[semDedup]].
+    */
+  def trainedCentroids(e: DataFrame): DataFrame = {
     val nRow = e.agg(count(lit(1)).as("__n"))
     val seed = e
       .crossJoin(broadcast(nRow))
@@ -127,22 +144,15 @@ object Similarity {
       )
       .select(expr("vec_id div __stride").as("cell"), col("embedding").as("c_emb"))
 
-    def cellScores(cent: DataFrame): DataFrame = e
-      .crossJoin(broadcast(cent))
-      .select(
-        col("vec_id").as("query_id"), // reuse the top-k agg's column contract
-        col("cell").as("neighbor_id"),
-        VectorFunctions.cosine(col("embedding"), col("c_emb")).as("cos")
-      )
-    def assign(cent: DataFrame, nCells: Int): DataFrame =
-      topK(cellScores(cent), nCells)
+    def assign(cent: DataFrame): DataFrame =
+      topK(cellScores(e, cent), 1)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell"))
 
     // one Lloyd round: argmax-cosine assignment, then integer-quantized
     // element-wise mean per (cell, component); empty cells drop out (their
     // seeds attracted nothing — identical behavior in the oracle's GROUP BY)
     def refine(cent: DataFrame): DataFrame =
-      e.join(assign(cent, 1), "vec_id")
+      e.join(assign(cent), "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("j", "x")))
         .groupBy(col("cell"), col("j"))
         .agg(
@@ -164,12 +174,17 @@ object Similarity {
           ).as("c_emb")
         )
 
-    val centroids = (1 to IvfLloydRounds).foldLeft(seed)((c, _) => refine(c))
+    (1 to IvfLloydRounds).foldLeft(seed)((c, _) => refine(c))
+  }
+
+  def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val centroids = trainedCentroids(e)
     // ONE ranking serves both sides (mirroring the oracle's ranked_cells):
     // corpus assignment is rank 1, query probes are ranks 1..IvfProbes —
     // identical aggregate subtrees, so the exchange under them is computed
     // once and reused instead of re-running the Lloyd chain per consumer
-    val rankedCells = topK(cellScores(centroids), IvfProbes)
+    val rankedCells = topK(cellScores(e, centroids), IvfProbes)
       .select(col("query_id").as("vec_id"), col("rnk"), col("neighbor_id").as("cell"))
     val corpusCells = e.join(rankedCells.filter(col("rnk") === 1).select("vec_id", "cell"), "vec_id")
     val queryCells = e
@@ -221,5 +236,64 @@ object Similarity {
       )
       .distinct()
     topK(scored, k)
+  }
+
+  /** SEMANTIC dedup (SemDeDup-style: cluster the embedding space, then
+    * prune near-identical vectors WITHIN each cluster — Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cells from [[trainedCentroids]], exact
+    * pairwise cosine inside each cell, connected components over the
+    * ≥-threshold pairs, keep the min-id member per component. Returns one
+    * row per vector: `(vec_id, cell, cluster_id, keep)`.
+    *
+    * This is the scale answer to exact all-pairs ([[Dedup.embeddingPairs]]):
+    * the O(n²) comparison collapses to Σ|cell|² — the candidate join is an
+    * EQUI-join on cell id, so shuffle volume is bounded by cell occupancy,
+    * exactly like [[annIvf]]'s candidate stage. Cross-cell near-dups are
+    * deliberately missed (the SemDeDup approximation; raise [[IvfCells]]'s
+    * granularity or lower it to trade recall for cost). Components reuse
+    * the star-contraction core ([[Dedup.componentsOf]]) — O(log n) rounds,
+    * exact convergence.
+    *
+    * The assignment frame is localCheckpoint-ed before clustering: the
+    * component loop runs one action per round, and each would otherwise
+    * re-run the whole Lloyd chain; eager materialization here matches the
+    * cluster family's contract (q32/q36/q38 compose the same way).
+    */
+  def semDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val assigned = e
+      .join(
+        topK(cellScores(e, trainedCentroids(e)), 1)
+          .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell")),
+        "vec_id"
+      )
+      .localCheckpoint(true)
+    val pairs = assigned
+      .as("a")
+      .join(
+        assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")
+      )
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos")
+      )
+      .filter(col("cos") >= threshold)
+    val labels = Dedup.clustersFromPairs(
+      assigned.select(col("vec_id").as("doc_id")),
+      pairs,
+      aCol = "vec_a",
+      bCol = "vec_b"
+    )
+    assigned
+      .select(col("vec_id"), col("cell"))
+      .join(labels.select(col("doc_id").as("vec_id"), col("cluster_id")), "vec_id")
+      .select(
+        col("vec_id"),
+        col("cell"),
+        col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("keep")
+      )
   }
 }

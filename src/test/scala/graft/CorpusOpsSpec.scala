@@ -232,4 +232,54 @@ class CorpusOpsSpec extends SparkSpec {
       .toString
     assert(!p.contains("Exchange"), s"weighted sampling must not shuffle:\n$p")
   }
+
+  // ---------------------------------------------------------------- semdedup
+
+  private lazy val emb = sources.Tables.load(spark, Sf001, "embeddings")
+  private lazy val sem = operators.Similarity.semDedup(emb, 0.4).cache()
+
+  test("semDedup: one row per vector; keepers are exactly the cluster labels") {
+    assert(sem.count() === emb.count())
+    val keepers = sem.filter(col("keep")).select("vec_id")
+    val labels = sem.select(col("cluster_id").as("vec_id")).distinct()
+    assert(keepers.except(labels).count() === 0L && labels.except(keepers).count() === 0L)
+    // the label is the min member id, so every keeper is its cluster's min
+    val viol = sem
+      .groupBy("cluster_id")
+      .agg(min("vec_id").as("mn"))
+      .filter(col("mn") =!= col("cluster_id"))
+    assert(viol.count() === 0L)
+  }
+
+  test("semDedup: same-cell pairs at >= threshold always share a cluster") {
+    val a = sem.as("a")
+    val b = sem.as("b")
+    val sameCell = a
+      .join(emb.as("ea"), col("a.vec_id") === col("ea.vec_id"))
+      .join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .join(emb.as("eb"), col("b.vec_id") === col("eb.vec_id"))
+      .filter(
+        graft.functions.VectorFunctions.cosine(col("ea.embedding"), col("eb.embedding")) >= 0.4
+      )
+    assert(sameCell.filter(col("a.cluster_id") =!= col("b.cluster_id")).count() === 0L)
+  }
+
+  test("semDedup: clusters never span cells (intra-cell pruning by design)") {
+    val cellsPerCluster = sem
+      .groupBy("cluster_id")
+      .agg(countDistinct("cell").as("nc"))
+      .filter(col("nc") > 1)
+    assert(cellsPerCluster.count() === 0L)
+  }
+
+  test("semDedup: impossible threshold makes every vector a singleton keeper") {
+    val all = operators.Similarity.semDedup(emb, 1.1)
+    assert(all.filter(!col("keep")).count() === 0L)
+    assert(all.filter(col("vec_id") =!= col("cluster_id")).count() === 0L)
+  }
+
+  test("semDedup: result is invariant under input partitioning") {
+    val shuffled = operators.Similarity.semDedup(emb.repartition(13), 0.4)
+    assert(sem.except(shuffled).count() === 0L && shuffled.except(sem).count() === 0L)
+  }
 }
