@@ -467,6 +467,54 @@ object SparkEntry {
         .dedupSegments(t(s, dir, "documents"), segTokens = 5)
         .orderBy(col("doc_id"))
     }),
+    // JSONL export round-trip: sharded gzip JSON-Lines write (the LLM
+    // corpus interchange format), schema-pinned FAILFAST read-back; the
+    // gate hashes the text content across the round trip, so JSON
+    // escaping must be lossless, and pins the shard split arithmetic
+    "q72_jsonl_roundtrip" -> ((s, dir) => {
+      val out = dumpPath("jsonl_q72", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .coalesce(1) // single writer task -> shard count is pure arithmetic
+      graft.sources.JsonlSink.write(
+        docs,
+        out,
+        graft.sources.JsonlLayout(maxRecordsPerFile = 100L)
+      )
+      val back =
+        graft.sources.JsonlSink.read(s, out, "doc_id BIGINT, lang STRING, text STRING")
+      import s.implicits._
+      val digest = back
+        .select(col("doc_id"), GraftExpressions.poly_hash(col("text")).as("ph"))
+        .agg(
+          count(lit(1)).as("total_rows"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          expr("bit_xor(ph)").as("content_xor")
+        )
+      digest.crossJoin(
+        Seq(graft.sources.JsonlSink.shardCount(s, out)).toDF("n_files")
+      )
+    }),
+    // KMV corpus-overlap estimate between two document sets (60% / 70%
+    // content-hash slices with a 30% true overlap) — sketch composition,
+    // never a corpus-vs-corpus join; short-circuits to exact below k
+    "q73_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = GraftExpressions.poly_hash(col("text")) % 10
+      graft.operators.Sketch.corpusOverlap(
+        docs.filter(bucket < 6),
+        docs.filter(bucket >= 3),
+        "text",
+        k = 64
+      )
+    }),
+    // PII exposure audit: what scrub would redact, counted per language
+    // before any text is rewritten — one codegen'd scan
+    "q74_pii_report" -> ((s, dir) => {
+      graft.operators.QualityChecks
+        .piiReport(t(s, dir, "documents"))
+        .orderBy(col("lang"))
+    }),
     // SemDeDup: k-means cells over the embedding space, exact cosine
     // pairs within each cell, connected components, min-id representative
     // — the semantic-pruning step of a curation pipeline
@@ -1401,6 +1449,71 @@ object SparkEntry {
              ELSE ${(k - 1).toLong * m} // greatest(kth_hash, 1) END AS BIGINT) AS est_distinct,
            n_exact
          FROM s JOIN e USING (source) ORDER BY source"""
+    },
+    // JSONL round-trip digest: identical to reading the source directly
+    // iff JSON encode/decode is lossless; shard count is pure arithmetic
+    // under the single-writer coalesce
+    "q72_jsonl_roundtrip" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+         CAST(bit_xor(${polyHash("text")}) AS BIGINT) AS content_xor,
+         CAST(ceil(COUNT(*) / 100.0) AS BIGINT) AS n_files
+         FROM documents""",
+    // KMV overlap: per-side k-minima via row_number, sketch composition,
+    // same integer estimate arithmetic as the engine
+    "q73_corpus_overlap" -> {
+      val k = 64
+      val m = graft.operators.Sketch.M
+      def est(p: String) =
+        s"CASE WHEN ${p}_kept < $k THEN ${p}_kept ELSE ${(k - 1).toLong * m} // greatest(${p}_kth, 1) END"
+      s"""WITH ha AS (
+           SELECT DISTINCT ${remix32(polyHash("text"))} AS h FROM documents
+           WHERE ${polyHash("text")} % 10 < 6
+         ), hb AS (
+           SELECT DISTINCT ${remix32(polyHash("text"))} AS h FROM documents
+           WHERE ${polyHash("text")} % 10 >= 3
+         ), ka AS (
+           SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= $k
+         ), kb AS (
+           SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= $k
+         ), hu AS (
+           SELECT h FROM ha UNION SELECT h FROM hb
+         ), ku AS (
+           SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hu) WHERE rn <= $k
+         ), ust AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS u_kept, MAX(h) AS u_kth FROM ku
+         ), ast AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS a_kept, MAX(h) AS a_kth FROM ka
+         ), bst AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS b_kept, MAX(h) AS b_kth FROM kb
+         ), nb AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM ku
+           WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+         )
+         SELECT u_kept AS n_kept,
+           CAST(${est("a")} AS BIGINT) AS est_a,
+           CAST(${est("b")} AS BIGINT) AS est_b,
+           CAST(${est("u")} AS BIGINT) AS est_union,
+           n_both,
+           round(CAST(n_both AS DOUBLE) / CAST(greatest(u_kept, 1) AS DOUBLE), 6) AS jaccard_est,
+           CAST((n_both * (${est("u")})) // greatest(u_kept, 1) AS BIGINT) AS est_intersect
+         FROM ust, ast, bst, nb"""
+    },
+    // PII audit: occurrence counts via regexp_extract_all (numbers counted
+    // AFTER email redaction, matching the scrub chain's order)
+    "q74_pii_report" -> {
+      val er = TextFunctions.EmailRegex
+      val nr = TextFunctions.LongNumberRegex
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+         CAST(SUM(ne) AS BIGINT) AS n_emails,
+         CAST(SUM(CASE WHEN nn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_num,
+         CAST(SUM(nn) AS BIGINT) AS n_nums
+         FROM (
+           SELECT lang, len(regexp_extract_all(text, '$er')) AS ne,
+             len(regexp_extract_all(regexp_replace(text, '$er', '<email>', 'g'), '$nr')) AS nn
+           FROM documents) t
+         GROUP BY 1 ORDER BY 1"""
     },
     // SemDeDup: same trainer CTEs as q37, argmax cell assignment, exact
     // intra-cell cosine pairs at >= 0.4, recursive components, min label

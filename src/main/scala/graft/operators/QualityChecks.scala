@@ -38,4 +38,33 @@ object QualityChecks {
     fact
       .join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_anti")
       .count()
+
+  /** PII exposure report per group — what
+    * [[graft.functions.TextFunctions.scrub]] WOULD redact, counted before
+    * it does: per `groupCol`, total docs, docs containing each pattern,
+    * and total match occurrences. The audit that sizes the scrubbing
+    * problem (and catches a source whose email density jumped 100×)
+    * before any text is rewritten.
+    *
+    * Number runs are counted AFTER email redaction, exactly like the
+    * scrub chain — a numeric email local-part is one `<email>`, not an
+    * email plus a `<num>`. One codegen'd scan + one partial aggregate on
+    * the group key; no UDFs, no second pass.
+    */
+  def piiReport(docs: DataFrame, textCol: String = "text", groupCol: String = "lang"): DataFrame = {
+    import graft.functions.TextFunctions.{EmailRegex, LongNumberRegex}
+    val nEmails = regexp_count(col(textCol), lit(EmailRegex))
+    val nNums =
+      regexp_count(regexp_replace(col(textCol), EmailRegex, "<email>"), lit(LongNumberRegex))
+    docs
+      .select(col(groupCol), nEmails.as("e"), nNums.as("n"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("e") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(col("e")).cast("long").as("n_emails"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("docs_with_num"),
+        sum(col("n")).cast("long").as("n_nums")
+      )
+  }
 }

@@ -96,4 +96,68 @@ object Sketch {
           .as("est_distinct")
       )
   }
+
+  /** CORPUS OVERLAP estimate between two document sets from their KMV
+    * sketches (Beyer et al., SIGMOD 2007: sketches are composable —
+    * the k minima of A ∪ B are computable from the two side sketches, and
+    * the fraction of union minima present in BOTH side sketches estimates
+    * Jaccard): `(n_kept, est_a, est_b, est_union, n_both, jaccard_est,
+    * est_intersect)`, one row. The planning question it answers — "how
+    * much of crawl B is already in corpus A" — without ever joining the
+    * corpora: each side is reduced to ≤ k hashes by the same bounded-heap
+    * aggregate as [[kmvDistinct]] (map-side partials, no sort), and all
+    * downstream arithmetic runs on the tiny sketch frames.
+    *
+    * Estimates short-circuit to EXACT when a sketch is not full (fewer
+    * than k distinct hashes — then the minima ARE the set). All outputs
+    * are deterministic functions of the value sets through `poly_hash`,
+    * so a DuckDB oracle pins them exactly; `jaccard_est` is rounded to 6
+    * places, `est_intersect` uses integer arithmetic
+    * (`n_both · est_union div n_kept`).
+    */
+  def corpusOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      keyCol: String,
+      k: Int = 256
+  ): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    def hashes(df: DataFrame): DataFrame =
+      df.select(remix32(GraftExpressions.poly_hash(col(keyCol))).as("h")).distinct()
+    def minsOf(h: DataFrame): DataFrame = h
+      .agg(GraftExpressions.top_k_neighbors(-col("h").cast("double"), col("h"), k).as("mins"))
+      .select(explode(col("mins")).as("m"))
+      .select(col("m").getField("neighbor_id").as("h"))
+    val ha = hashes(a)
+    val hb = hashes(b)
+    val ka = minsOf(ha)
+    val kb = minsOf(hb)
+    val ku = minsOf(ha.union(hb).distinct())
+    def sketchStats(mins: DataFrame, prefix: String): DataFrame = mins.agg(
+      count(lit(1)).as(s"${prefix}_kept"),
+      max(col("h")).as(s"${prefix}_kth")
+    )
+    val nBoth = ku
+      .join(ka, Seq("h"), "left_semi")
+      .join(kb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    // integer `div` everywhere (mirrors DuckDB `//` exactly — a double
+    // divide + cast could land one off at representation boundaries)
+    val scaled = (k - 1).toLong * M
+    def estOf(p: String): String =
+      s"CASE WHEN ${p}_kept < $k THEN ${p}_kept ELSE ${scaled}L div greatest(${p}_kth, 1L) END"
+    sketchStats(ku, "u")
+      .crossJoin(broadcast(sketchStats(ka, "a")))
+      .crossJoin(broadcast(sketchStats(kb, "b")))
+      .crossJoin(broadcast(nBoth))
+      .selectExpr(
+        "u_kept AS n_kept",
+        s"${estOf("a")} AS est_a",
+        s"${estOf("b")} AS est_b",
+        s"${estOf("u")} AS est_union",
+        "n_both",
+        "round(CAST(n_both AS DOUBLE) / CAST(greatest(u_kept, 1L) AS DOUBLE), 6) AS jaccard_est",
+        s"(n_both * (${estOf("u")})) div greatest(u_kept, 1L) AS est_intersect"
+      )
+  }
 }

@@ -282,4 +282,80 @@ class CorpusOpsSpec extends SparkSpec {
     val shuffled = operators.Similarity.semDedup(emb.repartition(13), 0.4)
     assert(sem.except(shuffled).count() === 0L && shuffled.except(sem).count() === 0L)
   }
+
+  // ----------------------------------------------------------- corpusOverlap
+
+  test("corpusOverlap: below-k sketches short-circuit to exact values") {
+    val a = docs.limit(20).select("text")
+    val b = docs.limit(30).select("text") // superset of a: 20 shared texts
+    val r = Sketch.corpusOverlap(a, b, "text", k = 64).collect().head
+    val exactA = a.distinct().count()
+    val exactB = b.distinct().count()
+    val exactU = a.union(b).distinct().count()
+    val exactI = a.distinct().join(b.distinct(), Seq("text"), "left_semi").count()
+    assert(r.getAs[Long]("est_a") === exactA)
+    assert(r.getAs[Long]("est_b") === exactB)
+    assert(r.getAs[Long]("est_union") === exactU)
+    assert(r.getAs[Long]("n_both") === exactI)
+    assert(r.getAs[Long]("est_intersect") === exactI)
+  }
+
+  test("corpusOverlap: identical corpora estimate jaccard 1.0") {
+    val r = Sketch.corpusOverlap(docs, docs, "text", k = 32).collect().head
+    assert(r.getAs[Double]("jaccard_est") === 1.0)
+    assert(r.getAs[Long]("est_intersect") === r.getAs[Long]("est_union"))
+  }
+
+  test("corpusOverlap: disjoint corpora estimate zero intersection") {
+    val h = GraftExpressions.poly_hash(col("text")) % 2
+    val r = Sketch
+      .corpusOverlap(docs.filter(h === 0), docs.filter(h === 1), "text", k = 32)
+      .collect()
+      .head
+    assert(r.getAs[Long]("n_both") === 0L)
+    assert(r.getAs[Long]("est_intersect") === 0L)
+    assert(r.getAs[Double]("jaccard_est") === 0.0)
+  }
+
+  test("corpusOverlap: full-sketch estimates land near the true cardinalities") {
+    val bucket = GraftExpressions.poly_hash(col("text")) % 10
+    val a = docs.filter(bucket < 6)
+    val b = docs.filter(bucket >= 3)
+    val r = Sketch.corpusOverlap(a, b, "text", k = 64).collect().head
+    val trueU = a.select("text").union(b.select("text")).distinct().count()
+    val estU = r.getAs[Long]("est_union")
+    // std error ~ 1/sqrt(k-2) = 0.127 at k=64; 3 sigma
+    assert(
+      math.abs(estU - trueU).toDouble / trueU < 0.4,
+      s"union estimate $estU too far from true $trueU"
+    )
+  }
+
+  // --------------------------------------------------------------- piiReport
+
+  test("piiReport: crafted corpus counts emails and number runs correctly") {
+    val crafted = Seq(
+      ("en", "contact alice@example.com or 12345678 today"), // 1 email, 1 num
+      ("en", "reach 98765432@corp.io now"), // numeric local-part: email only
+      ("en", "just words, a short 123 run"), // nothing (123 < 7 digits)
+      ("de", "zwei 1234567 und 76543210987 treffer") // 2 nums
+    ).toDF("lang", "text")
+    val r = operators.QualityChecks
+      .piiReport(crafted)
+      .orderBy("lang")
+      .collect()
+    val de = r(0)
+    val en = r(1)
+    assert(de.getAs[Long]("n_docs") === 1L && de.getAs[Long]("n_nums") === 2L)
+    assert(de.getAs[Long]("n_emails") === 0L && de.getAs[Long]("docs_with_num") === 1L)
+    assert(en.getAs[Long]("n_docs") === 3L)
+    assert(en.getAs[Long]("n_emails") === 2L && en.getAs[Long]("docs_with_email") === 2L)
+    // the numeric local-part was consumed by the email pass, not double-counted
+    assert(en.getAs[Long]("n_nums") === 1L && en.getAs[Long]("docs_with_num") === 1L)
+  }
+
+  test("piiReport: scan-only up to the group aggregate — no joins, no windows") {
+    val p = operators.QualityChecks.piiReport(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window"), s"expected pure scan+agg:\n$p")
+  }
 }
