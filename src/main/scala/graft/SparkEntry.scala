@@ -537,6 +537,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    // CCNet-style LM quality scoring: bigram model trained on the 80%
+    // content-hash slice, the held-out 20% scored by integer-scaled
+    // inverse smoothed probability — the distributional fluency signal
+    // the length/stopword score and repetition stats cannot see
+    "q75_lm_rarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = GraftExpressions.poly_hash(col("text")) % 10
+      val model = graft.operators.NgramLM.train(docs.filter(bucket < 8))
+      graft.operators.NgramLM
+        .score(docs.filter(bucket >= 8), model)
+        .orderBy(col("doc_id"))
+    }),
+    // RefinedWeb-style source reputation: per-source quality/PII profile
+    // with integer-permille ratios — the container-level admission gate
+    "q76_source_reputation" -> ((s, dir) => {
+      graft.operators.QualityChecks
+        .sourceReputation(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    }),
     // balanced per-group sampling: n smallest content hashes per language
     // via the bounded-heap aggregate — no per-group sort anywhere
     "q63_balanced_sample" -> ((s, dir) => {
@@ -1421,6 +1440,79 @@ object SparkEntry {
            round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_frac,
            round(CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_frac
          FROM d ORDER BY doc_id""",
+    // source reputation: q22's quality formula + q74's PII counts fused
+    // into one per-source profile; ratios in integer permille (x*1000 //
+    // n — left-assoc on both engines) so the profile hashes identically
+    "q76_source_reputation" -> {
+      val tok = tokens("text")
+      val nTok = s"len($tok)"
+      val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
+      val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
+      val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
+      val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
+      val stopScore = s"least(1.0, $stopRatio * 5.0)"
+      val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+      val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
+      val quality = s"(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore)"
+      val er = TextFunctions.EmailRegex
+      val nr = TextFunctions.LongNumberRegex
+      s"""WITH q AS (
+           SELECT source,
+             CAST($nTok AS BIGINT) AS tk,
+             CASE WHEN $quality < 0.4275 THEN 1 ELSE 0 END AS lowq,
+             CASE WHEN len(regexp_extract_all(text, '$er'))
+                    + len(regexp_extract_all(
+                        regexp_replace(text, '$er', '<email>', 'g'), '$nr')) > 0
+               THEN 1 ELSE 0 END AS pii
+           FROM documents
+         )
+         SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tk) AS BIGINT) AS total_tokens,
+           CAST(SUM(tk) // COUNT(*) AS BIGINT) AS mean_tokens,
+           CAST(SUM(lowq) AS BIGINT) AS low_quality_docs,
+           CAST(SUM(pii) AS BIGINT) AS pii_docs,
+           CAST(SUM(lowq) * 1000 // COUNT(*) AS BIGINT) AS low_permille,
+           CAST(SUM(pii) * 1000 // COUNT(*) AS BIGINT) AS pii_permille
+         FROM q GROUP BY 1 ORDER BY 1"""
+    },
+    // bigram-LM rarity: counts replayed per gram hash, add-one smoothing
+    // in pure BIGINT arithmetic ((cp+V)*1e6 // (c+1) — no ln(), no double
+    // sums, so both engines agree bit-for-bit); the two unnests in
+    // `pairs` are same-length and zip positionally, mirroring zip_with
+    "q75_lm_rarity" ->
+      s"""WITH split AS (
+           SELECT doc_id, text, (${polyHash("text")} % 10) AS b FROM documents
+         ), toks AS (
+           SELECT doc_id, b,
+             ${positionalShingleHashes("text", 1)} AS p1,
+             ${positionalShingleHashes("text", 2)} AS p2
+           FROM split
+         ), pairs AS (
+           SELECT doc_id, b, unnest((p1)[1:len(p2)]) AS p, unnest(p2) AS g
+           FROM toks
+         ), grams AS (
+           SELECT g, COUNT(*) AS c FROM pairs WHERE b < 8 GROUP BY 1
+         ), prefixes AS (
+           SELECT p, COUNT(*) AS cp FROM pairs WHERE b < 8 GROUP BY 1
+         ), vocab AS (
+           SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS v
+           FROM (SELECT unnest(p1) AS u FROM toks WHERE b < 8) t0
+         ), scored AS (
+           SELECT pairs.doc_id,
+             ((coalesce(cp, 0) + v) * 1000000) // (coalesce(c, 0) + 1) AS rarity,
+             CASE WHEN c IS NULL THEN 1 ELSE 0 END AS unseen
+           FROM pairs
+           LEFT JOIN grams USING (g)
+           LEFT JOIN prefixes USING (p)
+           CROSS JOIN vocab
+           WHERE b >= 8
+         )
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+           CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS rarity_avg
+         FROM scored GROUP BY 1 ORDER BY 1""",
     // KMV: k smallest distinct poly hashes per source; kth = the largest
     // kept; estimate (k-1)*M // kth, short-circuiting to exact below k
     "q68_kmv_distinct" -> {

@@ -358,4 +358,139 @@ class CorpusOpsSpec extends SparkSpec {
     val p = operators.QualityChecks.piiReport(docs).queryExecution.executedPlan.toString
     assert(!p.contains("Join") && !p.contains("Window"), s"expected pure scan+agg:\n$p")
   }
+
+  // -------------------------------------------------------- sourceReputation
+
+  test("sourceReputation: hand-checked profile over crafted sources") {
+    // 100 stopword tokens -> lenScore 1.0 alone puts quality at >= 0.5;
+    // pure punctuation -> quality ~0.015, far under the 0.4275 gate
+    val good = Seq.fill(10)("the and a of to in it is on at").mkString(" ")
+    val low = "!!! !!! !!!"
+    val crafted = Seq(
+      (1L, "A", good),
+      (2L, "A", good + " alice@example.com"),
+      (3L, "B", low),
+      (4L, "B", low),
+      (5L, "B", good)
+    ).toDF("doc_id", "source", "text")
+    val r = operators.QualityChecks
+      .sourceReputation(crafted)
+      .orderBy("source")
+      .collect()
+    val a = r(0); val b = r(1)
+    assert(a.getAs[Long]("n_docs") === 2L && a.getAs[Long]("low_quality_docs") === 0L)
+    assert(a.getAs[Long]("pii_docs") === 1L && a.getAs[Long]("pii_permille") === 500L)
+    assert(a.getAs[Long]("total_tokens") === 201L && a.getAs[Long]("mean_tokens") === 100L)
+    assert(b.getAs[Long]("n_docs") === 3L && b.getAs[Long]("low_quality_docs") === 2L)
+    assert(b.getAs[Long]("low_permille") === 666L && b.getAs[Long]("pii_docs") === 0L)
+  }
+
+  test("sourceReputation: admission keeps exactly the passing sources' docs") {
+    val good = Seq.fill(10)("the and a of to in it is on at").mkString(" ")
+    val low = "!!! !!! !!!"
+    val crafted = Seq(
+      (1L, "A", good),
+      (2L, "A", good),
+      (3L, "B", low),
+      (4L, "B", low),
+      (5L, "B", good)
+    ).toDF("doc_id", "source", "text")
+    val kept = operators.QualityChecks.filterReputableSources(crafted, maxLowPermille = 500L)
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
+    val p = kept.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"source admission should broadcast:\n$p")
+  }
+
+  test("sourceReputation: one scan — no joins, no windows in the profile") {
+    val p = operators.QualityChecks
+      .sourceReputation(docs)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!p.contains("Join") && !p.contains("Window"), s"expected pure scan+agg:\n$p")
+  }
+
+  // ------------------------------------------------------------------ ngramLM
+
+  test("ngramLM: hand-checked rarity under a tiny reference model") {
+    // ref: bigram "a b" seen twice, "a c" once; prefix a seen 3x; V = {a,b,c}
+    val ref = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val model = operators.NgramLM.train(ref)
+    val cand = Seq(
+      (10L, "a b"), // c=2 cp=3: (3+3)*1e6 // 3 = 2_000_000, seen
+      (11L, "a d"), // c=0 cp=3: (3+3)*1e6 // 1 = 6_000_000, unseen
+      (12L, "z z"), // c=0 cp=0: (0+3)*1e6 // 1 = 3_000_000, unseen
+      (13L, "q"), // one token: clamped self-pair, c=0 cp=0 -> 3_000_000
+      (14L, "a b a") // grams (a b)=2e6 + (b a): cp(b)=0 -> 3e6; avg 2_500_000
+    ).toDF("doc_id", "text")
+    val got = operators.NgramLM
+      .score(cand, model)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_unseen", "rarity_avg")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    assert(
+      got === Array(
+        (10L, 1L, 0L, 2000000L),
+        (11L, 1L, 1L, 6000000L),
+        (12L, 1L, 1L, 3000000L),
+        (13L, 1L, 1L, 3000000L),
+        (14L, 2L, 1L, 2500000L)
+      )
+    )
+  }
+
+  test("ngramLM: in-distribution text scores more fluent than broken transitions") {
+    // a deterministic "language" with real bigram structure: every document
+    // walks the cycle t0 t1 ... t9 t0 ... so the only licensed transitions
+    // are ti -> t(i+1 mod 10). (The parquet fixture is word salad — its
+    // bigrams are near-uniformly unseen either way — so discrimination is
+    // asserted on a corpus that HAS transitions to learn.)
+    def walk(start: Int, len: Int): String =
+      (0 until len).map(i => s"t${(start + i) % 10}").mkString(" ")
+    val ref = (0 until 50).map(d => (d.toLong, walk(d % 10, 30))).toDF("doc_id", "text")
+    val model = operators.NgramLM.train(ref)
+    val inDist = (0 until 10).map(d => (d.toLong, walk(d, 20))).toDF("doc_id", "text")
+    // gibberish = the same cycle walked BACKWARD: same unigrams, every
+    // transition unlicensed
+    val gibberish = (0 until 10)
+      .map(d => (d.toLong, (0 until 20).map(i => s"t${((d - i) % 10 + 10) % 10}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fluentAvg =
+      operators.NgramLM.score(inDist, model).agg(avg("rarity_avg")).as[Double].head()
+    val gibAvg =
+      operators.NgramLM.score(gibberish, model).agg(avg("rarity_avg")).as[Double].head()
+    assert(
+      fluentAvg * 10 < gibAvg,
+      s"fluent $fluentAvg should beat gibberish $gibAvg by an order of magnitude"
+    )
+  }
+
+  test("ngramLM: filterFluent keeps exactly the under-threshold documents") {
+    val model = operators.NgramLM.train(corpus)
+    val scored = operators.NgramLM.score(benchmark, model)
+    val thr = 5000000L
+    val kept = operators.NgramLM.filterFluent(benchmark, model, thr)
+    val expected = scored.filter(col("rarity_avg") <= thr).select("doc_id")
+    assert(kept.count() === expected.count())
+    assert(kept.select("doc_id").except(expected).count() === 0L)
+  }
+
+  test("ngramLM: shuffled-join fallback matches the broadcast path") {
+    val model = operators.NgramLM.train(corpus)
+    val b = operators.NgramLM.score(benchmark, model, broadcastModel = true)
+    val s = operators.NgramLM.score(benchmark, model, broadcastModel = false)
+    assert(b.except(s).count() === 0L && s.except(b).count() === 0L)
+  }
+
+  test("ngramLM: model broadcasts — the corpus side never shuffles on gram") {
+    val model = operators.NgramLM.train(corpus)
+    val p = operators.NgramLM
+      .score(benchmark, model)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(p.contains("BroadcastHashJoin"), s"model lookups should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on gram:\n$p")
+  }
 }
