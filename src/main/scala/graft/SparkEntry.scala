@@ -549,6 +549,14 @@ object SparkEntry {
         .score(docs.filter(bucket >= 8), model)
         .orderBy(col("doc_id"))
     }),
+    // int8-quantized ANN: symmetric scalar quantization (max-abs scale,
+    // codes in [-127,127]) and cosine over pure integer code sums — the
+    // 4x-memory-compression scale path for billion-vector search
+    "q77_ann_quantized" -> ((s, dir) => {
+      Similarity
+        .annQuantized(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // RefinedWeb-style source reputation: per-source quality/PII profile
     // with integer-permille ratios — the container-level admission gate
     "q76_source_reputation" -> ((s, dir) => {
@@ -1440,6 +1448,44 @@ object SparkEntry {
            round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_frac,
            round(CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_frac
          FROM d ORDER BY doc_id""",
+    // int8 ANN: quantization replayed per vector (floor(x*127/s + 0.5) is
+    // IEEE-exact), cosine over integer code sums — doubles only at the
+    // final divide, so rankings agree bit-for-bit
+    "q77_ann_quantized" -> {
+      def fold(l: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l), (x, y) -> x + y)"
+      def intCos(a: String, b: String): String = {
+        val dot = fold(s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))")
+        val na = fold(s"list_transform($a, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))")
+        val nb = fold(s"list_transform($b, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))")
+        s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+          s"ELSE CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END)"
+      }
+      s"""WITH base AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+           FROM embeddings
+         ), q8 AS (
+           SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT))
+             END AS c
+           FROM base
+         ), q AS (SELECT vec_id, c FROM q8 WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             ${intCos("q.c", "t.c")} AS cos
+           FROM q JOIN q8 t ON q.vec_id <> t.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM scored
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    },
     // source reputation: q22's quality formula + q74's PII counts fused
     // into one per-source profile; ratios in integer permille (x*1000 //
     // n — left-assoc on both engines) so the profile hashes identically

@@ -58,4 +58,76 @@ class AnnRecallSpec extends SparkSpec {
       assert(jobs > 0, "sanity: the listener does observe jobs once an action runs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("annQuantized recall@10 vs bruteForceTopK >= 0.8 on sf0.1 (int8 codes)") {
+    // the compression path must not cost meaningful recall: the only
+    // error source is int8 rounding (~0.4% per component)
+    val emb = Tables.load(spark, Sf01, "embeddings")
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k))
+    val approx = pairs(Similarity.annQuantized(emb, queries, k))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"int8 recall@$k = $recall%.3f (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.8, f"int8 quantization broke recall: $recall%.3f < 0.8")
+  }
+
+  test("quantizeInt8: codes are true int8 in [-127,127] and reconstruct within s/254") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, Sf001, "embeddings")
+    val q8 = Similarity.quantizeInt8(emb)
+    assert(
+      q8.schema("codes").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType === org.apache.spark.sql.types.ByteType,
+      "codes must be physical int8 — that IS the 4x memory claim"
+    )
+    val bad = q8
+      .select(explode(col("codes")).as("c"))
+      .filter(col("c") > 127 || col("c") < -127)
+      .count()
+    assert(bad === 0L, s"$bad codes outside [-127, 127]")
+    // |x - code*scale/127| <= scale/254 + float-rounding headroom
+    val worst = emb
+      .join(q8, "vec_id")
+      .select(
+        max(
+          array_max(
+            zip_with(
+              col("embedding"),
+              col("codes"),
+              (x, c) =>
+                abs(x.cast("double") - c.cast("double") * col("scale") / lit(127.0)) -
+                  col("scale") / lit(254.0)
+            )
+          )
+        ).as("worst")
+      )
+      .as[Double]
+      .head()
+    assert(worst <= 1e-9, s"reconstruction error exceeded the rounding bound by $worst")
+  }
+
+  test("quantizeInt8: the all-zero vector quantizes to zero codes, cosine 0") {
+    import org.apache.spark.sql.functions._
+    val crafted = Seq(
+      (0L, Array.fill(4)(0.0f)),
+      (1L, Array(1.0f, 2.0f, -3.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val q8 = Similarity.quantizeInt8(crafted).orderBy("vec_id").collect()
+    assert(q8(0).getAs[Double]("scale") === 0.0)
+    assert(q8(0).getAs[Seq[Byte]]("codes").forall(_ === 0.toByte))
+    assert(q8(1).getAs[Seq[Byte]]("codes") === Seq[Byte](42, 85, -127, 21))
+    val codes = Similarity.quantizeInt8(crafted)
+    val cos = codes
+      .filter(col("vec_id") === 0L)
+      .select(col("codes"))
+      .crossJoin(codes.filter(col("vec_id") === 1L).select(col("codes").as("codes2")))
+      .select(Similarity.cosineCodes(col("codes"), col("codes2")).as("cos"))
+      .as[Double]
+      .head()
+    assert(cos === 0.0, "zero-norm codes must score 0, not NaN")
+  }
 }
