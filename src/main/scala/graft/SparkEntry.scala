@@ -549,6 +549,15 @@ object SparkEntry {
         .score(docs.filter(bucket >= 8), model)
         .orderBy(col("doc_id"))
     }),
+    // temperature-flattened mixture (T=2 sqrt sampling): per-language
+    // rates derived from the corpus itself inside the plan, rarest
+    // language kept whole — the multilingual rebalancing recipe
+    "q78_temperature_mix" -> ((s, dir) => {
+      graft.operators.Sampling
+        .temperatureFlatten(t(s, dir, "documents"), "lang", "text", 2)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     // int8-quantized ANN: symmetric scalar quantization (max-abs scale,
     // codes in [-127,127]) and cosine over pure integer code sums — the
     // 4x-memory-compression scale path for billion-vector search
@@ -1448,6 +1457,24 @@ object SparkEntry {
            round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_frac,
            round(CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_frac
          FROM d ORDER BY doc_id""",
+    // temperature mix: rate = sqrt(n_min/n_g) — IEEE sqrt is correctly
+    // rounded, so floor(rate*1e6) lands on the identical BIGINT threshold
+    // in both engines; admission is the shared content-hash predicate
+    "q78_temperature_mix" ->
+      s"""WITH c AS (
+           SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1
+         ), m AS (
+           SELECT MIN(n_g) AS n_min FROM c
+         ), r AS (
+           SELECT lang,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS thr
+           FROM c, m
+         )
+         SELECT doc_id, lang
+         FROM documents JOIN r USING (lang)
+         WHERE (${polyHash("text")} % 1000000) < thr
+         ORDER BY doc_id""",
     // int8 ANN: quantization replayed per vector (floor(x*127/s + 0.5) is
     // IEEE-exact), cosine over integer code sums — doubles only at the
     // final divide, so rankings agree bit-for-bit

@@ -85,4 +85,51 @@ object Sampling {
     }
     df.filter(GraftExpressions.poly_hash(col(keyCol)) % Scale < threshold)
   }
+
+  /** TEMPERATURE-flattened mixture sampling — the multilingual-training
+    * recipe (exponentiated sampling, temperature T: group shares p_g are
+    * resampled toward p_g^(1/T), flattening head/tail imbalance without
+    * [[balanced]]'s hard cap). Rates are derived FROM THE CORPUS ITSELF
+    * inside the plan: keeping the rarest group whole and sampling group g
+    * at `(n_min / n_g)^(1/T)` realizes the p^(1/T) mix at maximal data
+    * retention — no rate table to maintain as the corpus drifts, unlike
+    * [[weightedBy]]'s explicit recipe.
+    *
+    * `temperature` must be a POWER OF TWO: the rate is computed as a
+    * chain of `sqrt`s (T=2 → one, T=4 → two, ...), because IEEE-754
+    * `sqrt` is correctly rounded — the identical double emerges on every
+    * engine — while `pow(x, 1/T)` is libm-dependent and would break the
+    * oracle's bit-exact mirror. T=2 is the standard sqrt-sampling of the
+    * multilingual-pretraining literature.
+    *
+    * Scale shape: the per-group rate table is one partial-aggregated
+    * count plus a 1-row min, both broadcast back — the corpus itself
+    * never shuffles; admission is the same content-hash predicate
+    * discipline as [[weightedBy]] (`poly_hash(key) mod 1e6 < floor(rate
+    * ·1e6)`), so the decision is reproducible across runs, engines, and
+    * partitionings, and exact duplicates sample identically.
+    */
+  def temperatureFlatten(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      temperature: Int = 2
+  ): DataFrame = {
+    require(
+      temperature >= 2 && (temperature & (temperature - 1)) == 0,
+      s"temperature must be a power of two >= 2 (sqrt-chain exactness), got $temperature"
+    )
+    val Scale = 1000000L
+    val roots = Integer.numberOfTrailingZeros(temperature)
+    val ratio = col("n_min").cast("double") / col("n_g").cast("double")
+    val rate = (1 to roots).foldLeft(ratio)((c, _) => sqrt(c))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val thresholds = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_g")).as("n_min"))))
+      .select(col(groupCol), floor(rate * lit(Scale.toDouble)).cast("long").as("__thr"))
+    df
+      .join(broadcast(thresholds), Seq(groupCol))
+      .filter(GraftExpressions.poly_hash(col(keyCol)) % Scale < col("__thr"))
+      .drop("__thr")
+  }
 }

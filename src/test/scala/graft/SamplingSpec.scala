@@ -48,4 +48,73 @@ class SamplingSpec extends SparkSpec {
     assert(!p.contains("Window"), s"per-group sort crept back in: $p")
     assert(p.contains("ObjectHashAggregate"), "bounded-heap aggregate plans as ObjectHashAggregate")
   }
+
+  // ------------------------------------------------------- temperatureFlatten
+
+  test("temperatureFlatten: kept set == independently derived threshold predicate") {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+    val nMin = counts.agg(min("n_g")).first().getLong(0)
+    val expected = docs
+      .join(
+        counts.select(
+          col("lang"),
+          floor(sqrt(lit(nMin.toDouble) / col("n_g").cast("double")) * lit(1e6))
+            .cast("long")
+            .as("thr")
+        ),
+        "lang"
+      )
+      .filter(GraftExpressions.poly_hash(col("text")) % 1000000L < col("thr"))
+      .select("doc_id")
+    val got = Sampling.temperatureFlatten(docs, "lang", "text", 2).select("doc_id")
+    assert(got.except(expected).count() === 0L && expected.except(got).count() === 0L)
+  }
+
+  test("temperatureFlatten: the rarest group is kept whole; bigger groups thinner") {
+    val before = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+    val after = Sampling
+      .temperatureFlatten(docs, "lang", "text", 2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_after"))
+    val joined = before.join(after, "lang").collect()
+    val minRow = joined.minBy(_.getAs[Long]("n_before"))
+    assert(
+      minRow.getAs[Long]("n_after") === minRow.getAs[Long]("n_before"),
+      "rate 1.0 for the min group means every document survives"
+    )
+    // keep FRACTION decreases as group size grows (the flattening)
+    val fracs = joined
+      .sortBy(_.getAs[Long]("n_before"))
+      .map(r => r.getAs[Long]("n_after").toDouble / r.getAs[Long]("n_before"))
+    assert(
+      fracs.head >= fracs.last,
+      s"largest group should be thinned hardest: ${fracs.mkString(", ")}"
+    )
+  }
+
+  test("temperatureFlatten: higher temperature flattens less aggressively") {
+    val t2 = Sampling.temperatureFlatten(docs, "lang", "text", 2).count()
+    val t4 = Sampling.temperatureFlatten(docs, "lang", "text", 4).count()
+    // rate_4 = (n_min/n_g)^(1/4) >= rate_2 = (n_min/n_g)^(1/2) pointwise
+    assert(t4 >= t2, s"T=4 must keep at least as much as T=2 ($t4 vs $t2)")
+  }
+
+  test("temperatureFlatten: rejects non-power-of-two temperatures") {
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureFlatten(docs, "lang", "text", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureFlatten(docs, "lang", "text", 1)
+    }
+  }
+
+  test("temperatureFlatten: rate table broadcasts — the corpus never shuffles") {
+    val p = Sampling
+      .temperatureFlatten(docs, "lang", "text", 2)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(p.contains("BroadcastHashJoin"), s"threshold join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on group:\n$p")
+  }
 }
