@@ -1392,7 +1392,11 @@ object SparkEntry {
          ), cc AS (
            SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
          ), scored AS (
-           SELECT doc_id, $quality AS score FROM exd
+           -- round to 6 dp like the fused kernel (and q42's oracle): the
+           -- engine ranks representatives by the ROUNDED score, so an
+           -- unrounded ORDER BY here could pick a different rep when two
+           -- members' raw scores differ by < 1e-6
+           SELECT doc_id, round($quality, 6) AS score FROM exd
          ), ranked AS (
            SELECT c.doc_id,
              ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY s.score DESC, c.doc_id) AS rn

@@ -52,7 +52,10 @@ object Codecs {
       id match {
         case "fmt " =>
           fail(size >= 16, s"fmt chunk too short: $size")
-          val fmtEnd = buf.position() + size + (size & 1)
+          // the RIFF pad byte after an odd-sized chunk may be omitted by
+          // the writer when the chunk is the file's last — clamp, like
+          // the data branch's hasRemaining guard
+          val fmtEnd = math.min(buf.position() + size + (size & 1), buf.limit())
           val audioFormat = buf.getShort()
           fail(audioFormat == 1, s"not integer PCM: format tag $audioFormat")
           channels = buf.getShort().toInt
@@ -69,7 +72,7 @@ object Codecs {
           buf.get(data)
           if ((size & 1) == 1 && buf.hasRemaining) buf.get()
         case _ =>
-          buf.position(buf.position() + size + (size & 1))
+          buf.position(math.min(buf.position() + size + (size & 1), buf.limit()))
       }
     }
     fail(sampleRate > 0, "no fmt chunk")

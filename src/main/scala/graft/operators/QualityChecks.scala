@@ -51,11 +51,23 @@ object QualityChecks {
     * email plus a `<num>`. One codegen'd scan + one partial aggregate on
     * the group key; no UDFs, no second pass.
     */
-  def piiReport(docs: DataFrame, textCol: String = "text", groupCol: String = "lang"): DataFrame = {
+  /** The scrub-mirroring PII match counts for one text column:
+    * `(emails, number runs)` — numbers counted AFTER email redaction,
+    * exactly like the scrub chain, so a numeric email local-part is one
+    * `<email>`, never an email plus a `<num>`. ONE definition shared by
+    * [[piiReport]] and [[sourceReputation]]: the redaction-order contract
+    * lives here, not in two copies that could drift.
+    */
+  private def piiCounts(textCol: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     import graft.functions.TextFunctions.{EmailRegex, LongNumberRegex}
-    val nEmails = regexp_count(col(textCol), lit(EmailRegex))
-    val nNums =
+    (
+      regexp_count(col(textCol), lit(EmailRegex)),
       regexp_count(regexp_replace(col(textCol), EmailRegex, "<email>"), lit(LongNumberRegex))
+    )
+  }
+
+  def piiReport(docs: DataFrame, textCol: String = "text", groupCol: String = "lang"): DataFrame = {
+    val (nEmails, nNums) = piiCounts(textCol)
     docs
       .select(col(groupCol), nEmails.as("e"), nNums.as("n"))
       .groupBy(col(groupCol))
@@ -95,10 +107,7 @@ object QualityChecks {
       groupCol: String = "source"
   ): DataFrame = {
     import graft.functions.TextFunctions
-    import graft.functions.TextFunctions.{EmailRegex, LongNumberRegex}
-    val nEmails = regexp_count(col(textCol), lit(EmailRegex))
-    val nNums =
-      regexp_count(regexp_replace(col(textCol), EmailRegex, "<email>"), lit(LongNumberRegex))
+    val (nEmails, nNums) = piiCounts(textCol)
     docs
       .select(
         col(groupCol),

@@ -126,10 +126,13 @@ object Sampling {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
     val thresholds = counts
       .crossJoin(broadcast(counts.agg(min(col("n_g")).as("n_min"))))
-      .select(col(groupCol), floor(rate * lit(Scale.toDouble)).cast("long").as("__thr"))
+      .select(col(groupCol).as("__grp"), floor(rate * lit(Scale.toDouble)).cast("long").as("__thr"))
+    // null-safe group match: a NULL group aggregates its own count row,
+    // and its documents must sample at that derived rate, not silently
+    // vanish through a null-rejecting equi-join
     df
-      .join(broadcast(thresholds), Seq(groupCol))
+      .join(broadcast(thresholds), col(groupCol) <=> col("__grp"))
       .filter(GraftExpressions.poly_hash(col(keyCol)) % Scale < col("__thr"))
-      .drop("__thr")
+      .drop("__grp", "__thr")
   }
 }

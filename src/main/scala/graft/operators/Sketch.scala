@@ -114,6 +114,13 @@ object Sketch {
     * so a DuckDB oracle pins them exactly; `jaccard_est` is rounded to 6
     * places, `est_intersect` uses integer arithmetic
     * (`n_both · est_union div n_kept`).
+    *
+    * Each corpus is scanned EXACTLY ONCE: its ≤ k-row sketch is
+    * localCheckpoint-ed (eager, like the cluster family's contract), and
+    * every downstream frame — the union sketch (the k minima of A ∪ B
+    * are a subset of kA ∪ kB, so it composes from the side sketches
+    * without touching the corpora again), the containment counts, the
+    * per-side stats — runs on those materialized ≤ k-row frames.
     */
   def corpusOverlap(
       a: DataFrame,
@@ -128,11 +135,9 @@ object Sketch {
       .agg(GraftExpressions.top_k_neighbors(-col("h").cast("double"), col("h"), k).as("mins"))
       .select(explode(col("mins")).as("m"))
       .select(col("m").getField("neighbor_id").as("h"))
-    val ha = hashes(a)
-    val hb = hashes(b)
-    val ka = minsOf(ha)
-    val kb = minsOf(hb)
-    val ku = minsOf(ha.union(hb).distinct())
+    val ka = minsOf(hashes(a)).localCheckpoint(true)
+    val kb = minsOf(hashes(b)).localCheckpoint(true)
+    val ku = minsOf(ka.union(kb).distinct())
     def sketchStats(mins: DataFrame, prefix: String): DataFrame = mins.agg(
       count(lit(1)).as(s"${prefix}_kept"),
       max(col("h")).as(s"${prefix}_kth")

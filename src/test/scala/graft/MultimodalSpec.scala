@@ -122,6 +122,19 @@ class MultimodalSpec extends SparkSpec {
     assert(row.doc_id == 7L && row.features.sameElements(feats))
   }
 
+  test("WAV codec: trailing odd-sized chunk without its RIFF pad byte still parses") {
+    // writers may omit the pad byte after a final odd-sized chunk; the
+    // skip must clamp to the buffer instead of overrunning it
+    val base = wavBytes(Array.fill[Short](8)(1000), 8000, 1)
+    val extra = java.nio.ByteBuffer
+      .allocate(base.length + 8 + 3) // 'LIST' + size 3 + 3 bytes, NO pad
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3))
+    val parsed = graft.operators.Codecs.parseWav(extra.array())
+    assert(parsed.sampleRate == 8000 && parsed.mono.length == 8)
+  }
+
   test("codecs fail loudly on malformed payloads") {
     val junk = Array.tabulate[Byte](100)(_.toByte)
     intercept[IllegalArgumentException](graft.operators.Codecs.parseWav(junk))

@@ -8,6 +8,7 @@ import graft.operators.Sampling
 
 /** Laws of deterministic balanced per-group sampling. */
 class SamplingSpec extends SparkSpec {
+  import spark.implicits._
   private val N = 20
   private lazy val docs = sources.Tables.load(spark, Sf001, "documents")
 
@@ -97,6 +98,20 @@ class SamplingSpec extends SparkSpec {
     val t4 = Sampling.temperatureFlatten(docs, "lang", "text", 4).count()
     // rate_4 = (n_min/n_g)^(1/4) >= rate_2 = (n_min/n_g)^(1/2) pointwise
     assert(t4 >= t2, s"T=4 must keep at least as much as T=2 ($t4 vs $t2)")
+  }
+
+  test("temperatureFlatten: NULL-group documents sample at their derived rate, not dropped") {
+    val crafted = Seq(
+      (1L, "en", "alpha beta"),
+      (2L, "en", "gamma delta"),
+      (3L, "en", "epsilon zeta"),
+      (4L, "en", "eta theta"),
+      (5L, null.asInstanceOf[String], "iota kappa"),
+      (6L, null.asInstanceOf[String], "lambda mu")
+    ).toDF("doc_id", "lang", "text")
+    val kept = Sampling.temperatureFlatten(crafted, "lang", "text", 2)
+    // the NULL group is the rarest (2 docs) -> rate 1.0 -> both survive
+    assert(kept.filter(col("lang").isNull).count() === 2L)
   }
 
   test("temperatureFlatten: rejects non-power-of-two temperatures") {
