@@ -241,9 +241,107 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Round-5 corpus-hygiene operators at 200k docs / 100k vectors — the
+    * measured evidence that the new family's shapes hold at 40–50× the
+    * sf0.1 fixture: decontamination and LM scoring stay broadcast-index
+    * scans, segment dedup's aggregate absorbs planted corpus-wide
+    * boilerplate, sketches reduce map-side, reputation is one scan over
+    * Zipfian sources, temperature mix never shuffles the corpus, and
+    * int8 ANN tracks brute force at a quarter of the candidate bytes.
+    */
+  private def corpusMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 200000L
+    val spark = GraftSession.local("scale-smoke-corpus", 32)
+    import spark.implicits._
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[corpus] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // planted corpus-wide boilerplate: every 5th doc carries the same
+    // 10-token banner (= two 5-token segments repeated n/5 times)
+    val banner = "cookie notice accept all terms privacy policy applies here now"
+    val docs = spark
+      .range(n)
+      .map { id =>
+        val base = genText(id)
+        val text = if (id % 5 == 0) s"$base $banner" else base
+        // Zipfian sources and groups: source skew 50/25/12.5/... %
+        val src = s"s${java.lang.Long.numberOfTrailingZeros(id + 1).min(6)}"
+        (id, src, text)
+      }
+      .toDF("doc_id", "source", "text")
+      .persist()
+    println(s"[corpus] corpus: ${docs.count()} docs")
+
+    val bench = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text").limit(2000)
+    val contaminated = time("decontaminate (2k bench)")(
+      graft.operators.Decontaminate.overlapReport(docs, bench, k = 5).count()
+    )
+    val repStats = time("repetition stats")(
+      graft.operators.Repetition.gramStats(docs, 2).count()
+    )
+    val segKept = time("segment dedup")(
+      graft.operators.SegmentDedup.dedupSegments(docs, segTokens = 5).count()
+    )
+    // banner segments survive exactly once corpus-wide
+    val bannerLeft = graft.operators.SegmentDedup
+      .segmentOccurrences(docs, 5)
+      .filter(col("seg").startsWith("cookie notice") && col("keep"))
+      .count()
+    println(s"[corpus] contaminated=$contaminated repStats=$repStats segKept=$segKept bannerKeptOnce=$bannerLeft")
+
+    val model = graft.operators.NgramLM.train(docs.filter(col("doc_id") % 10 < 8))
+    val scored = time("LM rarity (20% held out)")(
+      graft.operators.NgramLM.score(docs.filter(col("doc_id") % 10 >= 8), model).count()
+    )
+    val kmv = time("KMV distinct per source")(
+      graft.operators.Sketch.kmvDistinct(docs, "source", "text", k = 64).count()
+    )
+    val overlap = time("corpus overlap sketch")(
+      graft.operators.Sketch
+        .corpusOverlap(docs.filter(col("doc_id") % 10 < 6), docs.filter(col("doc_id") % 10 >= 3), "text")
+        .head()
+    )
+    // slices share ids %10 in [3,6): |A∩B| = 0.3n, |A∪B| = n -> true J = 0.3
+    println(s"[corpus] scored=$scored kmvRows=$kmv jaccardEst=${overlap.getAs[Double]("jaccard_est")} (true = 0.3)")
+
+    val rep = time("source reputation")(
+      graft.operators.QualityChecks.sourceReputation(docs).count()
+    )
+    val mixed = time("temperature mix (T=2)")(
+      graft.operators.Sampling.temperatureFlatten(docs, "source", "text", 2).count()
+    )
+    println(s"[corpus] sources=$rep keptAfterMix=$mixed of $n")
+
+    val nVec = math.min(n / 2, 100000L)
+    val emb = spark
+      .range(nVec)
+      .map { id =>
+        (id, Array.tabulate(64)(j => ((mix(id * 64L + j) % 1000L).toFloat / 500f) - 1f))
+      }
+      .toDF("vec_id", "embedding")
+      .persist()
+    println(s"[corpus] vectors: ${emb.count()}")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = time("brute-force top-10")(
+      graft.operators.Similarity.bruteForceTopK(emb, qids, 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    )
+    val quant = time("int8 ANN top-10")(
+      graft.operators.Similarity.annQuantized(emb, qids, 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    )
+    println(f"[corpus] int8 recall@10 = ${(exact & quant).size.toDouble / exact.size}%.3f")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) { skewMain(args); return }
     if (args.headOption.contains("cluster")) { clusterMain(args); return }
+    if (args.headOption.contains("corpus")) { corpusMain(args); return }
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val spark = GraftSession.local("scale-smoke", 32)
     import spark.implicits._
