@@ -549,6 +549,14 @@ object SparkEntry {
         .score(docs.filter(bucket >= 8), model)
         .orderBy(col("doc_id"))
     }),
+    // leakage-safe split: whole near-dup clusters co-assign to train/val
+    // by the representative's content hash — the eval-hygiene step a
+    // plain per-document hash split cannot provide
+    "q79_split_by_cluster" -> ((s, dir) => {
+      Dedup
+        .splitByCluster(t(s, dir, "documents"), 0.8, 80)
+        .orderBy(col("doc_id"))
+    }),
     // temperature-flattened mixture (T=2 sqrt sampling): per-language
     // rates derived from the corpus itself inside the plan, rarest
     // language kept whole — the multilingual rebalancing recipe
@@ -1110,6 +1118,45 @@ object SparkEntry {
              CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
            FROM sh l JOIN sh r ON l.doc_id < r.doc_id) v
          WHERE hamming <= 2 ORDER BY doc_a, doc_b"""
+    },
+    // leakage-safe split: q32's cluster labels, then the whole cluster
+    // assigned by the REPRESENTATIVE's content hash (rep = the doc whose
+    // id equals the min-label cluster id)
+    "q79_split_by_cluster" -> {
+      val r = Dedup.RowsPerBand
+      s"""WITH RECURSIVE sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
+             ${shingleHashesDistinct("text")} AS sh
+           FROM documents
+         ), bands AS (
+           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bands l JOIN bands r
+             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+         ), pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
+             FROM cand
+             JOIN sig sa ON doc_a = sa.doc_id
+             JOIN sig sb ON doc_b = sb.doc_id) v
+           WHERE j >= 0.8
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), reach(n, l) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
+         ), cc AS (
+           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+         ), rep AS (
+           SELECT doc_id AS cluster_id, ${polyHash("text")} AS rh FROM documents
+         )
+         SELECT cc.doc_id, cc.cluster_id,
+           CASE WHEN rh % 100 < 80 THEN 'train' ELSE 'val' END AS split
+         FROM cc JOIN rep USING (cluster_id) ORDER BY cc.doc_id"""
     },
     "q32_dedup_clusters" -> {
       val r = Dedup.RowsPerBand

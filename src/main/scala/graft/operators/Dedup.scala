@@ -626,6 +626,52 @@ object Dedup {
       )
   }
 
+  /** LEAKAGE-SAFE train/val split: the whole near-dup CLUSTER goes to one
+    * side, decided by the content hash of the cluster's min-id
+    * representative. The plain content-hash split
+    * ([[graft.functions.TextFunctions.splitAssign]]) co-locates EXACT
+    * duplicates only — a near-duplicate of a training page (same article,
+    * one edit) can still land in val and leak the evaluation. This is the
+    * eval-hygiene counterpart of benchmark decontamination
+    * ([[Decontaminate]]): that operator protects against an EXTERNAL eval
+    * set, this one makes an internally-held-out split honest.
+    *
+    * Deterministic end to end: cluster labels are min reachable id
+    * (engine-independent), the representative's `poly_hash` decides the
+    * side — reproducible across runs, engines, partitionings, and stable
+    * under re-clustering as long as the cluster membership is stable.
+    *
+    * Scale shape: one clustering (the O(log n) star default), then one
+    * equi-join of labels against the representatives' hashes on
+    * cluster_id — skew bounded by the largest cluster, which AQE splits;
+    * no windows, no sorts.
+    */
+  def splitByCluster(
+      docs: DataFrame,
+      threshold: Double,
+      trainPct: Int = 80,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      algo: ClusterAlgo = ClusterAlgo.Star
+  ): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct out of [0,100]: $trainPct")
+    val cl = algo match {
+      case ClusterAlgo.Star      => clustersScalable(docs, threshold, textCol, idCol)
+      case ClusterAlgo.Propagate => clusters(docs, threshold, textCol, idCol)
+    }
+    // the representative IS the doc whose id equals the cluster label
+    val repHash = docs.select(
+      col(idCol).as("cluster_id"),
+      GraftExpressions.poly_hash(col(textCol)).as("__rh")
+    )
+    cl.join(repHash, "cluster_id")
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        when(col("__rh") % 100 < trainPct, "train").otherwise("val").as("split")
+      )
+  }
+
   /** 32-bit SimHash per document: bit i is set when at least half the
     * token hashes have bit i set. SimHash is a pure per-document function,
     * so this is ONE codegen'd kernel call per row — scan-only, zero

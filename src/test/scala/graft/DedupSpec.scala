@@ -241,4 +241,60 @@ class DedupSpec extends SparkSpec {
       .toSet
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("splitByCluster: no near-dup cluster straddles train and val") {
+    val split = Dedup.splitByCluster(docs, 0.5, 80)
+    val straddlers = split
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("sides"))
+      .filter(col("sides") > 1)
+      .count()
+    assert(straddlers === 0L, "a cluster assigned to both sides leaks near-dups into val")
+    // every document appears exactly once
+    assert(split.count() === docs.count())
+    assert(split.select("doc_id").distinct().count() === docs.count())
+  }
+
+  test("splitByCluster: side == splitAssign of the cluster REPRESENTATIVE's text") {
+    import graft.functions.TextFunctions
+    val split = Dedup.splitByCluster(docs, 0.5, 80)
+    val repSide = docs.select(
+      col("doc_id").as("cluster_id"),
+      TextFunctions.splitAssign(col("text"), 80).as("rep_side")
+    )
+    val mismatches = split
+      .join(repSide, "cluster_id")
+      .filter(col("split") =!= col("rep_side"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("splitByCluster: co-assigns a crafted near-dup pair the plain hash split separates") {
+    // two 40-token docs differing in ONE token are jaccard >= 0.8 near-dups;
+    // with distinct texts their per-doc hashes will, for SOME suffix, land
+    // on opposite sides of the 80% line — find such a pair deterministically
+    import graft.functions.TextFunctions
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val candidates = (0 until 50).map { salt =>
+      (salt, s"$base end$salt", s"$base changed$salt")
+    }
+    val cdf = candidates
+      .flatMap { case (s, a, b) => Seq((s, 0L, a), (s, 1L, b)) }
+      .toDF("salt", "doc_id", "text")
+      .select(col("salt"), col("doc_id"), col("text"), TextFunctions.splitAssign(col("text"), 80).as("side"))
+    val splitSalt = cdf
+      .groupBy("salt")
+      .agg(countDistinct(col("side")).as("sides"))
+      .filter(col("sides") === 2)
+      .select("salt")
+      .as[Int]
+      .head()
+    // this pair: plain hash split separates them...
+    val pair = candidates.find(_._1 == splitSalt).get
+    val pairDf = Seq((0L, pair._2), (1L, pair._3)).toDF("doc_id", "text")
+    // ...but the cluster split keeps them together
+    val together = Dedup.splitByCluster(pairDf, 0.8, 80)
+    assert(together.select("split").distinct().count() === 1L)
+    assert(together.select("cluster_id").distinct().count() === 1L, "sanity: they do cluster")
+  }
 }
