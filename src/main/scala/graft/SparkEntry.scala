@@ -549,6 +549,14 @@ object SparkEntry {
         .score(docs.filter(bucket >= 8), model)
         .orderBy(col("doc_id"))
     }),
+    // exact-substring dedup at window granularity (Lee et al. 2021):
+    // every non-first occurrence of any duplicated >= 6-token run is cut
+    // at ARBITRARY positions — the sliding-window upgrade of q70's tiling
+    "q80_substring_dedup" -> ((s, dir) => {
+      graft.operators.SegmentDedup
+        .dedupSubstrings(t(s, dir, "documents"), minTokens = 6)
+        .orderBy(col("doc_id"))
+    }),
     // leakage-safe split: whole near-dup clusters co-assign to train/val
     // by the representative's content hash — the eval-hygiene step a
     // plain per-document hash split cannot provide
@@ -1118,6 +1126,38 @@ object SparkEntry {
              CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
            FROM sh l JOIN sh r ON l.doc_id < r.doc_id) v
          WHERE hamming <= 2 ORDER BY doc_a, doc_b"""
+    },
+    // substring dedup: sliding positional window hashes, first occurrence
+    // by the (doc_id, i) total order via ROW_NUMBER (== Spark's
+    // min(struct)), per-doc cut-interval arithmetic in list lambdas
+    "q80_substring_dedup" -> {
+      val hs = positionalShingleHashes("text", 6)
+      s"""WITH toks AS (
+           SELECT doc_id, ${tokens("text")} AS t, $hs AS hs FROM documents
+         ), occ AS (
+           SELECT doc_id, unnest(range(0, len(hs))) AS i, unnest(hs) AS h
+           FROM toks
+         ), r AS (
+           SELECT doc_id, i, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS n_occ
+           FROM occ
+         ), cuts AS (
+           SELECT doc_id, list_sort(list(i)) AS cuts
+           FROM r WHERE n_occ > 1 AND rn > 1 GROUP BY doc_id
+         ), rebuilt AS (
+           SELECT t.doc_id,
+             array_to_string(
+               list_transform(
+                 list_filter(range(0, len(t.t)),
+                   x -> len(list_filter(coalesce(c.cuts, CAST([] AS BIGINT[])),
+                     s -> s <= x AND x < s + 6)) = 0),
+                 x -> (t.t)[x + 1]),
+               ' ') AS text
+           FROM toks t LEFT JOIN cuts c USING (doc_id)
+         )
+         SELECT doc_id, text FROM rebuilt
+         WHERE length(text) > 0 ORDER BY doc_id"""
     },
     // leakage-safe split: q32's cluster labels, then the whole cluster
     // assigned by the REPRESENTATIVE's content hash (rep = the doc whose

@@ -91,4 +91,79 @@ object SegmentDedup {
           " "
         ).as(textCol)
       )
+
+  /** EXACT-SUBSTRING dedup at window granularity — the Lee et al. 2021
+    * semantics ("Deduplicating Training Data Makes Language Models
+    * Better"): remove every non-first occurrence of ANY duplicated token
+    * run of ≥ `minTokens`, at arbitrary positions. [[dedupSegments]]'s
+    * fixed tiling misses a duplicated run that straddles a tile boundary
+    * (shifted boilerplate, quoted paragraphs); this operator slides: a
+    * duplicated run of length m ≥ L shares ALL of its m−L+1 positional
+    * L-windows, so cutting every non-first window occurrence and merging
+    * the overlapping cut intervals removes EXACTLY the duplicated run —
+    * windows straddling the run boundary mix unique tokens and never
+    * match, so no unique text is cut.
+    *
+    * Keep policy: the globally first occurrence (min `(doc id, position)`
+    * per window hash — the same total order as [[dedupSegments]]) stays;
+    * later copies are cut. A document wholly consumed by cuts drops out.
+    * Documents shorter than L clamp to one whole-text window (so a short
+    * exact duplicate deduplicates like [[Dedup.exact]]).
+    *
+    * Scale shape: one posexplode of positional window hashes, one
+    * partial-aggregated hash aggregate (min-occurrence struct + count —
+    * a billion-fold duplicated window collapses map-side), one join back
+    * on the SAME hash key (partitioning reused), then per-document
+    * interval arithmetic in array HOFs — bounded by document length,
+    * never corpus-wide. No windows, no sorts.
+    *
+    * Cost caveat vs [[dedupSegments]]: sliding windows explode ~L× more
+    * rows than tiling (every position, not every L-th) — that is the
+    * price of position-independence; L is the knob.
+    */
+  def dedupSubstrings(
+      docs: DataFrame,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(minTokens > 0, s"need minTokens > 0, got $minTokens")
+    val L = minTokens
+    val occ = docs
+      .select(
+        col(idCol),
+        posexplode(TextFunctions.positionalShingleHashes(col(textCol), L))
+          .as(Seq("i", "h"))
+      )
+      .select(col(idCol), col("i").cast("long").as("i"), col("h"))
+    val firstOcc = occ
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("i"))).as("first_occ"), count(lit(1)).as("n_occ"))
+    val cutStarts = occ
+      .join(firstOcc, Seq("h"))
+      .filter(col("n_occ") > 1 && struct(col(idCol), col("i")) =!= col("first_occ"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("i"))).as("__cuts"))
+    docs
+      .join(cutStarts, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__toks"),
+        coalesce(col("__cuts"), array().cast("array<long>")).as("__cuts")
+      )
+      .select(
+        col(idCol),
+        array_join(
+          transform(
+            filter(
+              sequence(lit(0L), size(col("__toks")).cast("long") - 1L),
+              t => !exists(col("__cuts"), s => s <= t && t < s + lit(L.toLong))
+            ),
+            t => element_at(col("__toks"), (t + 1L).cast("int"))
+          ),
+          " "
+        ).as(textCol)
+      )
+      .filter(length(col(textCol)) > 0)
+  }
 }

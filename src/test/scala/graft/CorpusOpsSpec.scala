@@ -359,6 +359,63 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), s"expected pure scan+agg:\n$p")
   }
 
+  // --------------------------------------------------------- substring dedup
+
+  test("substring dedup: a mid-document copied run is cut exactly, unique text intact") {
+    import graft.operators.SegmentDedup
+    // doc 2 copies tokens c4..c13 of doc 1 at an UNALIGNED position —
+    // invisible to fixed tiling, found by the sliding windows
+    val run = (4 to 13).map(i => s"c$i").mkString(" ") // 10 tokens
+    val doc1 = (0 to 19).map(i => s"c$i").mkString(" ")
+    val doc2 = s"u1 u2 u3 $run u4 u5"
+    val got = SegmentDedup
+      .dedupSubstrings(Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"), minTokens = 6)
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+    // doc 1 (first occurrence) intact; doc 2 loses exactly the copied run
+    assert(got.toSeq === Seq((1L, doc1), (2L, "u1 u2 u3 u4 u5")))
+  }
+
+  test("substring dedup: window straddling the copy boundary never cuts unique tokens") {
+    import graft.operators.SegmentDedup
+    // copied run of EXACTLY minTokens: cut is exactly those tokens
+    val run = (0 until 6).map(i => s"r$i").mkString(" ")
+    val a = s"$run a1 a2 a3 a4 a5 a6"
+    val b = s"b1 b2 b3 b4 b5 b6 $run"
+    val got = SegmentDedup
+      .dedupSubstrings(Seq((1L, a), (2L, b)).toDF("doc_id", "text"), minTokens = 6)
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+    assert(got.toSeq === Seq((1L, a), (2L, "b1 b2 b3 b4 b5 b6")))
+  }
+
+  test("substring dedup: whole-document duplicate drops; short docs clamp like exact dedup") {
+    import graft.operators.SegmentDedup
+    val long = (0 until 12).map(i => s"t$i").mkString(" ")
+    val got = SegmentDedup
+      .dedupSubstrings(
+        Seq((1L, long), (2L, long), (3L, "tiny doc"), (4L, "tiny doc")).toDF("doc_id", "text"),
+        minTokens = 6
+      )
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+    assert(got.toSeq === Seq((1L, long), (3L, "tiny doc")))
+  }
+
+  test("substring dedup: corpus with no duplicated runs passes through unchanged") {
+    import graft.operators.SegmentDedup
+    val crafted = Seq(
+      (1L, (0 until 10).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 10).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = SegmentDedup.dedupSubstrings(crafted, 6)
+    assert(got.orderBy("doc_id").as[(Long, String)].collect().toSeq ===
+      crafted.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+  }
+
   // -------------------------------------------------------- sourceReputation
 
   test("sourceReputation: hand-checked profile over crafted sources") {
