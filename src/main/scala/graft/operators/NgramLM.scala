@@ -97,12 +97,15 @@ object NgramLM {
     )
   }
 
-  /** Score `docs` under `model`: one row per document,
-    * `(idCol, n_grams, n_unseen, rarity_avg)` — gram count, how many
-    * bigrams the model never saw, and the mean integer rarity
-    * (`sum div count`; lower = more fluent under the model). All BIGINT.
+  /** The STATELESS half of scoring: one row per bigram occurrence of
+    * `docs`, `(idCol, rarity, unseen)` — the model lookups and the
+    * integer rarity arithmetic, no aggregation. This is the frame a
+    * STREAMING scorer can build (explode + broadcast joins plan with no
+    * streaming state — see `StreamingOps.scoreRarityAgainst`); the
+    * per-document aggregate then runs in batch land (`foreachBatch`),
+    * where it is exact.
     */
-  def score(
+  def scoredGrams(
       docs: DataFrame,
       model: Model,
       textCol: String = "text",
@@ -119,6 +122,21 @@ object NgramLM {
         expr(s"((coalesce(cp, 0L) + v) * ${Scale}L) div (coalesce(c, 0L) + 1L)").as("rarity"),
         when(col("c").isNull, 1L).otherwise(0L).as("unseen")
       )
+  }
+
+  /** Score `docs` under `model`: one row per document,
+    * `(idCol, n_grams, n_unseen, rarity_avg)` — gram count, how many
+    * bigrams the model never saw, and the mean integer rarity
+    * (`sum div count`; lower = more fluent under the model). All BIGINT.
+    */
+  def score(
+      docs: DataFrame,
+      model: Model,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastModel: Boolean = true
+  ): DataFrame =
+    scoredGrams(docs, model, textCol, idCol, broadcastModel)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -131,7 +149,6 @@ object NgramLM {
         col("n_unseen"),
         expr("rarity_sum div n_grams").as("rarity_avg")
       )
-  }
 
   /** The filter form: documents of `docs` whose mean rarity stays under
     * `maxRarityAvg` — the CCNet "keep the head" admission step, composed

@@ -294,6 +294,39 @@ object StreamingOps {
       .select(col("doc_id"), col("gh"))
   }
 
+  /** Streaming LM-RARITY scoring — [[graft.operators.NgramLM.score]]
+    * applied to in-flight documents against a model trained once on a
+    * static reference ([[graft.operators.NgramLM.train]]): the crawl-time
+    * fluency gate, scoring each arriving page before it lands.
+    *
+    * Same discipline as [[decontaminateAgainst]]: the model's count
+    * tables are persisted static frames and the stream side is ONE
+    * stateless projection — explode the gram pairs, broadcast-join the
+    * lookups — returning `(doc_id, rarity, unseen)` per gram occurrence
+    * with NO streaming state. A groupBy here would plan a StateStore
+    * aggregation (and never emit in append mode); instead the per-doc
+    * aggregate belongs in `foreachBatch`, where it is micro-batch-exact
+    * because a document's grams arrive with the document:
+    * {{{
+    *   .foreachBatch { (b, _) =>
+    *     b.groupBy("doc_id").agg(count("*"), sum("unseen"), sum("rarity"))...
+    *   }
+    * }}}
+    * (`NgramLM.score` on the batch frame computes exactly that.)
+    */
+  def scoreRarityAgainst(
+      reference: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    val model = graft.operators.NgramLM.train(reference)
+    val persisted = graft.operators.NgramLM.Model(
+      grams = model.grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      prefixes = model.prefixes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      vocab = model.vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    )
+    graft.operators.NgramLM.scoredGrams(stream, persisted)
+  }
+
   /** Watermarked STREAM-STREAM interval join — the attribution shape: for
     * each purchase, every signup by the same user in the `window` before
     * it (inclusive on both ends). Both sides carry a watermark and the

@@ -172,6 +172,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming LM-rarity scoring is stateless; foreachBatch aggregate == batch score") {
+    implicit val sqlCtx = spark.sqlContext
+    def walk(start: Int, len: Int): String =
+      (0 until len).map(i => s"t${(start + i) % 10}").mkString(" ")
+    val reference = (0 until 30).map(d => (d.toLong, walk(d % 10, 25))).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, walk(3, 15)), // in-distribution
+      (2L, (0 until 15).map(i => s"t${((7 - i) % 10 + 10) % 10}").mkString(" ")) // reversed
+    )
+    val stream = MemoryStream[(Long, String)]
+    val scored =
+      StreamingOps.scoreRarityAgainst(reference, stream.toDF().toDF("doc_id", "text"))
+    val q = scored.writeStream.outputMode("append").format("memory").queryName("lm_s").start()
+    stream.addData(arrivals); q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty, "scoreRarityAgainst must plan stateless")
+    q.stop()
+    // the foreachBatch-side aggregate over the streamed gram rows ==
+    // NgramLM.score over the same docs as a batch
+    val streamAgg = spark
+      .table("lm_s")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("unseen")).as("n_unseen"),
+        expr("sum(rarity) div count(*)").as("rarity_avg")
+      )
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toSet
+    val model = graft.operators.NgramLM.train(reference)
+    val batch = graft.operators.NgramLM
+      .score(arrivals.toDF("doc_id", "text"), model)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(streamAgg == batch)
+    // and the in-distribution doc scores as more fluent
+    val byDoc = batch.map(r => r._1 -> r._4).toMap
+    assert(byDoc(1L) < byDoc(2L), s"in-distribution ${byDoc(1L)} should beat reversed ${byDoc(2L)}")
+  }
+
   test("streaming near-dup against a static corpus finds each doc's own copy") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, Sf0001, "documents")
