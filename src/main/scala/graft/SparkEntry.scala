@@ -549,6 +549,16 @@ object SparkEntry {
         .score(docs.filter(bucket >= 8), model)
         .orderBy(col("doc_id"))
     }),
+    // top-V vocabulary + per-doc OOV profile: the tokenizer-prep step —
+    // vocab by (count desc, token) with a bounded top-V (no global sort),
+    // OOV rates in integer permille against the broadcast vocabulary
+    "q81_vocab_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Vocabulary.build(docs, 1000)
+      graft.operators.Vocabulary
+        .oovProfile(docs, vocab)
+        .orderBy(col("doc_id"))
+    }),
     // exact-substring dedup at window granularity (Lee et al. 2021):
     // every non-first occurrence of any duplicated >= 6-token run is cut
     // at ARBITRARY positions — the sliding-window upgrade of q70's tiling
@@ -1127,6 +1137,28 @@ object SparkEntry {
            FROM sh l JOIN sh r ON l.doc_id < r.doc_id) v
          WHERE hamming <= 2 ORDER BY doc_a, doc_b"""
     },
+    // vocab/OOV: top-V by (tf desc, tok) — the tie at the V boundary is
+    // broken by the token string, identical on both engines; permille in
+    // integer arithmetic
+    "q81_vocab_oov" ->
+      s"""WITH tf AS (
+           SELECT tok, COUNT(*) AS tf
+           FROM (SELECT unnest(${tokens("text")}) AS tok FROM documents) t0
+           GROUP BY 1
+         ), v AS (
+           SELECT tok, 1 AS inv FROM (
+             SELECT tok, ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS r FROM tf
+           ) rk WHERE r <= 1000
+         ), t AS (
+           SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents
+         )
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+             AS oov_permille
+         FROM t LEFT JOIN v USING (tok)
+         GROUP BY 1 ORDER BY 1""",
     // substring dedup: sliding positional window hashes, first occurrence
     // by the (doc_id, i) total order via ROW_NUMBER (== Spark's
     // min(struct)), per-doc cut-interval arithmetic in list lambdas

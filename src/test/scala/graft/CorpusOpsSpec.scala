@@ -416,6 +416,39 @@ class CorpusOpsSpec extends SparkSpec {
       crafted.orderBy("doc_id").as[(Long, String)].collect().toSeq)
   }
 
+  // ------------------------------------------------------------- vocabulary
+
+  test("vocabulary: hand-checked top-V with count-then-token tie-break") {
+    import graft.operators.Vocabulary
+    val crafted = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a d d")
+    ).toDF("doc_id", "text")
+    // counts: a=3 b=3 d=2 c=1; top-3 = a(3), b(3), d(2) — tie a<b by token
+    val got = Vocabulary.build(crafted, 3).as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L, 1L), ("b", 3L, 2L), ("d", 2L, 3L)))
+  }
+
+  test("vocabulary: OOV profile counts exactly the out-of-vocab tokens") {
+    import graft.operators.Vocabulary
+    val corpus = Seq((1L, "b b b a a c"), (2L, "a d d")).toDF("doc_id", "text")
+    val vocab = Vocabulary.build(corpus, 3) // {a, b, d}
+    val got = Vocabulary
+      .oovProfile(corpus, vocab)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    // doc 1: 6 tokens, 1 oov (c) -> 166 permille; doc 2: 3 tokens, 0 oov
+    assert(got === Seq((1L, 6L, 1L, 166L), (2L, 3L, 0L, 0L)))
+  }
+
+  test("vocabulary: top-V plans as a bounded TakeOrderedAndProject, not a global sort") {
+    import graft.operators.Vocabulary
+    val p = Vocabulary.build(docs, 100).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-V:\n$p")
+  }
+
   // -------------------------------------------------------- sourceReputation
 
   test("sourceReputation: hand-checked profile over crafted sources") {
