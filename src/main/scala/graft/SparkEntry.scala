@@ -549,6 +549,17 @@ object SparkEntry {
         .score(docs.filter(bucket >= 8), model)
         .orderBy(col("doc_id"))
     }),
+    // the HYGIENE-composed pipeline: scrub -> quality -> repetition
+    // filter -> decontaminate -> exact+near dedup -> temperature mix ->
+    // chunk+pack, seven stages end to end (q82 gates the composition;
+    // each stage is gated alone by q22/q67/q66/q20/q42/q78/q60)
+    "q82_hygienic_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = GraftExpressions.poly_hash(col("text")) % 10
+      graft.operators.Pipeline
+        .hygienicTrainingData(docs.filter(bucket < 9), docs.filter(bucket >= 9))
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
     // top-V vocabulary + per-doc OOV profile: the tokenizer-prep step —
     // vocab by (count desc, token) with a bounded top-V (no global sort),
     // OOV rates in integer permille against the broadcast vocabulary
@@ -1533,6 +1544,124 @@ object SparkEntry {
            WHERE rn <= 40
          ), samp AS (
            SELECT surv.doc_id, surv.lang, surv.text FROM surv JOIN bal USING (doc_id)
+         ), tt AS (
+           SELECT doc_id, lang, $tok AS toks FROM samp
+         ), chnk AS (
+           SELECT doc_id, lang, i AS chunk_idx,
+             CAST(len(string_split(array_to_string(toks[i*56+1:i*56+64], ' '), ' ')) AS BIGINT) AS n_tok
+           FROM tt, unnest(range(0, greatest(CAST(ceil(len(toks) / 56.0) AS INT), 1))) AS u(i)
+         ), run AS (
+           SELECT doc_id, lang, chunk_idx, n_tok,
+             SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM chnk
+         )
+         SELECT doc_id, lang, CAST((cum - n_tok) // 96 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM run GROUP BY 1, 2, 3 ORDER BY 1, 3"""
+    },
+    // hygiene-composed pipeline: the q65 chain with the repetition filter
+    // (rounded fractions, like the engine), benchmark decontamination
+    // (scrubbed both sides), and the sqrt-temperature mix replacing the
+    // fixed balanced sample — seven mirrored stages in one CTE chain
+    "q82_hygienic_pipeline" -> {
+      val r = Dedup.RowsPerBand
+      val tok = tokens("text")
+      val nTok = s"len($tok)"
+      val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
+      val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
+      val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
+      val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
+      val stopScore = s"least(1.0, $stopRatio * 5.0)"
+      val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+      val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
+      val quality = s"(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore)"
+      val scrubExpr =
+        s"regexp_replace(regexp_replace(text, '${TextFunctions.EmailRegex}', '<email>', 'g'), " +
+          s"'${TextFunctions.LongNumberRegex}', '<num>', 'g')"
+      s"""WITH RECURSIVE raw AS (
+           SELECT doc_id, lang, text, (${polyHash("text")} % 10) AS bkt FROM documents
+         ), scrubbed AS (
+           SELECT doc_id, lang, $scrubExpr AS text FROM raw WHERE bkt < 9
+         ), benchs AS (
+           SELECT $scrubExpr AS text FROM raw WHERE bkt >= 9
+         ), bgrams AS (
+           SELECT DISTINCT unnest(${shingleHashesDistinct("text", 4)}) AS gh FROM benchs
+         ), qual AS (
+           SELECT doc_id, lang, text FROM scrubbed WHERE $quality >= 0.4275
+         ), repg AS (
+           SELECT doc_id, gh, COUNT(*) AS c FROM (
+             SELECT doc_id, unnest(${positionalShingleHashes("text", 2)}) AS gh FROM qual
+           ) g0 GROUP BY 1, 2
+         ), repk AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, SUM(c) AS ng, COUNT(*) AS nd, MAX(c) AS tc
+             FROM repg GROUP BY 1) rs
+           WHERE round(1.0 - CAST(nd AS DOUBLE) / CAST(ng AS DOUBLE), 6) <= 0.3
+             AND round(CAST(tc AS DOUBLE) / CAST(ng AS DOUBLE), 6) <= 0.2
+         ), nonrep AS (
+           SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN repk USING (doc_id)
+         ), cont AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT doc_id, unnest(${shingleHashesDistinct("text", 4)}) AS gh FROM nonrep
+           ) cg JOIN bgrams USING (gh)
+         ), cleand AS (
+           SELECT nonrep.doc_id, nonrep.lang, nonrep.text FROM nonrep
+           WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         ), ex AS (
+           SELECT MIN(doc_id) AS doc_id FROM cleand GROUP BY text
+         ), exd AS (
+           SELECT cleand.doc_id, cleand.lang, cleand.text FROM cleand JOIN ex USING (doc_id)
+         ), sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
+             ${shingleHashesDistinct("text")} AS sh
+           FROM exd
+         ), bands AS (
+           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b
+           FROM bands l JOIN bands rr
+             ON l.b = rr.b AND l.band_key = rr.band_key AND l.doc_id < rr.doc_id
+         ), pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
+             FROM cand
+             JOIN sig sa ON doc_a = sa.doc_id
+             JOIN sig sb ON doc_b = sb.doc_id) v
+           WHERE j >= 0.8
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), reach(n, l) AS (
+           SELECT doc_id, doc_id FROM exd
+           UNION
+           SELECT e.src, r2.l FROM edges e JOIN reach r2 ON e.dst = r2.n
+         ), cc AS (
+           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+         ), scored AS (
+           SELECT doc_id, round($quality, 6) AS score FROM exd
+         ), ranked AS (
+           SELECT c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY s.score DESC, c.doc_id) AS rn
+           FROM cc c JOIN scored s ON c.doc_id = s.doc_id
+         ), surv AS (
+           SELECT exd.doc_id, exd.lang, exd.text
+           FROM exd JOIN ranked ON exd.doc_id = ranked.doc_id AND ranked.rn = 1
+         ), lc AS (
+           SELECT lang, COUNT(*) AS n_g FROM surv GROUP BY 1
+         ), lm AS (
+           SELECT MIN(n_g) AS n_min FROM lc
+         ), lthr AS (
+           SELECT lang,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS thr
+           FROM lc, lm
+         ), samp AS (
+           SELECT surv.doc_id, surv.lang, surv.text
+           FROM surv JOIN lthr USING (lang)
+           WHERE (${polyHash("text")} % 1000000) < thr
          ), tt AS (
            SELECT doc_id, lang, $tok AS toks FROM samp
          ), chnk AS (

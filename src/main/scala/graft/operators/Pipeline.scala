@@ -122,6 +122,86 @@ object Pipeline {
     survivors.join(picks, Seq(idCol), "left_semi")
   }
 
+  /** The HYGIENE-composed pipeline — [[selectCorpus]]'s chain extended
+    * with the round-5 corpus-hygiene stages, in the order a production
+    * corpus build runs them:
+    *
+    *   scrub → quality gate → repetition filter → benchmark
+    *   decontamination → exact dedup → near dedup (best-quality rep)
+    *         → temperature mixture
+    *
+    * and [[hygienicTrainingData]] packs the result. Every stage is
+    * individually gated (q22/q67/q66/q20/q42/q78); this gates their
+    * COMPOSITION — the id-handoff contracts and checkpoint scopes across
+    * SEVEN stages, twice the q65 chain. Replaces q65's fixed
+    * balanced-sample stage with the corpus-derived temperature mix, so
+    * the final mixing pressure adapts as upstream filters reshape the
+    * group balance — which is exactly the interaction a per-stage gate
+    * cannot see.
+    *
+    * Scale shape matches [[selectCorpus]]: scan-shaped filters, one
+    * min_by hash-aggregate, the banded-LSH near-dedup, two
+    * localCheckpoints at the cluster boundaries, and the broadcast
+    * temperature rate table. The benchmark side is scrubbed with the
+    * same chain before indexing (scrub-before-hash discipline — a
+    * benchmark item differing from a corpus page only in an email must
+    * still decontaminate it).
+    */
+  def selectHygienic(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      cfg: Config = Config(),
+      maxDupFrac: Double = 0.3,
+      maxTopFrac: Double = 0.2,
+      decontamK: Int = 4,
+      temperature: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      groupCol: String = "lang"
+  ): DataFrame = {
+    val scrubbed = docs.select(
+      col(idCol),
+      col(groupCol),
+      TextFunctions.scrub(col(textCol)).as(textCol)
+    )
+    val benchScrubbed = benchmark.select(TextFunctions.scrub(col(textCol)).as(textCol))
+    val qualified = scrubbed
+      .filter(TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality)
+    val nonRepetitive =
+      Repetition.filterRepetitive(qualified, 2, maxDupFrac, maxTopFrac, textCol, idCol)
+    val decontaminated =
+      Decontaminate.clean(nonRepetitive, benchScrubbed, decontamK, textCol, idCol)
+    val exactKept = decontaminated
+      .groupBy(col(textCol))
+      .agg(min_by(struct(col(idCol), col(groupCol)), col(idCol)).as("__keeper"))
+      .select(col(s"__keeper.$idCol"), col(s"__keeper.$groupCol"), col(textCol))
+      .localCheckpoint(true)
+    val reps = Dedup
+      .dedupNearBest(exactKept, cfg.nearDupThreshold, textCol, idCol)
+      .select(col("doc_id").as(idCol))
+    val survivors = exactKept.join(reps, Seq(idCol), "left_semi").localCheckpoint(true)
+    Sampling.temperatureFlatten(survivors, groupCol, textCol, temperature)
+  }
+
+  /** [[selectHygienic]] packed into training sequences — the q82 gate. */
+  def hygienicTrainingData(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      cfg: Config = Config(),
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      groupCol: String = "lang"
+  ): DataFrame =
+    SequencePack.pack(
+      selectHygienic(docs, benchmark, cfg, textCol = textCol, idCol = idCol, groupCol = groupCol),
+      cfg.budget,
+      cfg.chunkSize,
+      cfg.overlap,
+      textCol,
+      idCol,
+      carry = Seq(groupCol)
+    )
+
   /** Build AND persist the training corpus: run the selection, write it
     * through the sharded parquet sink with the reference's layout
     * envelope (524k-row shards, 1 MiB pages — `ShardedParquetSink`), and

@@ -109,4 +109,39 @@ class PipelineSpec extends SparkSpec {
     // quality resolves to the min id — one survivor, doc 1
     assert(kept === Set(1L))
   }
+
+  test("hygienic pipeline: each new stage bites on a crafted corpus, composition holds") {
+    import spark.implicits._
+    // 100 DISTINCT tokens: lenScore 1.0 alone passes the quality gate
+    // (0.5 + punctScore 0.2 = 0.7) and repetition stays near zero
+    val base = (0 until 100).map(i => s"w$i").mkString(" ")
+    val other = (100 until 200).map(i => s"v$i").mkString(" ")
+    val benchRun = (1 to 10).map(i => s"bench$i").mkString(" ")
+    val crafted = Seq(
+      (1L, "en", base + " unique one"), // survives everything
+      (2L, "en", base + " unique one"), // exact dup of 1 -> collapses
+      (3L, "en", Seq.fill(120)("loop").mkString(" ")), // repetitive -> cut (dup_frac ~1)
+      (4L, "en", s"$other $benchRun"), // contains a benchmark 4-gram -> decontaminated
+      (5L, "fr", other + " autre chose")
+    ).toDF("doc_id", "lang", "text")
+    val benchmark = Seq((900L, "xx", benchRun)).toDF("doc_id", "lang", "text")
+    val selected = Pipeline.selectHygienic(crafted, benchmark)
+    val ids = selected.select("doc_id").as[Long].collect().toSet
+    // 2 collapsed into 1, 3 repetitive, 4 contaminated; 1 and 5 survive
+    // (fr is the rarest group -> temperature keeps it whole; en's single
+    // survivor group also keeps rate 1.0 since both groups have size 1)
+    assert(ids === Set(1L, 5L))
+    // token conservation through packing: packed n_tokens sums to the
+    // selected docs' CHUNK tokens (overlap duplicates overlap*(nChunks-1)
+    // tokens per doc by design — compare against independent chunking)
+    val packed = Pipeline.hygienicTrainingData(crafted, benchmark)
+    val packedTokens = packed.agg(sum("n_tokens")).as[Long].head()
+    val chunkTokens = selected
+      .select(explode(TextFunctions.chunks(col("text"), 64, 8)).as("c"))
+      .select(size(TextFunctions.tokens(col("c"))).cast("long").as("n"))
+      .agg(sum("n"))
+      .as[Long]
+      .head()
+    assert(packedTokens === chunkTokens)
+  }
 }
