@@ -128,9 +128,59 @@ object Profile {
     spark.stop()
   }
 
+  /** Decompose [[graft.operators.Decontaminate.overlapReport]] at two
+    * corpus sizes INSIDE ONE JVM — same host conditions, warm JIT on the
+    * second pass — to separate algorithmic scaling from run-to-run host
+    * variance (the corpus smoke showed a 16→146 s swing on identical
+    * 200k inputs).
+    */
+  private def deconMain(args: Array[String]): Unit = {
+    val spark = GraftSession.local("prof-decon", 32)
+    import spark.implicits._
+    def mix(x: Long): Long = {
+      var h = (x * 2654435761L) % 2147483648L
+      h = h ^ (h >> 15); h = (h * 48271L) % 2147483648L; h ^ (h >> 13)
+    }
+    def genText(id: Long): String =
+      (0 until 50).map(i => "tok" + (mix(id * 53L + i) % 5000L)).mkString(" ")
+    val banner = "cookie notice accept all terms privacy policy applies here now"
+    def corpus(n: Long) = spark
+      .range(n)
+      .map { id =>
+        val b = genText(id); (id, if (id % 5 == 0) s"$b $banner" else b)
+      }
+      .toDF("doc_id", "text")
+      .persist()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[decon] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    Seq(100000L, 200000L).foreach { n =>
+      val docs = corpus(n)
+      println(s"[decon] ==== n=$n (docs=${docs.count()})")
+      val bench = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+      (1 to 2).foreach { pass =>
+        time(s"corpus explode only (pass $pass)") {
+          docs
+            .select(explode(graft.functions.TextFunctions.shingleHashes(col("text"), 5)).as("gh"))
+            .count()
+        }
+        time(s"index build only (pass $pass)") {
+          graft.operators.Decontaminate.benchmarkIndex(bench, 5).count()
+        }
+        time(s"full overlapReport (pass $pass)") {
+          graft.operators.Decontaminate.overlapReport(docs, bench, 5).count()
+        }
+      }
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pipeline")) { pipelineMain(args); return }
     if (args.headOption.contains("micro")) { microMain(args); return }
+    if (args.headOption.contains("decon")) { deconMain(args); return }
     val spark = GraftSession.local("prof", 32)
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val docs = Tables.load(spark, dir, "documents")
