@@ -128,4 +128,46 @@ object OracleFragments {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(${tokens(col)}, t -> list_contains($lst, t)))"
   }
+
+  /** The near-dup CLUSTERING chain — MinHash signatures, banded candidate
+    * join, Jaccard verification at `threshold`, recursive min-label
+    * connected components — as a CTE sequence `sig … cc` over a source
+    * CTE/table `src` with columns `(doc_id, text)`. The single source of
+    * truth for the five cluster-family oracles (q32/q38/q65/q79/q82):
+    * banding parameters, the verification threshold convention, and the
+    * reach seeding all live HERE, once. Embed inside a
+    * `WITH RECURSIVE …` (the `reach` member is recursive) and read the
+    * result from `cc (doc_id, cluster_id)`.
+    */
+  def clusterChain(src: String, threshold: Double = 0.8): String = {
+    val r = Dedup.RowsPerBand
+    s"""sig AS (
+           SELECT doc_id, ${minhashSignature("text")} AS sig,
+             ${shingleHashesDistinct("text")} AS sh
+           FROM $src
+         ), bands AS (
+           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
+           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
+         ), cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b
+           FROM bands l JOIN bands rr
+             ON l.b = rr.b AND l.band_key = rr.band_key AND l.doc_id < rr.doc_id
+         ), pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
+             FROM cand
+             JOIN sig sa ON doc_a = sa.doc_id
+             JOIN sig sb ON doc_b = sb.doc_id) v
+           WHERE j >= $threshold
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), reach(n, l) AS (
+           SELECT doc_id, doc_id FROM $src
+           UNION
+           SELECT e.src, r2.l FROM edges e JOIN reach r2 ON e.dst = r2.n
+         ), cc AS (
+           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+         )"""
+  }
 }

@@ -1170,20 +1170,22 @@ object SparkEntry {
              AS oov_permille
          FROM t LEFT JOIN v USING (tok)
          GROUP BY 1 ORDER BY 1""",
-    // substring dedup: sliding positional window hashes, first occurrence
-    // by the (doc_id, i) total order via ROW_NUMBER (== Spark's
-    // min(struct)), per-doc cut-interval arithmetic in list lambdas
+    // substring dedup: sliding positional window STRINGS (text identity,
+    // not hashes — the operator deletes text, so collisions are not
+    // acceptable), first occurrence by the (doc_id, i) total order via
+    // ROW_NUMBER (== Spark's min(struct)), per-doc cut intervals in list
+    // lambdas
     "q80_substring_dedup" -> {
-      val hs = positionalShingleHashes("text", 6)
+      val ws = positionalShingles("text", 6)
       s"""WITH toks AS (
-           SELECT doc_id, ${tokens("text")} AS t, $hs AS hs FROM documents
+           SELECT doc_id, ${tokens("text")} AS t, $ws AS ws FROM documents
          ), occ AS (
-           SELECT doc_id, unnest(range(0, len(hs))) AS i, unnest(hs) AS h
+           SELECT doc_id, unnest(range(0, len(ws))) AS i, unnest(ws) AS w
            FROM toks
          ), r AS (
-           SELECT doc_id, i, h,
-             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
-             COUNT(*) OVER (PARTITION BY h) AS n_occ
+           SELECT doc_id, i, w,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn,
+             COUNT(*) OVER (PARTITION BY w) AS n_occ
            FROM occ
          ), cuts AS (
            SELECT doc_id, list_sort(list(i)) AS cuts
@@ -1207,34 +1209,7 @@ object SparkEntry {
     // id equals the min-label cluster id)
     "q79_split_by_cluster" -> {
       val r = Dedup.RowsPerBand
-      s"""WITH RECURSIVE sig AS (
-           SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingleHashesDistinct("text")} AS sh
-           FROM documents
-         ), bands AS (
-           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
-           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
-         ), cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM bands l JOIN bands r
-             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-         ), pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
-             FROM cand
-             JOIN sig sa ON doc_a = sa.doc_id
-             JOIN sig sb ON doc_b = sb.doc_id) v
-           WHERE j >= 0.8
-         ), edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs
-         ), reach(n, l) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
-         ), cc AS (
-           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
-         ), rep AS (
+      s"""WITH RECURSIVE ${clusterChain("documents")}, rep AS (
            SELECT doc_id AS cluster_id, ${polyHash("text")} AS rh FROM documents
          )
          SELECT cc.doc_id, cc.cluster_id,
@@ -1243,94 +1218,17 @@ object SparkEntry {
     },
     "q32_dedup_clusters" -> {
       val r = Dedup.RowsPerBand
-      s"""WITH RECURSIVE sig AS (
-           SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingleHashesDistinct("text")} AS sh
-           FROM documents
-         ), bands AS (
-           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
-           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
-         ), cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM bands l JOIN bands r
-             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-         ), pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
-             FROM cand
-             JOIN sig sa ON doc_a = sa.doc_id
-             JOIN sig sb ON doc_b = sb.doc_id) v
-           WHERE j >= 0.8
-         ), edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs
-         ), reach(n, l) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
-         )
-         SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id"""
+      s"""WITH RECURSIVE ${clusterChain("documents")}
+         SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""
     },
     "q38_dedup_clusters_star" -> {
       val r = Dedup.RowsPerBand
-      s"""WITH RECURSIVE sig AS (
-           SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingleHashesDistinct("text")} AS sh
-           FROM documents
-         ), bands AS (
-           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
-           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
-         ), cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM bands l JOIN bands r
-             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-         ), pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
-             FROM cand
-             JOIN sig sa ON doc_a = sa.doc_id
-             JOIN sig sb ON doc_b = sb.doc_id) v
-           WHERE j >= 0.8
-         ), edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs
-         ), reach(n, l) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
-         )
-         SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id"""
+      s"""WITH RECURSIVE ${clusterChain("documents")}
+         SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""
     },
     "q36_dedup_near" -> {
       val r = Dedup.RowsPerBand
-      s"""WITH RECURSIVE sig AS (
-           SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingleHashesDistinct("text")} AS sh
-           FROM documents
-         ), bands AS (
-           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
-           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
-         ), cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM bands l JOIN bands r
-             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-         ), pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
-             FROM cand
-             JOIN sig sa ON doc_a = sa.doc_id
-             JOIN sig sb ON doc_b = sb.doc_id) v
-           WHERE j >= 0.8
-         ), edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs
-         ), reach(n, l) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
-         ), cc AS (
-           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
-         ), sizes AS (
+      s"""WITH RECURSIVE ${clusterChain("documents")}, sizes AS (
            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM cc GROUP BY 1
          )
          SELECT c.doc_id, s.n_members FROM cc c JOIN sizes s ON c.cluster_id = s.cluster_id
@@ -1349,34 +1247,7 @@ object SparkEntry {
       val stopScore = s"least(1.0, $stopRatio * 5.0)"
       val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
       val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
-      s"""WITH RECURSIVE sig AS (
-           SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingleHashesDistinct("text")} AS sh
-           FROM documents
-         ), bands AS (
-           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
-           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
-         ), cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM bands l JOIN bands r
-             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-         ), pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
-             FROM cand
-             JOIN sig sa ON doc_a = sa.doc_id
-             JOIN sig sb ON doc_b = sb.doc_id) v
-           WHERE j >= 0.8
-         ), edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs
-         ), reach(n, l) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.src, r2.l FROM edges e JOIN reach r2 ON e.dst = r2.n
-         ), cc AS (
-           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
-         ), scored AS (
+      s"""WITH RECURSIVE ${clusterChain("documents")}, scored AS (
            SELECT doc_id,
              round(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore, 6) AS score
            FROM documents
@@ -1494,34 +1365,7 @@ object SparkEntry {
            SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY text
          ), exd AS (
            SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN ex USING (doc_id)
-         ), sig AS (
-           SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingleHashesDistinct("text")} AS sh
-           FROM exd
-         ), bands AS (
-           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
-           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
-         ), cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b
-           FROM bands l JOIN bands rr
-             ON l.b = rr.b AND l.band_key = rr.band_key AND l.doc_id < rr.doc_id
-         ), pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
-             FROM cand
-             JOIN sig sa ON doc_a = sa.doc_id
-             JOIN sig sb ON doc_b = sb.doc_id) v
-           WHERE j >= 0.8
-         ), edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs
-         ), reach(n, l) AS (
-           SELECT doc_id, doc_id FROM exd
-           UNION
-           SELECT e.src, r2.l FROM edges e JOIN reach r2 ON e.dst = r2.n
-         ), cc AS (
-           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
-         ), scored AS (
+         ), ${clusterChain("exd")}, scored AS (
            -- round to 6 dp like the fused kernel (and q42's oracle): the
            -- engine ranks representatives by the ROUNDED score, so an
            -- unrounded ORDER BY here could pick a different rep when two
@@ -1613,34 +1457,7 @@ object SparkEntry {
            SELECT MIN(doc_id) AS doc_id FROM cleand GROUP BY text
          ), exd AS (
            SELECT cleand.doc_id, cleand.lang, cleand.text FROM cleand JOIN ex USING (doc_id)
-         ), sig AS (
-           SELECT doc_id, ${minhashSignature("text")} AS sig,
-             ${shingleHashesDistinct("text")} AS sh
-           FROM exd
-         ), bands AS (
-           SELECT doc_id, b, array_to_string(sig[b*$r+1:b*$r+$r], '_') AS band_key
-           FROM sig, unnest(range(0, ${Dedup.Bands})) AS t(b)
-         ), cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b
-           FROM bands l JOIN bands rr
-             ON l.b = rr.b AND l.band_key = rr.band_key AND l.doc_id < rr.doc_id
-         ), pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT doc_a, doc_b, ${jaccard("sa.sh", "sb.sh")} AS j
-             FROM cand
-             JOIN sig sa ON doc_a = sa.doc_id
-             JOIN sig sb ON doc_b = sb.doc_id) v
-           WHERE j >= 0.8
-         ), edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs
-         ), reach(n, l) AS (
-           SELECT doc_id, doc_id FROM exd
-           UNION
-           SELECT e.src, r2.l FROM edges e JOIN reach r2 ON e.dst = r2.n
-         ), cc AS (
-           SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
-         ), scored AS (
+         ), ${clusterChain("exd")}, scored AS (
            SELECT doc_id, round($quality, 6) AS score FROM exd
          ), ranked AS (
            SELECT c.doc_id,

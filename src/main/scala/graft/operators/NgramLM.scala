@@ -63,6 +63,24 @@ object NgramLM {
     */
   final case class Model(grams: DataFrame, prefixes: DataFrame, vocab: DataFrame)
 
+  /** Persist all three model frames (MEMORY_AND_DISK) — for scoring many
+    * corpora/batches against one model. The CALLER owns the lifecycle:
+    * pair with [[releaseModel]] when done, or the cached tables outlive
+    * every scorer that used them.
+    */
+  def persistModel(m: Model): Model = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    Model(m.grams.persist(lvl), m.prefixes.persist(lvl), m.vocab.persist(lvl))
+  }
+
+  /** Drop [[persistModel]]'s cache entries. */
+  def releaseModel(m: Model): Unit = {
+    m.grams.unpersist()
+    m.prefixes.unpersist()
+    m.vocab.unpersist()
+    ()
+  }
+
   /** One row per bigram OCCURRENCE of `docs`: `(idCol, p, g)` — the
     * context (unigram-at-i) and bigram (window i..i+1) hashes, position
     * order. Pairing is by position: the unigram stream sliced to the

@@ -47,6 +47,74 @@ object Pipeline {
       overlap: Int = 8
   )
 
+  /** Chunk + pack a selection (q58/q60 semantics); groupCol rides
+    * through the pack aggregate as a carry column so no second pipeline
+    * evaluation is needed to re-attach it. ONE definition shared by both
+    * composed pipelines.
+    */
+  private def packSelection(
+      selected: DataFrame,
+      cfg: Config,
+      textCol: String,
+      idCol: String,
+      groupCol: String
+  ): DataFrame =
+    SequencePack.pack(
+      selected,
+      cfg.budget,
+      cfg.chunkSize,
+      cfg.overlap,
+      textCol,
+      idCol,
+      carry = Seq(groupCol)
+    )
+
+  /** Scrub then quality-gate: PII-shaped redaction BEFORE any hashing
+    * (so duplicates of a page differing only in a scrubbed email still
+    * collapse), then the fused one-kernel quality filter — both
+    * scan-only. Shared stage 1-2 of both composed pipelines.
+    */
+  private def scrubAndGate(
+      docs: DataFrame,
+      minQuality: Double,
+      textCol: String,
+      idCol: String,
+      groupCol: String
+  ): DataFrame =
+    docs
+      .select(col(idCol), col(groupCol), TextFunctions.scrub(col(textCol)).as(textCol))
+      .filter(TextFunctions.qualityScoreFused(col(textCol)) >= minQuality)
+
+  /** Exact + near dedup of a gated frame, checkpoint-scoped: keep the
+    * min-id document per identical text (q20 semantics) as ONE
+    * hash-aggregate carrying the keeper's columns via min_by — the
+    * groupBy + semi-join shape evaluated the upstream scan on BOTH sides
+    * (the dominant cost at 500k docs) and added a second shuffle — then
+    * one best-quality representative per MinHash-LSH cluster (q42
+    * semantics). Both frames localCheckpoint: the clustering loop runs
+    * its own actions per round, and downstream stages read the survivors
+    * more than once; without materialization each action re-runs the
+    * whole upstream chain. Shared dedup core of both composed pipelines —
+    * the checkpoint scoping and keeper-column subtleties live HERE, once.
+    */
+  private def dedupSurvivors(
+      gated: DataFrame,
+      nearDupThreshold: Double,
+      textCol: String,
+      idCol: String,
+      groupCol: String
+  ): DataFrame = {
+    val exactKept = gated
+      .groupBy(col(textCol))
+      .agg(min_by(struct(col(idCol), col(groupCol)), col(idCol)).as("__keeper"))
+      .select(col(s"__keeper.$idCol"), col(s"__keeper.$groupCol"), col(textCol))
+      .localCheckpoint(true)
+    val reps = Dedup
+      .dedupNearBest(exactKept, nearDupThreshold, textCol, idCol)
+      .select(col("doc_id").as(idCol))
+    exactKept.join(reps, Seq(idCol), "left_semi").localCheckpoint(true)
+  }
+
   /** Run the full pipeline; returns one row per training sequence:
     * `(doc_id, <groupCol>, seq_id, n_chunks, n_tokens)`.
     */
@@ -57,18 +125,7 @@ object Pipeline {
       idCol: String = "doc_id",
       groupCol: String = "lang"
   ): DataFrame =
-    // 6. chunk + pack (q58/q60 semantics); groupCol rides through the
-    //    pack aggregate as a carry column so no second pipeline
-    //    evaluation is needed to re-attach it.
-    SequencePack.pack(
-      selectCorpus(docs, cfg, textCol, idCol, groupCol),
-      cfg.budget,
-      cfg.chunkSize,
-      cfg.overlap,
-      textCol,
-      idCol,
-      carry = Seq(groupCol)
-    )
+    packSelection(selectCorpus(docs, cfg, textCol, idCol, groupCol), cfg, textCol, idCol, groupCol)
 
   /** The SELECTION half of the pipeline — stages 1-5 (scrub → quality →
     * exact dedup → near dedup → balanced sample), returning the surviving
@@ -82,38 +139,9 @@ object Pipeline {
       idCol: String = "doc_id",
       groupCol: String = "lang"
   ): DataFrame = {
-    // 1. scrub: PII-shaped redaction BEFORE any hashing, so duplicates of
-    //    a page differing only in a scrubbed email still collapse.
-    val scrubbed = docs.select(
-      col(idCol),
-      col(groupCol),
-      TextFunctions.scrub(col(textCol)).as(textCol)
-    )
-    // 2. quality gate: one codegen'd scan, no shuffle.
-    val qualified = scrubbed
-      .filter(TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality)
-    // 3. exact dedup: keep the min-id document per identical text (q20
-    //    semantics) — ONE hash-aggregate carrying the keeper's columns via
-    //    min_by, instead of groupBy + a semi join back: the join shape
-    //    evaluated the scrub+quality scan above on BOTH sides (the
-    //    dominant cost of the composed pipeline at 500k docs) and added a
-    //    second shuffle. localCheckpoint: the near-dedup stage below runs
-    //    its own actions while clustering; without materialization each
-    //    would re-scan and re-filter the corpus.
-    val exactKept = qualified
-      .groupBy(col(textCol))
-      .agg(min_by(struct(col(idCol), col(groupCol)), col(idCol)).as("__keeper"))
-      .select(col(s"__keeper.$idCol"), col(s"__keeper.$groupCol"), col(textCol))
-      .localCheckpoint(true)
-    // 4. near dedup, quality-aware: one representative per MinHash-LSH
-    //    cluster, the highest-scoring member (q42 semantics).
-    val reps = Dedup
-      .dedupNearBest(exactKept, cfg.nearDupThreshold, textCol, idCol)
-      .select(col("doc_id").as(idCol))
-    // checkpoint the survivors as well: the sampling stage reads them
-    // twice (heap-pick derivation + the semi join back), and each read
-    // would otherwise re-run the cluster-label join and argmax aggregate
-    val survivors = exactKept.join(reps, Seq(idCol), "left_semi").localCheckpoint(true)
+    // stages 1-4: shared scrub → quality → exact+near dedup core
+    val qualified = scrubAndGate(docs, cfg.minQuality, textCol, idCol, groupCol)
+    val survivors = dedupSurvivors(qualified, cfg.nearDupThreshold, textCol, idCol, groupCol)
     // 5. balanced sample: n smallest content hashes per group — the
     //    training-mix step (q63 semantics, bounded-heap, no group sort).
     val picks = Sampling
@@ -159,27 +187,16 @@ object Pipeline {
       idCol: String = "doc_id",
       groupCol: String = "lang"
   ): DataFrame = {
-    val scrubbed = docs.select(
-      col(idCol),
-      col(groupCol),
-      TextFunctions.scrub(col(textCol)).as(textCol)
-    )
+    // stages 1-2: the shared scrub → quality core; the benchmark side is
+    // scrubbed with the same chain before indexing (scrub-before-hash)
+    val qualified = scrubAndGate(docs, cfg.minQuality, textCol, idCol, groupCol)
     val benchScrubbed = benchmark.select(TextFunctions.scrub(col(textCol)).as(textCol))
-    val qualified = scrubbed
-      .filter(TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality)
     val nonRepetitive =
       Repetition.filterRepetitive(qualified, 2, maxDupFrac, maxTopFrac, textCol, idCol)
     val decontaminated =
       Decontaminate.clean(nonRepetitive, benchScrubbed, decontamK, textCol, idCol)
-    val exactKept = decontaminated
-      .groupBy(col(textCol))
-      .agg(min_by(struct(col(idCol), col(groupCol)), col(idCol)).as("__keeper"))
-      .select(col(s"__keeper.$idCol"), col(s"__keeper.$groupCol"), col(textCol))
-      .localCheckpoint(true)
-    val reps = Dedup
-      .dedupNearBest(exactKept, cfg.nearDupThreshold, textCol, idCol)
-      .select(col("doc_id").as(idCol))
-    val survivors = exactKept.join(reps, Seq(idCol), "left_semi").localCheckpoint(true)
+    val survivors =
+      dedupSurvivors(decontaminated, cfg.nearDupThreshold, textCol, idCol, groupCol)
     Sampling.temperatureFlatten(survivors, groupCol, textCol, temperature)
   }
 
@@ -192,14 +209,12 @@ object Pipeline {
       idCol: String = "doc_id",
       groupCol: String = "lang"
   ): DataFrame =
-    SequencePack.pack(
+    packSelection(
       selectHygienic(docs, benchmark, cfg, textCol = textCol, idCol = idCol, groupCol = groupCol),
-      cfg.budget,
-      cfg.chunkSize,
-      cfg.overlap,
+      cfg,
       textCol,
       idCol,
-      carry = Seq(groupCol)
+      groupCol
     )
 
   /** Build AND persist the training corpus: run the selection, write it

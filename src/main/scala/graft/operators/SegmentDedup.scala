@@ -105,17 +105,32 @@ object SegmentDedup {
     * match, so no unique text is cut.
     *
     * Keep policy: the globally first occurrence (min `(doc id, position)`
-    * per window hash — the same total order as [[dedupSegments]]) stays;
+    * per window — the same total order as [[dedupSegments]]) stays;
     * later copies are cut. A document wholly consumed by cuts drops out.
     * Documents shorter than L clamp to one whole-text window (so a short
     * exact duplicate deduplicates like [[Dedup.exact]]).
     *
-    * Scale shape: one posexplode of positional window hashes, one
-    * partial-aggregated hash aggregate (min-occurrence struct + count —
-    * a billion-fold duplicated window collapses map-side), one join back
-    * on the SAME hash key (partitioning reused), then per-document
-    * interval arithmetic in array HOFs — bounded by document length,
-    * never corpus-wide. No windows, no sorts.
+    * Window identity is the window TEXT itself, not its hash — this
+    * operator DELETES text, so a hash collision would silently cut L
+    * innocent tokens, and at corpus scale the ~2^30 polyHash space
+    * guarantees collisions (n²/2P ≈ tens of thousands of colliding pairs
+    * at just 10M windows). Grouping by the string is the same exactness
+    * call [[Dedup.exact]] makes for whole documents; it costs ~5× the
+    * shuffle bytes of an 8-byte hash key and buys the stated guarantee
+    * outright. (Audit-style operators like [[dedupSegments]] and the
+    * MinHash family can afford hash identity — they either keep text or
+    * verify candidates; a destructive cut cannot.)
+    *
+    * Scale shape: one partial-aggregated aggregate on the window string
+    * (a billion-fold duplicated window collapses map-side to one
+    * min-occurrence struct per partition), one equi-join back on the
+    * same key, then per-document interval arithmetic in array HOFs —
+    * bounded by document length, never corpus-wide. No windows, no
+    * sorts. The occurrence explode is evaluated twice (once under the
+    * aggregate, once on the join probe side — the exchanges have
+    * different children, so ReuseExchange cannot merge them); that is
+    * the deliberate lazy-plan trade — materializing the L×-corpus
+    * occurrence frame at 100 TB would cost more than the second scan.
     *
     * Cost caveat vs [[dedupSegments]]: sliding windows explode ~L× more
     * rows than tiling (every position, not every L-th) — that is the
@@ -132,15 +147,15 @@ object SegmentDedup {
     val occ = docs
       .select(
         col(idCol),
-        posexplode(TextFunctions.positionalShingleHashes(col(textCol), L))
-          .as(Seq("i", "h"))
+        posexplode(TextFunctions.positionalShingles(col(textCol), L))
+          .as(Seq("i", "w"))
       )
-      .select(col(idCol), col("i").cast("long").as("i"), col("h"))
+      .select(col(idCol), col("i").cast("long").as("i"), col("w"))
     val firstOcc = occ
-      .groupBy(col("h"))
+      .groupBy(col("w"))
       .agg(min(struct(col(idCol), col("i"))).as("first_occ"), count(lit(1)).as("n_occ"))
     val cutStarts = occ
-      .join(firstOcc, Seq("h"))
+      .join(firstOcc, Seq("w"))
       .filter(col("n_occ") > 1 && struct(col(idCol), col("i")) =!= col("first_occ"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("i"))).as("__cuts"))

@@ -300,13 +300,17 @@ object StreamingOps {
     * fluency gate, scoring each arriving page before it lands.
     *
     * Same discipline as [[decontaminateAgainst]]: the model's count
-    * tables are persisted static frames and the stream side is ONE
-    * stateless projection — explode the gram pairs, broadcast-join the
-    * lookups — returning `(doc_id, rarity, unseen)` per gram occurrence
-    * with NO streaming state. A groupBy here would plan a StateStore
-    * aggregation (and never emit in append mode); instead the per-doc
-    * aggregate belongs in `foreachBatch`, where it is micro-batch-exact
-    * because a document's grams arrive with the document:
+    * tables are static frames (train once with `NgramLM.train`, persist
+    * with `NgramLM.persistModel` — the CALLER owns that lifecycle and
+    * releases with `releaseModel`, so a service scoring against many
+    * references does not leak one cached model per reference) and the
+    * stream side is ONE stateless projection — explode the gram pairs,
+    * broadcast-join the lookups — returning `(doc_id, rarity, unseen)`
+    * per gram occurrence with NO streaming state. A groupBy here would
+    * plan a StateStore aggregation (and never emit in append mode);
+    * instead the per-doc aggregate belongs in `foreachBatch`, where it
+    * is micro-batch-exact because a document's grams arrive with the
+    * document:
     * {{{
     *   .foreachBatch { (b, _) =>
     *     b.groupBy("doc_id").agg(count("*"), sum("unseen"), sum("rarity"))...
@@ -315,17 +319,10 @@ object StreamingOps {
     * (`NgramLM.score` on the batch frame computes exactly that.)
     */
   def scoreRarityAgainst(
-      reference: DataFrame,
+      model: graft.operators.NgramLM.Model,
       stream: DataFrame
-  ): DataFrame = {
-    val model = graft.operators.NgramLM.train(reference)
-    val persisted = graft.operators.NgramLM.Model(
-      grams = model.grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      prefixes = model.prefixes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      vocab = model.vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    )
-    graft.operators.NgramLM.scoredGrams(stream, persisted)
-  }
+  ): DataFrame =
+    graft.operators.NgramLM.scoredGrams(stream, model)
 
   /** Watermarked STREAM-STREAM interval join — the attribution shape: for
     * each purchase, every signup by the same user in the `window` before

@@ -182,12 +182,15 @@ class StreamingSpec extends SparkSpec {
       (2L, (0 until 15).map(i => s"t${((7 - i) % 10 + 10) % 10}").mkString(" ")) // reversed
     )
     val stream = MemoryStream[(Long, String)]
+    val model =
+      graft.operators.NgramLM.persistModel(graft.operators.NgramLM.train(reference))
     val scored =
-      StreamingOps.scoreRarityAgainst(reference, stream.toDF().toDF("doc_id", "text"))
+      StreamingOps.scoreRarityAgainst(model, stream.toDF().toDF("doc_id", "text"))
     val q = scored.writeStream.outputMode("append").format("memory").queryName("lm_s").start()
     stream.addData(arrivals); q.processAllAvailable()
     assert(q.lastProgress.stateOperators.isEmpty, "scoreRarityAgainst must plan stateless")
     q.stop()
+    graft.operators.NgramLM.releaseModel(model)
     // the foreachBatch-side aggregate over the streamed gram rows ==
     // NgramLM.score over the same docs as a batch
     val streamAgg = spark
@@ -201,7 +204,6 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)]
       .collect()
       .toSet
-    val model = graft.operators.NgramLM.train(reference)
     val batch = graft.operators.NgramLM
       .score(arrivals.toDF("doc_id", "text"), model)
       .as[(Long, Long, Long, Long)]
