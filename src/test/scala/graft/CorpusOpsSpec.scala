@@ -405,6 +405,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, long), (3L, "tiny doc")))
   }
 
+  test("empty inputs: hygiene operators return empty frames, never crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyL = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(Decontaminate.overlapReport(empty, empty, 4).count() === 0L)
+    assert(Repetition.gramStats(empty, 2).count() === 0L)
+    assert(operators.SegmentDedup.dedupSubstrings(empty, 6).count() === 0L)
+    assert(Sampling.temperatureFlatten(emptyL, "lang", "text", 2).count() === 0L)
+    assert(operators.Vocabulary.build(empty, 10).count() === 0L)
+    // empty reference model: every candidate gram is unseen, V = 0
+    val m = operators.NgramLM.train(empty)
+    val scored = operators.NgramLM
+      .score(Seq((1L, "a b c")).toDF("doc_id", "text"), m)
+      .collect()
+      .head
+    assert(scored.getAs[Long]("n_unseen") === 2L && scored.getAs[Long]("rarity_avg") === 0L)
+  }
+
   test("substring dedup: corpus with no duplicated runs passes through unchanged") {
     import graft.operators.SegmentDedup
     val crafted = Seq(
