@@ -686,6 +686,13 @@ object SparkEntry {
         .annIvf(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // IVF cell pruning + int8 candidate scoring — q37's pruning composed
+    // with q77's quantization: the memory-compressed billion-scale scan
+    "q83_ann_ivf_quantized" -> ((s, dir) => {
+      Similarity
+        .annIvfQuantized(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // end-to-end multimodal pipeline: binary payload -> partition-parallel
     // decode (stub codec, real plumbing) -> similarity over the decoded
     // features. The decode stage is mapPartitions (not SQL), but the STUB
@@ -2014,6 +2021,58 @@ object SparkEntry {
            JOIN assign1 a ON pr.cell = a.cell AND pr.vec_id <> a.vec_id
            JOIN embeddings qe ON qe.vec_id = pr.vec_id
            JOIN embeddings ce ON ce.vec_id = a.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM cand
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    },
+    // IVF + int8: q37's trainer/pruning chain verbatim; only the candidate
+    // scoring swaps to the integer code cosine over q77's quantization
+    "q83_ann_ivf_quantized" -> {
+      val p = Similarity.IvfProbes
+      def fold(l: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l), (x, y) -> x + y)"
+      def intCos(a: String, b: String): String = {
+        val dot = fold(s"list_transform(list_zip($a, $b), pz -> CAST(pz[1] AS BIGINT) * CAST(pz[2] AS BIGINT))")
+        val na = fold(s"list_transform($a, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))")
+        val nb = fold(s"list_transform($b, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))")
+        s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+          s"ELSE CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END)"
+      }
+      s"""WITH $ivfTrainerCtes, scores AS (
+           SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+           FROM embeddings e CROSS JOIN $ivfFinalCent ct
+         ), ranked_cells AS (
+           SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+           FROM scores
+         ), assign1 AS (
+           SELECT vec_id, cell FROM ranked_cells WHERE r = 1
+         ), probes AS (
+           SELECT vec_id, cell FROM ranked_cells WHERE r <= $p AND vec_id < 5
+         ), qbase AS (
+           SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,
+             embedding
+           FROM embeddings
+         ), q8 AS (
+           SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT))
+             END AS c
+           FROM qbase
+         ), cand AS (
+           SELECT DISTINCT pr.vec_id AS query_id, a.vec_id AS neighbor_id,
+             ${intCos("qc.c", "nc.c")} AS cos
+           FROM probes pr
+           JOIN assign1 a ON pr.cell = a.cell AND pr.vec_id <> a.vec_id
+           JOIN q8 qc ON qc.vec_id = pr.vec_id
+           JOIN q8 nc ON nc.vec_id = a.vec_id
          ), ranked AS (
            SELECT query_id, neighbor_id, cos,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id

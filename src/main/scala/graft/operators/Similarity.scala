@@ -238,6 +238,42 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF cell pruning + INT8 candidate scoring — the memory-compressed
+    * billion-scale recipe (the integer sibling of FAISS's IVFADC): the
+    * trainer, corpus assignment, and query probing run exactly as
+    * [[annIvf]] (full-precision centroids — the C-row codebook is tiny,
+    * compressing it buys nothing), but the CANDIDATE scan — the stage
+    * that touches corpus vectors per query and dominates memory traffic
+    * at scale — reads int8 codes via [[cosineCodes]]: a quarter of the
+    * bytes through the shuffle and cache, composed from the two gated
+    * building blocks (q37's IVF, q77's quantization) with no new
+    * machinery. Recall gated ≥ 0.8 in AnnRecallSpec (cell-pruning recall
+    * × int8 rounding ≈ the q37 figure: int8 costs almost nothing).
+    */
+  def annIvfQuantized(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val centroids = trainedCentroids(e)
+    val rankedCells = topK(cellScores(e, centroids), IvfProbes)
+      .select(col("query_id").as("vec_id"), col("rnk"), col("neighbor_id").as("cell"))
+    val q8 = quantizeInt8(e)
+    val corpusCells = q8.join(rankedCells.filter(col("rnk") === 1).select("vec_id", "cell"), "vec_id")
+    val queryCells = q8
+      .filter(col("vec_id").isin(queryIds: _*))
+      .join(rankedCells.select("vec_id", "cell"), "vec_id")
+    val scored = broadcast(queryCells.as("q"))
+      .join(
+        corpusCells.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id")
+      )
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosineCodes(col("q.codes"), col("c.codes")).as("cos")
+      )
+      .distinct()
+    topK(scored, k)
+  }
+
   /** SEMANTIC dedup (SemDeDup-style: cluster the embedding space, then
     * prune near-identical vectors WITHIN each cluster — Abbas et al. 2023,
     * arXiv:2303.09540): k-means cells from [[trainedCentroids]], exact

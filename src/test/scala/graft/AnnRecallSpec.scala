@@ -74,6 +74,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.8, f"int8 quantization broke recall: $recall%.3f < 0.8")
   }
 
+  test("annIvfQuantized recall@10 vs bruteForceTopK >= 0.8 on sf0.1 (IVF + int8)") {
+    // the composition: cell pruning (q37) over int8 candidate codes (q77)
+    // should land at ~the IVF figure — int8 rounding costs almost nothing
+    val emb = Tables.load(spark, Sf01, "embeddings")
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k))
+    val approx = pairs(Similarity.annIvfQuantized(emb, queries, k))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ivf+int8 recall@$k = $recall%.3f (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.8, f"IVF+int8 composition broke recall: $recall%.3f < 0.8")
+  }
+
   test("quantizeInt8: codes are true int8 in [-127,127] and reconstruct within s/254") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, Sf001, "embeddings")
