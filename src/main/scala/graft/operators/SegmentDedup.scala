@@ -132,6 +132,16 @@ object SegmentDedup {
     * the deliberate lazy-plan trade — materializing the L×-corpus
     * occurrence frame at 100 TB would cost more than the second scan.
     *
+    * The per-document rebuild is O(cuts + tokens): the sorted cut
+    * starts collapse to disjoint merged intervals by a LOCAL
+    * neighbor test (all cut intervals share length L, so a cut opens a
+    * new merged interval iff its gap to the previous cut is ≥ L — no
+    * fold that re-copies an accumulator), and the surviving text is
+    * reassembled by slicing the token array once per KEEP gap. The
+    * round-5 shape — `exists(__cuts, …)` per token position — was
+    * O(tokens × cuts) inside a single row: a heavily self-duplicated
+    * 1M-token document (cuts ≈ tokens) went quadratic in one task.
+    *
     * Cost caveat vs [[dedupSegments]]: sliding windows explode ~L× more
     * rows than tiling (every position, not every L-th) — that is the
     * price of position-independence; L is the knob.
@@ -159,6 +169,42 @@ object SegmentDedup {
       .filter(col("n_occ") > 1 && struct(col(idCol), col("i")) =!= col("first_occ"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("i"))).as("__cuts"))
+    val lL = lit(L.toLong)
+    val cuts = col("__cuts")
+    // Merged cut-interval starts/ends from the SORTED, DISTINCT cut
+    // positions. Every cut covers [c, c+L) and all intervals have the
+    // same length, so merged-interval boundaries are decidable from one
+    // neighbor: cut k opens an interval iff cuts[k] − cuts[k−1] ≥ L, and
+    // closes one iff cuts[k+1] − cuts[k] ≥ L. (`element_at` is 1-based;
+    // the `when` guards keep the out-of-range probes unevaluated.)
+    val intervalStarts = filter(
+      transform(
+        cuts,
+        (c, k) => when(k === 0, c).when(c - element_at(cuts, k) >= lL, c)
+      ),
+      x => x.isNotNull
+    )
+    val intervalEnds = filter(
+      transform(
+        cuts,
+        (c, k) =>
+          when(k === size(cuts) - 1, c + lL)
+            .when(element_at(cuts, k + 2) - c >= lL, c + lL)
+      ),
+      x => x.isNotNull
+    )
+    // KEEP gaps are the complement: [0, start_1), [end_1, start_2), …,
+    // [end_m, n). One token-array slice per gap; `greatest(_, 0)` clamps
+    // the short-document case, where the single whole-text cut interval
+    // ends at L > n.
+    val nToks = size(col("__toks")).cast("long")
+    val kept = flatten(
+      zip_with(
+        concat(array(lit(0L)), col("__ends")),
+        concat(col("__starts"), array(nToks)),
+        (a, b) => slice(col("__toks"), (a + 1L).cast("int"), greatest(b - a, lit(0L)).cast("int"))
+      )
+    )
     docs
       .join(cutStarts, Seq(idCol), "left")
       .select(
@@ -168,17 +214,11 @@ object SegmentDedup {
       )
       .select(
         col(idCol),
-        array_join(
-          transform(
-            filter(
-              sequence(lit(0L), size(col("__toks")).cast("long") - 1L),
-              t => !exists(col("__cuts"), s => s <= t && t < s + lit(L.toLong))
-            ),
-            t => element_at(col("__toks"), (t + 1L).cast("int"))
-          ),
-          " "
-        ).as(textCol)
+        col("__toks"),
+        intervalStarts.as("__starts"),
+        intervalEnds.as("__ends")
       )
+      .select(col(idCol), array_join(kept, " ").as(textCol))
       .filter(length(col(textCol)) > 0)
   }
 }

@@ -422,6 +422,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scored.getAs[Long]("n_unseen") === 2L && scored.getAs[Long]("rarity_avg") === 0L)
   }
 
+  test("substring dedup: differential check vs a direct implementation, dense-duplicate corpus") {
+    import graft.operators.SegmentDedup
+    // tiny alphabet → duplicated runs everywhere: dense, overlapping, and
+    // exactly-adjacent cut intervals exercise every branch of the
+    // interval-merge rebuild (the O(cuts + tokens) path) against a direct
+    // per-position implementation of the Lee et al. cut rule
+    val L = 4
+    val rnd = new scala.util.Random(42)
+    val docs: Seq[(Long, String)] = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      id -> (0 until n).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+    }
+    def windows(ts: Array[String]): Seq[(Int, String)] =
+      (0 to math.max(ts.length - L, 0)).map(i => i -> ts.slice(i, math.min(i + L, ts.length)).mkString(" "))
+    val allW = docs.flatMap { case (id, t) => windows(t.split(" ", -1)).map { case (i, w) => (id, i, w) } }
+    val byW = allW.groupBy(_._3)
+    val cutPos: Map[Long, Seq[Int]] = allW
+      .filter { case (id, i, w) => byW(w).size > 1 && byW(w).map(o => (o._1, o._2)).min != ((id, i)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = docs.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1)
+      val cut = Array.fill(ts.length)(false)
+      cutPos.getOrElse(id, Nil).foreach(s => (s until math.min(s + L, ts.length)).foreach(cut(_) = true))
+      val kept = ts.indices.filterNot(cut).map(ts)
+      if (kept.nonEmpty) Some(id -> kept.mkString(" ")) else None
+    }.sortBy(_._1)
+    val got = SegmentDedup
+      .dedupSubstrings(docs.toDF("doc_id", "text"), minTokens = L)
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    assert(got === expected)
+  }
+
   test("substring dedup: corpus with no duplicated runs passes through unchanged") {
     import graft.operators.SegmentDedup
     val crafted = Seq(
