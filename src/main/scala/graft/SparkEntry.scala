@@ -842,11 +842,19 @@ object SparkEntry {
     * then fixed Lloyd rounds of argmax assignment + integer-quantized
     * element-wise means; parallel unnests zip in DuckDB; SUM(BIGINT) cast
     * back down from HUGEINT). The final codebook CTE is [[ivfFinalCent]].
-    * Shared by the q37 (ANN) and q71 (semantic dedup) oracles.
+    * Shared by the q37/q83 (ANN) and q71 (semantic dedup) oracles.
+    *
+    * `cellsOfN` is the codebook-size derivation as a SQL expression over
+    * the corpus count column `n` — [[annCellsSql]] mirrors
+    * `Similarity.annCells` (⌈√(n/2)⌉), [[semDedupCellsSql]] mirrors
+    * `Similarity.semDedupCells` (⌈n/64⌉); both are exact IEEE arithmetic
+    * so the two engines derive the identical C.
     */
   private lazy val ivfFinalCent: String = s"cent${Similarity.IvfLloydRounds}"
-  private lazy val ivfTrainerCtes: String = {
-    val c = Similarity.IvfCells
+  private val annCellsSql: String = "CAST(ceil(sqrt(n / 2.0)) AS BIGINT)"
+  private val semDedupCellsSql: String =
+    s"(n + ${Similarity.SemDedupCellSize - 1}) // ${Similarity.SemDedupCellSize}"
+  private def ivfTrainerCtes(cellsOfN: String): String = {
     val q = Similarity.IvfQuant // prints as 1000000.0
     def lloyd(idx: Int): String =
       s"""s$idx AS (
@@ -870,10 +878,15 @@ object SparkEntry {
          FROM sm$idx GROUP BY cell
        )"""
     val rounds = (0 until Similarity.IvfLloydRounds).map(lloyd).mkString(", ")
-    s"""nn AS (SELECT greatest(1, COUNT(*) // $c) AS stride FROM embeddings),
+    s"""nn AS (
+         SELECT greatest(1, cells0) AS cells,
+           greatest(1, n // greatest(1, cells0)) AS stride
+         FROM (SELECT n, $cellsOfN AS cells0
+               FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings))
+       ),
        cent0 AS (
          SELECT CAST(vec_id // stride AS BIGINT) AS cell, embedding AS c_emb
-         FROM embeddings, nn WHERE vec_id % stride = 0 AND vec_id < stride * $c
+         FROM embeddings, nn WHERE vec_id % stride = 0 AND vec_id < stride * cells
        ), $rounds"""
   }
 
@@ -1759,7 +1772,7 @@ object SparkEntry {
     // SemDeDup: same trainer CTEs as q37, argmax cell assignment, exact
     // intra-cell cosine pairs at >= 0.4, recursive components, min label
     "q71_semdedup" ->
-      s"""WITH RECURSIVE $ivfTrainerCtes, scores AS (
+      s"""WITH RECURSIVE ${ivfTrainerCtes(semDedupCellsSql)}, scores AS (
            SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
            FROM embeddings e CROSS JOIN $ivfFinalCent ct
          ), assigned AS (
@@ -2003,7 +2016,7 @@ object SparkEntry {
     },
     "q37_ann_ivf" -> {
       val p = Similarity.IvfProbes
-      s"""WITH $ivfTrainerCtes, scores AS (
+      s"""WITH ${ivfTrainerCtes(annCellsSql)}, scores AS (
            SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
            FROM embeddings e CROSS JOIN $ivfFinalCent ct
          ), ranked_cells AS (
@@ -2043,7 +2056,7 @@ object SparkEntry {
         s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
           s"ELSE CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END)"
       }
-      s"""WITH $ivfTrainerCtes, scores AS (
+      s"""WITH ${ivfTrainerCtes(annCellsSql)}, scores AS (
            SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
            FROM embeddings e CROSS JOIN $ivfFinalCent ct
          ), ranked_cells AS (

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{GraftExpressions, VectorFunctions}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Similarity search over an embedding column (`array<float>`, fixed dim).
   * North-star extension — the reference has no vector operations
@@ -32,9 +32,42 @@ object Similarity {
   val LshTables = 12
   val LshPlanesPerTable = 10
   val Dim = 64
-  val IvfCells = 32
   val IvfProbes = 12
   val IvfLloydRounds = 2
+
+  /** SemDeDup target cell occupancy: cells = ⌈n/64⌉ pins the expected
+    * cell size at 64 vectors, so the in-cell all-pairs stage does
+    * Σ|cell|² ≈ 64·n work — LINEAR in the corpus and invariant to
+    * scale-up (the round-5 compile-time `IvfCells = 32` made it n²/32:
+    * the one genuine scale-killer the r05 audit found). Derived in-plan
+    * from the corpus count, the same way `SequencePack.packAcrossAuto`
+    * derives its bucket count.
+    */
+  val SemDedupCellSize = 64
+
+  /** ANN codebook size as a function of the corpus count, in-plan:
+    * C = ⌈√(n/2)⌉. Per query, IVF search pays two terms — scoring the
+    * C-row codebook and scanning ~`IvfProbes`·n/C candidates; C ∝ √n
+    * keeps BOTH sublinear (√n each) where any fixed C leaves the
+    * candidate scan a constant fraction of the corpus. The √(n/2)
+    * constant is calibrated so the bench-scale fixture (n = 2000) lands
+    * on the same 32-cell codebook the recall gates were measured on;
+    * `IvfProbes` stays the recall knob.
+    *
+    * Deterministic across engines: n/2.0 is exact (power-of-two divisor),
+    * IEEE-754 sqrt is correctly rounded in both the JVM and DuckDB, and
+    * ceil is exact — so Spark and the oracle derive the identical C.
+    */
+  def annCells(n: Column): Column =
+    ceil(sqrt(n.cast("double") / lit(2.0))).cast("long")
+
+  /** SemDeDup cell count: C = ⌈n/[[SemDedupCellSize]]⌉ (see there). The
+    * float path is exact: n+63 ≤ 2^53 and the divisor is a power of two,
+    * so Spark and DuckDB's `(n + 63) // 64` agree bit-for-bit.
+    */
+  def semDedupCells(n: Column): Column =
+    floor((n.cast("double") + lit((SemDedupCellSize - 1).toDouble)) / lit(SemDedupCellSize.toDouble))
+      .cast("long")
 
   /** Centroid means are computed over integer-QUANTIZED components
     * (`floor(x·1e6 + 0.5)` summed as longs): integer sums are
@@ -132,15 +165,26 @@ object Similarity {
     * [[IvfLloydRounds]] fixed Lloyd iterations (argmax-cosine assignment,
     * integer-quantized element-wise means — see [[IvfQuant]]). Fully lazy
     * and oracle-reproducible; shared by [[annIvf]] and [[semDedup]].
+    *
+    * `cellsOf` derives the codebook size C from the corpus count IN-PLAN
+    * (the count is a 1-row frame cross-joined into the seed, so no knob
+    * is a compile-time constant): [[annCells]] for the ANN paths,
+    * [[semDedupCells]] for semantic dedup. The trainer's own cost is
+    * n·C cosines per Lloyd round (every vector scores every centroid);
+    * at production scale the standard recipe is to TRAIN on a fixed-size
+    * sample (the codebook only needs the distribution, not the corpus)
+    * and reuse this plan shape for assignment — the stage this module
+    * keeps linear-per-vector regardless.
     */
-  def trainedCentroids(e: DataFrame): DataFrame = {
+  def trainedCentroids(e: DataFrame, cellsOf: Column => Column): DataFrame = {
     val nRow = e.agg(count(lit(1)).as("__n"))
     val seed = e
       .crossJoin(broadcast(nRow))
-      .withColumn("__stride", greatest(lit(1L), expr(s"__n div $IvfCells")))
+      .withColumn("__cells", greatest(lit(1L), cellsOf(col("__n"))))
+      .withColumn("__stride", greatest(lit(1L), expr("__n div __cells")))
       .filter(
         col("vec_id") % col("__stride") === 0 &&
-          col("vec_id") < col("__stride") * lit(IvfCells.toLong)
+          col("vec_id") < col("__stride") * col("__cells")
       )
       .select(expr("vec_id div __stride").as("cell"), col("embedding").as("c_emb"))
 
@@ -176,6 +220,9 @@ object Similarity {
 
     (1 to IvfLloydRounds).foldLeft(seed)((c, _) => refine(c))
   }
+
+  /** ANN-sized codebook ([[annCells]]) — the default for search paths. */
+  def trainedCentroids(e: DataFrame): DataFrame = trainedCentroids(e, annCells)
 
   def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
@@ -284,11 +331,14 @@ object Similarity {
     * This is the scale answer to exact all-pairs ([[Dedup.embeddingPairs]]):
     * the O(n²) comparison collapses to Σ|cell|² — the candidate join is an
     * EQUI-join on cell id, so shuffle volume is bounded by cell occupancy,
-    * exactly like [[annIvf]]'s candidate stage. Cross-cell near-dups are
-    * deliberately missed (the SemDeDup approximation; raise [[IvfCells]]'s
-    * granularity or lower it to trade recall for cost). Components reuse
-    * the star-contraction core ([[Dedup.componentsOf]]) — O(log n) rounds,
-    * exact convergence.
+    * exactly like [[annIvf]]'s candidate stage. The cell count is derived
+    * in-plan as ⌈n/[[SemDedupCellSize]]⌉ ([[semDedupCells]]), pinning
+    * expected occupancy — and therefore per-cell pair work — at the
+    * target regardless of corpus size: the pair stage is ~64·n
+    * comparisons at any scale. Cross-cell near-dups are deliberately
+    * missed (the SemDeDup approximation; [[SemDedupCellSize]] trades
+    * recall for cost). Components reuse the star-contraction core
+    * ([[Dedup.componentsOf]]) — O(log n) rounds, exact convergence.
     *
     * The assignment frame is localCheckpoint-ed before clustering: the
     * component loop runs one action per round, and each would otherwise
@@ -299,7 +349,7 @@ object Similarity {
     val e = emb.select(col("vec_id"), col("embedding"))
     val assigned = e
       .join(
-        topK(cellScores(e, trainedCentroids(e)), 1)
+        topK(cellScores(e, trainedCentroids(e, semDedupCells)), 1)
           .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell")),
         "vec_id"
       )
