@@ -1497,8 +1497,8 @@ object SparkEntry {
            FROM lc, lm
          ), samp AS (
            SELECT surv.doc_id, surv.lang, surv.text
-           FROM surv JOIN lthr USING (lang)
-           WHERE (${polyHash("text")} % 1000000) < thr
+           FROM surv JOIN lthr ON surv.lang IS NOT DISTINCT FROM lthr.lang
+           WHERE (${polyHash("surv.text")} % 1000000) < thr
          ), tt AS (
            SELECT doc_id, lang, $tok AS toks FROM samp
          ), chnk AS (
@@ -1560,8 +1560,8 @@ object SparkEntry {
                * 1000000.0) AS BIGINT) AS thr
            FROM c, m
          )
-         SELECT doc_id, lang
-         FROM documents JOIN r USING (lang)
+         SELECT doc_id, documents.lang AS lang
+         FROM documents JOIN r ON documents.lang IS NOT DISTINCT FROM r.lang
          WHERE (${polyHash("text")} % 1000000) < thr
          ORDER BY doc_id""",
     // int8 ANN: quantization replayed per vector (floor(x*127/s + 0.5) is

@@ -38,10 +38,13 @@ import graft.functions.TextFunctions
   * the corpus itself. Set it false for a giant model and the joins fall
   * back to shuffled equi-joins on the hash keys.
   *
-  * Overflow headroom: `(c_prefix + V) * 1e6` must stay under 2^63 —
-  * fine to ~9e12 reference tokens (a ~36 TB text reference); past that,
-  * drop `Scale` a decade. The constant is a parameter for exactly this
-  * reason.
+  * Overflow headroom: the PER-GRAM product `(c_prefix + V) * 1e6` must
+  * stay under 2^63 — fine to ~9e12 reference tokens (a ~36 TB text
+  * reference); past that, drop `Scale` a decade (the constant is a
+  * parameter for exactly this reason). The PER-DOCUMENT rarity sum is
+  * that bound times the document's gram count, so it is aggregated in
+  * decimal(38,0) — matching DuckDB's HUGEINT promotion — before the
+  * integral divide brings the mean back into BIGINT range.
   *
   * Gram identity is `poly_hash` (collisions merge two grams at ~2^-30 —
   * negligible for a quality heuristic and mirrored exactly by the
@@ -159,7 +162,15 @@ object NgramLM {
       .agg(
         count(lit(1)).as("n_grams"),
         sum(col("unseen")).as("n_unseen"),
-        sum(col("rarity")).as("rarity_sum")
+        // decimal(38,0), not BIGINT: per-gram rarity is bounded by
+        // (c_prefix + V)·Scale < 2^63, but the PER-DOCUMENT sum is that
+        // times the document's gram count — near the reference-size limit
+        // a long sum wraps silently (non-ANSI) exactly where the score
+        // matters, while DuckDB's SUM(BIGINT) promotes to HUGEINT. The
+        // 38-digit decimal matches the oracle's 128-bit headroom; the
+        // integral divide below lands the mean back in BIGINT range
+        // (mean rarity ≤ max per-gram rarity < 2^63 by construction).
+        sum(col("rarity").cast("decimal(38,0)")).as("rarity_sum")
       )
       .select(
         col(idCol),
