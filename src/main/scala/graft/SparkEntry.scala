@@ -693,6 +693,14 @@ object SparkEntry {
         .annIvfQuantized(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // q37's search with the codebook trained on the deterministic 1-in-2
+    // id sample — the production trainer: Lloyd cost halves (n/every per
+    // round), the per-vector assignment/probing stages are unchanged
+    "q84_ann_ivf_sampled" -> ((s, dir) => {
+      Similarity
+        .annIvfSampled(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, every = 2)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // end-to-end multimodal pipeline: binary payload -> partition-parallel
     // decode (stub codec, real plumbing) -> similarity over the decoded
     // features. The decode stage is mapPartitions (not SQL), but the STUB
@@ -854,12 +862,12 @@ object SparkEntry {
   private val annCellsSql: String = "CAST(ceil(sqrt(n / 2.0)) AS BIGINT)"
   private val semDedupCellsSql: String =
     s"(n + ${Similarity.SemDedupCellSize - 1}) // ${Similarity.SemDedupCellSize}"
-  private def ivfTrainerCtes(cellsOfN: String): String = {
+  private def ivfTrainerCtes(cellsOfN: String, src: String = "embeddings"): String = {
     val q = Similarity.IvfQuant // prints as 1000000.0
     def lloyd(idx: Int): String =
       s"""s$idx AS (
          SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
-         FROM embeddings e CROSS JOIN cent$idx ct
+         FROM $src e CROSS JOIN cent$idx ct
        ), a$idx AS (
          SELECT vec_id, cell FROM (
            SELECT vec_id, cell,
@@ -867,7 +875,7 @@ object SparkEntry {
            FROM s$idx) t WHERE r = 1
        ), ex$idx AS (
          SELECT a.cell, unnest(e.embedding) AS x, unnest(range(len(e.embedding))) AS j
-         FROM a$idx a JOIN embeddings e ON a.vec_id = e.vec_id
+         FROM a$idx a JOIN $src e ON a.vec_id = e.vec_id
        ), sm$idx AS (
          SELECT cell, j,
            CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * $q + 0.5) AS BIGINT)) AS BIGINT) AS sx,
@@ -882,11 +890,11 @@ object SparkEntry {
          SELECT greatest(1, cells0) AS cells,
            greatest(1, n // greatest(1, cells0)) AS stride
          FROM (SELECT n, $cellsOfN AS cells0
-               FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings))
+               FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $src))
        ),
        cent0 AS (
          SELECT CAST(vec_id // stride AS BIGINT) AS cell, embedding AS c_emb
-         FROM embeddings, nn WHERE vec_id % stride = 0 AND vec_id < stride * cells
+         FROM $src, nn WHERE vec_id % stride = 0 AND vec_id < stride * cells
        ), $rounds"""
   }
 
@@ -2005,6 +2013,44 @@ object SparkEntry {
              ${cosine("q.embedding", "c.embedding")} AS cos
            FROM qp q JOIN bt c
              ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM cand
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    },
+    // q37 with the trainer running over the 1-in-2 id sample (re-indexed
+    // dense so the stride seed sees the structure it assumes); the cell
+    // count is the SAMPLE-derived annCells — not compensated, preserving
+    // points-per-centroid (see Similarity.annIvfSampled) — and the search
+    // stages below the codebook are q37's verbatim
+    "q84_ann_ivf_sampled" -> {
+      val p = Similarity.IvfProbes
+      val sampledCells = annCellsSql
+      s"""WITH tsrc AS (
+           SELECT vec_id // 2 AS vec_id, embedding FROM embeddings
+           WHERE vec_id % 2 = 0
+         ), ${ivfTrainerCtes(sampledCells, "tsrc")}, scores AS (
+           SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+           FROM embeddings e CROSS JOIN $ivfFinalCent ct
+         ), ranked_cells AS (
+           SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+           FROM scores
+         ), assign1 AS (
+           SELECT vec_id, cell FROM ranked_cells WHERE r = 1
+         ), probes AS (
+           SELECT vec_id, cell FROM ranked_cells WHERE r <= $p AND vec_id < 5
+         ), cand AS (
+           SELECT DISTINCT pr.vec_id AS query_id, a.vec_id AS neighbor_id,
+             ${cosine("qe.embedding", "ce.embedding")} AS cos
+           FROM probes pr
+           JOIN assign1 a ON pr.cell = a.cell AND pr.vec_id <> a.vec_id
+           JOIN embeddings qe ON qe.vec_id = pr.vec_id
+           JOIN embeddings ce ON ce.vec_id = a.vec_id
          ), ranked AS (
            SELECT query_id, neighbor_id, cos,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id

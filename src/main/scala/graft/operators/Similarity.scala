@@ -226,7 +226,45 @@ object Similarity {
 
   def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val centroids = trainedCentroids(e)
+    ivfSearch(e, trainedCentroids(e), queryIds, k)
+  }
+
+  /** [[annIvf]] with the codebook fitted on the deterministic 1-in-`every`
+    * id sample of the corpus — the PRODUCTION trainer shape: the Lloyd
+    * chain costs (n/every)·C cosines per round instead of n·C, while the
+    * stages that must touch every vector (cell assignment, candidate
+    * scoring) are unchanged. The sample re-indexes to dense ids
+    * (`vec_id div every`) so the stride-seeded trainer sees the same id
+    * structure it assumes on a full corpus, and the codebook size is the
+    * SAMPLE-derived [[annCells]] — deliberately not compensated back to
+    * the full-corpus C: fewer centroids trained on fewer points keeps
+    * the points-per-centroid ratio (the codebook-quality driver; ~40+ is
+    * the standard k-means floor) at the full-trainer level, at the price
+    * of a √every-larger candidate scan per cell. Measured on the bench
+    * fixture: compensated cells cost recall (0.76 < the 0.8 gate at
+    * every=2), sample-derived cells hold it. At 100 TB the sample rate
+    * caps trainer cost at a constant; recall is gated alongside the
+    * full-trainer path in AnnRecallSpec.
+    */
+  def annIvfSampled(emb: DataFrame, queryIds: Seq[Long], k: Int, every: Int = 2): DataFrame = {
+    require(every >= 1, s"need every >= 1, got $every")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val sample = e
+      .filter(col("vec_id") % lit(every.toLong) === 0)
+      .select(expr(s"vec_id div $every").as("vec_id"), col("embedding"))
+    ivfSearch(e, trainedCentroids(sample, annCells), queryIds, k)
+  }
+
+  /** The IVF search stage shared by the trainer variants: assign corpus
+    * vectors to their argmax cell, probe each query's `IvfProbes` nearest
+    * cells, score candidates from the cell equi-join, bounded-heap top-k.
+    */
+  private def ivfSearch(
+      e: DataFrame,
+      centroids: DataFrame,
+      queryIds: Seq[Long],
+      k: Int
+  ): DataFrame = {
     // ONE ranking serves both sides (mirroring the oracle's ranked_cells):
     // corpus assignment is rank 1, query probes are ranks 1..IvfProbes —
     // identical aggregate subtrees, so the exchange under them is computed

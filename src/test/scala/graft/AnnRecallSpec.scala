@@ -39,6 +39,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall below the engine's own bar: $recall%.3f < 0.8")
   }
 
+  test("annIvfSampled recall@10 vs bruteForceTopK >= 0.8 on sf0.1 (sample-trained codebook)") {
+    // the production trainer (codebook fitted on the 1-in-2 id sample,
+    // cell count compensated to full-corpus granularity) must not cost
+    // meaningful recall vs the full-corpus trainer
+    val emb = Tables.load(spark, Sf01, "embeddings")
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k))
+    val approx = pairs(Similarity.annIvfSampled(emb, queries, k, every = 2))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"sampled-ivf recall@$k = $recall%.3f (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.8, f"sample-trained IVF recall collapsed: $recall%.3f < 0.8")
+  }
+
   test("annIvf composes lazily: zero Spark jobs until an action runs") {
     // round 2 fired a driver-side count() while BUILDING the query frame
     // (VERDICT r02 "What's wrong" #5) — composition must plan, not run
