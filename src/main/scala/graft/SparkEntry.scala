@@ -523,6 +523,14 @@ object SparkEntry {
         .semDedup(t(s, dir, "embeddings"), 0.4)
         .orderBy(col("vec_id"))
     }),
+    // SemDeDup at the other end of the flat-quantizer trade: sqrt(n/2)
+    // cells, in-cell pairs distributed by the q28 triangle blocking —
+    // assignment and pair work balance at n^1.5 (the 100 TB default)
+    "q85_semdedup_balanced" -> ((s, dir) => {
+      Similarity
+        .semDedupBalanced(t(s, dir, "embeddings"), 0.4)
+        .orderBy(col("vec_id"))
+    }),
     // weighted mixture sampling: per-language keep rates applied through
     // the content hash — scan-only, reproducible, dedup-consistent
     "q69_weighted_mix" -> ((s, dir) => {
@@ -862,6 +870,42 @@ object SparkEntry {
   private val annCellsSql: String = "CAST(ceil(sqrt(n / 2.0)) AS BIGINT)"
   private val semDedupCellsSql: String =
     s"(n + ${Similarity.SemDedupCellSize - 1}) // ${Similarity.SemDedupCellSize}"
+  /** The SemDeDup oracle chain (trainer -> argmax cells -> in-cell
+    * >=-threshold pairs -> recursive min-label components -> keeper
+    * flags), parameterized by the codebook-size expression: q71 uses the
+    * occupancy-pinned derivation, q85 the ANN sqrt-derivation.
+    */
+  private def semDedupOracle(cellsSql: String): String =
+    s"""WITH RECURSIVE ${ivfTrainerCtes(cellsSql)}, scores AS (
+           SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+           FROM embeddings e CROSS JOIN $ivfFinalCent ct
+         ), assigned AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+             FROM scores) t WHERE r = 1
+         ), pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM assigned a
+           JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id
+           WHERE ${cosine("ea.embedding", "eb.embedding")} >= 0.4
+         ), edges AS (
+           SELECT vec_a AS src, vec_b AS dst FROM pairs
+           UNION ALL SELECT vec_b, vec_a FROM pairs
+         ), reach(n, l) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
+         ), labels AS (
+           SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+         )
+         SELECT a.vec_id, a.cell, lb.cluster_id,
+           (a.vec_id = lb.cluster_id) AS keep
+         FROM assigned a JOIN labels lb ON a.vec_id = lb.vec_id
+         ORDER BY a.vec_id"""
+
   private def ivfTrainerCtes(cellsOfN: String, src: String = "embeddings"): String = {
     val q = Similarity.IvfQuant // prints as 1000000.0
     def lloyd(idx: Int): String =
@@ -1779,36 +1823,11 @@ object SparkEntry {
     },
     // SemDeDup: same trainer CTEs as q37, argmax cell assignment, exact
     // intra-cell cosine pairs at >= 0.4, recursive components, min label
-    "q71_semdedup" ->
-      s"""WITH RECURSIVE ${ivfTrainerCtes(semDedupCellsSql)}, scores AS (
-           SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
-           FROM embeddings e CROSS JOIN $ivfFinalCent ct
-         ), assigned AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
-             FROM scores) t WHERE r = 1
-         ), pairs AS (
-           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-           FROM assigned a
-           JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           JOIN embeddings ea ON ea.vec_id = a.vec_id
-           JOIN embeddings eb ON eb.vec_id = b.vec_id
-           WHERE ${cosine("ea.embedding", "eb.embedding")} >= 0.4
-         ), edges AS (
-           SELECT vec_a AS src, vec_b AS dst FROM pairs
-           UNION ALL SELECT vec_b, vec_a FROM pairs
-         ), reach(n, l) AS (
-           SELECT vec_id, vec_id FROM embeddings
-           UNION
-           SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n
-         ), labels AS (
-           SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n
-         )
-         SELECT a.vec_id, a.cell, lb.cluster_id,
-           (a.vec_id = lb.cluster_id) AS keep
-         FROM assigned a JOIN labels lb ON a.vec_id = lb.vec_id
-         ORDER BY a.vec_id""",
+    "q71_semdedup" -> semDedupOracle(semDedupCellsSql),
+    // same chain, ANN-derived sqrt(n/2) cell count — the engine's blocked
+    // pair expansion changes task layout, never the pair set, so the
+    // oracle differs from q71 only in the codebook size
+    "q85_semdedup_balanced" -> semDedupOracle(annCellsSql),
     "q69_weighted_mix" ->
       s"""SELECT doc_id, lang FROM documents
          WHERE ${polyHash("text")} % 10000 <

@@ -385,13 +385,7 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val assigned = e
-      .join(
-        topK(cellScores(e, trainedCentroids(e, semDedupCells)), 1)
-          .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell")),
-        "vec_id"
-      )
-      .localCheckpoint(true)
+    val assigned = assignCells(e, semDedupCells)
     val pairs = assigned
       .as("a")
       .join(
@@ -404,6 +398,61 @@ object Similarity {
         VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos")
       )
       .filter(col("cos") >= threshold)
+    semDedupFrom(assigned, pairs)
+  }
+
+  /** [[semDedup]] at the OTHER end of the flat-quantizer trade:
+    * ⌈√(n/2)⌉ cells ([[annCells]]) instead of occupancy-pinned ⌈n/64⌉.
+    * With C ∝ √n, the two unavoidable flat-scheme costs — the n·C
+    * argmax assignment and the Σ|cell|² ≈ n·occupancy in-cell pairs —
+    * BALANCE at n^1.5 each, instead of the occupancy-pinned shape's
+    * linear pairs + n²/64 assignment. The price is √(2n) cell occupancy,
+    * whose quadratic pair expansion would land one task per cell on a
+    * plain equi-join; the candidate join therefore runs through
+    * [[BlockedJoin.trianglePairs]], splitting each cell's pair work
+    * across blocks·(blocks+1)/2 bounded tasks (the q28 shape — AQE
+    * cannot split a single oversized build side; this never builds one).
+    *
+    * Which to use: [[semDedup]] minimizes TOTAL pair work and keeps
+    * per-task cost O(64²) — right when the corpus is small enough that
+    * the n·C assignment is affordable, or the codebook is trained on a
+    * sample and assignment hardware is cheap. This variant is the
+    * 100 TB default: every stage is n^1.5-bounded and no task sees more
+    * than its block share. Blocking does not change the pair SET, so
+    * results are identical for a given codebook (gated: blocks=1 ==
+    * blocks=8 in CorpusOpsSpec) and the oracle is q71's with the ANN
+    * cell derivation.
+    */
+  def semDedupBalanced(emb: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
+    require(blocks >= 1, s"need blocks >= 1, got $blocks")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val assigned = assignCells(e, annCells)
+    val pairs = BlockedJoin
+      .trianglePairs(assigned, Seq("cell"), "vec_id", blocks)
+      .select(
+        least(col("l.vec_id"), col("r.vec_id")).as("vec_a"),
+        greatest(col("l.vec_id"), col("r.vec_id")).as("vec_b"),
+        VectorFunctions.cosine(col("l.embedding"), col("r.embedding")).as("cos")
+      )
+      .filter(col("cos") >= threshold)
+    semDedupFrom(assigned, pairs)
+  }
+
+  /** Argmax-cell assignment of every vector, eagerly materialized: the
+    * component loop downstream runs one action per round, and each would
+    * otherwise re-run the whole Lloyd chain (see [[semDedup]] notes).
+    */
+  private def assignCells(e: DataFrame, cellsOf: Column => Column): DataFrame =
+    e.join(
+      topK(cellScores(e, trainedCentroids(e, cellsOf)), 1)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell")),
+      "vec_id"
+    ).localCheckpoint(true)
+
+  /** Shared SemDeDup tail: ≥-threshold pairs → star-contraction
+    * components → min-id keeper flags, `(vec_id, cell, cluster_id, keep)`.
+    */
+  private def semDedupFrom(assigned: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = Dedup.clustersFromPairs(
       assigned.select(col("vec_id").as("doc_id")),
       pairs,

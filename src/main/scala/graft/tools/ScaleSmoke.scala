@@ -300,6 +300,18 @@ object ScaleSmoke {
     val subKept = time("substring dedup (L=8)")(
       graft.operators.SegmentDedup.dedupSubstrings(docs, minTokens = 8).count()
     )
+    // adversarial: ONE heavily self-duplicated long document (a 5-token
+    // phrase repeated 20k times -> 100k tokens, cuts at every position
+    // past the first period). The r05 rebuild was O(tokens x cuts) inside
+    // this single row (~10^10 steps); the r06 interval-merge rebuild is
+    // O(tokens). Survivor = the first period only.
+    val selfDup = Seq(
+      (0L, Array.fill(20000)("alpha beta gamma delta epsilon").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sdKept = time("substring dedup (100k-token self-dup doc)")(
+      graft.operators.SegmentDedup.dedupSubstrings(selfDup, minTokens = 8).count()
+    )
+    println(s"[corpus] selfDupSurvivors=$sdKept (expect 1)")
     val hygPacked = time("hygienic pipeline (7 stages)")(
       graft.operators.Pipeline
         .hygienicTrainingData(

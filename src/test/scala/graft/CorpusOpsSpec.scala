@@ -283,6 +283,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sem.except(shuffled).count() === 0L && shuffled.except(sem).count() === 0L)
   }
 
+  test("semDedupBalanced: blocking changes task layout, never the result (blocks=1 == blocks=8)") {
+    // the sqrt-celled variant distributes each cell's quadratic pair
+    // expansion across block-pair tasks; the pair SET — and so clusters
+    // and keepers — must be identical at any block count
+    val one = operators.Similarity.semDedupBalanced(emb, 0.4, blocks = 1)
+    val eight = operators.Similarity.semDedupBalanced(emb, 0.4, blocks = 8)
+    assert(one.except(eight).count() === 0L && eight.except(one).count() === 0L)
+  }
+
+  test("semDedupBalanced: keeper laws hold under the sqrt cell derivation") {
+    val bal = operators.Similarity.semDedupBalanced(emb, 0.4).cache()
+    try {
+      assert(bal.count() === emb.count())
+      val viol = bal
+        .groupBy("cluster_id")
+        .agg(min("vec_id").as("mn"))
+        .filter(col("mn") =!= col("cluster_id"))
+      assert(viol.count() === 0L)
+      val cellsPerCluster = bal
+        .groupBy("cluster_id")
+        .agg(countDistinct("cell").as("nc"))
+        .filter(col("nc") > 1)
+      assert(cellsPerCluster.count() === 0L)
+    } finally { bal.unpersist(); () }
+  }
+
   // ----------------------------------------------------------- corpusOverlap
 
   test("corpusOverlap: below-k sketches short-circuit to exact values") {
