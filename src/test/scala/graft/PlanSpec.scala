@@ -29,6 +29,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian")
   }
 
+  test("q84/q85: sampled trainer and blocked semdedup keep corpus joins equi, top-k heaped") {
+    // the trainer's only non-equi join is the 1-row count frame (the lazy
+    // scalar pattern); the corpus-sized joins — cell candidates, blocked
+    // pair expansion — must never plan a BNLJ over the corpus itself, and
+    // ranking must stay the bounded-heap aggregate, not a window sort
+    for (q <- Seq("q84_ann_ivf_sampled", "q85_semdedup_balanced")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian")
+      assert(!p.contains("Window"), s"$q: no window sort")
+      val bnljs = p.split("BroadcastNestedLoopJoin").length - 1
+      // one BNLJ per 1-row count/centroid broadcast is the lazy-scalar
+      // pattern; a corpus-vs-corpus BNLJ would explode this count — the
+      // q28 fixture bound (<= the trainer's scalar joins) pins it
+      assert(bnljs <= 8, s"$q: $bnljs BNLJs — corpus join degraded to nested loop")
+    }
+  }
+
   test("q25: minhash signatures are persisted (computed once, not per join side)") {
     val p = plan("q25_minhash_pairs")
     assert(p.contains("InMemoryTableScan"), "signature frame cached")
