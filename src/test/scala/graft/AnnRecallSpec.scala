@@ -55,6 +55,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.8, f"sample-trained IVF recall collapsed: $recall%.3f < 0.8")
   }
 
+  test("annIvfSampled laws: every=1 is exactly annIvf; every >> n still serves queries") {
+    val emb = Tables.load(spark, Sf001, "embeddings")
+    val qids = Seq(0L, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rnk", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    // a 1-in-1 sample re-indexes to itself: identical codebook, identical result
+    assert(rows(Similarity.annIvfSampled(emb, qids, 5, every = 1)) ===
+      rows(Similarity.annIvf(emb, qids, 5)))
+    // a sample rate past the corpus size leaves one training vector: the
+    // greatest(1, …) guards keep the degenerate 1-cell codebook serving
+    val degenerate = Similarity.annIvfSampled(emb, qids, 5, every = 1000000)
+    assert(degenerate.count() > 0)
+  }
+
   test("annIvf composes lazily: zero Spark jobs until an action runs") {
     // round 2 fired a driver-side count() while BUILDING the query frame
     // (VERDICT r02 "What's wrong" #5) — composition must plan, not run
