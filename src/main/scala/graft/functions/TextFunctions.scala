@@ -200,24 +200,25 @@ object TextFunctions {
   }
 
   /** k-token windows in POSITION order (not distinct) — the shared window
-    * transform [[shingles]] and the repetition metrics build on. `slice`
-    * with a computed start keeps this inside codegen'd HOFs; mirrors
+    * transform [[shingles]] and the repetition metrics build on. A
+    * codegen kernel ([[Kernels.positionalShingles]]) since r06: the HOF
+    * composition (`transform(sequence(…), i -> concat_ws(slice(t…)))`)
+    * re-evaluated `split(text)` once per window — quadratic in document
+    * length (1443 s for one 100k-token doc in the scale smoke). Mirrors
     * `OracleFragments.positionalShingles` exactly (including the
-    * shorter-than-k clamp on short documents).
+    * shorter-than-k clamp on short documents); kernel == HOF equivalence
+    * is pinned in MinHashExprSpec.
     */
-  def positionalShingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    transform(
-      sequence(lit(0), greatest(size(t) - lit(k), lit(0))),
-      i => concat_ws(" ", slice(t, i + lit(1), lit(k)))
-    )
-  }
+  def positionalShingles(text: Column, k: Int): Column =
+    GraftExpressions.positional_shingles(text, k)
 
   /** Positional shingle hashes (order preserved, repeats preserved) — the
-    * occurrence stream the repetition metrics count over.
+    * occurrence stream the repetition metrics count over. Kernel form of
+    * `transform(positionalShingles, poly_hash)` (no window strings
+    * materialized).
     */
   def positionalShingleHashes(text: Column, k: Int): Column =
-    transform(positionalShingles(text, k), s => GraftExpressions.poly_hash(s))
+    GraftExpressions.positional_shingle_hashes(text, k)
 
   /** Distinct k-token shingles, the unit of MinHash/Jaccard dedup. */
   def shingles(text: Column, k: Int): Column =

@@ -175,6 +175,75 @@ object Kernels {
     new GenericArrayData(res)
   }
 
+  /** Positional k-token windows as STRINGS, one pass, O(n·k): tokenize
+    * once (single-space split, -1 limit — Spark's `split(text, " ")`
+    * semantics), emit the ' '-joined window at every position 0..n−k
+    * (clamped to one whole-text window for shorter docs). Replaces the
+    * HOF composition `transform(sequence(…), i -> concat_ws(slice(t…)))`,
+    * which re-evaluates `split(text)` ONCE PER WINDOW because the token
+    * array sits inside the lambda body, not in the transform argument
+    * (the same pitfall [[winnow]] documents) — quadratic in document
+    * length: a 100k-token self-duplicated document measured 1443 s
+    * through the HOF path in the r06 scale smoke.
+    */
+  def positionalShingles(text: UTF8String, k: Int): GenericArrayData = {
+    if (k <= 0)
+      throw new IllegalArgumentException(s"positionalShingles needs k > 0, got $k")
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val last = math.max(n - k, 0)
+    val out = new Array[Any](last + 1)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + k, n)
+      val sb = new java.lang.StringBuilder(32)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional k-token window HASHES — [[winnow]]'s incremental
+    * per-window polyHash fold without the winnowing: bit-identical to
+    * `transform(positionalShingles(text, k), polyHash)` with no window
+    * string ever materialized.
+    */
+  def positionalShingleHashes(text: UTF8String, k: Int): GenericArrayData = {
+    if (k <= 0)
+      throw new IllegalArgumentException(s"positionalShingleHashes needs k > 0, got $k")
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val last = math.max(n - k, 0)
+    val hashes = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + k, n)
+      var h = 0L
+      var j = i
+      while (j < end) {
+        if (j > i) h = (h * 31L + 32L) % HashPrime // ' ' separator codepoint
+        val s = toks(j)
+        var ci = 0
+        val sn = s.length
+        while (ci < sn) {
+          val cp = s.codePointAt(ci)
+          h = (h * 31L + cp) % HashPrime
+          ci += Character.charCount(cp)
+        }
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    new GenericArrayData(hashes)
+  }
+
   private val BpePattern = java.util.regex.Pattern.compile("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
   private val PunctPattern = java.util.regex.Pattern.compile("[.,!?;:]")
 
@@ -601,6 +670,39 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int, dim: 
     copy(child = newChild)
 }
 
+/** `positional_shingles(text) -> array<string>` — positional k-token
+  * windows (see [[Kernels.positionalShingles]]): the O(n·k) kernel form of
+  * the window transform every sliding-window operator builds on.
+  */
+case class PositionalShingles(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.positionalShingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.positionalShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingles =
+    copy(child = newChild)
+}
+
+/** `positional_shingle_hashes(text) -> array<long>` — positional window
+  * polyHashes (see [[Kernels.positionalShingleHashes]]).
+  */
+case class PositionalShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.positionalShingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.positionalShingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
 /** `simhash32(text) -> long` — one-pass SimHash fingerprint (see
   * [[Kernels.simhash32]]).
   */
@@ -732,4 +834,8 @@ object GraftExpressions {
     GraftBridge.column(SimHash32(GraftBridge.expression(text), weighted))
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
+  def positional_shingles(text: Column, k: Int): Column =
+    GraftBridge.column(PositionalShingles(GraftBridge.expression(text), k))
+  def positional_shingle_hashes(text: Column, k: Int): Column =
+    GraftBridge.column(PositionalShingleHashes(GraftBridge.expression(text), k))
 }

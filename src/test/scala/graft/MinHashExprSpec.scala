@@ -56,4 +56,33 @@ class MinHashExprSpec extends SparkSpec {
     val exp = texts.map(graft.functions.Kernels.polyHash)
     assert(got.toSeq == exp)
   }
+
+  test("positional shingle kernels == the HOF composition they replace") {
+    import spark.implicits._
+    // the r06 kernels must be drop-in: window strings and hashes equal the
+    // transform/sequence/slice pipeline (the oracle mirrors THAT shape) on
+    // empties, sub-k docs, double spaces, unicode, and a long random doc
+    val rnd = new scala.util.Random(7)
+    val texts = Seq(
+      "", "one", "two tokens", "a  b", "café 中文 😀 x y z",
+      (0 until 500).map(_ => s"t${rnd.nextInt(9)}").mkString(" ")
+    )
+    for (k <- Seq(1, 2, 4, 8)) {
+      def hofShingles(text: org.apache.spark.sql.Column) = {
+        val t = split(text, " ")
+        transform(
+          sequence(lit(0), greatest(size(t) - lit(k), lit(0))),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(k)))
+        )
+      }
+      val both = texts.toDF("text").select(
+        TextFunctions.positionalShingles(col("text"), k).as("kern"),
+        hofShingles(col("text")).as("hof"),
+        TextFunctions.positionalShingleHashes(col("text"), k).as("kern_h"),
+        transform(hofShingles(col("text")), s => GraftExpressions.poly_hash(s)).as("hof_h")
+      )
+      assert(both.filter(col("kern") =!= col("hof")).count() === 0L, s"k=$k strings diverge")
+      assert(both.filter(col("kern_h") =!= col("hof_h")).count() === 0L, s"k=$k hashes diverge")
+    }
+  }
 }
