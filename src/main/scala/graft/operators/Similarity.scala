@@ -26,6 +26,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    ≥ 0.8 in AnnRecallSpec) — this corpus's true neighbors sit at cosine
   *    ~0.3, so tighter tables would collapse recall; L/W/probe radius are
   *    the knobs to retune per corpus.
+  *
+  * On top of the two tiers: [[annIvf]] (trained-quantizer cell pruning,
+  * √n-scaled codebook), [[annIvfSampled]] (same search, codebook fitted on
+  * an id sample — the production trainer), [[annQuantized]] /
+  * [[annIvfQuantized]] (int8 candidate scoring), and the SemDeDup pair
+  * [[semDedup]] / [[semDedupBalanced]] (occupancy-pinned vs
+  * √-balanced semantic dedup over the same codebooks).
   */
 object Similarity {
 

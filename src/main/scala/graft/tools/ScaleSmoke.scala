@@ -366,6 +366,21 @@ object ScaleSmoke {
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     )
     println(f"[corpus] int8 recall@10 = ${(exact & quant).size.toDouble / exact.size}%.3f")
+
+    // the two SemDeDup scaling shapes at two corpus sizes: the
+    // occupancy-pinned variant's pair stage is linear but its flat
+    // assignment is n·(n/64); the sqrt-celled blocked variant balances
+    // both at n^1.5. Two paired points inside one JVM give the ratio.
+    for (m <- Seq(nVec / 2, nVec)) {
+      val sub = emb.filter(col("vec_id") < m)
+      val kept = time(s"semDedup pinned ($m vecs)")(
+        graft.operators.Similarity.semDedup(sub, 0.9).filter(col("keep")).count()
+      )
+      val keptB = time(s"semDedup balanced ($m vecs)")(
+        graft.operators.Similarity.semDedupBalanced(sub, 0.9).filter(col("keep")).count()
+      )
+      println(s"[corpus] semdedup@$m: keepersPinned=$kept keepersBalanced=$keptB")
+    }
     spark.stop()
   }
 
