@@ -190,13 +190,10 @@ object TextFunctions {
       chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap"
     )
-    val step = chunkSize - overlap
-    val t = tokens(text)
-    val nChunks = ceil(size(t).cast("double") / lit(step.toDouble)).cast("int")
-    transform(
-      sequence(lit(0), greatest(nChunks - lit(1), lit(0))),
-      i => concat_ws(" ", slice(t, i * lit(step) + lit(1), lit(chunkSize)))
-    )
+    // codegen kernel since r06 — the HOF form re-split the text once per
+    // chunk (the positionalShingles pitfall at n²/step); equivalence
+    // pinned in MinHashExprSpec
+    GraftExpressions.token_chunks(text, chunkSize, overlap)
   }
 
   /** k-token windows in POSITION order (not distinct) — the shared window

@@ -209,6 +209,39 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Overlapping fixed-stride token tiling as STRINGS, one pass — the
+    * chunking unit (q58) and the segment-dedup tile. Same HOF-lambda
+    * pitfall as [[positionalShingles]], milder exponent (n²/step).
+    * Chunk i covers tokens [i·(size−overlap), i·(size−overlap)+size);
+    * ⌈n/step⌉ chunks, min 1 (the whole-text clamp for short docs).
+    */
+  def chunks(text: UTF8String, chunkSize: Int, overlap: Int): GenericArrayData = {
+    if (chunkSize <= 0 || overlap < 0 || overlap >= chunkSize)
+      throw new IllegalArgumentException(
+        s"chunks needs 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap"
+      )
+    val step = chunkSize - overlap
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val nChunks = math.max((n + step - 1) / step, 1)
+    val out = new Array[Any](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val start = i * step
+      val end = math.min(start + chunkSize, n)
+      val sb = new java.lang.StringBuilder(32)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Positional k-token window HASHES — [[winnow]]'s incremental
     * per-window polyHash fold without the winnowing: bit-identical to
     * `transform(positionalShingles(text, k), polyHash)` with no window
@@ -687,6 +720,22 @@ case class PositionalShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `token_chunks(text) -> array<string>` — fixed-stride token tiling
+  * (see [[Kernels.chunks]]).
+  */
+case class TokenChunks(child: Expression, chunkSize: Int, overlap: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.chunks(input.asInstanceOf[UTF8String], chunkSize, overlap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.chunks($c, $chunkSize, $overlap)")
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks =
+    copy(child = newChild)
+}
+
 /** `positional_shingle_hashes(text) -> array<long>` — positional window
   * polyHashes (see [[Kernels.positionalShingleHashes]]).
   */
@@ -838,4 +887,6 @@ object GraftExpressions {
     GraftBridge.column(PositionalShingles(GraftBridge.expression(text), k))
   def positional_shingle_hashes(text: Column, k: Int): Column =
     GraftBridge.column(PositionalShingleHashes(GraftBridge.expression(text), k))
+  def token_chunks(text: Column, chunkSize: Int, overlap: Int): Column =
+    GraftBridge.column(TokenChunks(GraftBridge.expression(text), chunkSize, overlap))
 }

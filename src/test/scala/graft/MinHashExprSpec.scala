@@ -85,4 +85,32 @@ class MinHashExprSpec extends SparkSpec {
       assert(both.filter(col("kern_h") =!= col("hof_h")).count() === 0L, s"k=$k hashes diverge")
     }
   }
+
+  test("chunks kernel == the HOF tiling it replaces") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val texts = Seq(
+      "", "one", "two tokens", "a  b",
+      (0 until 300).map(_ => s"t${rnd.nextInt(9)}").mkString(" ")
+    )
+    for ((size0, overlap) <- Seq((5, 0), (64, 8), (3, 2))) {
+      val step = size0 - overlap
+      def hofChunks(text: org.apache.spark.sql.Column) = {
+        val t = split(text, " ")
+        val nChunks = ceil(size(t).cast("double") / lit(step.toDouble)).cast("int")
+        transform(
+          sequence(lit(0), greatest(nChunks - lit(1), lit(0))),
+          i => concat_ws(" ", slice(t, i * lit(step) + lit(1), lit(size0)))
+        )
+      }
+      val both = texts.toDF("text").select(
+        TextFunctions.chunks(col("text"), size0, overlap).as("kern"),
+        hofChunks(col("text")).as("hof")
+      )
+      assert(
+        both.filter(col("kern") =!= col("hof")).count() === 0L,
+        s"chunkSize=$size0 overlap=$overlap tiling diverges"
+      )
+    }
+  }
 }
