@@ -654,6 +654,41 @@ object SparkEntry {
         .select(col("lang"), col("rnk"), col("tok"), col("salience"), col("tf"), col("df"))
         .orderBy(col("lang"), col("rnk"))
     }),
+    // exact per-lang quartiles from a VALUE histogram — the scale shape
+    // for integer-valued stats: groupBy (lang, n_tok) partial-aggregates
+    // the corpus down to at most |distinct lengths| rows per language, so
+    // the cumulative window sorts values, never documents (q35's
+    // row_number ranks every doc inside each language partition — exact
+    // reference semantics, but a 60%-of-corpus language is one sorting
+    // straggler at scale; here it is one histogram row per length).
+    // Quantile convention = q35's lower median: smallest value whose
+    // cumulative count reaches ceil(p·n) (cum·den >= n·num, integer-exact)
+    "q86_token_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(
+        col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")
+      )
+      val hist = toks.groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
+      // per-lang totals come from a partition window over the HISTOGRAM
+      // (not a join back to the corpus): one less scan, and a NULL lang
+      // is its own window partition rather than an equi-join casualty
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n_docs", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      def lowerQ(num: Int, den: Int) =
+        min(when(col("cum") * den >= col("n_docs") * num, col("n_tok")))
+      cum
+        .groupBy(col("lang"))
+        .agg(
+          max(col("n_docs")).as("n_docs"),
+          lowerQ(1, 4).as("p25_tok"),
+          lowerQ(1, 2).as("p50_tok"),
+          lowerQ(3, 4).as("p75_tok")
+        )
+        .orderBy(col("lang"))
+    }),
     "q35_token_median" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = docs.select(
@@ -1918,6 +1953,26 @@ object SparkEntry {
          )
          SELECT lang, rnk, tok, salience, tf, df
          FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk"""
+    },
+    // value-histogram quartiles: cumulative over (lang, n_tok) counts,
+    // lower-quantile rank test in integer arithmetic
+    "q86_token_quantiles" -> {
+      val tok = tokens("text")
+      s"""WITH t AS (
+           SELECT lang, CAST(len($tok) AS BIGINT) AS n_tok FROM documents
+         ), h AS (
+           SELECT lang, n_tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2
+         ), cum AS (
+           SELECT lang, n_tok,
+             CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_tok) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+           FROM h
+         )
+         SELECT lang, MAX(n_docs) AS n_docs,
+           MIN(CASE WHEN cum * 4 >= n_docs THEN n_tok END) AS p25_tok,
+           MIN(CASE WHEN cum * 2 >= n_docs THEN n_tok END) AS p50_tok,
+           MIN(CASE WHEN cum * 4 >= n_docs * 3 THEN n_tok END) AS p75_tok
+         FROM cum GROUP BY 1 ORDER BY 1"""
     },
     "q35_token_median" -> {
       val tok = tokens("text")

@@ -385,6 +385,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), s"expected pure scan+agg:\n$p")
   }
 
+  test("token quantiles: histogram p50 == q35's ranked median per lang; quartiles ordered") {
+    // two independent derivations of the same statistic must agree: the
+    // scale shape (value-histogram cumulative, q86) and the reference
+    // shape (row_number over documents, q35) share the lower-median
+    // convention by construction
+    val ranked = SparkEntry.queries("q35_token_median")(spark, Sf001).select("lang", "median_tok")
+    val hist = SparkEntry.queries("q86_token_quantiles")(spark, Sf001)
+    val joined = ranked.join(hist, "lang")
+    assert(joined.count() === ranked.count())
+    assert(joined.filter(col("median_tok") =!= col("p50_tok")).count() === 0L)
+    assert(
+      hist.filter(col("p25_tok") > col("p50_tok") || col("p50_tok") > col("p75_tok")).count() === 0L
+    )
+  }
+
   // --------------------------------------------------------- substring dedup
 
   test("substring dedup: a mid-document copied run is cut exactly, unique text intact") {
