@@ -654,6 +654,18 @@ object SparkEntry {
         .select(col("lang"), col("rnk"), col("tok"), col("salience"), col("tf"), col("df"))
         .orderBy(col("lang"), col("rnk"))
     }),
+    // canonical normalization (whitespace collapse + NFC) with an audit
+    // flag — the step before any content hash; one codegen'd scan
+    "q87_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs
+        .select(
+          col("doc_id"),
+          TextFunctions.normalize(col("text")).as("text"),
+          (TextFunctions.normalize(col("text")) =!= col("text")).as("changed")
+        )
+        .orderBy(col("doc_id"))
+    }),
     // exact per-lang quartiles from a VALUE histogram — the scale shape
     // for integer-valued stats: groupBy (lang, n_tok) partial-aggregates
     // the corpus down to at most |distinct lengths| rows per language, so
@@ -1954,6 +1966,14 @@ object SparkEntry {
          SELECT lang, rnk, tok, salience, tf, df
          FROM ranked WHERE rnk <= 10 ORDER BY lang, rnk"""
     },
+    // normalization: the explicit [ \t\n\r] class (regex \s differs
+    // between Java and RE2 on vertical tab), collapse -> trim -> NFC;
+    // DuckDB's nfc_normalize is the same Unicode NFC the kernel applies
+    "q87_normalize" ->
+      s"""SELECT doc_id,
+           nfc_normalize(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))) AS text,
+           (nfc_normalize(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))) <> text) AS changed
+         FROM documents ORDER BY doc_id""",
     // value-histogram quartiles: cumulative over (lang, n_tok) counts,
     // lower-quantile rank test in integer arithmetic
     "q86_token_quantiles" -> {

@@ -137,6 +137,14 @@ object TextFunctions {
   val EmailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val LongNumberRegex = "[0-9]{7,}"
 
+  /** Canonical text normalization — the step BEFORE any dedup or
+    * fingerprint: [ \t\n\r]+ runs collapse to one space (edges trimmed),
+    * then Unicode NFC composition, in one kernel pass
+    * ([[Kernels.normalizeText]]). Byte-different but canonically-equal
+    * copies (decomposed accents, CRLF vs LF) hash apart without it.
+    */
+  def normalize(text: Column): Column = GraftExpressions.normalize_text(text)
+
   /** PII-style scrubbing for training corpora: emails → `<email>`,
     * 7+-digit number runs (phone/account/SSN-shaped) → `<num>`. Order
     * matters — emails first, so a numeric local-part is not half-eaten by

@@ -277,6 +277,40 @@ object Kernels {
     new GenericArrayData(hashes)
   }
 
+  /** Unicode NFC + whitespace canonicalization in one pass: runs of
+    * space/tab/newline/carriage-return collapse to a single space, leading
+    * and trailing runs drop, then the result composes to NFC
+    * (java.text.Normalizer — the same Unicode normalization DuckDB's
+    * `nfc_normalize` implements via utf8proc, so the oracle replays it).
+    * The canonical first step of a C4/CCNet-style pipeline: dedup and
+    * fingerprinting upstream of normalization would miss byte-different
+    * but canonically-equal copies (decomposed accents, NBSP variants,
+    * CRLF vs LF).
+    *
+    * The whitespace class is the EXPLICIT [ \t\n\r] — not regex `\s`,
+    * whose membership differs between Java (vertical tab) and RE2.
+    */
+  def normalizeText(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        if (sb.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb, java.text.Normalizer.Form.NFC)
+    )
+  }
+
   private val BpePattern = java.util.regex.Pattern.compile("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
   private val PunctPattern = java.util.regex.Pattern.compile("[.,!?;:]")
 
@@ -736,6 +770,22 @@ case class TokenChunks(child: Expression, chunkSize: Int, overlap: Int)
     copy(child = newChild)
 }
 
+/** `normalize_text(text) -> string` — NFC + whitespace canonicalization
+  * (see [[Kernels.normalizeText]]).
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 /** `positional_shingle_hashes(text) -> array<long>` — positional window
   * polyHashes (see [[Kernels.positionalShingleHashes]]).
   */
@@ -889,4 +939,6 @@ object GraftExpressions {
     GraftBridge.column(PositionalShingleHashes(GraftBridge.expression(text), k))
   def token_chunks(text: Column, chunkSize: Int, overlap: Int): Column =
     GraftBridge.column(TokenChunks(GraftBridge.expression(text), chunkSize, overlap))
+  def normalize_text(text: Column): Column =
+    GraftBridge.column(NormalizeText(GraftBridge.expression(text)))
 }

@@ -86,6 +86,26 @@ class MinHashExprSpec extends SparkSpec {
     }
   }
 
+  test("normalize_text: whitespace collapse, edge trim, NFC composition") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301  x" // e + combining acute, double space
+    val crafted = Seq(
+      (1L, " a\t\tb\r\nc "),
+      (2L, decomposed),
+      (3L, ""),
+      (4L, "already clean")
+    ).toDF("doc_id", "text")
+    val got = crafted
+      .orderBy("doc_id")
+      .select(GraftExpressions.normalize_text(col("text")))
+      .as[String]
+      .collect()
+    assert(got(0) === "a b c")
+    assert(got(1) === "caf\u00e9 x") // precomposed e-acute, single space
+    assert(got(2) === "")
+    assert(got(3) === "already clean")
+  }
+
   test("chunks kernel == the HOF tiling it replaces") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
