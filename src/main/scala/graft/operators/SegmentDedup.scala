@@ -18,13 +18,17 @@ import graft.functions.{GraftExpressions, TextFunctions}
   * ([[TextFunctions.chunks]] with overlap 0 — the q58-gated windows), the
   * whitespace analog of C4's "three-sentence span" unit.
   *
-  * Scale shape: one explode, one aggregate on segment hash (partial —
-  * a billion-fold repeated banner collapses map-side; its min-occurrence
-  * struct is a 16-byte partial per partition), one join back on the SAME
-  * hash key (the aggregate's partitioning is reused, no extra exchange),
-  * and one per-document reassembly aggregate keyed on the well-distributed
-  * doc id. No windows, no global sort; `array_sort` orders each document's
-  * own surviving segments in memory (bounded by document length).
+  * Scale shape ([[dedupSegments]], r06): the hash-keyed stages move NO
+  * text — the occurrence frame is `(doc, seg_idx, h)` (24 B rows), the
+  * first-occurrence aggregate is partial (a billion-fold repeated banner
+  * collapses map-side to one 16-byte min-struct per partition), and keep
+  * decisions come back as one small sorted index array per document. The
+  * document TEXT is shuffled exactly once — the final equi-join on doc
+  * id — and each survivor re-tiles its own text locally (the chunk
+  * kernel is O(len); recomputing it beats shipping every segment string
+  * through two exchanges, which is what the r05 shape did: segment text
+  * keyed by hash, then again by doc id — 190 s at 1M docs in the scale
+  * smoke). No windows, no global sort.
   *
   * Determinism: occurrence order is the total order `(doc id, segment
   * index)`, reproducible across runs, engines, and partitionings; segment
@@ -72,25 +76,53 @@ object SegmentDedup {
     * removed and documents reassembled from their surviving segments in
     * original order: `(idCol, textCol)`. Documents whose every segment
     * was cut (pure boilerplate) are dropped entirely — the C4 behavior.
+    *
+    * Unlike [[segmentOccurrences]] (the audit view, which must carry the
+    * segment strings), this moves only `(doc, seg_idx, h)` through the
+    * hash-keyed stages and rebuilds each survivor from its own re-tiled
+    * text after one doc-id join — see the class doc for the byte math.
     */
   def dedupSegments(
       docs: DataFrame,
       segTokens: Int = 5,
       textCol: String = "text",
       idCol: String = "doc_id"
-  ): DataFrame =
-    segmentOccurrences(docs, segTokens, textCol, idCol)
-      .filter(col("keep"))
-      .groupBy(col(idCol))
-      .agg(
-        array_join(
+  ): DataFrame = {
+    require(segTokens > 0, s"need segTokens > 0, got $segTokens")
+    val occ = docs
+      .select(
+        col(idCol),
+        posexplode(
           transform(
-            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-            x => x.getField("seg")
-          ),
+            TextFunctions.chunks(col(textCol), segTokens, 0),
+            s => GraftExpressions.poly_hash(s)
+          )
+        ).as(Seq("seg_idx", "h"))
+      )
+      .select(col(idCol), col("seg_idx").cast("long").as("seg_idx"), col("h"))
+    val first = occ
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("first_occ"))
+    val keepIdx = occ
+      .join(first, Seq("h"))
+      .filter(struct(col(idCol), col("seg_idx")) === col("first_occ"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("seg_idx"))).as("__keep_idx"))
+    docs
+      .join(keepIdx, Seq(idCol))
+      .select(
+        col(idCol),
+        TextFunctions.chunks(col(textCol), segTokens, 0).as("__segs"),
+        col("__keep_idx")
+      )
+      .select(
+        col(idCol),
+        array_join(
+          transform(col("__keep_idx"), i => element_at(col("__segs"), (i + 1L).cast("int"))),
           " "
         ).as(textCol)
       )
+  }
 
   /** EXACT-SUBSTRING dedup at window granularity — the Lee et al. 2021
     * semantics ("Deduplicating Training Data Makes Language Models
