@@ -32,7 +32,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   * an id sample — the production trainer), [[annQuantized]] /
   * [[annIvfQuantized]] (int8 candidate scoring), and the SemDeDup pair
   * [[semDedup]] / [[semDedupBalanced]] (occupancy-pinned vs
-  * √-balanced semantic dedup over the same codebooks).
+  * √-balanced semantic dedup over the same codebooks). Every trained
+  * path also has a `*With` variant taking a first-class [[Codebook]]
+  * ([[trainCodebook]] / [[persistCodebook]] / [[releaseCodebook]]) —
+  * train once, optionally on a sample, serve many consumers.
   */
 object Similarity {
 
@@ -231,10 +234,62 @@ object Similarity {
   /** ANN-sized codebook ([[annCells]]) — the default for search paths. */
   def trainedCentroids(e: DataFrame): DataFrame = trainedCentroids(e, annCells)
 
-  def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  /** A trained codebook as a FIRST-CLASS value — the train-once /
+    * serve-many lifecycle of a production vector deployment (the
+    * [[NgramLM.Model]] pattern): fit the Lloyd chain once (optionally on
+    * a sample), [[persistCodebook]] it, and run any number of
+    * [[annIvfWith]] / [[annIvfQuantizedWith]] / [[semDedupWith]] /
+    * [[semDedupBalancedWith]] calls against it without ever re-training.
+    * The per-call convenience paths ([[annIvf]], [[semDedup]], …) are
+    * one-liners over this — same plans, fresh codebook each call.
+    */
+  final case class Codebook(centroids: DataFrame)
+
+  /** Fit a [[Codebook]] on the deterministic 1-in-`every` id sample of
+    * the corpus (`every = 1` → the full trainer). Sampling semantics are
+    * exactly [[annIvfSampled]]'s: the sample re-indexes to dense ids so
+    * the stride seed sees the id structure it assumes, and the codebook
+    * size derives from the SAMPLE count (points-per-centroid preserved —
+    * see the recall measurement there). Lazy: composing this triggers no
+    * jobs; pair with [[persistCodebook]] when the codebook will serve
+    * more than one consumer.
+    */
+  def trainCodebook(
+      emb: DataFrame,
+      every: Int = 1,
+      cellsOf: Column => Column = annCells
+  ): Codebook = {
+    require(every >= 1, s"need every >= 1, got $every")
     val e = emb.select(col("vec_id"), col("embedding"))
-    ivfSearch(e, trainedCentroids(e), queryIds, k)
+    val fit =
+      if (every == 1) e
+      else
+        e.filter(col("vec_id") % lit(every.toLong) === 0)
+          .select(expr(s"vec_id div $every").as("vec_id"), col("embedding"))
+    Codebook(trainedCentroids(fit, cellsOf))
   }
+
+  /** Persist the codebook frame (MEMORY_AND_DISK). The CALLER owns the
+    * lifecycle — pair with [[releaseCodebook]], or the cached centroids
+    * outlive every consumer (the [[NgramLM.persistModel]] contract).
+    */
+  def persistCodebook(cb: Codebook): Codebook =
+    Codebook(cb.centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop [[persistCodebook]]'s cache entry. */
+  def releaseCodebook(cb: Codebook): Unit = {
+    cb.centroids.unpersist()
+    ()
+  }
+
+  /** [[annIvf]] against a caller-supplied [[Codebook]] — assignment,
+    * probing, and candidate scoring unchanged; no training in-plan.
+    */
+  def annIvfWith(emb: DataFrame, cb: Codebook, queryIds: Seq[Long], k: Int): DataFrame =
+    ivfSearch(emb.select(col("vec_id"), col("embedding")), cb.centroids, queryIds, k)
+
+  def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    annIvfWith(emb, trainCodebook(emb), queryIds, k)
 
   /** [[annIvf]] with the codebook fitted on the deterministic 1-in-`every`
     * id sample of the corpus — the PRODUCTION trainer shape: the Lloyd
@@ -253,14 +308,8 @@ object Similarity {
     * caps trainer cost at a constant; recall is gated alongside the
     * full-trainer path in AnnRecallSpec.
     */
-  def annIvfSampled(emb: DataFrame, queryIds: Seq[Long], k: Int, every: Int = 2): DataFrame = {
-    require(every >= 1, s"need every >= 1, got $every")
-    val e = emb.select(col("vec_id"), col("embedding"))
-    val sample = e
-      .filter(col("vec_id") % lit(every.toLong) === 0)
-      .select(expr(s"vec_id div $every").as("vec_id"), col("embedding"))
-    ivfSearch(e, trainedCentroids(sample, annCells), queryIds, k)
-  }
+  def annIvfSampled(emb: DataFrame, queryIds: Seq[Long], k: Int, every: Int = 2): DataFrame =
+    annIvfWith(emb, trainCodebook(emb, every), queryIds, k)
 
   /** The IVF search stage shared by the trainer variants: assign corpus
     * vectors to their argmax cell, probe each query's `IvfProbes` nearest
@@ -342,10 +391,13 @@ object Similarity {
     * machinery. Recall gated ≥ 0.8 in AnnRecallSpec (cell-pruning recall
     * × int8 rounding ≈ the q37 figure: int8 costs almost nothing).
     */
-  def annIvfQuantized(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  def annIvfQuantized(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    annIvfQuantizedWith(emb, trainCodebook(emb), queryIds, k)
+
+  /** [[annIvfQuantized]] against a caller-supplied [[Codebook]]. */
+  def annIvfQuantizedWith(emb: DataFrame, cb: Codebook, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val centroids = trainedCentroids(e)
-    val rankedCells = topK(cellScores(e, centroids), IvfProbes)
+    val rankedCells = topK(cellScores(e, cb.centroids), IvfProbes)
       .select(col("query_id").as("vec_id"), col("rnk"), col("neighbor_id").as("cell"))
     val q8 = quantizeInt8(e)
     val corpusCells = q8.join(rankedCells.filter(col("rnk") === 1).select("vec_id", "cell"), "vec_id")
@@ -390,9 +442,19 @@ object Similarity {
     * re-run the whole Lloyd chain; eager materialization here matches the
     * cluster family's contract (q32/q36/q38 compose the same way).
     */
-  def semDedup(emb: DataFrame, threshold: Double): DataFrame = {
+  def semDedup(emb: DataFrame, threshold: Double): DataFrame =
+    semDedupWith(emb, trainCodebook(emb, cellsOf = semDedupCells), threshold)
+
+  /** [[semDedup]] against a caller-supplied [[Codebook]] — the train-once
+    * path for re-running dedup at several thresholds, or composing with
+    * [[annIvfWith]] over one shared (persisted) codebook. The codebook
+    * should be occupancy-sized ([[semDedupCells]]) for this variant's
+    * plain in-cell pair join; a √n-sized codebook belongs with
+    * [[semDedupBalancedWith]]'s blocked join.
+    */
+  def semDedupWith(emb: DataFrame, cb: Codebook, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val assigned = assignCells(e, semDedupCells)
+    val assigned = assignCellsWith(e, cb.centroids)
     val pairs = assigned
       .as("a")
       .join(
@@ -430,10 +492,19 @@ object Similarity {
     * blocks=8 in CorpusOpsSpec) and the oracle is q71's with the ANN
     * cell derivation.
     */
-  def semDedupBalanced(emb: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
+  def semDedupBalanced(emb: DataFrame, threshold: Double, blocks: Int = 8): DataFrame =
+    semDedupBalancedWith(emb, trainCodebook(emb), threshold, blocks)
+
+  /** [[semDedupBalanced]] against a caller-supplied [[Codebook]]. */
+  def semDedupBalancedWith(
+      emb: DataFrame,
+      cb: Codebook,
+      threshold: Double,
+      blocks: Int = 8
+  ): DataFrame = {
     require(blocks >= 1, s"need blocks >= 1, got $blocks")
     val e = emb.select(col("vec_id"), col("embedding"))
-    val assigned = assignCells(e, annCells)
+    val assigned = assignCellsWith(e, cb.centroids)
     val pairs = BlockedJoin
       .trianglePairs(assigned, Seq("cell"), "vec_id", blocks)
       .select(
@@ -449,9 +520,9 @@ object Similarity {
     * component loop downstream runs one action per round, and each would
     * otherwise re-run the whole Lloyd chain (see [[semDedup]] notes).
     */
-  private def assignCells(e: DataFrame, cellsOf: Column => Column): DataFrame =
+  private def assignCellsWith(e: DataFrame, centroids: DataFrame): DataFrame =
     e.join(
-      topK(cellScores(e, trainedCentroids(e, cellsOf)), 1)
+      topK(cellScores(e, centroids), 1)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell")),
       "vec_id"
     ).localCheckpoint(true)

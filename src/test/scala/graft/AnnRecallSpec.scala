@@ -175,4 +175,47 @@ class AnnRecallSpec extends SparkSpec {
       .head()
     assert(cos === 0.0, "zero-norm codes must score 0, not NaN")
   }
+
+  test("codebook lifecycle: train once + persist serves ANN, int8 ANN, and semdedup; results match per-call training") {
+    // the production shape VERDICT r05 #5 asks for: ONE Lloyd chain,
+    // persisted, feeding every consumer — vs each convenience path
+    // re-training its own. Same codebook derivation → identical results.
+    val emb = Tables.load(spark, Sf01, "embeddings")
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cb = Similarity.persistCodebook(Similarity.trainCodebook(emb))
+    try {
+      assert(pairs(Similarity.annIvfWith(emb, cb, queries, k)) === pairs(Similarity.annIvf(emb, queries, k)))
+      assert(
+        pairs(Similarity.annIvfQuantizedWith(emb, cb, queries, k)) ===
+          pairs(Similarity.annIvfQuantized(emb, queries, k))
+      )
+      // balanced semdedup shares the SAME ann-sized codebook as search
+      val viaCb = Similarity
+        .semDedupBalancedWith(emb, cb, 0.9)
+        .select("vec_id", "cluster_id", "keep")
+        .as[(Long, Long, Boolean)]
+        .collect()
+        .toSet
+      val perCall = Similarity
+        .semDedupBalanced(emb, 0.9)
+        .select("vec_id", "cluster_id", "keep")
+        .as[(Long, Long, Boolean)]
+        .collect()
+        .toSet
+      assert(viaCb === perCall)
+      // sampled trainer composes with the lifecycle too
+      val cbS = Similarity.trainCodebook(emb, every = 2)
+      assert(
+        pairs(Similarity.annIvfWith(emb, cbS, queries, k)) ===
+          pairs(Similarity.annIvfSampled(emb, queries, k, every = 2))
+      )
+    } finally Similarity.releaseCodebook(cb)
+    assert(
+      cb.centroids.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "release must drop the cache entry"
+    )
+  }
 }
