@@ -57,7 +57,7 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PunctRegex), lit(0)))
 
-  private def stopwordHits(text: Column, words: Seq[String]): Column =
+  def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => array_contains(lit(words.toArray), t)))
 
   def stopwordRatio(text: Column): Column =

@@ -135,4 +135,48 @@ object Sampling {
       .filter(GraftExpressions.poly_hash(col(keyCol)) % Scale < col("__thr"))
       .drop("__grp", "__thr")
   }
+
+  /** Deterministic training-order SHARD PLAN — the reproducible global
+    * shuffle a training run needs: every document gets `(shard,
+    * position)` as a pure function of `(id, seed)`, so two runs (or two
+    * engines) materialize the identical example order, and changing the
+    * seed is a full reshuffle with zero state carried over.
+    *
+    *  - `shard`    = `poly_hash(id ":" seed) mod nShards` — content-hash
+    *    placement, so shard sizes concentrate at n/nShards (the q59
+    *    bucket-occupancy argument) with no coordinator;
+    *  - `position` = rank of the same hash within the shard (id as
+    *    tie-break) — the within-shard read order.
+    *
+    * Scale shape: one scan computes the hash, then ONE hash-partitioned
+    * exchange on `shard` and a per-shard sort — which is exactly the
+    * physical plan of the writer this feeds (`repartition(shard).
+    * sortWithinPartitions` → one file per shard): the "window sort" here
+    * is not overhead, it IS the materialization order being produced.
+    * Per-task work is bounded by the shard size n/nShards, which the
+    * caller sizes to the training reader's file budget; no global sort,
+    * no driver state, no RNG (reproducibility is the point — a
+    * `rand(seed)` order changes with partitioning, a content hash never
+    * does).
+    */
+  def shufflePlan(
+      df: DataFrame,
+      nShards: Int,
+      seed: Long = 0L,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = GraftExpressions.poly_hash(concat_ws(":", col(idCol), lit(seed)))
+    df
+      .select(col(idCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn(
+        "position",
+        row_number()
+          .over(Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol)))
+          .cast("long")
+      )
+      .select(col(idCol), col("shard"), col("position"))
+  }
 }
