@@ -124,6 +124,40 @@ object OracleFragments {
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $w), j -> $bit)), (a, b) -> a + b))"
   }
 
+  /** Mirrors of Kernels.gopherStats' four integer metrics over a text
+    * column expression (all non-negative, so DuckDB `//` floor division
+    * equals the kernel's truncating Long division). `gopherStopDistinct`
+    * counts DISTINCT stop-list members present as exact tokens by
+    * filtering the (tiny) stop list against the token list — the same
+    * set-membership the kernel's bitmask computes.
+    */
+  def gopherNWords(col: String): String = s"len(${tokens(col)})"
+
+  def gopherMeanLenMilli(col: String): String =
+    s"(((length($col) - (${gopherNWords(col)} - 1)) * 1000) // greatest(${gopherNWords(col)}, 1))"
+
+  def gopherAlphaPermille(col: String): String =
+    s"((len(list_filter(${tokens(col)}, w -> regexp_matches(w, '[A-Za-z]'))) * 1000) " +
+      s"// greatest(${gopherNWords(col)}, 1))"
+
+  def gopherStopDistinct(col: String): String = {
+    val lst = graft.functions.TextFunctions.StopwordsEn
+      .map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"len(list_filter($lst, sw -> list_contains(${tokens(col)}, sw)))"
+  }
+
+  /** The Gopher keep-predicate at the engine's default thresholds —
+    * shared by the q88 `keep` column and the q82 pipeline stage.
+    */
+  def gopherKeepPredicate(col: String): String = {
+    import graft.operators.Heuristics._
+    s"(${gopherNWords(col)} BETWEEN $MinWords AND $MaxWords " +
+      s"AND ${gopherMeanLenMilli(col)} BETWEEN $MinMeanLenMilli AND $MaxMeanLenMilli " +
+      s"AND ${gopherAlphaPermille(col)} >= $MinAlphaPermille " +
+      s"AND ${gopherStopDistinct(col)} >= $MinStopDistinct)"
+  }
+
   def stopwordHits(col: String, words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(${tokens(col)}, t -> list_contains($lst, t)))"

@@ -517,10 +517,14 @@ object SparkEntry {
     }),
     // SemDeDup: k-means cells over the embedding space, exact cosine
     // pairs within each cell, connected components, min-id representative
-    // — the semantic-pruning step of a curation pipeline
+    // — the semantic-pruning step of a curation pipeline. r07: the gated
+    // plan is the PRODUCTION shape — codebook trained on the 1-in-2 id
+    // sample (q84's trainer discipline), which divides the pinned
+    // variant's quadratic-family n·C terms by `every` while the in-cell
+    // pair stage stays occupancy-bounded
     "q71_semdedup" -> ((s, dir) => {
       Similarity
-        .semDedup(t(s, dir, "embeddings"), 0.4)
+        .semDedupSampled(t(s, dir, "embeddings"), 0.4, every = 2)
         .orderBy(col("vec_id"))
     }),
     // SemDeDup at the other end of the flat-quantizer trade: sqrt(n/2)
@@ -557,10 +561,11 @@ object SparkEntry {
         .score(docs.filter(bucket >= 8), model)
         .orderBy(col("doc_id"))
     }),
-    // the HYGIENE-composed pipeline: scrub -> quality -> repetition
-    // filter -> decontaminate -> exact+near dedup -> temperature mix ->
-    // chunk+pack, seven stages end to end (q82 gates the composition;
-    // each stage is gated alone by q22/q67/q66/q20/q42/q78/q60)
+    // the HYGIENE-composed pipeline: scrub -> structural Gopher gate ->
+    // quality -> repetition filter -> decontaminate -> exact+near dedup
+    // -> temperature mix -> chunk+pack, eight stages end to end (q82
+    // gates the composition; each stage is gated alone by
+    // q22/q88/q67/q66/q20/q42/q78/q60)
     "q82_hygienic_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bucket = GraftExpressions.poly_hash(col("text")) % 10
@@ -665,6 +670,23 @@ object SparkEntry {
           (TextFunctions.normalize(col("text")) =!= col("text")).as("changed")
         )
         .orderBy(col("doc_id"))
+    }),
+    // Gopher structural heuristics (audit form): per-doc integer rule
+    // metrics + keep flag from ONE fused kernel scan — the hard
+    // structural gates that run before any model-based quality scoring
+    "q88_doc_heuristics" -> ((s, dir) => {
+      graft.operators.Heuristics
+        .gopherRules(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+    // deterministic training-order shard plan: (shard, position) as a
+    // pure function of (id, seed) — a reproducible global shuffle whose
+    // physical plan IS the writer's (one exchange on shard, per-shard
+    // sort); no RNG, no global sort, no driver state
+    "q89_shuffle_plan" -> ((s, dir) => {
+      graft.operators.Sampling
+        .shufflePlan(t(s, dir, "documents"), nShards = 8, seed = 42L)
+        .orderBy(col("shard"), col("position"))
     }),
     // exact per-lang quartiles from a VALUE histogram — the scale shape
     // for integer-valued stats: groupBy (lang, n_tok) partial-aggregates
@@ -922,8 +944,20 @@ object SparkEntry {
     * flags), parameterized by the codebook-size expression: q71 uses the
     * occupancy-pinned derivation, q85 the ANN sqrt-derivation.
     */
-  private def semDedupOracle(cellsSql: String): String =
-    s"""WITH RECURSIVE ${ivfTrainerCtes(cellsSql)}, scores AS (
+  private def semDedupOracle(cellsSql: String, sampleEvery: Int = 1): String = {
+    // sampled trainer (q84's tsrc discipline): the codebook CTEs run over
+    // the re-indexed 1-in-`sampleEvery` id sample; assignment, pairs and
+    // components below read the full corpus unchanged
+    val (samplePrefix, trainerSrc) =
+      if (sampleEvery == 1) ("", "embeddings")
+      else (
+        s"""tsrc AS (
+           SELECT vec_id // $sampleEvery AS vec_id, embedding FROM embeddings
+           WHERE vec_id % $sampleEvery = 0
+         ), """,
+        "tsrc"
+      )
+    s"""WITH RECURSIVE $samplePrefix${ivfTrainerCtes(cellsSql, trainerSrc)}, scores AS (
            SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
            FROM embeddings e CROSS JOIN $ivfFinalCent ct
          ), assigned AS (
@@ -952,6 +986,7 @@ object SparkEntry {
            (a.vec_id = lb.cluster_id) AS keep
          FROM assigned a JOIN labels lb ON a.vec_id = lb.vec_id
          ORDER BY a.vec_id"""
+  }
 
   private def ivfTrainerCtes(cellsOfN: String, src: String = "embeddings"): String = {
     val q = Similarity.IvfQuant // prints as 1000000.0
@@ -1551,8 +1586,11 @@ object SparkEntry {
            SELECT $scrubExpr AS text FROM raw WHERE bkt >= 9
          ), bgrams AS (
            SELECT DISTINCT unnest(${shingleHashesDistinct("text", 4)}) AS gh FROM benchs
+         ), gph AS (
+           SELECT doc_id, lang, text FROM scrubbed
+           WHERE ${gopherKeepPredicate("text")}
          ), qual AS (
-           SELECT doc_id, lang, text FROM scrubbed WHERE $quality >= 0.4275
+           SELECT doc_id, lang, text FROM gph WHERE $quality >= 0.4275
          ), repg AS (
            SELECT doc_id, gh, COUNT(*) AS c FROM (
              SELECT doc_id, unnest(${positionalShingleHashes("text", 2)}) AS gh FROM qual
@@ -1870,7 +1908,9 @@ object SparkEntry {
     },
     // SemDeDup: same trainer CTEs as q37, argmax cell assignment, exact
     // intra-cell cosine pairs at >= 0.4, recursive components, min label
-    "q71_semdedup" -> semDedupOracle(semDedupCellsSql),
+    // r07: gated through the sampled trainer (cells derive from the
+    // SAMPLE count — occupancy ~64·every; see Similarity.semDedupSampled)
+    "q71_semdedup" -> semDedupOracle(semDedupCellsSql, sampleEvery = 2),
     // same chain, ANN-derived sqrt(n/2) cell count — the engine's blocked
     // pair expansion changes task layout, never the pair set, so the
     // oracle differs from q71 only in the codebook size
@@ -1974,6 +2014,29 @@ object SparkEntry {
            nfc_normalize(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))) AS text,
            (nfc_normalize(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))) <> text) AS changed
          FROM documents ORDER BY doc_id""",
+    // Gopher structural heuristics: the four integer metric formulas and
+    // the keep conjunction, mirrored from the shared fragments (all
+    // non-negative integer arithmetic — zero rounding risk)
+    "q88_doc_heuristics" ->
+      s"""SELECT doc_id,
+           CAST(${gopherNWords("text")} AS BIGINT) AS n_words,
+           CAST(${gopherMeanLenMilli("text")} AS BIGINT) AS mean_len_milli,
+           CAST(${gopherAlphaPermille("text")} AS BIGINT) AS alpha_permille,
+           CAST(${gopherStopDistinct("text")} AS BIGINT) AS stop_distinct,
+           ${gopherKeepPredicate("text")} AS keep
+         FROM documents ORDER BY doc_id""",
+    // shard plan: content-hash shard + within-shard rank of the same
+    // hash (id tie-break) — both engines hash the identical "id:seed"
+    // string, so the materialized order is bit-identical
+    "q89_shuffle_plan" ->
+      s"""WITH h AS (
+           SELECT doc_id,
+             ${polyHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS h
+           FROM documents
+         )
+         SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS position
+         FROM h ORDER BY shard, position""",
     // value-histogram quartiles: cumulative over (lang, n_tok) counts,
     // lower-quantile rank test in integer arithmetic
     "q86_token_quantiles" -> {

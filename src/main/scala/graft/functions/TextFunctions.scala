@@ -27,6 +27,12 @@ object TextFunctions {
 
   // set views for the fused kernel's per-token membership checks
   val StopEnSet: java.util.Set[String] = new java.util.HashSet(java.util.Arrays.asList(StopwordsEn: _*))
+  // word -> list index, for the Gopher kernel's DISTINCT-stopword bitmask
+  val StopEnIndex: java.util.Map[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    StopwordsEn.zipWithIndex.foreach { case (w, i) => m.put(w, i) }
+    m
+  }
   val StopDeSet: java.util.Set[String] = new java.util.HashSet(java.util.Arrays.asList(StopwordsDe: _*))
   val StopFrSet: java.util.Set[String] = new java.util.HashSet(java.util.Arrays.asList(StopwordsFr: _*))
   val StopEsSet: java.util.Set[String] = new java.util.HashSet(java.util.Arrays.asList(StopwordsEs: _*))

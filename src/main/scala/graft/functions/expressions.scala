@@ -412,6 +412,84 @@ object Kernels {
       .doubleValue()
   }
 
+  /** One-pass Gopher-rule statistics (Rae et al. 2021, appendix A1.1 —
+    * the structural document gates): `(n_words, mean_len_milli,
+    * alpha_permille, stop_distinct)`, all BIGINT, from a single token
+    * scan. Exists for the same reason as [[qualityScore]]: FilterExec
+    * generates predicates without subexpression elimination, so a
+    * four-metric Column composition re-splits the text once per metric
+    * in the admission filter — this kernel splits once.
+    *
+    *  - `n_words`        — space-token count (the engine token contract);
+    *  - `mean_len_milli` — mean word length in integer thousandths,
+    *    chars derived as `numChars − (n_words − 1)` separators;
+    *  - `alpha_permille` — integer permille of words containing at least
+    *    one ASCII letter;
+    *  - `stop_distinct`  — DISTINCT members of
+    *    [[TextFunctions.StopwordsEn]] present as exact tokens (the
+    *    paper's "at least 2 distinct stop words" form — total-occurrence
+    *    counting would pass "the the").
+    *
+    * All-integer arithmetic (`x·1000 div n`, non-negative, so truncating
+    * and floor division agree) — the DuckDB oracle mirrors each formula
+    * with zero rounding risk.
+    */
+  def gopherStats(text: UTF8String): InternalRow = {
+    val str = text.toString
+    val toks = str.split(" ", -1)
+    val nWords = toks.length.toLong
+    var nAlpha = 0L
+    var stopMask = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var j = 0
+      var alpha = false
+      val tn = t.length
+      while (j < tn && !alpha) {
+        val c = t.charAt(j)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha = true
+        j += 1
+      }
+      if (alpha) nAlpha += 1
+      val ix = TextFunctions.StopEnIndex.get(t)
+      if (ix != null) stopMask |= 1 << ix.intValue()
+      i += 1
+    }
+    val denom = math.max(nWords, 1L)
+    val nCharsW = text.numChars().toLong - (nWords - 1L)
+    new GenericInternalRow(
+      Array[Any](
+        nWords,
+        nCharsW * 1000L / denom,
+        nAlpha * 1000L / denom,
+        java.lang.Integer.bitCount(stopMask).toLong
+      )
+    )
+  }
+
+  /** The Gopher keep-predicate fused to ONE boolean kernel call — the
+    * admission-filter form of [[gopherStats]] (one text scan per row in
+    * FilterExec, where the struct+getField composition would run the
+    * kernel once per referenced field).
+    */
+  def gopherKeep(
+      text: UTF8String,
+      minWords: Long,
+      maxWords: Long,
+      minMeanLenMilli: Long,
+      maxMeanLenMilli: Long,
+      minAlphaPermille: Long,
+      minStopDistinct: Long
+  ): Boolean = {
+    val s = gopherStats(text)
+    val nWords = s.getLong(0)
+    val mlm = s.getLong(1)
+    nWords >= minWords && nWords <= maxWords &&
+    mlm >= minMeanLenMilli && mlm <= maxMeanLenMilli &&
+    s.getLong(2) >= minAlphaPermille && s.getLong(3) >= minStopDistinct
+  }
+
   /** Exact Jaccard of two distinct-element long arrays via hash-set
     * intersection — O(|A|+|B|) against the interpreted HOF form's
     * O(|A|·|B|) contains-scan per pair (the verification hot path of every
@@ -881,6 +959,67 @@ case class QualityScore(child: Expression) extends UnaryExpression with ExpectsI
     copy(child = newChild)
 }
 
+/** `gopher_stats(text) -> struct(n_words, mean_len_milli, alpha_permille,
+  * stop_distinct)` — the fused one-pass Gopher rule metrics (see
+  * [[Kernels.gopherStats]]).
+  */
+case class GopherStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = GopherStats.schema
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.gopherStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.gopherStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
+object GopherStats {
+  val schema: StructType = StructType(
+    Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("mean_len_milli", LongType, nullable = false),
+      StructField("alpha_permille", LongType, nullable = false),
+      StructField("stop_distinct", LongType, nullable = false)
+    )
+  )
+}
+
+/** `gopher_keep(text) -> boolean` — the Gopher admission predicate as ONE
+  * scalar expression (see [[Kernels.gopherKeep]] for why filters need the
+  * fused form).
+  */
+case class GopherKeep(
+    child: Expression,
+    minWords: Long,
+    maxWords: Long,
+    minMeanLenMilli: Long,
+    maxMeanLenMilli: Long,
+    minAlphaPermille: Long,
+    minStopDistinct: Long
+) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.gopherKeep(
+      input.asInstanceOf[UTF8String],
+      minWords, maxWords, minMeanLenMilli, maxMeanLenMilli,
+      minAlphaPermille, minStopDistinct
+    )
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"graft.functions.Kernels.gopherKeep($c, ${minWords}L, ${maxWords}L, " +
+          s"${minMeanLenMilli}L, ${maxMeanLenMilli}L, ${minAlphaPermille}L, ${minStopDistinct}L)"
+    )
+  override protected def withNewChildInternal(newChild: Expression): GopherKeep =
+    copy(child = newChild)
+}
+
 object TextStats {
   val schema: StructType = StructType(
     Seq(
@@ -941,4 +1080,22 @@ object GraftExpressions {
     GraftBridge.column(TokenChunks(GraftBridge.expression(text), chunkSize, overlap))
   def normalize_text(text: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(text)))
+  def gopher_stats(text: Column): Column =
+    GraftBridge.column(GopherStats(GraftBridge.expression(text)))
+  def gopher_keep(
+      text: Column,
+      minWords: Long,
+      maxWords: Long,
+      minMeanLenMilli: Long,
+      maxMeanLenMilli: Long,
+      minAlphaPermille: Long,
+      minStopDistinct: Long
+  ): Column =
+    GraftBridge.column(
+      GopherKeep(
+        GraftBridge.expression(text),
+        minWords, maxWords, minMeanLenMilli, maxMeanLenMilli,
+        minAlphaPermille, minStopDistinct
+      )
+    )
 }

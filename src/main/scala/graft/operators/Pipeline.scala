@@ -69,10 +69,22 @@ object Pipeline {
       carry = Seq(groupCol)
     )
 
-  /** Scrub then quality-gate: PII-shaped redaction BEFORE any hashing
-    * (so duplicates of a page differing only in a scrubbed email still
-    * collapse), then the fused one-kernel quality filter — both
-    * scan-only. Shared stage 1-2 of both composed pipelines.
+  /** PII-shaped redaction BEFORE any hashing (so duplicates of a page
+    * differing only in a scrubbed email still collapse) — stage 1 of
+    * both composed pipelines.
+    */
+  private def scrubDocs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      groupCol: String
+  ): DataFrame =
+    docs.select(col(idCol), col(groupCol), TextFunctions.scrub(col(textCol)).as(textCol))
+
+  /** Scrub then quality-gate: [[scrubDocs]] followed by the fused
+    * one-kernel quality filter — both scan-only. Shared stage 1-2 of
+    * both composed pipelines (the hygienic chain inserts the structural
+    * Gopher gate between them).
     */
   private def scrubAndGate(
       docs: DataFrame,
@@ -81,8 +93,7 @@ object Pipeline {
       idCol: String,
       groupCol: String
   ): DataFrame =
-    docs
-      .select(col(idCol), col(groupCol), TextFunctions.scrub(col(textCol)).as(textCol))
+    scrubDocs(docs, textCol, idCol, groupCol)
       .filter(TextFunctions.qualityScoreFused(col(textCol)) >= minQuality)
 
   /** Exact + near dedup of a gated frame, checkpoint-scoped: keep the
@@ -154,14 +165,15 @@ object Pipeline {
     * with the round-5 corpus-hygiene stages, in the order a production
     * corpus build runs them:
     *
-    *   scrub → quality gate → repetition filter → benchmark
-    *   decontamination → exact dedup → near dedup (best-quality rep)
-    *         → temperature mixture
+    *   scrub → structural Gopher gate → quality gate → repetition filter
+    *         → benchmark decontamination → exact dedup → near dedup
+    *         (best-quality rep) → temperature mixture
     *
     * and [[hygienicTrainingData]] packs the result. Every stage is
-    * individually gated (q22/q67/q66/q20/q42/q78); this gates their
+    * individually gated (q22/q88/q67/q66/q20/q42/q78); this gates their
     * COMPOSITION — the id-handoff contracts and checkpoint scopes across
-    * SEVEN stages, twice the q65 chain. Replaces q65's fixed
+    * EIGHT stages, more than twice the q65 chain. The structural gate
+    * runs before model scoring (the MassiveText order: r07). Replaces q65's fixed
     * balanced-sample stage with the corpus-derived temperature mix, so
     * the final mixing pressure adapts as upstream filters reshape the
     * group balance — which is exactly the interaction a per-stage gate
@@ -187,9 +199,15 @@ object Pipeline {
       idCol: String = "doc_id",
       groupCol: String = "lang"
   ): DataFrame = {
-    // stages 1-2: the shared scrub → quality core; the benchmark side is
-    // scrubbed with the same chain before indexing (scrub-before-hash)
-    val qualified = scrubAndGate(docs, cfg.minQuality, textCol, idCol, groupCol)
+    // stages 1-3: scrub, then the STRUCTURAL Gopher gate, then the
+    // model-shaped quality score — the MassiveText order (hard structural
+    // rules drop machine noise before any continuum scoring spends a
+    // kernel pass on it). The benchmark side is scrubbed with the same
+    // chain before indexing (scrub-before-hash).
+    val structural =
+      Heuristics.filterGopher(scrubDocs(docs, textCol, idCol, groupCol), textCol = textCol)
+    val qualified =
+      structural.filter(TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality)
     val benchScrubbed = benchmark.select(TextFunctions.scrub(col(textCol)).as(textCol))
     val nonRepetitive =
       Repetition.filterRepetitive(qualified, 2, maxDupFrac, maxTopFrac, textCol, idCol)

@@ -167,7 +167,16 @@ object Sampling {
   ): DataFrame = {
     require(nShards > 0, s"need nShards > 0, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val h = GraftExpressions.poly_hash(concat_ws(":", col(idCol), lit(seed)))
+    // the determinism contract REQUIRES non-null unique ids: concat_ws
+    // skips NULLs (every null id would hash to poly_hash(seed) with an
+    // arbitrary tie-break), and duplicate ids get arbitrary relative
+    // positions. Nulls fail fast in-plan; uniqueness is the caller's
+    // documented obligation (checking it would cost an aggregate).
+    val id = when(
+      col(idCol).isNull,
+      raise_error(lit(s"shufflePlan: null $idCol — deterministic order needs non-null unique ids"))
+    ).otherwise(col(idCol))
+    val h = GraftExpressions.poly_hash(concat_ws(":", id, lit(seed)))
     df
       .select(col(idCol), h.as("__h"))
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))

@@ -331,6 +331,10 @@ object Similarity {
     val queryCells = e
       .filter(col("vec_id").isin(queryIds: _*))
       .join(rankedCells.select("vec_id", "cell"), "vec_id")
+    // no distinct here (unlike LSH): rank-1 assignment puts each corpus
+    // vector in exactly ONE cell, so a (query, candidate) pair can match
+    // at most one of the query's probe cells — dedup would only add a
+    // full exchange of the candidate set before the top-k aggregate
     val scored = broadcast(queryCells.as("q"))
       .join(
         corpusCells.as("c"),
@@ -341,7 +345,6 @@ object Similarity {
         col("c.vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("q.embedding"), col("c.embedding")).as("cos")
       )
-      .distinct()
     topK(scored, k)
   }
 
@@ -414,7 +417,8 @@ object Similarity {
         col("c.vec_id").as("neighbor_id"),
         cosineCodes(col("q.codes"), col("c.codes")).as("cos")
       )
-      .distinct()
+    // rank-1 assignment → one cell per corpus vector → no duplicate
+    // candidates (see ivfSearch); distinct would re-exchange for nothing
     topK(scored, k)
   }
 
@@ -444,6 +448,21 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, threshold: Double): DataFrame =
     semDedupWith(emb, trainCodebook(emb, cellsOf = semDedupCells), threshold)
+
+  /** [[semDedup]] with the codebook fitted on the deterministic
+    * 1-in-`every` id sample — the production shape of the occupancy-
+    * pinned variant, and the plan the q71 gate runs (r07). Sampling
+    * divides BOTH quadratic-family terms of the pinned shape by `every`:
+    * the Lloyd chain costs (n/every)·C per round and the full-corpus
+    * argmax assignment n·C, with C = ⌈(n/every)/64⌉ derived from the
+    * SAMPLE count — so cell occupancy lands at ~64·every and the in-cell
+    * pair stage stays linear (occupancy-bounded) at every·64·n
+    * comparisons. The asymptote is still n²/(64·every) in the assignment
+    * term ([[semDedupBalanced]] is the n^1.5 default when that bites);
+    * the measured 50k→100k smoke point is in BASELINE.md.
+    */
+  def semDedupSampled(emb: DataFrame, threshold: Double, every: Int = 2): DataFrame =
+    semDedupWith(emb, trainCodebook(emb, every, semDedupCells), threshold)
 
   /** [[semDedup]] against a caller-supplied [[Codebook]] — the train-once
     * path for re-running dedup at several thresholds, or composing with
