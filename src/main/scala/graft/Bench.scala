@@ -17,9 +17,28 @@ object Bench {
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM + codegen + parquet footer caches
+    // warmup: JVM + codegen + parquet footer caches. The q01 pass warms
+    // scan/agg codegen; the extra passes warm the two one-shot costs the
+    // r07 probes measured landing inside first runs elsewhere in the
+    // sequence — the JSON parse path (q11: first run 7.5 s vs 0.73 s
+    // steady in an 8-run probe) and the iterative cluster machinery's
+    // generated band join + checkpoint path (q32: 7.8 s vs 1.9 s
+    // steady). Warmup work is NOT measured; under a loaded host the JIT
+    // of these paths is exactly what best-of-2 fails to absorb.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    spark
+      .range(1000L)
+      .selectExpr("""get_json_object(concat('{"k":', id, '}'), '$.k') AS k""")
+      .selectExpr("sum(cast(k as bigint))")
+      .collect()
+    import spark.implicits._
+    val warmDocs = spark
+      .range(200L)
+      .map(i => (i, if (i % 10 == 1) s"warm doc ${i - 1} tokens here" else s"warm doc $i tokens here"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.clusters(warmDocs, 0.5).count()
+    spark.catalog.clearCache()
 
     // A failed query must NEVER record a (near-zero) time — that would
     // IMPROVE the bench as queries break. Failures go to an errors map and

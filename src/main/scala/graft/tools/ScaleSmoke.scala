@@ -367,20 +367,89 @@ object ScaleSmoke {
     )
     println(f"[corpus] int8 recall@10 = ${(exact & quant).size.toDouble / exact.size}%.3f")
 
-    // the two SemDeDup scaling shapes at two corpus sizes: the
+    // the three SemDeDup scaling shapes at two corpus sizes: the
     // occupancy-pinned variant's pair stage is linear but its flat
-    // assignment is n·(n/64); the sqrt-celled blocked variant balances
-    // both at n^1.5. Two paired points inside one JVM give the ratio.
+    // assignment is n·(n/64); the SAMPLED pinned variant (the r07 q71
+    // gate shape, every=8 here) divides both n·C terms by `every`; the
+    // sqrt-celled blocked variant balances both at n^1.5. Paired points
+    // inside one JVM give the ratios.
     for (m <- Seq(nVec / 2, nVec)) {
       val sub = emb.filter(col("vec_id") < m)
       val kept = time(s"semDedup pinned ($m vecs)")(
         graft.operators.Similarity.semDedup(sub, 0.9).filter(col("keep")).count()
       )
+      val keptS = time(s"semDedup sampled ($m vecs)")(
+        graft.operators.Similarity.semDedupSampled(sub, 0.9, every = 8).filter(col("keep")).count()
+      )
       val keptB = time(s"semDedup balanced ($m vecs)")(
         graft.operators.Similarity.semDedupBalanced(sub, 0.9).filter(col("keep")).count()
       )
-      println(s"[corpus] semdedup@$m: keepersPinned=$kept keepersBalanced=$keptB")
+      println(s"[corpus] semdedup@$m: keepersPinned=$kept keepersSampled=$keptS keepersBalanced=$keptB")
     }
+    spark.stop()
+  }
+
+  /** Streaming-admission replay at scale (`ScaleSmoke stream [nDocs]`):
+    * replays `nDocs` synthetic crawl documents through
+    * [[graft.streaming.StreamingOps.admitIngest]] against a 100k-doc
+    * static corpus snapshot, measuring end-to-end throughput and
+    * verifying the operator's two scale contracts mechanically — ZERO
+    * streaming state (all dedup work is micro-batch-exact inside
+    * foreachBatch; a StateStore would grow with the corpus) and no
+    * per-batch cache leak (one persisted index regardless of batch
+    * count). The first half of the corpus is replayed in the stream, so
+    * near-dup admission must drop it; the rest is fresh and admits.
+    */
+  private def streamMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 1000000L
+    val corpusN = 100000L
+    val spark = GraftSession.local("scale-smoke-stream", 32)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = spark
+      .range(corpusN)
+      .map(id => (id, genText(id)))
+      .toDF("doc_id", "text")
+      .persist()
+    println(s"[stream] static corpus: ${corpus.count()} docs")
+
+    val dir = "/tmp/graft-stream-smoke/out"
+    val ckpt = "/tmp/graft-stream-smoke/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft-stream-smoke"), true)
+
+    // stream ids start inside the corpus's back half (exact-text
+    // replays → near-dup drops) and continue past it (fresh
+    // admissions); 10 addData blocks so the replay has batch structure
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val blockSize = n / 10
+    (0L until 10L).foreach { b =>
+      val lo = corpusN / 2 + b * blockSize
+      stream.addData((lo until lo + blockSize).map(id => (id, "en", genText(id))))
+    }
+    val cachedBefore = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamingOps.admitIngest(
+      corpus,
+      stream.toDF().toDF("doc_id", "lang", "text"),
+      dir,
+      ckpt
+    )
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val admitted = spark.read.parquet(dir).count()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).sum
+    val cacheGrowth =
+      (spark.sparkContext.getRDDStorageInfo.map(_.id).toSet -- cachedBefore).size
+    println(
+      f"[stream] replayed $n docs in $secs%.1f s (${n / secs}%.0f docs/s): " +
+        f"admitted=$admitted stateRows=$stateRows cachedRddGrowth=$cacheGrowth"
+    )
+    assert(stateRows == 0L, s"admission must carry ZERO streaming state, saw $stateRows rows")
+    assert(cacheGrowth <= 1, s"per-batch cache leak: $cacheGrowth new cached RDDs")
     spark.stop()
   }
 
@@ -388,6 +457,7 @@ object ScaleSmoke {
     if (args.headOption.contains("skew")) { skewMain(args); return }
     if (args.headOption.contains("cluster")) { clusterMain(args); return }
     if (args.headOption.contains("corpus")) { corpusMain(args); return }
+    if (args.headOption.contains("stream")) { streamMain(args); return }
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val spark = GraftSession.local("scale-smoke", 32)
     import spark.implicits._

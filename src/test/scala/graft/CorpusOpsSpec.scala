@@ -676,4 +676,107 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"model lookups should broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on gram:\n$p")
   }
+
+  // ------------------------------------------------------ Gopher heuristics
+
+  // each crafted doc trips EXACTLY one rule; the first passes all four
+  private lazy val gopherCrafted = Seq(
+    // 0: plain English prose, 52 words, all alphabetic, several stopwords
+    (0L, ("the quick brown fox jumps over a lazy dog and then runs back to " +
+      "the barn where it sleeps in warm hay until morning comes and the sun " +
+      "rises over quiet fields while birds sing softly of summer days that " +
+      "pass slowly by the old red barn doors at dusk each day")),
+    // 1: too short (8 words), otherwise fine
+    (1L, "the cat sat on a mat in peace"),
+    // 2: base64-ish blob padded with stopwords: mean word length explodes
+    (2L, ("QWxhZGRpbjpvcGVuc2VzYW1lQWxhZGRpbjpvcGVuc2VzYW1lQWxhZGRpbjpvcGVuc2VzYW1l " * 50) +
+      "the a of to and in is it " + ("w " * 48).trim),
+    // 3: numeric table: alphabetic fraction near zero (stopwords present;
+    //    6-digit values keep the mean word length inside the prose band)
+    (3L, "the of " + (1 to 58).map(i => (100000 + i).toString).mkString(" ")),
+    // 4: keyword list: 60 alphabetic words, ZERO engine stopwords
+    (4L, (1 to 60).map(i => s"keyword$i").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("gopher: each crafted failure mode trips exactly its rule") {
+    val m = operators.Heuristics
+      .gopherRules(gopherCrafted)
+      .orderBy("doc_id")
+      .collect()
+    assert(m(0).getAs[Boolean]("keep"), "prose doc must pass all four rules")
+    // short doc: word rule only
+    assert(m(1).getAs[Long]("n_words") < operators.Heuristics.MinWords)
+    assert(!m(1).getAs[Boolean]("keep"))
+    // blob: mean length off the chart, everything else in range
+    assert(m(2).getAs[Long]("mean_len_milli") > operators.Heuristics.MaxMeanLenMilli)
+    assert(m(2).getAs[Long]("n_words") >= operators.Heuristics.MinWords)
+    assert(m(2).getAs[Long]("stop_distinct") >= operators.Heuristics.MinStopDistinct)
+    assert(!m(2).getAs[Boolean]("keep"))
+    // numeric table: alpha fraction fails, words/stopwords fine
+    assert(m(3).getAs[Long]("alpha_permille") < operators.Heuristics.MinAlphaPermille)
+    assert(m(3).getAs[Long]("n_words") >= operators.Heuristics.MinWords)
+    assert(!m(3).getAs[Boolean]("keep"))
+    // keyword list: no stop words, everything else fine
+    assert(m(4).getAs[Long]("stop_distinct") === 0L)
+    assert(m(4).getAs[Long]("alpha_permille") === 1000L)
+    assert(!m(4).getAs[Boolean]("keep"))
+  }
+
+  test("gopher: stop_distinct counts DISTINCT stopwords — 'the the' is one") {
+    val d = Seq((0L, "the the the the"), (1L, "the a the a")).toDF("doc_id", "text")
+    val m = operators.Heuristics.gopherRules(d).orderBy("doc_id").collect()
+    assert(m(0).getAs[Long]("stop_distinct") === 1L)
+    assert(m(1).getAs[Long]("stop_distinct") === 2L)
+  }
+
+  test("gopher: kernel metrics == composable Column reimplementation on the fixture") {
+    val toks = split(col("text"), " ")
+    val nW = size(toks).cast("long")
+    val denom = greatest(nW, lit(1L))
+    val naive = docs.select(
+      col("doc_id"),
+      nW.as("n_words"),
+      (((length(col("text")).cast("long") - (nW - lit(1L))) * 1000L) / denom)
+        .cast("long").as("mean_len_milli"),
+      ((size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long") * 1000L) / denom)
+        .cast("long").as("alpha_permille"),
+      size(
+        filter(
+          lit(TextFunctions.StopwordsEn.toArray),
+          sw => array_contains(toks, sw)
+        )
+      ).cast("long").as("stop_distinct")
+    )
+    val fused = operators.Heuristics
+      .gopherRules(docs)
+      .drop("keep")
+    assert(fused.except(naive).count() === 0L && naive.except(fused).count() === 0L)
+  }
+
+  test("gopher: filterGopher == gopherRules keep set, columns untouched") {
+    val kept = operators.Heuristics.filterGopher(docs)
+    assert(kept.columns.toSeq === docs.columns.toSeq, "no metric columns may leak")
+    val flagged = operators.Heuristics
+      .gopherRules(docs)
+      .filter(col("keep"))
+      .select("doc_id")
+    assert(kept.select("doc_id").except(flagged).count() === 0L)
+    assert(flagged.except(kept.select("doc_id")).count() === 0L)
+  }
+
+  test("gopher: filterGopher tolerates pre-existing metric-named columns") {
+    // the boolean-kernel filter adds no columns, so a corpus that already
+    // has an n_words column must pass through unharmed
+    val withClash = docs.withColumn("n_words", lit(-1L))
+    val kept = operators.Heuristics.filterGopher(withClash)
+    assert(kept.columns.contains("n_words"))
+    assert(kept.filter(col("n_words") =!= -1L).count() === 0L)
+  }
+
+  test("gopher: admission filter is scan-only — no shuffle, no join") {
+    val p = operators.Heuristics.filterGopher(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"row-local rule must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"row-local rule must not join:\n$p")
+    assert(p.toLowerCase.contains("gopherkeep"), s"fused kernel missing:\n$p")
+  }
 }

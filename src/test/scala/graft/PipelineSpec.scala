@@ -112,24 +112,35 @@ class PipelineSpec extends SparkSpec {
 
   test("hygienic pipeline: each new stage bites on a crafted corpus, composition holds") {
     import spark.implicits._
-    // 100 DISTINCT tokens: lenScore 1.0 alone passes the quality gate
-    // (0.5 + punctScore 0.2 = 0.7) and repetition stays near zero
-    val base = (0 until 100).map(i => s"w$i").mkString(" ")
-    val other = (100 until 200).map(i => s"v$i").mkString(" ")
+    // ~100 DISTINCT tokens: lenScore 1.0 alone passes the quality gate
+    // (0.5 + punctScore 0.2 = 0.7) and repetition stays near zero. Every
+    // doc that must reach a LATER stage carries "the of" (two distinct
+    // engine stopwords) and word-shaped tokens, so the r07 structural
+    // Gopher gate (>=50 words, mean len 3-10, >=80% alpha, >=2 distinct
+    // stopwords) passes it and the intended stage still does the cutting
+    val base = (0 until 98).map(i => s"word$i").mkString(" ") + " the of"
+    val other = (100 until 200).map(i => s"vocab$i").mkString(" ")
     val benchRun = (1 to 10).map(i => s"bench$i").mkString(" ")
     val crafted = Seq(
       (1L, "en", base + " unique one"), // survives everything
       (2L, "en", base + " unique one"), // exact dup of 1 -> collapses
-      (3L, "en", Seq.fill(120)("loop").mkString(" ")), // repetitive -> cut (dup_frac ~1)
-      (4L, "en", s"$other $benchRun"), // contains a benchmark 4-gram -> decontaminated
-      (5L, "fr", other + " autre chose")
+      // repetitive -> cut by the repetition stage (dup_frac ~1); "the of"
+      // keeps it past the structural gate so that stage gets to bite
+      (3L, "en", Seq.fill(118)("loop").mkString(" ") + " the of"),
+      // contains a benchmark 4-gram -> decontaminated (after passing gopher)
+      (4L, "en", s"$other $benchRun the of"),
+      (5L, "fr", other + " a is autre chose"),
+      // structural casualty: >=50 alphabetic words but ZERO stopwords —
+      // only the NEW gopher stage can cut this one (quality 0.7 passes)
+      (6L, "en", (0 until 60).map(i => s"keyword$i").mkString(" "))
     ).toDF("doc_id", "lang", "text")
     val benchmark = Seq((900L, "xx", benchRun)).toDF("doc_id", "lang", "text")
     val selected = Pipeline.selectHygienic(crafted, benchmark)
     val ids = selected.select("doc_id").as[Long].collect().toSet
-    // 2 collapsed into 1, 3 repetitive, 4 contaminated; 1 and 5 survive
-    // (fr is the rarest group -> temperature keeps it whole; en's single
-    // survivor group also keeps rate 1.0 since both groups have size 1)
+    // 6 cut by the structural gate, 2 collapsed into 1, 3 repetitive,
+    // 4 contaminated; 1 and 5 survive (fr is the rarest group ->
+    // temperature keeps it whole; en's single survivor group also keeps
+    // rate 1.0 since both groups have size 1)
     assert(ids === Set(1L, 5L))
     // token conservation through packing: packed n_tokens sums to the
     // selected docs' CHUNK tokens (overlap duplicates overlap*(nChunks-1)

@@ -132,4 +132,42 @@ class SamplingSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"threshold join should broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on group:\n$p")
   }
+
+  // -------------------------------------------------------------- shufflePlan
+
+  test("shufflePlan: a permutation — every doc exactly once, positions dense per shard") {
+    val plan = Sampling.shufflePlan(docs, nShards = 8, seed = 7L)
+    assert(plan.count() === docs.count())
+    assert(plan.select("doc_id").distinct().count() === docs.count())
+    // positions are 1..count within each shard (dense ranks)
+    val bad = plan
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("position")).as("mx"), min(col("position")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(bad.count() === 0L)
+  }
+
+  test("shufflePlan: deterministic across partitionings; seed is a full reshuffle") {
+    val a = Sampling.shufflePlan(docs, 8, seed = 7L)
+    val b = Sampling.shufflePlan(docs.repartition(13), 8, seed = 7L)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+    val c = Sampling.shufflePlan(docs, 8, seed = 8L)
+    // a different seed must move a substantial fraction of placements
+    val moved = a.join(c, Seq("doc_id", "shard", "position"), "left_semi").count()
+    assert(moved < docs.count() / 2, s"seed change left $moved placements fixed")
+  }
+
+  test("shufflePlan: null ids fail fast instead of silently colliding") {
+    val withNull = docs
+      .select(when(col("doc_id") === 0L, lit(null)).otherwise(col("doc_id")).as("doc_id"))
+    val e = intercept[Exception] {
+      Sampling.shufflePlan(withNull, 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(
+      messages(e).exists(_.contains("shufflePlan")),
+      s"expected the shufflePlan null-id error, got: $e"
+    )
+  }
 }
