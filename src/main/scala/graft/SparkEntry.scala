@@ -467,6 +467,14 @@ object SparkEntry {
         .dedupSegments(t(s, dir, "documents"), segTokens = 5)
         .orderBy(col("doc_id"))
     }),
+    // boilerplate removal: segments in > maxDf distinct docs cut
+    // EVERYWHERE (q70 keeps the first occurrence; a million-page banner
+    // deserves zero) — the RefinedWeb/Dolma line-dedup rule
+    "q91_boilerplate_segments" -> ((s, dir) => {
+      graft.operators.SegmentDedup
+        .dropBoilerplateSegments(t(s, dir, "documents"), segTokens = 5, maxDf = 2L)
+        .orderBy(col("doc_id"))
+    }),
     // JSONL export round-trip: sharded gzip JSON-Lines write (the LLM
     // corpus interchange format), schema-pinned FAILFAST read-back; the
     // gate hashes the text content across the round trip, so JSON
@@ -559,6 +567,18 @@ object SparkEntry {
       val model = graft.operators.NgramLM.train(docs.filter(bucket < 8))
       graft.operators.NgramLM
         .score(docs.filter(bucket >= 8), model)
+        .orderBy(col("doc_id"))
+    }),
+    // CCNet head/middle/tail perplexity buckets over the q75 scorer:
+    // terciles derived from a 1-in-4 id-hash SAMPLE (the window sorts
+    // sample values, never the corpus), thresholds broadcast back,
+    // assignment scan-side
+    "q90_rarity_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = GraftExpressions.poly_hash(col("text")) % 10
+      val model = graft.operators.NgramLM.train(docs.filter(bucket < 8))
+      graft.operators.NgramLM
+        .rarityBuckets(docs.filter(bucket >= 8), model, sampleMod = 4)
         .orderBy(col("doc_id"))
     }),
     // the HYGIENE-composed pipeline: scrub -> structural Gopher gate ->
@@ -987,6 +1007,46 @@ object SparkEntry {
          FROM assigned a JOIN labels lb ON a.vec_id = lb.vec_id
          ORDER BY a.vec_id"""
   }
+
+  /** The CCNet bigram-LM chain (train on the 80% content-hash slice,
+    * score the held-out 20%) as a CTE body ending in
+    * `lmdoc (doc_id, n_grams, n_unseen, rarity_avg)` — shared by the
+    * q75 (scores) and q90 (perplexity buckets) oracles.
+    */
+  private lazy val lmRarityCtes: String =
+    s"""split AS (
+           SELECT doc_id, text, (${polyHash("text")} % 10) AS b FROM documents
+         ), toks AS (
+           SELECT doc_id, b,
+             ${positionalShingleHashes("text", 1)} AS p1,
+             ${positionalShingleHashes("text", 2)} AS p2
+           FROM split
+         ), pairs AS (
+           SELECT doc_id, b, unnest((p1)[1:len(p2)]) AS p, unnest(p2) AS g
+           FROM toks
+         ), grams AS (
+           SELECT g, COUNT(*) AS c FROM pairs WHERE b < 8 GROUP BY 1
+         ), prefixes AS (
+           SELECT p, COUNT(*) AS cp FROM pairs WHERE b < 8 GROUP BY 1
+         ), vocab AS (
+           SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS v
+           FROM (SELECT unnest(p1) AS u FROM toks WHERE b < 8) t0
+         ), scored AS (
+           SELECT pairs.doc_id,
+             ((coalesce(cp, 0) + v) * 1000000) // (coalesce(c, 0) + 1) AS rarity,
+             CASE WHEN c IS NULL THEN 1 ELSE 0 END AS unseen
+           FROM pairs
+           LEFT JOIN grams USING (g)
+           LEFT JOIN prefixes USING (p)
+           CROSS JOIN vocab
+           WHERE b >= 8
+         ), lmdoc AS (
+           SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+             CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS rarity_avg
+           FROM scored GROUP BY 1
+         )"""
 
   private def ivfTrainerCtes(cellsOfN: String, src: String = "embeddings"): String = {
     val q = Similarity.IvfQuant // prints as 1000000.0
@@ -1780,38 +1840,34 @@ object SparkEntry {
     // sums, so both engines agree bit-for-bit); the two unnests in
     // `pairs` are same-length and zip positionally, mirroring zip_with
     "q75_lm_rarity" ->
-      s"""WITH split AS (
-           SELECT doc_id, text, (${polyHash("text")} % 10) AS b FROM documents
-         ), toks AS (
-           SELECT doc_id, b,
-             ${positionalShingleHashes("text", 1)} AS p1,
-             ${positionalShingleHashes("text", 2)} AS p2
-           FROM split
-         ), pairs AS (
-           SELECT doc_id, b, unnest((p1)[1:len(p2)]) AS p, unnest(p2) AS g
-           FROM toks
-         ), grams AS (
-           SELECT g, COUNT(*) AS c FROM pairs WHERE b < 8 GROUP BY 1
-         ), prefixes AS (
-           SELECT p, COUNT(*) AS cp FROM pairs WHERE b < 8 GROUP BY 1
-         ), vocab AS (
-           SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS v
-           FROM (SELECT unnest(p1) AS u FROM toks WHERE b < 8) t0
-         ), scored AS (
-           SELECT pairs.doc_id,
-             ((coalesce(cp, 0) + v) * 1000000) // (coalesce(c, 0) + 1) AS rarity,
-             CASE WHEN c IS NULL THEN 1 ELSE 0 END AS unseen
-           FROM pairs
-           LEFT JOIN grams USING (g)
-           LEFT JOIN prefixes USING (p)
-           CROSS JOIN vocab
-           WHERE b >= 8
+      s"""WITH $lmRarityCtes
+         SELECT doc_id, n_grams, n_unseen, rarity_avg
+         FROM lmdoc ORDER BY doc_id""",
+    // CCNet head/middle/tail perplexity buckets: the q75 scorer's chain
+    // plus SAMPLE-derived terciles (1-in-4 id-hash sample, q86
+    // lower-quantile convention) and a scan-side CASE assignment
+    "q90_rarity_buckets" ->
+      s"""WITH $lmRarityCtes, samp AS (
+           SELECT rarity_avg FROM lmdoc
+           WHERE ${polyHash("CAST(doc_id AS VARCHAR)")} % 4 = 0
+         ), hist AS (
+           SELECT rarity_avg, CAST(COUNT(*) AS BIGINT) AS c FROM samp GROUP BY 1
+         ), cum AS (
+           SELECT rarity_avg,
+             CAST(SUM(c) OVER (ORDER BY rarity_avg) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+           FROM hist
+         ), thr AS (
+           SELECT
+             MIN(CASE WHEN cum * 3 >= n THEN rarity_avg END) AS t1,
+             MIN(CASE WHEN cum * 3 >= n * 2 THEN rarity_avg END) AS t2
+           FROM cum
          )
-         SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(SUM(unseen) AS BIGINT) AS n_unseen,
-           CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS rarity_avg
-         FROM scored GROUP BY 1 ORDER BY 1""",
+         SELECT doc_id, rarity_avg,
+           CASE WHEN rarity_avg <= t1 THEN 'head'
+                WHEN rarity_avg <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM lmdoc, thr ORDER BY doc_id""",
     // KMV: k smallest distinct poly hashes per source; kth = the largest
     // kept; estimate (k-1)*M // kth, short-circuiting to exact below k
     "q68_kmv_distinct" -> {
@@ -1938,6 +1994,25 @@ object SparkEntry {
          SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
          FROM ranked WHERE rn = 1
          GROUP BY doc_id ORDER BY doc_id""",
+    // boilerplate removal: every occurrence of a segment present in more
+    // than maxDf=2 distinct documents is cut (including the first —
+    // unlike q70's keep-first rule); docs rebuilt from survivors
+    "q91_boilerplate_segments" ->
+      s"""WITH t AS (
+           SELECT doc_id, ${tokens("text")} AS toks FROM documents
+         ), segs AS (
+           SELECT doc_id, i AS seg_idx,
+             array_to_string(toks[i*5+1:i*5+5], ' ') AS seg
+           FROM t, unnest(range(0, greatest(CAST(ceil(len(toks) / 5.0) AS INT), 1))) AS u(i)
+         ), hot AS (
+           SELECT ${polyHash("seg")} AS h FROM segs
+           GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 2
+         ), kept AS (
+           SELECT doc_id, seg_idx, seg FROM segs
+           WHERE ${polyHash("seg")} NOT IN (SELECT h FROM hot)
+         )
+         SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
     "q56_hash_sample" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
          WHERE ${polyHash("text")} % 100 < 20

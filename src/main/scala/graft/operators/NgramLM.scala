@@ -179,6 +179,59 @@ object NgramLM {
         expr("rarity_sum div n_grams").as("rarity_avg")
       )
 
+  /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.4: split the
+    * corpus into head/middle/tail thirds by LM score; training recipes
+    * then mix the buckets at chosen rates instead of hard-filtering):
+    * one row per document, `(idCol, rarity_avg, bucket)` with `bucket ∈
+    * {head, middle, tail}` — head = most fluent (lowest rarity).
+    *
+    * Thresholds are the rarity TERCILES of a deterministic 1-in-
+    * `sampleMod` content-hash sample of the scored corpus, in the q86
+    * lower-quantile convention (smallest value whose cumulative sample
+    * count reaches ⌈n/3⌉ / ⌈2n/3⌉ — integer-exact, engine-portable).
+    * Deriving thresholds from a SAMPLE is the scale contract: the
+    * cumulative window sorts sample-sized data however large the corpus
+    * (`sampleMod` is the knob), the two thresholds broadcast back, and
+    * bucket assignment is a scan-side CASE. Sampling by the id hash
+    * keeps the threshold derivation reproducible across runs, engines,
+    * and partitionings. The sample must be non-empty (corpus ≥
+    * `sampleMod` docs in practice); ties at a threshold land in the
+    * lower bucket on both engines.
+    */
+  def rarityBuckets(
+      docs: DataFrame,
+      model: Model,
+      sampleMod: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastModel: Boolean = true
+  ): DataFrame = {
+    require(sampleMod >= 1, s"need sampleMod >= 1, got $sampleMod")
+    val scored = score(docs, model, textCol, idCol, broadcastModel)
+    val sample = scored.filter(
+      graft.functions.GraftExpressions.poly_hash(col(idCol).cast("string")) % sampleMod === 0
+    )
+    val hist = sample.groupBy(col("rarity_avg")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("rarity_avg"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over())
+    val thresholds = cum.agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("rarity_avg"))).as("__t1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("rarity_avg"))).as("__t2")
+    )
+    scored
+      .crossJoin(broadcast(thresholds))
+      .select(
+        col(idCol),
+        col("rarity_avg"),
+        when(col("rarity_avg") <= col("__t1"), lit("head"))
+          .when(col("rarity_avg") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail"))
+          .as("bucket")
+      )
+  }
+
   /** The filter form: documents of `docs` whose mean rarity stays under
     * `maxRarityAvg` — the CCNet "keep the head" admission step, composed
     * like [[Repetition.filterRepetitive]] (semi join on the passing ids).

@@ -124,6 +124,77 @@ object SegmentDedup {
       )
   }
 
+  /** BOILERPLATE REMOVAL — the third segment-dedup semantic, next to
+    * [[dedupSegments]] (keep first occurrence) and
+    * [[dedupSubstrings]] (sliding windows): remove EVERY occurrence —
+    * including the first — of any segment whose DOCUMENT frequency
+    * exceeds `maxDf`, and rebuild each document from its surviving
+    * segments in order. This is the RefinedWeb/Dolma-style line-dedup
+    * rule: "subscribe to our newsletter" on a million pages is not
+    * content anybody's copy deserves to keep, while [[dedupSegments]]
+    * would faithfully preserve its first occurrence. Conversely a
+    * segment shared by ≤ `maxDf` documents (a quotation, a fair reuse)
+    * survives in ALL of them — the two operators cut along different
+    * axes and compose.
+    *
+    * Frequency is per DISTINCT document (`maxDf + 1` occurrences inside
+    * one document are repetition, [[Repetition]]'s axis — not
+    * boilerplate). A document consisting entirely of hot segments drops
+    * out, like [[dedupSegments]]'s pure-boilerplate drop.
+    *
+    * Scale shape — same skeleton as [[dedupSegments]], hash-keyed
+    * end-to-end: the df aggregate runs on `(h, doc)` rows with two
+    * partial-agg levels (the billion-page banner collapses map-side);
+    * the hot set (segments over `maxDf` — by construction a tiny
+    * fraction of distinct segments) comes back as a LEFT ANTI join on
+    * the same `h` key partitioning; document text crosses the wire once,
+    * in the final doc-id join.
+    */
+  def dropBoilerplateSegments(
+      docs: DataFrame,
+      segTokens: Int = 5,
+      maxDf: Long = 2L,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(segTokens > 0, s"need segTokens > 0, got $segTokens")
+    require(maxDf >= 1, s"need maxDf >= 1 (maxDf = 0 would drop every document), got $maxDf")
+    val occ = docs
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            TextFunctions.chunks(col(textCol), segTokens, 0),
+            s => GraftExpressions.poly_hash(s)
+          )
+        ).as(Seq("seg_idx", "h"))
+      )
+      .select(col(idCol), col("seg_idx").cast("long").as("seg_idx"), col("h"))
+    val hot = occ
+      .groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("h"))
+    val keepIdx = occ
+      .join(hot, Seq("h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("seg_idx"))).as("__keep_idx"))
+    docs
+      .join(keepIdx, Seq(idCol))
+      .select(
+        col(idCol),
+        TextFunctions.chunks(col(textCol), segTokens, 0).as("__segs"),
+        col("__keep_idx")
+      )
+      .select(
+        col(idCol),
+        array_join(
+          transform(col("__keep_idx"), i => element_at(col("__segs"), (i + 1L).cast("int"))),
+          " "
+        ).as(textCol)
+      )
+  }
+
   /** EXACT-SUBSTRING dedup at window granularity — the Lee et al. 2021
     * semantics ("Deduplicating Training Data Makes Language Models
     * Better"): remove every non-first occurrence of ANY duplicated token

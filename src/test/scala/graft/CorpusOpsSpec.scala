@@ -779,4 +779,115 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!p.contains("Join"), s"row-local rule must not join:\n$p")
     assert(p.toLowerCase.contains("gopherkeep"), s"fused kernel missing:\n$p")
   }
+
+  // ------------------------------------------------- boilerplate segments
+
+  test("boilerplate: hot segment cut EVERYWHERE, including its first occurrence") {
+    import graft.operators.SegmentDedup
+    val banner = "subscribe to our newsletter today" // one 5-token tile
+    val crafted = Seq(
+      (1L, s"$banner p q r s t"),
+      (2L, s"$banner x y z w v"),
+      (3L, s"$banner m n o u k"),
+      (4L, banner) // pure boilerplate: loses its only segment -> dropped
+    ).toDF("doc_id", "text")
+    val got = SegmentDedup
+      .dropBoilerplateSegments(crafted, segTokens = 5, maxDf = 2L)
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+    // banner df = 4 > 2: gone from ALL docs (dedupSegments would keep it in doc 1)
+    assert(got.toSeq === Seq((1L, "p q r s t"), (2L, "x y z w v"), (3L, "m n o u k")))
+  }
+
+  test("boilerplate: a segment in exactly maxDf docs survives in all of them") {
+    import graft.operators.SegmentDedup
+    val quote = "four score and seven years" // fair reuse: df == maxDf
+    val crafted = Seq(
+      (1L, s"$quote p q r s t"),
+      (2L, s"$quote x y z w v")
+    ).toDF("doc_id", "text")
+    val got = SegmentDedup
+      .dropBoilerplateSegments(crafted, segTokens = 5, maxDf = 2L)
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+    assert(got.toSeq === Seq((1L, s"$quote p q r s t"), (2L, s"$quote x y z w v")))
+  }
+
+  test("boilerplate: output token mass equals the mass of cool occurrences") {
+    import graft.operators.SegmentDedup
+    val occ = SegmentDedup
+      .segmentOccurrences(docs, 5)
+      .withColumn("h", GraftExpressions.poly_hash(col("seg")))
+    val df = occ.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    val coolTokens = occ
+      .join(df.filter(col("df") <= 2L), Seq("h"), "left_semi")
+      .select(size(split(col("seg"), " ")).cast("long").as("n"))
+      .agg(sum("n"))
+      .as[Long]
+      .head()
+    val outTokens = SegmentDedup
+      .dropBoilerplateSegments(docs, 5, maxDf = 2L)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n"))
+      .as[Long]
+      .head()
+    assert(coolTokens === outTokens)
+  }
+
+  test("boilerplate: plan has no Window and no cartesian") {
+    import graft.operators.SegmentDedup
+    val p = SegmentDedup
+      .dropBoilerplateSegments(docs, 5, 2L)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!p.contains("Window"), s"df gate must be an aggregate, not a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
+  // --------------------------------------------------------- rarity buckets
+
+  test("rarityBuckets: every scored doc lands in exactly one bucket, ranges disjoint") {
+    val model = operators.NgramLM.train(corpus)
+    val b = operators.NgramLM.rarityBuckets(benchmark, model, sampleMod = 4).cache()
+    val scored = operators.NgramLM.score(benchmark, model)
+    assert(b.count() === scored.count(), "coverage: one row per scored doc")
+    assert(b.select("doc_id").distinct().count() === b.count())
+    // ties at a threshold land lower, so bucket VALUE ranges are disjoint
+    def range(name: String) =
+      b.filter(col("bucket") === name)
+        .agg(min("rarity_avg").as("mn"), max("rarity_avg").as("mx"))
+        .as[(Option[Long], Option[Long])]
+        .head()
+    val (_, headMax) = range("head")
+    val (midMin, midMax) = range("middle")
+    val (tailMin, _) = range("tail")
+    for (h <- headMax; m <- midMin) assert(h < m, s"head max $h must precede middle min $m")
+    for (m <- midMax; t <- tailMin) assert(m < t, s"middle max $m must precede tail min $t")
+    // terciles of a 1-in-4 sample of ~100 docs: all three buckets populated
+    assert(b.select("bucket").distinct().count() === 3L)
+    b.unpersist()
+  }
+
+  test("rarityBuckets: deterministic under repartitioning") {
+    val model = operators.NgramLM.train(corpus)
+    val a = operators.NgramLM.rarityBuckets(benchmark, model, sampleMod = 4)
+    val b = operators.NgramLM.rarityBuckets(benchmark.repartition(17), model, sampleMod = 4)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+  }
+
+  test("rarityBuckets: thresholds broadcast back — corpus side never sorts") {
+    val model = operators.NgramLM.train(corpus)
+    val plan = operators.NgramLM
+      .rarityBuckets(benchmark, model, sampleMod = 4)
+      .queryExecution
+      .executedPlan
+      .toString
+    // the only Window runs over the sample histogram; the corpus-side
+    // assignment is a broadcast of the 1-row threshold frame
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"thresholds must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for assignment:\n$plan")
+  }
 }
