@@ -581,6 +581,28 @@ object SparkEntry {
         .rarityBuckets(docs.filter(bucket >= 8), model, sampleMod = 4)
         .orderBy(col("doc_id"))
     }),
+    // DSIR-style importance scoring: hashed-unigram bucket weights
+    // trained target-vs-raw (en vs the rest), raw docs scored by mean
+    // smoothed count ratio — bounded 4096-bucket model, always broadcast
+    "q92_dsir_importance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weights = graft.operators.Importance.train(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en")
+      )
+      graft.operators.Importance
+        .score(docs.filter(col("lang") =!= "en"), weights)
+        .orderBy(col("doc_id"))
+    }),
+    // per-source token-budget cap: content-hash-ordered prefix per
+    // source until the running token total crosses the budget — the
+    // Dolma/Pile mixing primitive; two-phase bucketed prefix sum, no
+    // whole-source sort
+    "q93_token_budget" -> ((s, dir) => {
+      graft.operators.Sampling
+        .capTokenBudget(t(s, dir, "documents"), budgetTokens = 800L)
+        .orderBy(col("doc_id"))
+    }),
     // the HYGIENE-composed pipeline: scrub -> structural Gopher gate ->
     // quality -> repetition filter -> decontaminate -> exact+near dedup
     // -> temperature mix -> chunk+pack, eight stages end to end (q82
@@ -1868,6 +1890,46 @@ object SparkEntry {
                 WHEN rarity_avg <= t2 THEN 'middle'
                 ELSE 'tail' END AS bucket
          FROM lmdoc, thr ORDER BY doc_id""",
+    // DSIR importance: hashed-unigram bucket counts target (en) vs raw
+    // (rest), per-bucket integer weight ((tc+1)*1e6)//(rc+1), per-doc
+    // mean over its token buckets; unseen buckets score the neutral 1e6
+    "q92_dsir_importance" ->
+      s"""WITH tb AS (
+           SELECT doc_id, lang,
+             unnest(${positionalShingleHashes("text", 1)}) % ${graft.operators.Importance.DefaultBuckets} AS b
+           FROM documents
+         ), tc AS (
+           SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tb WHERE lang = 'en' GROUP BY 1
+         ), rc AS (
+           SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tb WHERE lang <> 'en' GROUP BY 1
+         ), w AS (
+           SELECT coalesce(tc.b, rc.b) AS b,
+             ((coalesce(ct, 0) + 1) * ${graft.operators.Importance.Scale}) // (coalesce(cr, 0) + 1) AS w
+           FROM tc FULL JOIN rc ON tc.b = rc.b
+         ), scored AS (
+           SELECT doc_id, coalesce(w, ${graft.operators.Importance.Scale}) AS w
+           FROM tb LEFT JOIN w USING (b) WHERE lang <> 'en'
+         )
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(w) // COUNT(*) AS BIGINT) AS imp_avg
+         FROM scored GROUP BY 1 ORDER BY doc_id""",
+    // per-source token budget: running token total in (hash, id) order
+    // per source, strict prefix admitted while cum <= budget — the
+    // two-phase bucketed prefix sum collapses to this single window
+    "q93_token_budget" ->
+      s"""WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(${tokens("text")}) AS BIGINT) AS n_tok,
+             ${polyHash("text")} AS h
+           FROM documents
+         ), c AS (
+           SELECT doc_id, source, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM t
+         )
+         SELECT doc_id, source, n_tok, cum_tok FROM c
+         WHERE cum_tok <= 800 ORDER BY doc_id""",
     // KMV: k smallest distinct poly hashes per source; kth = the largest
     // kept; estimate (k-1)*M // kth, short-circuiting to exact below k
     "q68_kmv_distinct" -> {

@@ -188,4 +188,81 @@ object Sampling {
       )
       .select(col(idCol), col("shard"), col("position"))
   }
+
+  /** Per-source TOKEN-BUDGET cap — the Dolma/Pile mixing primitive:
+    * each source contributes documents, in deterministic content-hash
+    * order, until its running token total would exceed `budgetTokens`;
+    * everything after the crossing point is dropped (strict prefix —
+    * the budget is an epoch boundary, not a bin-packing target, so a
+    * later small document must NOT leapfrog a dropped large one: that
+    * would make admission depend on what else was dropped). Ordering by
+    * `poly_hash(text)` makes the admitted prefix a uniform sample of the
+    * source, reproducible across runs, engines, and partitionings, with
+    * `idCol` as the duplicate-text tie-break.
+    *
+    * Returns `(idCol, groupCol, n_tok, cum_tok)` for the admitted
+    * documents — `cum_tok` is the inclusive running total, exposing the
+    * budget position (join back on `idCol` for the full rows).
+    *
+    * Scale shape — the naive plan is a window over each source, which
+    * serializes a 100-TB source into one sort task. Instead the prefix
+    * sum is TWO-PHASE (the q86 histogram discipline): documents land in
+    * `buckets` hash-range buckets per source (monotone in the hash, so
+    * bucket order refines hash order); per-(source, bucket) token sums
+    * — one partial-aggregated row each — get an exclusive prefix sum
+    * over the tiny (source × buckets) frame, broadcast back; each
+    * document then needs only its WITHIN-bucket running total, computed
+    * by per-(source, bucket) windows whose sort is 1/`buckets` of the
+    * source and runs in parallel across buckets. A whole-source sort
+    * never happens; `buckets` is the straggler knob.
+    */
+  def capTokenBudget(
+      df: DataFrame,
+      budgetTokens: Long,
+      groupCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 64
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"need budgetTokens >= 0, got $budgetTokens")
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val P = graft.functions.Kernels.HashPrime
+    val base = df.select(
+      col(idCol),
+      col(groupCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      GraftExpressions.poly_hash(col(textCol)).as("__h")
+    )
+    // bucket = floor(h * buckets / P): monotone in h, so ordering by
+    // (bucket, h, id) equals ordering by (h, id) — the single-window
+    // reference order the oracle uses
+    val bucketed = base.withColumn("__b", (col("__h") * buckets / P).cast("long"))
+    val bucketSums = bucketed
+      .groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("n_tok")).as("__bsum"))
+    val prefixW = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bucketSums
+      .select(
+        col(groupCol).as("__grp"),
+        col("__b").as("__pb"),
+        coalesce(sum(col("__bsum")).over(prefixW), lit(0L)).as("__prefix")
+      )
+    val inBucketW = Window
+      .partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .join(
+        broadcast(prefixes),
+        col(groupCol) <=> col("__grp") && col("__b") === col("__pb")
+      )
+      .drop("__pb")
+      .withColumn("cum_tok", col("__prefix") + sum(col("n_tok")).over(inBucketW))
+      .filter(col("cum_tok") <= budgetTokens)
+      .select(col(idCol), col(groupCol), col("n_tok"), col("cum_tok"))
+  }
 }

@@ -170,4 +170,95 @@ class SamplingSpec extends SparkSpec {
       s"expected the shufflePlan null-id error, got: $e"
     )
   }
+
+  // ----------------------------------------------------------- capTokenBudget
+
+  test("capTokenBudget == single-window oracle reimplementation") {
+    // the operator's two-phase bucketed prefix sum must reproduce the
+    // one-big-window reference order exactly
+    val w = Window
+      .partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val oracle = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        GraftExpressions.poly_hash(col("text")).as("h")
+      )
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= 800L)
+      .select("doc_id", "source", "n_tok", "cum_tok")
+    val actual = Sampling.capTokenBudget(docs, 800L)
+    assert(actual.except(oracle).count() === 0L)
+    assert(oracle.except(actual).count() === 0L)
+  }
+
+  test("capTokenBudget: bucket count is a parallelism knob, not a semantics knob") {
+    val one = Sampling.capTokenBudget(docs, 800L, buckets = 1)
+    val many = Sampling.capTokenBudget(docs, 800L, buckets = 64)
+    assert(one.except(many).count() === 0L && many.except(one).count() === 0L)
+  }
+
+  test("capTokenBudget: strict prefix — admission never leapfrogs a dropped doc") {
+    val admitted = Sampling.capTokenBudget(docs, 800L)
+    // per source, the max admitted hash must precede every dropped hash:
+    // a later small doc must not slip in after the budget crossed
+    val lastIn = admitted
+      .join(
+        docs.select(col("doc_id"), GraftExpressions.poly_hash(col("text")).as("h")),
+        "doc_id"
+      )
+      .groupBy("source")
+      .agg(max(col("h")).as("h_last"))
+    val dropped = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        GraftExpressions.poly_hash(col("text")).as("h")
+      )
+      .join(admitted.select("doc_id"), Seq("doc_id"), "left_anti")
+    val leapfrogs = dropped
+      .join(lastIn, "source")
+      .filter(col("h") < col("h_last"))
+      .count()
+    assert(leapfrogs === 0L, s"$leapfrogs dropped docs precede an admitted one")
+  }
+
+  test("capTokenBudget: degenerate budgets — zero admits none, huge admits all") {
+    assert(Sampling.capTokenBudget(docs, 0L).count() === 0L)
+    val all = Sampling.capTokenBudget(docs, Long.MaxValue / 4)
+    assert(all.count() === docs.count())
+    // the final cum_tok per source is that source's exact token total
+    val totals = docs
+      .groupBy("source")
+      .agg(
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("expect")
+      )
+    val bad = all
+      .groupBy("source")
+      .agg(max(col("cum_tok")).as("got"))
+      .join(totals, "source")
+      .filter(col("got") =!= col("expect"))
+    assert(bad.count() === 0L)
+  }
+
+  test("capTokenBudget: deterministic under repartitioning") {
+    val a = Sampling.capTokenBudget(docs, 800L)
+    val b = Sampling.capTokenBudget(docs.repartition(17), 800L)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+  }
+
+  test("capTokenBudget: prefix frame broadcasts, windows stay per-bucket") {
+    val p = Sampling.capTokenBudget(docs, 800L).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bucket-prefix join should broadcast:\n$p")
+    // every window must be partitioned by (source, bucket) — a window on
+    // source alone would serialize each source into one sort task
+    val corpusWindows = p.linesIterator.filter(l => l.contains("Window") && l.contains("__h"))
+    assert(
+      corpusWindows.forall(_.contains("__b")),
+      s"corpus-side window not bucket-partitioned:\n$p"
+    )
+  }
 }
