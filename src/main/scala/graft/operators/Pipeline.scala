@@ -113,12 +113,13 @@ object Pipeline {
       nearDupThreshold: Double,
       textCol: String,
       idCol: String,
-      groupCol: String
+      carryCols: Seq[String]
   ): DataFrame = {
+    val keeperFields = (idCol +: carryCols).map(col)
     val exactKept = gated
       .groupBy(col(textCol))
-      .agg(min_by(struct(col(idCol), col(groupCol)), col(idCol)).as("__keeper"))
-      .select(col(s"__keeper.$idCol"), col(s"__keeper.$groupCol"), col(textCol))
+      .agg(min_by(struct(keeperFields: _*), col(idCol)).as("__keeper"))
+      .select((idCol +: carryCols).map(c => col(s"__keeper.$c")) :+ col(textCol): _*)
       .localCheckpoint(true)
     val reps = Dedup
       .dedupNearBest(exactKept, nearDupThreshold, textCol, idCol)
@@ -152,7 +153,7 @@ object Pipeline {
   ): DataFrame = {
     // stages 1-4: shared scrub → quality → exact+near dedup core
     val qualified = scrubAndGate(docs, cfg.minQuality, textCol, idCol, groupCol)
-    val survivors = dedupSurvivors(qualified, cfg.nearDupThreshold, textCol, idCol, groupCol)
+    val survivors = dedupSurvivors(qualified, cfg.nearDupThreshold, textCol, idCol, Seq(groupCol))
     // 5. balanced sample: n smallest content hashes per group — the
     //    training-mix step (q63 semantics, bounded-heap, no group sort).
     val picks = Sampling
@@ -214,7 +215,7 @@ object Pipeline {
     val decontaminated =
       Decontaminate.clean(nonRepetitive, benchScrubbed, decontamK, textCol, idCol)
     val survivors =
-      dedupSurvivors(decontaminated, cfg.nearDupThreshold, textCol, idCol, groupCol)
+      dedupSurvivors(decontaminated, cfg.nearDupThreshold, textCol, idCol, Seq(groupCol))
     Sampling.temperatureFlatten(survivors, groupCol, textCol, temperature)
   }
 
@@ -234,6 +235,110 @@ object Pipeline {
       idCol,
       groupCol
     )
+
+  /** The MIXING-composed pipeline — the Dolma/Pile-shaped tail that turns
+    * a cleaned corpus into a training-ready mixture:
+    *
+    *   scrub → structural Gopher gate → quality gate → exact dedup
+    *         → near dedup (best-quality rep) → DSIR importance filter
+    *         → temperature mix (by `langCol`) → per-source token budget
+    *         → deterministic shard plan
+    *
+    * Every stage is individually gated (q22/q88/q20/q42/q92/q78/q93/q89);
+    * this gates their COMPOSITION — in particular the two-group column
+    * contract (the mix flattens `langCol` while the budget caps
+    * `sourceCol`, so BOTH must survive the dedup keeper struct and the
+    * importance semi-join) and the handoff from admission (`cum_tok`)
+    * into the shard plan, which is the surface a per-stage gate cannot
+    * see (the q82 lesson).
+    *
+    * The DSIR threshold is RELATIVE: keep documents whose mean bucket
+    * weight reaches `importancePermille`/1000 of the survivor-corpus
+    * MEAN importance. [[Importance.train]]'s integer ratio carries a
+    * corpus-level constant (`(|raw|+B)/(|target|+B)`) that any fixed
+    * cutoff would have to track by hand as the corpus drifts; comparing
+    * against the in-corpus mean cancels it, and the comparison stays
+    * all-BIGINT (mean = `sum div count`), so no float boundary can flip
+    * a document across engines. The mean is one scalar off the
+    * checkpointed survivor frame (same lifecycle as the codebook
+    * trainers); the weight table is checkpointed too — 4096 rows, two
+    * uses (threshold pass + filter pass), one materialization.
+    *
+    * Scale shape: scan-shaped gates, the one min_by hash-aggregate, the
+    * banded-LSH near-dedup (internally checkpointed), two bounded
+    * broadcast models (DSIR weights, temperature rate table), the
+    * two-phase bucketed budget prefix sum, and the shard plan's single
+    * hash-partitioned exchange — no stage shuffles the corpus on
+    * anything but its own keys, and every model frame is bounded by
+    * construction.
+    *
+    * Returns one row per admitted document:
+    * `(idCol, langCol, sourceCol, n_tok, cum_tok, shard, position)`.
+    */
+  def mixCorpus(
+      docs: DataFrame,
+      target: DataFrame,
+      budgetTokens: Long,
+      nShards: Int,
+      cfg: Config = Config(),
+      importancePermille: Long = 1000L,
+      temperature: Int = 2,
+      seed: Long = 0L,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      sourceCol: String = "source"
+  ): DataFrame = {
+    require(importancePermille >= 0, s"need importancePermille >= 0, got $importancePermille")
+    val carry = Seq(langCol, sourceCol)
+    // stages 1-3: scrub, structural gate, quality gate (MassiveText order)
+    val scrubbed = docs.select(
+      col(idCol) +: carry.map(col) :+ TextFunctions.scrub(col(textCol)).as(textCol): _*
+    )
+    val structural = Heuristics.filterGopher(scrubbed, textCol = textCol)
+    val qualified =
+      structural.filter(TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality)
+    // stages 4-5: exact + near dedup, both mix keys riding the keeper struct
+    val survivors = dedupSurvivors(qualified, cfg.nearDupThreshold, textCol, idCol, carry)
+    // stage 6: DSIR importance against the scrubbed target (scrub-before-
+    // hash: a target page differing from a corpus page only in an email
+    // must still pull it toward the target). Raw side = the survivors
+    // being scored, per the DSIR setup.
+    val targetScrubbed = target.select(col(idCol), TextFunctions.scrub(col(textCol)).as(textCol))
+    val weights = Importance
+      .train(targetScrubbed, survivors, textCol = textCol, idCol = idCol)
+      .localCheckpoint(true)
+    val meanRow = Importance
+      .score(survivors, weights, textCol = textCol, idCol = idCol)
+      .agg(expr("cast((sum(cast(imp_avg as decimal(38,0))) div count(1)) as bigint)"))
+      .head()
+    val minAvg =
+      if (meanRow.isNullAt(0)) 0L else meanRow.getLong(0) * importancePermille / 1000L
+    val important =
+      Importance.filterImportant(survivors, weights, minAvg, textCol = textCol, idCol = idCol)
+    // stage 7: temperature mix over languages (corpus-derived rates)
+    val mixed = Sampling.temperatureFlatten(important, langCol, textCol, temperature)
+    // stage 8: per-source token budget (two-phase bucketed prefix sum)
+    val admitted =
+      Sampling.capTokenBudget(mixed, budgetTokens, sourceCol, textCol, idCol)
+    // stage 9: deterministic shard plan over the admitted set
+    val plan = Sampling.shufflePlan(admitted, nShards, seed, idCol)
+    // lang re-attaches from the CHECKPOINTED survivor frame (admitted ⊆
+    // mixed ⊆ survivors) — joining `mixed` back would re-run the
+    // importance + mix chain a second time
+    admitted
+      .join(plan, Seq(idCol))
+      .join(survivors.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(
+        col(idCol),
+        col(langCol),
+        col(sourceCol),
+        col("n_tok"),
+        col("cum_tok"),
+        col("shard"),
+        col("position")
+      )
+  }
 
   /** Build AND persist the training corpus: run the selection, write it
     * through the sharded parquet sink with the reference's layout

@@ -156,6 +156,61 @@ class PipelineSpec extends SparkSpec {
     assert(packedTokens === chunkTokens)
   }
 
+  test("mixing pipeline: importance, temperature, budget, and shard stages all bite; plan laws hold") {
+    import spark.implicits._
+    // Every doc passes the structural gate (>=50 words, word-shaped, two
+    // distinct stopwords) and the quality gate (lenScore 1.0). The vocab
+    // T docs are SHUFFLED copies of the target's vocabulary (disjoint
+    // shingle sets — not near-dups), so DSIR scores them high; the vocab
+    // B docs repeat 25 foreign tokens 4x each, so their raw counts are
+    // high and target counts zero — scored LOW, cut by the mean-relative
+    // importance threshold. 8 en vs 1 fr makes the temperature stage
+    // sample en at sqrt(1/8); all en survivors share one source against
+    // a budget smaller than two documents, so the budget stage cuts too.
+    val vocabT = (0 until 100).map(i => s"targ$i")
+    val vocabB = (0 until 25).flatMap(i => Seq.fill(4)(s"foreign$i"))
+    def shuffled(seed: Int, v: Seq[String]) =
+      new scala.util.Random(seed).shuffle(v).mkString(" ") + " the of"
+    val target = Seq((900L, "en", "bench", shuffled(0, vocabT)))
+      .toDF("doc_id", "lang", "source", "text")
+    val crafted = (
+      (1 to 8).map(i => (i.toLong, "en", "web", shuffled(i, vocabT) + s" unique$i")) ++
+        Seq(
+          (9L, "fr", "books", shuffled(9, vocabT) + " unique9"),
+          (10L, "en", "web", shuffled(10, vocabB)),
+          (11L, "en", "web", shuffled(11, vocabB))
+        )
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = Pipeline
+      .mixCorpus(crafted, target, budgetTokens = 150L, nShards = 4, seed = 7L)
+      .persist()
+    val rows = out.collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    // importance bites: both foreign-vocab docs are gone
+    assert(!ids.contains(10L) && !ids.contains(11L))
+    // temperature bites: fr (rarest group) kept whole, en sampled below 8
+    assert(ids.contains(9L))
+    val nEn = rows.count(_.getAs[String]("lang") == "en")
+    assert(nEn > 0 && nEn < 8, s"temperature must sample en below 8, got $nEn")
+    // budget bites: every admitted doc respects the cap, and the web
+    // source could not fit two ~103-token docs under 150
+    assert(rows.forall(_.getAs[Long]("cum_tok") <= 150L))
+    assert(rows.count(_.getAs[String]("source") == "web") === 1)
+    // shard-plan laws: shard in range, positions dense 1..n per shard
+    assert(rows.forall(r => r.getAs[Long]("shard") >= 0L && r.getAs[Long]("shard") < 4L))
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("position")).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // column contract: the mix keys ride the whole chain unchanged
+    val src = crafted.select("doc_id", "lang", "source").as[(Long, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(rows.forall { r =>
+      src(r.getAs[Long]("doc_id")) ==
+        (r.getAs[String]("lang"), r.getAs[String]("source"))
+    })
+    out.unpersist()
+  }
+
   test("writeCorpus chaos: mid-write crash + stale shards, then re-run — read-back invariant holds") {
     import spark.implicits._
     val dir = s"$testOut/pipeline_corpus_chaos"
