@@ -615,6 +615,27 @@ object SparkEntry {
         .hygienicTrainingData(docs.filter(bucket < 9), docs.filter(bucket >= 9))
         .orderBy(col("doc_id"), col("seq_id"))
     }),
+    // DSIR fidelity upgrade: hashed BIGRAM features (the paper's n-gram
+    // selector) + importance RESAMPLING — systematic ∝-weight selection
+    // in content-hash order (distribution-matching, not a hard cutoff),
+    // all integer arithmetic, two-phase prefix sum
+    "q95_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weights = graft.operators.Importance.train(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        k = 2
+      )
+      graft.operators.Importance
+        .resampleImportant(
+          docs.filter(col("lang") =!= "en"),
+          weights,
+          sampleTarget = 50,
+          seed = 7L,
+          k = 2
+        )
+        .orderBy(col("doc_id"))
+    }),
     // the MIXING-composed pipeline: scrub -> Gopher -> quality -> exact+
     // near dedup -> DSIR importance filter (mean-relative threshold) ->
     // temperature mix by lang -> per-source token budget -> shard plan,
@@ -1753,6 +1774,49 @@ object SparkEntry {
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM run GROUP BY 1, 2, 3 ORDER BY 1, 3"""
     },
+    // DSIR resampling: bigram-hashed weights (q92 arithmetic at k=2),
+    // then systematic ∝-weight selection — cumulative weight in
+    // poly_hash(id:seed) order, a document selected iff an equally-
+    // spaced boundary of the total mass lands in its interval; the
+    // engine's two-phase bucketed prefix sum collapses to one window
+    "q95_dsir_resample" -> {
+      val B = graft.operators.Importance.DefaultBuckets
+      val S = graft.operators.Importance.Scale
+      s"""WITH tb AS (
+           SELECT doc_id, lang,
+             unnest(${positionalShingleHashes("text", 2)}) % $B AS b
+           FROM documents
+         ), tc AS (
+           SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tb WHERE lang = 'en' GROUP BY 1
+         ), rcn AS (
+           SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tb WHERE lang <> 'en' GROUP BY 1
+         ), w AS (
+           SELECT coalesce(tc.b, rcn.b) AS b,
+             ((coalesce(ct, 0) + 1) * $S) // (coalesce(cr, 0) + 1) AS w
+           FROM tc FULL JOIN rcn ON tc.b = rcn.b
+         ), imp AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(coalesce(w, $S)) // COUNT(*) AS BIGINT) AS imp_avg
+           FROM tb LEFT JOIN w USING (b) WHERE lang <> 'en' GROUP BY 1
+         ), tot AS (
+           SELECT SUM(imp_avg) AS wt FROM imp
+         ), ih0 AS (
+           SELECT doc_id, n_toks, imp_avg,
+             ${polyHash("(CAST(doc_id AS VARCHAR) || ':7')")} AS h0
+           FROM imp
+         ), cum AS (
+           SELECT doc_id, n_toks, imp_avg,
+             SUM(imp_avg) OVER (
+               ORDER BY ${remix32("h0")}, doc_id
+               ROWS UNBOUNDED PRECEDING) AS c
+           FROM ih0
+         )
+         SELECT doc_id, n_toks, imp_avg,
+           CAST((c * 50) // wt AS BIGINT) AS sel_idx
+         FROM cum, tot
+         WHERE (c * 50) // wt > ((c - imp_avg) * 50) // wt
+         ORDER BY doc_id"""
+    },
     // the mixing pipeline: the q82 front half (scrub/Gopher/quality/
     // exact+near dedup) then DSIR weights trained target-vs-survivors,
     // mean-relative importance cutoff, temperature mix on lang, q93's
@@ -1843,10 +1907,12 @@ object SparkEntry {
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
              FROM bt) c0
            WHERE cum_tok <= 300
-         ), ph AS (
+         ), ph0 AS (
            SELECT doc_id,
-             ${polyHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS h
+             ${polyHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS h0
            FROM adm
+         ), ph AS (
+           SELECT doc_id, ${remix32("h0")} AS h FROM ph0
          )
          SELECT adm.doc_id, lang, source, n_tok, cum_tok,
            CAST(h % 8 AS BIGINT) AS shard,
@@ -2285,10 +2351,12 @@ object SparkEntry {
     // hash (id tie-break) — both engines hash the identical "id:seed"
     // string, so the materialized order is bit-identical
     "q89_shuffle_plan" ->
-      s"""WITH h AS (
+      s"""WITH h0 AS (
            SELECT doc_id,
-             ${polyHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS h
+             ${polyHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS h0
            FROM documents
+         ), h AS (
+           SELECT doc_id, ${remix32("h0")} AS h FROM h0
          )
          SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS position

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, shiftright}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
@@ -1041,6 +1042,23 @@ object TextStats {
 object GraftExpressions {
   def poly_hash(c: Column): Column =
     GraftBridge.column(PolyHash(GraftBridge.expression(c)))
+
+  /** Column form of [[Kernels.remix32]] (same constants, builtin
+    * arithmetic only, so it stays codegen'd and DuckDB-mirrorable via
+    * `OracleFragments.remix32`). Required whenever a polyHash value is
+    * used for ORDERING or bit-level placement rather than equality:
+    * polyHash of a SHORT string (≲6 chars, e.g. `"id:seed"` for small
+    * ids) never wraps the 1e9+7 modulus, so it is MONOTONE in the
+    * string — and appending a seed as a suffix shifts every same-length
+    * hash by the same constant, which preserves the order entirely. The
+    * avalanche rounds break both properties.
+    */
+  def remix32(h: Column): Column = {
+    val h1 = (h * lit(2654435761L)) % lit(4294967296L)
+    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
+    val h3 = (h2 * lit(48271L)) % lit(4294967296L)
+    h3.bitwiseXOR(shiftright(h3, 13))
+  }
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(
       CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b))

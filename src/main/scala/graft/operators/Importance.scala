@@ -14,7 +14,8 @@ import graft.functions.TextFunctions
   * bag-of-features form that needs no model training, just two count
   * tables).
   *
-  * Features are hashed unigrams: each token's `polyHash` folded into
+  * Features are hashed n-grams (k=1 unigrams by default, k=2 the
+  * paper's bigrams): each k-token window's `polyHash` folded into
   * `numBuckets` buckets. The per-bucket weight is the INTEGER-scaled
   * smoothed count ratio
   *
@@ -53,21 +54,25 @@ object Importance {
   /** Default feature-space size (the DSIR paper's order of magnitude). */
   val DefaultBuckets = 4096
 
-  /** One row per token occurrence: `(idCol, b)` — the token's hashed
-    * feature bucket. Unigram identity is the positional shingle hash
-    * (k=1), the same token hashing every other text operator uses.
+  /** One row per n-gram occurrence: `(idCol, b)` — the k-token window's
+    * hashed feature bucket (positional shingle hash folded into
+    * `numBuckets`). The DSIR paper's selector uses hashed n-grams; k=1
+    * is the unigram bag, k=2 the paper's bigram features — same hashing
+    * every other text operator uses, so the oracle mirrors it verbatim.
     */
   def featureBuckets(
       docs: DataFrame,
       numBuckets: Int = DefaultBuckets,
+      k: Int = 1,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
     require(numBuckets > 0, s"need numBuckets > 0, got $numBuckets")
+    require(k > 0, s"need k > 0, got $k")
     docs
       .select(
         col(idCol),
-        explode(TextFunctions.positionalShingleHashes(col(textCol), 1)).as("__u")
+        explode(TextFunctions.positionalShingleHashes(col(textCol), k)).as("__u")
       )
       .select(col(idCol), (col("__u") % numBuckets).as("b"))
   }
@@ -80,13 +85,14 @@ object Importance {
       target: DataFrame,
       raw: DataFrame,
       numBuckets: Int = DefaultBuckets,
+      k: Int = 1,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val tc = featureBuckets(target, numBuckets, textCol, idCol)
+    val tc = featureBuckets(target, numBuckets, k, textCol, idCol)
       .groupBy(col("b"))
       .agg(count(lit(1)).as("tc"))
-    val rc = featureBuckets(raw, numBuckets, textCol, idCol)
+    val rc = featureBuckets(raw, numBuckets, k, textCol, idCol)
       .groupBy(col("b"))
       .agg(count(lit(1)).as("rc"))
     tc.join(rc, Seq("b"), "full_outer")
@@ -106,10 +112,11 @@ object Importance {
       docs: DataFrame,
       weights: DataFrame,
       numBuckets: Int = DefaultBuckets,
+      k: Int = 1,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame =
-    featureBuckets(docs, numBuckets, textCol, idCol)
+    featureBuckets(docs, numBuckets, k, textCol, idCol)
       .join(broadcast(weights), Seq("b"), "left")
       .select(col(idCol), coalesce(col("w"), lit(Scale)).as("w"))
       .groupBy(col(idCol))
@@ -132,12 +139,87 @@ object Importance {
       weights: DataFrame,
       minAvg: Long,
       numBuckets: Int = DefaultBuckets,
+      k: Int = 1,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val passing = score(docs, weights, numBuckets, textCol, idCol)
+    val passing = score(docs, weights, numBuckets, k, textCol, idCol)
       .filter(col("imp_avg") >= minAvg)
       .select(col(idCol))
     docs.join(passing, Seq(idCol), "left_semi")
+  }
+
+  /** IMPORTANCE RESAMPLING — the paper's selection rule: draw documents
+    * with inclusion probability proportional to their importance weight,
+    * rather than thresholding (a hard cutoff keeps ONLY the most
+    * target-like region; sampling ∝ weight matches the target
+    * DISTRIBUTION, which is the point of DSIR). The scheme is SYSTEMATIC
+    * resampling (the particle-filter classic): lay the documents on a
+    * line in deterministic content-hash order, each occupying an
+    * interval of length = its weight `w_i` (= `imp_avg`); place
+    * `sampleTarget` equally-spaced boundaries along the total mass `W`;
+    * a document is selected iff a boundary lands in its interval —
+    * inclusion probability exactly `sampleTarget·w_i/W` (for
+    * `w_i ≤ W/sampleTarget`), at most `sampleTarget` selections, and
+    * exactly that many when no single weight spans two boundaries.
+    *
+    * Everything is integer: the boundary test is
+    * `(cum·sampleTarget) div W > ((cum−w)·sampleTarget) div W` over
+    * decimal(38,0) — a Gumbel-top-k would need libm `log`, whose last
+    * ulp is engine-dependent; this is the [[Sampling.weightedBy]]
+    * content-hash discipline extended to weighted-without-replacement.
+    * The hash order `poly_hash(id ":" seed)` makes the draw reproducible
+    * across runs, engines, and partitionings, and `seed` a full redraw.
+    *
+    * Scale shape: one score pass, a 1-row total broadcast back, and the
+    * [[Sampling.bucketedRunningTotal]] two-phase prefix sum — no global
+    * sort, no per-group single-task window.
+    *
+    * Returns the selected documents as
+    * `(idCol, n_toks, imp_avg, sel_idx)` — `sel_idx` is the index of the
+    * last boundary inside the document's interval (strictly increasing
+    * in draw order).
+    */
+  def resampleImportant(
+      docs: DataFrame,
+      weights: DataFrame,
+      sampleTarget: Int,
+      seed: Long = 0L,
+      numBuckets: Int = DefaultBuckets,
+      k: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 64
+  ): DataFrame = {
+    require(sampleTarget > 0, s"need sampleTarget > 0, got $sampleTarget")
+    val scored = score(docs, weights, numBuckets, k, textCol, idCol)
+    val total = scored.agg(
+      sum(col("imp_avg").cast("decimal(38,0)")).as("__w_total")
+    )
+    // remix32 breaks polyHash's short-string monotonicity and the
+    // suffix-seed constant shift — without it the "random" draw order
+    // degenerates to id order and the seed never redraws (see
+    // [[graft.functions.GraftExpressions.remix32]])
+    val base = scored
+      .withColumn(
+        "__h",
+        graft.functions.GraftExpressions.remix32(
+          graft.functions.GraftExpressions.poly_hash(concat_ws(":", col(idCol), lit(seed)))
+        )
+      )
+      .withColumn("__w", col("imp_avg").cast("decimal(38,0)"))
+    Sampling
+      .bucketedRunningTotal(base, "__w", idCol, lit(0), buckets, "__cum", domain = 4294967296L)
+      .crossJoin(broadcast(total))
+      .filter(
+        expr(s"(__cum * $sampleTarget) div __w_total") >
+          expr(s"((__cum - __w) * $sampleTarget) div __w_total")
+      )
+      .select(
+        col(idCol),
+        col("n_toks"),
+        col("imp_avg"),
+        expr(s"cast((__cum * $sampleTarget) div __w_total as bigint)").as("sel_idx")
+      )
   }
 }

@@ -142,9 +142,11 @@ object Sampling {
     * engines) materialize the identical example order, and changing the
     * seed is a full reshuffle with zero state carried over.
     *
-    *  - `shard`    = `poly_hash(id ":" seed) mod nShards` — content-hash
-    *    placement, so shard sizes concentrate at n/nShards (the q59
-    *    bucket-occupancy argument) with no coordinator;
+    *  - `shard`    = `remix32(poly_hash(id ":" seed)) mod nShards` —
+    *    content-hash placement, so shard sizes concentrate at n/nShards
+    *    (the q59 bucket-occupancy argument) with no coordinator (the
+    *    remix32 avalanche is what makes the seed an actual reshuffle —
+    *    see its scaladoc);
     *  - `position` = rank of the same hash within the shard (id as
     *    tie-break) — the within-shard read order.
     *
@@ -176,7 +178,14 @@ object Sampling {
       col(idCol).isNull,
       raise_error(lit(s"shufflePlan: null $idCol — deterministic order needs non-null unique ids"))
     ).otherwise(col(idCol))
-    val h = GraftExpressions.poly_hash(concat_ws(":", id, lit(seed)))
+    // remix32 AFTER the hash is load-bearing: polyHash("id:seed") for
+    // short ids never wraps the modulus (monotone in the id — "shuffle"
+    // would equal id order), and the seed, appended as a SUFFIX, shifts
+    // every same-length hash by one constant (a new seed would NOT
+    // reshuffle). The avalanche breaks both; caught by the r08 seed law.
+    val h = GraftExpressions.remix32(
+      GraftExpressions.poly_hash(concat_ws(":", id, lit(seed)))
+    )
     df
       .select(col(idCol), h.as("__h"))
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
@@ -225,44 +234,78 @@ object Sampling {
       buckets: Int = 64
   ): DataFrame = {
     require(budgetTokens >= 0, s"need budgetTokens >= 0, got $budgetTokens")
-    require(buckets > 0, s"need buckets > 0, got $buckets")
-    import org.apache.spark.sql.expressions.Window
-    val P = graft.functions.Kernels.HashPrime
     val base = df.select(
       col(idCol),
       col(groupCol),
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
       GraftExpressions.poly_hash(col(textCol)).as("__h")
     )
-    // bucket = floor(h * buckets / P): monotone in h, so ordering by
-    // (bucket, h, id) equals ordering by (h, id) — the single-window
-    // reference order the oracle uses
-    val bucketed = base.withColumn("__b", (col("__h") * buckets / P).cast("long"))
+    bucketedRunningTotal(base, "n_tok", idCol, col(groupCol), buckets, "cum_tok")
+      .filter(col("cum_tok") <= budgetTokens)
+      .select(col(idCol), col(groupCol), col("n_tok"), col("cum_tok"))
+  }
+
+  /** The shared TWO-PHASE running total over content-hash order (the q86
+    * histogram discipline, lifted to a reusable plan shape): the naive
+    * form is one window per group ordered by `(__h, id)`, which
+    * serializes a 100-TB group into one sort task. Instead documents
+    * land in `buckets` hash-range buckets (`floor(__h·buckets/P)` —
+    * MONOTONE in the hash, so (bucket, h, id) order equals (h, id)
+    * order, the single-window reference order every oracle uses);
+    * per-(group, bucket) value sums — one partial-aggregated row each —
+    * get an exclusive prefix over the tiny group×bucket frame, broadcast
+    * back; each row then needs only its WITHIN-bucket running total,
+    * whose sort is 1/`buckets` of the group and runs in parallel across
+    * buckets. A whole-group sort never happens; `buckets` is the
+    * straggler knob. Callers: [[capTokenBudget]] (per-source budgets)
+    * and [[Importance.resampleImportant]] (one global group).
+    *
+    * `base` must carry `idCol`, `valueCol`, and a `__h` hash column in
+    * `[0, domain)` — polyHash values use the default `HashPrime` domain,
+    * remix32 values pass `2^32`; the result is `base` plus `outCol` =
+    * the inclusive running total of `valueCol` in `(__h, idCol)` order
+    * within `groupExpr` (pass `lit(0)` for a global total). Sums inherit
+    * `valueCol`'s type — cast to decimal(38,0) upstream when a long
+    * could wrap.
+    */
+  private[operators] def bucketedRunningTotal(
+      base: DataFrame,
+      valueCol: String,
+      idCol: String,
+      groupExpr: org.apache.spark.sql.Column,
+      buckets: Int,
+      outCol: String,
+      domain: Long = graft.functions.Kernels.HashPrime
+  ): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val P = domain
+    val bucketed = base
+      .withColumn("__g", groupExpr)
+      .withColumn("__b", (col("__h") * buckets / P).cast("long"))
     val bucketSums = bucketed
-      .groupBy(col(groupCol), col("__b"))
-      .agg(sum(col("n_tok")).as("__bsum"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col(valueCol)).as("__bsum"))
     val prefixW = Window
-      .partitionBy(col(groupCol))
+      .partitionBy(col("__g"))
       .orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixes = bucketSums
       .select(
-        col(groupCol).as("__grp"),
+        col("__g").as("__pg"),
         col("__b").as("__pb"),
         coalesce(sum(col("__bsum")).over(prefixW), lit(0L)).as("__prefix")
       )
     val inBucketW = Window
-      .partitionBy(col(groupCol), col("__b"))
+      .partitionBy(col("__g"), col("__b"))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     bucketed
       .join(
         broadcast(prefixes),
-        col(groupCol) <=> col("__grp") && col("__b") === col("__pb")
+        col("__g") <=> col("__pg") && col("__b") === col("__pb")
       )
-      .drop("__pb")
-      .withColumn("cum_tok", col("__prefix") + sum(col("n_tok")).over(inBucketW))
-      .filter(col("cum_tok") <= budgetTokens)
-      .select(col(idCol), col(groupCol), col("n_tok"), col("cum_tok"))
+      .withColumn(outCol, col("__prefix") + sum(col(valueCol)).over(inBucketW))
+      .drop("__pg", "__pb", "__prefix", "__b", "__g")
   }
 }

@@ -42,16 +42,8 @@ object Sketch {
     */
   val M: Long = 1L << 32
 
-  /** Column form of `Kernels.remix32` (same constants, builtin arithmetic
-    * only, so it stays codegen'd and DuckDB-mirrorable via
-    * `OracleFragments.remix32`).
-    */
-  private def remix32(h: Column): Column = {
-    val h1 = (h * lit(2654435761L)) % lit(4294967296L)
-    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
-    val h3 = (h2 * lit(48271L)) % lit(4294967296L)
-    h3.bitwiseXOR(shiftright(h3, 13))
-  }
+  /** [[GraftExpressions.remix32]], shared engine-wide since r08. */
+  private def remix32(h: Column): Column = GraftExpressions.remix32(h)
 
   /** Per-group distinct estimate:
     * `(groupCol, n_kept, kth_hash, est_distinct)` — `n_kept` = how many of

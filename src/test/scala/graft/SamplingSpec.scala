@@ -155,6 +155,20 @@ class SamplingSpec extends SparkSpec {
     // a different seed must move a substantial fraction of placements
     val moved = a.join(c, Seq("doc_id", "shard", "position"), "left_semi").count()
     assert(moved < docs.count() / 2, s"seed change left $moved placements fixed")
+    // ...and must not merely ROTATE the shards: before r08's remix32,
+    // polyHash("id:7") vs "id:8" differed by one CONSTANT, so every doc's
+    // shard shifted in lockstep (+1 mod 8) — "all placements moved" while
+    // the permutation stayed identical. A real reshuffle scatters each
+    // old shard across many new shards.
+    val fanout = a
+      .select(col("doc_id"), col("shard").as("shard_a"))
+      .join(c.select(col("doc_id"), col("shard").as("shard_c")), "doc_id")
+      .groupBy("shard_a")
+      .agg(countDistinct("shard_c").as("targets"))
+      .agg(min("targets"))
+      .head()
+      .getLong(0)
+    assert(fanout >= 4L, s"seed change must scatter shards, not rotate them (min fanout $fanout)")
   }
 
   test("shufflePlan: null ids fail fast instead of silently colliding") {
