@@ -108,7 +108,16 @@ object Importance {
     * runs in decimal(38,0) for the same reason [[NgramLM.score]]'s does
     * (a long sum wraps silently at reference scale; DuckDB's promotes).
     */
-  def score(
+  /** The STATELESS half of [[score]]: one row per feature occurrence,
+    * `(idCol, w)` — the occurrence's bucket weight after the broadcast
+    * lookup (unseen buckets score the neutral `Scale`). Split out so the
+    * streaming twin ([[graft.streaming.StreamingOps.scoreImportanceAgainst]])
+    * can run it as a pure projection: a `groupBy` on a stream would plan
+    * a StateStore aggregation, while a document's features arrive WITH
+    * the document, so the per-doc aggregate belongs in `foreachBatch`
+    * (where [[score]] on the batch frame computes exactly that).
+    */
+  def scoredFeatures(
       docs: DataFrame,
       weights: DataFrame,
       numBuckets: Int = DefaultBuckets,
@@ -119,6 +128,16 @@ object Importance {
     featureBuckets(docs, numBuckets, k, textCol, idCol)
       .join(broadcast(weights), Seq("b"), "left")
       .select(col(idCol), coalesce(col("w"), lit(Scale)).as("w"))
+
+  def score(
+      docs: DataFrame,
+      weights: DataFrame,
+      numBuckets: Int = DefaultBuckets,
+      k: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    scoredFeatures(docs, weights, numBuckets, k, textCol, idCol)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_toks"),

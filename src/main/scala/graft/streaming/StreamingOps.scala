@@ -324,6 +324,30 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.NgramLM.scoredGrams(stream, model)
 
+  /** Streaming DSIR importance scoring — the in-flight form of the
+    * mixing pipeline's selection signal: each arriving page's hashed
+    * n-gram features looked up against a STATIC weight table (train once
+    * with `Importance.train` off a batch corpus; at most `numBuckets`
+    * rows, always broadcast — the CALLER owns its lifecycle, same
+    * discipline as [[scoreRarityAgainst]]'s model tables).
+    *
+    * The stream side is ONE stateless projection — explode the feature
+    * buckets, broadcast-join the weights — returning `(doc_id, w)` per
+    * feature occurrence with NO streaming state. A groupBy here would
+    * plan a StateStore aggregation (and never emit in append mode);
+    * the per-doc mean belongs in `foreachBatch`, where it is
+    * micro-batch-exact because a document's features arrive with the
+    * document (`Importance.score` on the batch frame computes exactly
+    * that; `filterImportant` is the admission form).
+    */
+  def scoreImportanceAgainst(
+      weights: DataFrame,
+      stream: DataFrame,
+      numBuckets: Int = graft.operators.Importance.DefaultBuckets,
+      k: Int = 1
+  ): DataFrame =
+    graft.operators.Importance.scoredFeatures(stream, weights, numBuckets, k)
+
   /** Watermarked STREAM-STREAM interval join — the attribution shape: for
     * each purchase, every signup by the same user in the `window` before
     * it (inclusive on both ends). Both sides carry a watermark and the

@@ -215,6 +215,45 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(1L) < byDoc(2L), s"in-distribution ${byDoc(1L)} should beat reversed ${byDoc(2L)}")
   }
 
+  test("streaming importance scoring is stateless; foreachBatch aggregate == batch score") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq((100L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val rawRef = Seq((200L, "gamma delta gamma delta gamma delta")).toDF("doc_id", "text")
+    val weights = graft.operators.Importance.train(target, rawRef).localCheckpoint(true)
+    val arrivals = Seq(
+      (1L, "alpha beta alpha"), // target-like
+      (2L, "gamma delta gamma") // raw-like
+    )
+    val stream = MemoryStream[(Long, String)]
+    val scored =
+      StreamingOps.scoreImportanceAgainst(weights, stream.toDF().toDF("doc_id", "text"))
+    val q = scored.writeStream.outputMode("append").format("memory").queryName("imp_s").start()
+    stream.addData(arrivals); q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty, "scoreImportanceAgainst must plan stateless")
+    q.stop()
+    // the foreachBatch-side per-doc mean over the streamed feature rows
+    // == Importance.score over the same docs as a batch
+    val streamAgg = spark
+      .table("imp_s")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        expr("cast(sum(cast(w as decimal(38,0))) div count(*) as bigint)").as("imp_avg")
+      )
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val batch = graft.operators.Importance
+      .score(arrivals.toDF("doc_id", "text"), weights)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(streamAgg == batch)
+    // and the target-like arrival outranks the raw-like one
+    val byDoc = batch.map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) > byDoc(2L), s"target-like ${byDoc(1L)} should beat raw-like ${byDoc(2L)}")
+  }
+
   test("streaming near-dup against a static corpus finds each doc's own copy") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, Sf0001, "documents")
