@@ -389,6 +389,102 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Mixing-tail primitives at scale (`ScaleSmoke mix [nDocs]`): the two
+    * r08 scale claims measured mechanically.
+    *
+    * 1. `capTokenBudget` at `n` docs over FEW sources (4, Zipf-skewed —
+    *    the adversarial shape: one source holds half the corpus, so a
+    *    single-window plan serializes n/2 rows into ONE sort task). The
+    *    smoke times the bucketed two-phase plan against `buckets = 1`
+    *    (which IS the single-window plan, modulo the tiny prefix frame)
+    *    and prints the per-(source, bucket) row balance — the "no task's
+    *    sort grows with the source" claim as numbers.
+    * 2. `Importance.train`/`score`/`resampleImportant` at `n` docs:
+    *    asserts the weight table stays ≤ `DefaultBuckets` rows, that the
+    *    score-side lookup is a BROADCAST join (the corpus must never
+    *    shuffle on a feature key), and times all three passes.
+    */
+  private def mixMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 1000000L
+    val spark = GraftSession.local("scale-smoke-mix", 32)
+    import spark.implicits._
+    def time[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[mix] $name%-34s $secs%8.2f s")
+      (r, secs)
+    }
+    // Zipf-skewed sources: s0 = 50%, s1 = 25%, s2 = 12.5%, s3 = the rest
+    val docs = spark
+      .range(n)
+      .map { id =>
+        val src = s"s${java.lang.Long.numberOfTrailingZeros(id + 1).min(3)}"
+        (id, src, genText(id))
+      }
+      .toDF("doc_id", "source", "text")
+      .persist()
+    println(s"[mix] corpus: ${docs.count()} docs over 4 Zipf sources")
+
+    // budget ~ half of s0's tokens so the cap genuinely bites everywhere
+    val budget = n * 10L / 4L
+    // one unmeasured pass of each plan first: the window/agg codegen JIT
+    // otherwise lands entirely on whichever variant runs first
+    graft.operators.Sampling.capTokenBudget(docs, budget).count()
+    graft.operators.Sampling.capTokenBudget(docs, budget, buckets = 1).count()
+    val (admitted, tBucketed) = time("capTokenBudget (buckets=64)")(
+      graft.operators.Sampling.capTokenBudget(docs, budget).count()
+    )
+    val (admitted1, tSingle) = time("capTokenBudget (buckets=1 = single window)")(
+      graft.operators.Sampling.capTokenBudget(docs, budget, buckets = 1).count()
+    )
+    assert(admitted == admitted1, s"bucketing must not change admission: $admitted vs $admitted1")
+    // the balance claim: per-(source,bucket) sort sizes vs the whole source
+    val balance = docs
+      .select(
+        col("source"),
+        (graft.functions.GraftExpressions.poly_hash(col("text")) * 64 /
+          graft.functions.Kernels.HashPrime).cast("long").as("b")
+      )
+      .groupBy("source", "b")
+      .agg(count(lit(1)).as("rows"))
+      .agg(max("rows"), avg("rows"))
+      .head()
+    println(
+      f"[mix] admitted=$admitted of $n; maxBucketRows=${balance.getLong(0)} " +
+        f"avgBucketRows=${balance.getDouble(1)}%.0f vs maxSourceRows=${n / 2} " +
+        f"(bucketed ${tBucketed}%.1f s, single-window ${tSingle}%.1f s)"
+    )
+
+    // DSIR at scale: target = a 1/64 hash slice of the corpus
+    val target = docs.filter(col("doc_id") % 64 === 0L)
+    val (weights, tTrain) = time("Importance.train")(
+      graft.operators.Importance.train(target, docs).localCheckpoint(true)
+    )
+    val wRows = weights.count()
+    assert(
+      wRows <= graft.operators.Importance.DefaultBuckets.toLong,
+      s"weight table must stay bounded: $wRows rows"
+    )
+    val scored = graft.operators.Importance.score(docs, weights)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("BroadcastHashJoin"),
+      s"feature lookup must broadcast — corpus may not shuffle on a feature key:\n$plan"
+    )
+    val (nScored, tScore) = time("Importance.score (1 pass)")(scored.count())
+    val (nPicked, tResample) = time("resampleImportant (1% target)")(
+      graft.operators.Importance
+        .resampleImportant(docs, weights, sampleTarget = (n / 100).toInt, seed = 1L)
+        .count()
+    )
+    println(
+      f"[mix] weightRows=$wRows scored=$nScored picked=$nPicked " +
+        f"(train ${tTrain}%.1f s, score ${tScore}%.1f s, resample ${tResample}%.1f s)"
+    )
+    spark.stop()
+  }
+
   /** Streaming-admission replay at scale (`ScaleSmoke stream [nDocs]`):
     * replays `nDocs` synthetic crawl documents through
     * [[graft.streaming.StreamingOps.admitIngest]] against a 100k-doc
@@ -457,6 +553,7 @@ object ScaleSmoke {
     if (args.headOption.contains("skew")) { skewMain(args); return }
     if (args.headOption.contains("cluster")) { clusterMain(args); return }
     if (args.headOption.contains("corpus")) { corpusMain(args); return }
+    if (args.headOption.contains("mix")) { mixMain(args); return }
     if (args.headOption.contains("stream")) { streamMain(args); return }
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val spark = GraftSession.local("scale-smoke", 32)
