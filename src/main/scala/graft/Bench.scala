@@ -38,6 +38,20 @@ object Bench {
       .map(i => (i, if (i % 10 == 1) s"warm doc ${i - 1} tokens here" else s"warm doc $i tokens here"))
       .toDF("doc_id", "text")
     graft.operators.Dedup.clusters(warmDocs, 0.5).count()
+    // window/agg path (q34/q35's shape — explode + hash agg + ranked
+    // window): their driver readings sat above band in r05 and r07 while
+    // every dev re-probe landed inside; on a loaded host the one-shot
+    // WindowExec + explode codegen JIT is the only q34/q35-specific cost
+    // a first run can pay, so absorb it here like the JSON/cluster paths
+    spark
+      .range(500L)
+      .selectExpr("id % 5 AS g", "id", "concat('w', id % 17, ' w', id % 13, ' w', id % 7) AS text")
+      .selectExpr("g", "id", "explode(split(text, ' ')) AS term")
+      .groupBy("g", "term")
+      .agg(org.apache.spark.sql.functions.count("*").as("c"))
+      .selectExpr("g", "term", "c", "row_number() OVER (PARTITION BY g ORDER BY c DESC, term) AS rn")
+      .filter("rn <= 3")
+      .collect()
     spark.catalog.clearCache()
 
     // A failed query must NEVER record a (near-zero) time — that would
