@@ -211,7 +211,10 @@ object Importance {
       buckets: Int = 64
   ): DataFrame = {
     require(sampleTarget > 0, s"need sampleTarget > 0, got $sampleTarget")
-    val scored = score(docs, weights, numBuckets, k, textCol, idCol)
+    // the scored frame feeds BOTH the 1-row total and the cumulative
+    // pass; checkpoint it once (3 longs per doc) or each side re-runs
+    // the explode + broadcast-lookup + aggregate over the corpus
+    val scored = score(docs, weights, numBuckets, k, textCol, idCol).localCheckpoint(true)
     val total = scored.agg(
       sum(col("imp_avg").cast("decimal(38,0)")).as("__w_total")
     )

@@ -308,14 +308,24 @@ object Pipeline {
     val weights = Importance
       .train(targetScrubbed, survivors, textCol = textCol, idCol = idCol)
       .localCheckpoint(true)
-    val meanRow = Importance
+    // ONE checkpointed score frame (3 longs per doc) feeds both the mean
+    // pass and the filter pass — [[Importance.filterImportant]] would
+    // re-score the survivors for the second pass; its score-threshold ==
+    // semi-join law is spec-pinned, so the inlined form is the same
+    // operator computed once
+    val scoredSurv = Importance
       .score(survivors, weights, textCol = textCol, idCol = idCol)
+      .localCheckpoint(true)
+    val meanRow = scoredSurv
       .agg(expr("cast((sum(cast(imp_avg as decimal(38,0))) div count(1)) as bigint)"))
       .head()
     val minAvg =
       if (meanRow.isNullAt(0)) 0L else meanRow.getLong(0) * importancePermille / 1000L
-    val important =
-      Importance.filterImportant(survivors, weights, minAvg, textCol = textCol, idCol = idCol)
+    val important = survivors.join(
+      scoredSurv.filter(col("imp_avg") >= minAvg).select(col(idCol)),
+      Seq(idCol),
+      "left_semi"
+    )
     // stage 7: temperature mix over languages (corpus-derived rates)
     val mixed = Sampling.temperatureFlatten(important, langCol, textCol, temperature)
     // stage 8: per-source token budget (two-phase bucketed prefix sum)
