@@ -615,6 +615,17 @@ object SparkEntry {
         .hygienicTrainingData(docs.filter(bucket < 9), docs.filter(bucket >= 9))
         .orderBy(col("doc_id"), col("seq_id"))
     }),
+    // span-level decontamination: cut every benchmark-overlapping
+    // 4-token window and KEEP the rest of the document (q66 drops the
+    // whole doc) — broadcast gram index + the shared interval-merge
+    // rebuild
+    "q96_redact_overlaps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = GraftExpressions.poly_hash(col("text")) % 10
+      graft.operators.Decontaminate
+        .redactOverlaps(docs.filter(b < 8), docs.filter(b >= 8), k = 4)
+        .orderBy(col("doc_id"))
+    }),
     // DSIR fidelity upgrade: hashed BIGRAM features (the paper's n-gram
     // selector) + importance RESAMPLING — systematic ∝-weight selection
     // in content-hash order (distribution-matching, not a hard cutoff),
@@ -1773,6 +1784,39 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM run GROUP BY 1, 2, 3 ORDER BY 1, 3"""
+    },
+    // span decontamination: q66's content-hash split and benchmark gram
+    // index, q80's keep-token rebuild — token x survives iff no
+    // benchmark-shared window [s, s+4) covers it
+    "q96_redact_overlaps" -> {
+      val hs = positionalShingleHashes("text", 4)
+      s"""WITH split AS (
+           SELECT doc_id, text, (${polyHash("text")} % 10) AS b FROM documents
+         ), bench AS (
+           SELECT DISTINCT unnest(${shingleHashesDistinct("text", 4)}) AS gh
+           FROM split WHERE b >= 8
+         ), toks AS (
+           SELECT doc_id, ${tokens("text")} AS t, $hs AS hs
+           FROM split WHERE b < 8
+         ), occ AS (
+           SELECT doc_id, unnest(range(0, len(hs))) AS i, unnest(hs) AS gh
+           FROM toks
+         ), cuts AS (
+           SELECT doc_id, list_sort(list(i)) AS cuts
+           FROM occ JOIN bench USING (gh) GROUP BY doc_id
+         ), rebuilt AS (
+           SELECT t.doc_id,
+             array_to_string(
+               list_transform(
+                 list_filter(range(0, len(t.t)),
+                   x -> len(list_filter(coalesce(c.cuts, CAST([] AS BIGINT[])),
+                     s -> s <= x AND x < s + 4)) = 0),
+                 x -> (t.t)[x + 1]),
+               ' ') AS text
+           FROM toks t LEFT JOIN cuts c USING (doc_id)
+         )
+         SELECT doc_id, text FROM rebuilt
+         WHERE length(text) > 0 ORDER BY doc_id"""
     },
     // DSIR resampling: bigram-hashed weights (q92 arithmetic at k=2),
     // then systematic ∝-weight selection — cumulative weight in

@@ -87,4 +87,51 @@ object Decontaminate {
       Seq(idCol),
       "left_anti"
     )
+
+  /** SPAN-level decontamination — cut every k-token window a document
+    * shares with the benchmark and keep the rest, instead of dropping
+    * the whole document ([[clean]]'s rule). This is the Lee et al. 2021
+    * exact-substring treatment applied in the corpus-vs-benchmark
+    * direction: a long, mostly-original page that quotes one benchmark
+    * passage loses the passage, not its training value — at web scale
+    * the difference is material, since popular eval sentences are quoted
+    * everywhere.
+    *
+    * Mechanism: the corpus side explodes POSITIONAL k-gram hashes
+    * `(i, gh)`; positions whose hash hits the broadcast benchmark index
+    * become cut starts covering `[i, i+k)`; the document is rebuilt from
+    * the keep-gaps by [[SegmentDedup.rebuildWithoutCuts]] (the shared
+    * O(cuts+tokens) interval merge). Documents redacted to nothing are
+    * dropped — they were wholly benchmark text.
+    *
+    * Scale shape matches [[overlapReport]]: broadcast index, scan-side
+    * explode, one aggregate keyed on the document id; the rebuild adds
+    * no shuffle beyond the cut-list join.
+    */
+  def redactOverlaps(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = DefaultK,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastIndex: Boolean = true
+  ): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val idx = benchmarkIndex(benchmark, k, textCol)
+    val cutStarts = corpus
+      .select(
+        col(idCol),
+        posexplode(TextFunctions.positionalShingleHashes(col(textCol), k)).as(Seq("i", "gh"))
+      )
+      .join(if (broadcastIndex) broadcast(idx) else idx, Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("i").cast("long"))).as("__cuts"))
+    SegmentDedup.rebuildWithoutCuts(
+      corpus.select(col(idCol), col(textCol)),
+      cutStarts,
+      k,
+      textCol,
+      idCol
+    )
+  }
 }

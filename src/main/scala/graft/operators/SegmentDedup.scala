@@ -272,6 +272,29 @@ object SegmentDedup {
       .filter(col("n_occ") > 1 && struct(col(idCol), col("i")) =!= col("first_occ"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("i"))).as("__cuts"))
+    rebuildWithoutCuts(docs, cutStarts, L, textCol, idCol)
+  }
+
+  /** Rebuild each document with every length-`L` cut window removed —
+    * the shared interval-merge tail of [[dedupSubstrings]] (cuts = every
+    * non-first duplicated window) and
+    * [[Decontaminate.redactOverlaps]] (cuts = every benchmark-overlapping
+    * window). `cutStarts` is `(idCol, __cuts)` with `__cuts` the SORTED
+    * distinct token positions whose `[c, c+L)` windows must go; documents
+    * absent from `cutStarts` pass through unchanged, documents rebuilt to
+    * empty are dropped. O(cuts + tokens) per document: the merged
+    * cut-interval boundaries are decided from one sorted neighbor each
+    * (every interval has the same length L), and the keep-gaps are one
+    * token-array slice per gap — the r06 interval-merge rewrite, kept in
+    * ONE place.
+    */
+  private[operators] def rebuildWithoutCuts(
+      docs: DataFrame,
+      cutStarts: DataFrame,
+      L: Int,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
     val lL = lit(L.toLong)
     val cuts = col("__cuts")
     // Merged cut-interval starts/ends from the SORTED, DISTINCT cut

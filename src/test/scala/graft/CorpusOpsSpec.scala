@@ -50,6 +50,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Decontaminate.clean(corpus, benchmark.limit(0), 4).count() === corpus.count())
   }
 
+  test("redactOverlaps: cuts exactly the quoted passage, keeps the rest") {
+    import spark.implicits._
+    val original = (0 until 30).map(i => s"own$i").mkString(" ")
+    val quote = "the quick brown fox jumps over lazy dogs"
+    val crafted = Seq(
+      // quotes the benchmark passage mid-document
+      (1L, s"${original.split(" ").take(15).mkString(" ")} $quote ${original.split(" ").drop(15).mkString(" ")}"),
+      (2L, original), // clean — must pass through byte-identical
+      (3L, quote) // wholly benchmark text — redacted to nothing, dropped
+    ).toDF("doc_id", "text")
+    val bench = Seq((900L, quote)).toDF("doc_id", "text")
+    val out = Decontaminate.redactOverlaps(crafted, bench, k = 4).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 3 gone, doc 2 untouched
+    assert(!byId.contains(3L))
+    assert(byId(2L) === original)
+    // doc 1: every benchmark token is gone, every own token survives —
+    // the whole quoted run is covered by its k-gram windows
+    val kept1 = byId(1L).split(" ").toSet
+    assert(quote.split(" ").forall(t => !kept1.contains(t)), s"benchmark tokens left: ${byId(1L)}")
+    assert(original.split(" ").forall(kept1.contains), s"own tokens lost: ${byId(1L)}")
+    // contrast with clean(): the document-level rule throws doc 1 away
+    val cleanedIds =
+      Decontaminate.clean(crafted, bench, 4).select("doc_id").as[Long].collect().toSet
+    assert(cleanedIds === Set(2L), "clean() drops the quoting doc; redactOverlaps keeps it")
+  }
+
+  test("redactOverlaps: sub-k shared runs survive (windows, not tokens, decide)") {
+    import spark.implicits._
+    // shares only a 3-token run with the benchmark at k=4: no complete
+    // 4-window matches, so nothing may be cut
+    val crafted = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val bench = Seq((900L, "beta gamma delta other words here")).toDF("doc_id", "text")
+    val out = Decontaminate.redactOverlaps(crafted, bench, k = 4).collect()
+    assert(out.length === 1 && out.head.getString(1) === "alpha beta gamma delta epsilon zeta")
+  }
+
   test("decontaminate: shuffled-join fallback matches the broadcast path") {
     val b = Decontaminate.overlapReport(corpus, benchmark, 4, broadcastIndex = true)
     val s = Decontaminate.overlapReport(corpus, benchmark, 4, broadcastIndex = false)
