@@ -615,6 +615,24 @@ object SparkEntry {
         .hygienicTrainingData(docs.filter(bucket < 9), docs.filter(bucket >= 9))
         .orderBy(col("doc_id"), col("seq_id"))
     }),
+    // the MATERIALIZED mixing pipeline: q94's plan written as one
+    // position-sorted parquet file per shard and READ BACK — the gate
+    // compares what landed on disk, closing the O9-O11 circle over the
+    // mixing tail
+    "q97_mix_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = GraftExpressions.poly_hash(col("text")) % 10
+      graft.operators.Pipeline
+        .writeMixed(
+          docs.filter(bucket < 9),
+          docs.filter(bucket >= 9),
+          budgetTokens = 300L,
+          nShards = 8,
+          outputDir = dumpPath("mix_q97", dir),
+          seed = 42L
+        )
+        .orderBy(col("doc_id"))
+    }),
     // span-level decontamination: cut every benchmark-overlapping
     // 4-token window and KEEP the rest of the document (q66 drops the
     // whole doc) — broadcast gram index + the shared interval-merge
@@ -1154,6 +1172,106 @@ object SparkEntry {
          SELECT CAST(vec_id // stride AS BIGINT) AS cell, embedding AS c_emb
          FROM $src, nn WHERE vec_id % stride = 0 AND vec_id < stride * cells
        ), $rounds"""
+  }
+
+  /** The q94 mixing-pipeline CTE chain (scrub → Gopher → quality →
+    * exact+near dedup → DSIR weights/threshold → temperature mix →
+    * per-source budget → shard-plan hash), shared by q94 (the plan) and
+    * q97 (the materialized artifact, which also compares `text`) — `adm`
+    * carries the scrubbed text so both final SELECTs read one chain.
+    */
+  private lazy val mixPipelineCtes: String = {
+    val tok = tokens("text")
+    val nTok = s"len($tok)"
+    val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
+    val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
+    val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
+    val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
+    val stopScore = s"least(1.0, $stopRatio * 5.0)"
+    val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+    val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
+    val quality = s"(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore)"
+    val scrubExpr =
+      s"regexp_replace(regexp_replace(text, '${TextFunctions.EmailRegex}', '<email>', 'g'), " +
+        s"'${TextFunctions.LongNumberRegex}', '<num>', 'g')"
+    val B = graft.operators.Importance.DefaultBuckets
+    val S = graft.operators.Importance.Scale
+    s"""WITH RECURSIVE raw AS (
+           SELECT doc_id, lang, source, text, (${polyHash("text")} % 10) AS bkt FROM documents
+         ), scrubbed AS (
+           SELECT doc_id, lang, source, $scrubExpr AS text FROM raw WHERE bkt < 9
+         ), targ AS (
+           SELECT $scrubExpr AS text FROM raw WHERE bkt >= 9
+         ), gph AS (
+           SELECT doc_id, lang, source, text FROM scrubbed
+           WHERE ${gopherKeepPredicate("text")}
+         ), qual AS (
+           SELECT doc_id, lang, source, text FROM gph WHERE $quality >= 0.4275
+         ), ex AS (
+           SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY text
+         ), exd AS (
+           SELECT qual.doc_id, qual.lang, qual.source, qual.text FROM qual JOIN ex USING (doc_id)
+         ), ${clusterChain("exd")}, scored AS (
+           SELECT doc_id, round($quality, 6) AS score FROM exd
+         ), ranked AS (
+           SELECT c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY s.score DESC, c.doc_id) AS rn
+           FROM cc c JOIN scored s ON c.doc_id = s.doc_id
+         ), surv AS (
+           SELECT exd.doc_id, exd.lang, exd.source, exd.text
+           FROM exd JOIN ranked ON exd.doc_id = ranked.doc_id AND ranked.rn = 1
+         ), tbr AS (
+           SELECT doc_id, unnest(${positionalShingleHashes("text", 1)}) % $B AS b FROM surv
+         ), tbt AS (
+           SELECT unnest(${positionalShingleHashes("text", 1)}) % $B AS b FROM targ
+         ), tc AS (
+           SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tbt GROUP BY 1
+         ), rcn AS (
+           SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tbr GROUP BY 1
+         ), w AS (
+           SELECT coalesce(tc.b, rcn.b) AS b,
+             ((coalesce(ct, 0) + 1) * $S) // (coalesce(cr, 0) + 1) AS w
+           FROM tc FULL JOIN rcn ON tc.b = rcn.b
+         ), imp AS (
+           SELECT doc_id, CAST(SUM(coalesce(w, $S)) // COUNT(*) AS BIGINT) AS imp_avg
+           FROM tbr LEFT JOIN w USING (b) GROUP BY 1
+         ), thr AS (
+           SELECT (SUM(imp_avg) // COUNT(*)) * 1000 // 1000 AS m FROM imp
+         ), kept AS (
+           SELECT surv.doc_id, surv.lang, surv.source, surv.text
+           FROM surv JOIN imp USING (doc_id), thr WHERE imp_avg >= m
+         ), lc AS (
+           SELECT lang, COUNT(*) AS n_g FROM kept GROUP BY 1
+         ), lm AS (
+           SELECT MIN(n_g) AS n_min FROM lc
+         ), lthr AS (
+           SELECT lang,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS thr
+           FROM lc, lm
+         ), samp AS (
+           SELECT kept.doc_id, kept.lang, kept.source, kept.text
+           FROM kept JOIN lthr ON kept.lang IS NOT DISTINCT FROM lthr.lang
+           WHERE (${polyHash("kept.text")} % 1000000) < thr
+         ), bt AS (
+           SELECT doc_id, lang, source, text,
+             CAST(len($tok) AS BIGINT) AS n_tok,
+             ${polyHash("text")} AS h
+           FROM samp
+         ), adm AS (
+           SELECT doc_id, lang, source, text, n_tok, cum_tok FROM (
+             SELECT doc_id, lang, source, text, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+             FROM bt) c0
+           WHERE cum_tok <= 300
+         ), ph0 AS (
+           SELECT doc_id,
+             ${polyHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS h0
+           FROM adm
+         ), ph AS (
+           SELECT doc_id, ${remix32("h0")} AS h FROM ph0
+         )"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1866,104 +1984,25 @@ object SparkEntry {
     // mean-relative importance cutoff, temperature mix on lang, q93's
     // per-source running-total budget, and q89's shard plan — one
     // recursive CTE chain end to end
-    "q94_mix_pipeline" -> {
-      val tok = tokens("text")
-      val nTok = s"len($tok)"
-      val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
-      val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
-      val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
-      val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
-      val stopScore = s"least(1.0, $stopRatio * 5.0)"
-      val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
-      val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
-      val quality = s"(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore)"
-      val scrubExpr =
-        s"regexp_replace(regexp_replace(text, '${TextFunctions.EmailRegex}', '<email>', 'g'), " +
-          s"'${TextFunctions.LongNumberRegex}', '<num>', 'g')"
-      val B = graft.operators.Importance.DefaultBuckets
-      val S = graft.operators.Importance.Scale
-      s"""WITH RECURSIVE raw AS (
-           SELECT doc_id, lang, source, text, (${polyHash("text")} % 10) AS bkt FROM documents
-         ), scrubbed AS (
-           SELECT doc_id, lang, source, $scrubExpr AS text FROM raw WHERE bkt < 9
-         ), targ AS (
-           SELECT $scrubExpr AS text FROM raw WHERE bkt >= 9
-         ), gph AS (
-           SELECT doc_id, lang, source, text FROM scrubbed
-           WHERE ${gopherKeepPredicate("text")}
-         ), qual AS (
-           SELECT doc_id, lang, source, text FROM gph WHERE $quality >= 0.4275
-         ), ex AS (
-           SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY text
-         ), exd AS (
-           SELECT qual.doc_id, qual.lang, qual.source, qual.text FROM qual JOIN ex USING (doc_id)
-         ), ${clusterChain("exd")}, scored AS (
-           SELECT doc_id, round($quality, 6) AS score FROM exd
-         ), ranked AS (
-           SELECT c.doc_id,
-             ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY s.score DESC, c.doc_id) AS rn
-           FROM cc c JOIN scored s ON c.doc_id = s.doc_id
-         ), surv AS (
-           SELECT exd.doc_id, exd.lang, exd.source, exd.text
-           FROM exd JOIN ranked ON exd.doc_id = ranked.doc_id AND ranked.rn = 1
-         ), tbr AS (
-           SELECT doc_id, unnest(${positionalShingleHashes("text", 1)}) % $B AS b FROM surv
-         ), tbt AS (
-           SELECT unnest(${positionalShingleHashes("text", 1)}) % $B AS b FROM targ
-         ), tc AS (
-           SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tbt GROUP BY 1
-         ), rcn AS (
-           SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tbr GROUP BY 1
-         ), w AS (
-           SELECT coalesce(tc.b, rcn.b) AS b,
-             ((coalesce(ct, 0) + 1) * $S) // (coalesce(cr, 0) + 1) AS w
-           FROM tc FULL JOIN rcn ON tc.b = rcn.b
-         ), imp AS (
-           SELECT doc_id, CAST(SUM(coalesce(w, $S)) // COUNT(*) AS BIGINT) AS imp_avg
-           FROM tbr LEFT JOIN w USING (b) GROUP BY 1
-         ), thr AS (
-           SELECT (SUM(imp_avg) // COUNT(*)) * 1000 // 1000 AS m FROM imp
-         ), kept AS (
-           SELECT surv.doc_id, surv.lang, surv.source, surv.text
-           FROM surv JOIN imp USING (doc_id), thr WHERE imp_avg >= m
-         ), lc AS (
-           SELECT lang, COUNT(*) AS n_g FROM kept GROUP BY 1
-         ), lm AS (
-           SELECT MIN(n_g) AS n_min FROM lc
-         ), lthr AS (
-           SELECT lang,
-             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE))
-               * 1000000.0) AS BIGINT) AS thr
-           FROM lc, lm
-         ), samp AS (
-           SELECT kept.doc_id, kept.lang, kept.source, kept.text
-           FROM kept JOIN lthr ON kept.lang IS NOT DISTINCT FROM lthr.lang
-           WHERE (${polyHash("kept.text")} % 1000000) < thr
-         ), bt AS (
-           SELECT doc_id, lang, source,
-             CAST(len($tok) AS BIGINT) AS n_tok,
-             ${polyHash("text")} AS h
-           FROM samp
-         ), adm AS (
-           SELECT doc_id, lang, source, n_tok, cum_tok FROM (
-             SELECT doc_id, lang, source, n_tok,
-               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
-                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-             FROM bt) c0
-           WHERE cum_tok <= 300
-         ), ph0 AS (
-           SELECT doc_id,
-             ${polyHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS h0
-           FROM adm
-         ), ph AS (
-           SELECT doc_id, ${remix32("h0")} AS h FROM ph0
-         )
+    "q94_mix_pipeline" ->
+      s"""$mixPipelineCtes
          SELECT adm.doc_id, lang, source, n_tok, cum_tok,
            CAST(h % 8 AS BIGINT) AS shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, adm.doc_id) AS BIGINT) AS position
          FROM adm JOIN ph ON adm.doc_id = ph.doc_id
-         ORDER BY adm.doc_id"""
-    },
+         ORDER BY adm.doc_id""",
+    // the MATERIALIZED mixing artifact: q94's chain plus the scrubbed
+    // text each admitted document carries into its shard file — the
+    // Spark side answers from the files it wrote and read back, so a
+    // hash match here verifies the artifact, not the intent
+    "q97_mix_roundtrip" ->
+      s"""$mixPipelineCtes
+         SELECT adm.doc_id, lang, source, n_tok, cum_tok,
+           CAST(h % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, adm.doc_id) AS BIGINT) AS position,
+           text
+         FROM adm JOIN ph ON adm.doc_id = ph.doc_id
+         ORDER BY adm.doc_id""",
     // decontamination: same content-hash split, distinct 4-gram hashes per
     // side, shared-gram count per corpus doc
     "q66_decontaminate" ->

@@ -350,6 +350,76 @@ object Pipeline {
       )
   }
 
+  /** Materialize [[mixCorpus]]'s plan as the training artifact it
+    * describes: one parquet file per shard, rows in `position` order —
+    * the physical layout `shufflePlan`'s scaladoc promises (its single
+    * exchange + per-shard sort IS this write). Each admitted document
+    * carries the SCRUBBED text (what the pipeline selected on) next to
+    * its plan columns.
+    *
+    * Layout mechanics: `repartition(nShards, shard)` then
+    * `sortWithinPartitions(shard, position)` satisfies the writer's
+    * required ordering (the partition column), so no second sort is
+    * inserted and the within-file row order is exactly `position`;
+    * `partitionBy(shard)` gives one directory per shard containing ONE
+    * file (every row of a shard lives in one task). Returns the
+    * READ-BACK frame — same columns as [[mixCorpus]] plus `textCol`,
+    * `shard` cast back to long (partition-column inference reads it as
+    * int) — so the caller verifies the artifact, not the intent, the
+    * O9–O11 discipline applied to the mixing tail.
+    */
+  def writeMixed(
+      docs: DataFrame,
+      target: DataFrame,
+      budgetTokens: Long,
+      nShards: Int,
+      outputDir: String,
+      cfg: Config = Config(),
+      importancePermille: Long = 1000L,
+      temperature: Int = 2,
+      seed: Long = 0L,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      sourceCol: String = "source"
+  ): DataFrame = {
+    val plan = mixCorpus(
+      docs,
+      target,
+      budgetTokens,
+      nShards,
+      cfg,
+      importancePermille,
+      temperature,
+      seed,
+      textCol,
+      idCol,
+      langCol,
+      sourceCol
+    )
+    val scrubbed = docs.select(col(idCol), TextFunctions.scrub(col(textCol)).as(textCol))
+    plan
+      .join(scrubbed, Seq(idCol))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("position"))
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outputDir)
+    docs.sparkSession.read
+      .parquet(outputDir)
+      .select(
+        col(idCol),
+        col(langCol),
+        col(sourceCol),
+        col("n_tok"),
+        col("cum_tok"),
+        col("shard").cast("long").as("shard"),
+        col("position"),
+        col(textCol)
+      )
+  }
+
   /** Build AND persist the training corpus: run the selection, write it
     * through the sharded parquet sink with the reference's layout
     * envelope (524k-row shards, 1 MiB pages — `ShardedParquetSink`), and

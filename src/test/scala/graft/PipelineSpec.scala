@@ -211,6 +211,42 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("writeMixed: one position-sorted file per shard; read-back equals the plan") {
+    import spark.implicits._
+    val dir = s"$testOut/mix_artifact"
+    val bucket = functions.GraftExpressions.poly_hash(col("text")) % 10
+    val corpus = docs.filter(bucket < 9)
+    val target = docs.filter(bucket >= 9)
+    val back = Pipeline
+      .writeMixed(corpus, target, budgetTokens = 300L, nShards = 4, outputDir = dir, seed = 42L)
+      .persist()
+    val plan = Pipeline.mixCorpus(corpus, target, budgetTokens = 300L, nShards = 4, seed = 42L)
+    // the artifact holds exactly the plan (columns minus text)
+    val backPlan = back.drop("text")
+    assert(backPlan.except(plan).count() === 0L && plan.except(backPlan).count() === 0L)
+    // one file per non-empty shard
+    val filesPerShard = back
+      .select(input_file_name().as("f"), col("shard"))
+      .distinct()
+      .groupBy("shard")
+      .agg(countDistinct("f").as("nf"))
+      .as[(Long, Long)]
+      .collect()
+    assert(filesPerShard.nonEmpty && filesPerShard.forall(_._2 === 1L), filesPerShard.toSeq)
+    // physical row order within each file IS position order (the
+    // training reader streams the file; no sort at read time)
+    val physical = spark.read
+      .parquet(dir)
+      .select(input_file_name().as("f"), col("position"), monotonically_increasing_id().as("m"))
+      .collect()
+      .groupBy(_.getString(0))
+    physical.foreach { case (f, rows) =>
+      val pos = rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+      assert(pos === pos.sorted, s"file $f not in position order: $pos")
+    }
+    back.unpersist()
+  }
+
   test("writeCorpus chaos: mid-write crash + stale shards, then re-run — read-back invariant holds") {
     import spark.implicits._
     val dir = s"$testOut/pipeline_corpus_chaos"
