@@ -615,6 +615,24 @@ object SparkEntry {
         .hygienicTrainingData(docs.filter(bucket < 9), docs.filter(bucket >= 9))
         .orderBy(col("doc_id"), col("seq_id"))
     }),
+    // curriculum shard plan: content-hash shard placement (each shard an
+    // unbiased corpus sample) with WITHIN-shard order ranked by token
+    // count — the sequence-length-warmup curriculum; same one-exchange +
+    // per-shard-sort plan as q89
+    "q98_curriculum_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling
+        .curriculumPlan(
+          docs.select(
+            col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")
+          ),
+          nShards = 8,
+          scoreCol = "n_tok",
+          seed = 42L
+        )
+        .orderBy(col("doc_id"))
+    }),
     // the MATERIALIZED mixing pipeline: q94's plan written as one
     // position-sorted parquet file per shard and READ BACK — the gate
     // compares what landed on disk, closing the O9-O11 circle over the
@@ -2444,6 +2462,20 @@ object SparkEntry {
          SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS position
          FROM h ORDER BY shard, position""",
+    // curriculum plan: q89's remixed shard hash, position ranked by
+    // (token count, id) within the shard
+    "q98_curriculum_plan" ->
+      s"""WITH h0 AS (
+           SELECT doc_id,
+             CAST(len(${tokens("text")}) AS BIGINT) AS s,
+             ${polyHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS h0
+           FROM documents
+         ), h AS (
+           SELECT doc_id, s, ${remix32("h0")} AS h FROM h0
+         )
+         SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY s, doc_id) AS BIGINT) AS position
+         FROM h ORDER BY doc_id""",
     // value-histogram quartiles: cumulative over (lang, n_tok) counts,
     // lower-quantile rank test in integer arithmetic
     "q86_token_quantiles" -> {

@@ -198,6 +198,54 @@ object Sampling {
       .select(col(idCol), col("shard"), col("position"))
   }
 
+  /** CURRICULUM shard plan — [[shufflePlan]] with the within-shard order
+    * handed to a DIFFICULTY score instead of the hash: every document
+    * still lands on `shard = remix32(poly_hash(id ":" seed)) mod
+    * nShards` (content-hash placement, so each shard is an unbiased
+    * ~n/nShards sample of the corpus — the property curriculum training
+    * needs, since each worker reads ONE shard and must see the same
+    * difficulty ramp), but `position` ranks `(scoreCol asc, id)` within
+    * the shard: easy-to-hard in reading order (sequence-length warmup,
+    * perplexity curricula — feed `n_tok`, LM rarity, or `imp_avg`
+    * negated for target-first). Same physical plan as [[shufflePlan]]:
+    * one exchange on shard, one per-shard sort — which IS the writer's
+    * materialization order ([[Pipeline.writeMixed]]'s layout).
+    *
+    * Nulls: a null score would sort arbitrarily-by-engine; it fails fast
+    * in-plan like the null id.
+    */
+  def curriculumPlan(
+      df: DataFrame,
+      nShards: Int,
+      scoreCol: String,
+      seed: Long = 0L,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val id = when(
+      col(idCol).isNull,
+      raise_error(lit(s"curriculumPlan: null $idCol — deterministic order needs non-null unique ids"))
+    ).otherwise(col(idCol))
+    val score = when(
+      col(scoreCol).isNull,
+      raise_error(lit(s"curriculumPlan: null $scoreCol — the curriculum order needs non-null scores"))
+    ).otherwise(col(scoreCol))
+    val h = GraftExpressions.remix32(
+      GraftExpressions.poly_hash(concat_ws(":", id, lit(seed)))
+    )
+    df
+      .select(col(idCol), score.as("__s"), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn(
+        "position",
+        row_number()
+          .over(Window.partitionBy(col("shard")).orderBy(col("__s"), col(idCol)))
+          .cast("long")
+      )
+      .select(col(idCol), col("shard"), col("position"))
+  }
+
   /** Per-source TOKEN-BUDGET cap — the Dolma/Pile mixing primitive:
     * each source contributes documents, in deterministic content-hash
     * order, until its running token total would exceed `budgetTokens`;

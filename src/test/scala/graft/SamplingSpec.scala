@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftExpressions
+import graft.functions.{GraftExpressions, TextFunctions}
 import graft.operators.Sampling
 
 /** Laws of deterministic balanced per-group sampling. */
@@ -169,6 +169,45 @@ class SamplingSpec extends SparkSpec {
       .head()
       .getLong(0)
     assert(fanout >= 4L, s"seed change must scatter shards, not rotate them (min fanout $fanout)")
+  }
+
+  test("curriculumPlan: same shards as shufflePlan, within-shard order monotone in the score") {
+    import spark.implicits._
+    val scored = docs.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")
+    )
+    val cur = Sampling.curriculumPlan(scored, 8, "n_tok", seed = 7L)
+    // shard placement is the score-independent content hash — identical
+    // to shufflePlan's, so each shard stays an unbiased corpus sample
+    val shuf = Sampling.shufflePlan(docs, 8, seed = 7L)
+    val placements =
+      cur.select("doc_id", "shard").except(shuf.select("doc_id", "shard")).count()
+    assert(placements === 0L, "curriculum must not move documents between shards")
+    // positions dense per shard, and the score never decreases along them
+    val rows = cur
+      .join(scored, "doc_id")
+      .select("shard", "position", "n_tok")
+      .as[(Long, Long, Long)]
+      .collect()
+      .groupBy(_._1)
+    rows.foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1L to rs.length).toSeq, s"shard $shard not dense")
+      val scores = ordered.map(_._3).toSeq
+      assert(scores === scores.sorted, s"shard $shard not easy-to-hard: $scores")
+    }
+  }
+
+  test("curriculumPlan: null scores fail fast") {
+    import spark.implicits._
+    val bad = Seq((1L, Some(5L)), (2L, None)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      Sampling.curriculumPlan(bad, 4, "n_tok").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("curriculumPlan")), s"expected the null-score error, got $e")
   }
 
   test("shufflePlan: null ids fail fast instead of silently colliding") {
