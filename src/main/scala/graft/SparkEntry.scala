@@ -651,6 +651,16 @@ object SparkEntry {
         )
         .orderBy(col("doc_id"))
     }),
+    // eval-exposure report (the reverse contamination direction): for
+    // each benchmark item, how many corpus docs share a 4-gram with it
+    // and how many of its distinct grams are exposed
+    "q99_bench_exposure" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = GraftExpressions.poly_hash(col("text")) % 10
+      graft.operators.Decontaminate
+        .benchmarkExposure(docs.filter(b < 8), docs.filter(b >= 8), k = 4)
+        .orderBy(col("bench_id"))
+    }),
     // span-level decontamination: cut every benchmark-overlapping
     // 4-token window and KEEP the rest of the document (q66 drops the
     // whole doc) — broadcast gram index + the shared interval-merge
@@ -1921,6 +1931,23 @@ object SparkEntry {
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM run GROUP BY 1, 2, 3 ORDER BY 1, 3"""
     },
+    // eval exposure: per-bench-doc distinct (corpus doc, gram) joins on
+    // the shared 4-gram hash, both sides' window sets per-doc distinct
+    "q99_bench_exposure" ->
+      s"""WITH split AS (
+           SELECT doc_id, text, (${polyHash("text")} % 10) AS b FROM documents
+         ), bench AS (
+           SELECT doc_id AS bench_id, unnest(${shingleHashesDistinct("text", 4)}) AS gh
+           FROM split WHERE b >= 8
+         ), corp AS (
+           SELECT doc_id, unnest(${shingleHashesDistinct("text", 4)}) AS gh
+           FROM split WHERE b < 8
+         )
+         SELECT bench_id,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
+           CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_shared_grams
+         FROM corp JOIN bench USING (gh)
+         GROUP BY 1 ORDER BY bench_id""",
     // span decontamination: q66's content-hash split and benchmark gram
     // index, q80's keep-token rebuild — token x survives iff no
     // benchmark-shared window [s, s+4) covers it

@@ -88,6 +88,45 @@ object Decontaminate {
       "left_anti"
     )
 
+  /** The REVERSE direction — per BENCHMARK item, how exposed it is in
+    * the training corpus: `(bench_id, n_corpus_docs, n_shared_grams)`
+    * for every benchmark document at least one corpus document shares a
+    * k-gram with. [[overlapReport]] answers "which training pages are
+    * contaminated"; this answers "which EVAL items are compromised" —
+    * the integrity table an evaluation writes down (the
+    * train-test-overlap appendix of the GPT-3/PaLM reports), and the
+    * input to deciding whether to decontaminate the corpus or drop the
+    * eval item.
+    *
+    * Scale shape: the benchmark side (small by nature) explodes to
+    * `(bench_id, gh)` and broadcasts WITH its ids; the corpus stays a
+    * scan + explode joined against it, aggregated on `bench_id` — the
+    * corpus is never shuffled on a gram key, and the distinct-counts
+    * expand at most benchmark-sized groups.
+    */
+  def benchmarkExposure(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = DefaultK,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastIndex: Boolean = true
+  ): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val bench = benchmark.select(
+      col(idCol).as("bench_id"),
+      explode(TextFunctions.shingleHashes(col(textCol), k)).as("gh")
+    )
+    corpus
+      .select(col(idCol), explode(TextFunctions.shingleHashes(col(textCol), k)).as("gh"))
+      .join(if (broadcastIndex) broadcast(bench) else bench, Seq("gh"))
+      .groupBy(col("bench_id"))
+      .agg(
+        countDistinct(col(idCol)).as("n_corpus_docs"),
+        countDistinct(col("gh")).as("n_shared_grams")
+      )
+  }
+
   /** SPAN-level decontamination — cut every k-token window a document
     * shares with the benchmark and keep the rest, instead of dropping
     * the whole document ([[clean]]'s rule). This is the Lee et al. 2021

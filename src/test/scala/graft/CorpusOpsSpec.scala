@@ -50,6 +50,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Decontaminate.clean(corpus, benchmark.limit(0), 4).count() === corpus.count())
   }
 
+  test("benchmarkExposure: the reverse direction agrees with overlapReport's totals") {
+    val k = 4
+    val exposure = Decontaminate.benchmarkExposure(corpus, benchmark, k)
+    // a benchmark item is exposed iff SOME corpus doc is contaminated by
+    // it, so the exposed corpus-doc union == overlapReport's doc set
+    val exposedCorpusDocs = corpus
+      .select(col("doc_id"), explode(TextFunctions.shingleHashes(col("text"), k)).as("gh"))
+      .join(
+        benchmark.select(explode(TextFunctions.shingleHashes(col("text"), k)).as("gh")).distinct(),
+        Seq("gh")
+      )
+      .select("doc_id")
+      .distinct()
+    assert(
+      Decontaminate.overlapReport(corpus, benchmark, k).count() === exposedCorpusDocs.count()
+    )
+    // crafted: one bench item quoted by exactly two corpus docs
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val c = Seq(
+      (1L, s"one two three four five six seven $quote"),
+      (2L, s"$quote eight nine ten eleven twelve thirteen"),
+      (3L, "clean text with completely different tokens here now")
+    ).toDF("doc_id", "text")
+    val bm = Seq((900L, quote), (901L, "never quoted anywhere at all ever")).toDF("doc_id", "text")
+    val got = Decontaminate
+      .benchmarkExposure(c, bm, k)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    // item 900: 2 exposing docs, all 3 of its distinct 4-windows shared;
+    // item 901: absent (zero exposure rows, not a zero row)
+    assert(got === Map(900L -> ((2L, 3L))))
+  }
+
   test("redactOverlaps: cuts exactly the quoted passage, keeps the rest") {
     import spark.implicits._
     val original = (0 until 30).map(i => s"own$i").mkString(" ")
