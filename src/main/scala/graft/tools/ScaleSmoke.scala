@@ -482,6 +482,39 @@ object ScaleSmoke {
       f"[mix] weightRows=$wRows scored=$nScored picked=$nPicked " +
         f"(train ${tTrain}%.1f s, score ${tScore}%.1f s, resample ${tResample}%.1f s)"
     )
+
+    // span decontamination at scale: 1% of the corpus as the benchmark;
+    // cuts land on the genuinely-quoting docs only, everything else
+    // passes through the LEFT join untouched
+    val benchSlice = docs.filter(col("doc_id") % 100 === 0L).select("doc_id", "text")
+    val (nRedacted, tRedact) = time("redactOverlaps (1% bench, k=8)")(
+      graft.operators.Decontaminate
+        .redactOverlaps(docs.filter(col("doc_id") % 100 =!= 0L), benchSlice, k = 8)
+        .count()
+    )
+    val (nExposed, tExpose) = time("benchmarkExposure (1% bench)")(
+      graft.operators.Decontaminate
+        .benchmarkExposure(docs.filter(col("doc_id") % 100 =!= 0L), benchSlice, k = 8)
+        .count()
+    )
+    // curriculum plan at scale: same exchange+sort as shufflePlan — the
+    // paired timing shows ordering by a score costs what ordering by the
+    // hash costs
+    val scoredDocs = docs.select(
+      col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")
+    )
+    val (nCur, tCur) = time("curriculumPlan (64 shards)")(
+      graft.operators.Sampling.curriculumPlan(scoredDocs, 64, "n_tok").count()
+    )
+    val (nShuf, tShuf) = time("shufflePlan (64 shards)")(
+      graft.operators.Sampling.shufflePlan(docs, 64).count()
+    )
+    println(
+      f"[mix] redactedSurvivors=$nRedacted exposedItems=$nExposed " +
+        f"curriculum=$nCur/${tCur}%.1fs shuffle=$nShuf/${tShuf}%.1fs " +
+        f"(redact ${tRedact}%.1f s, expose ${tExpose}%.1f s)"
+    )
     spark.stop()
   }
 
