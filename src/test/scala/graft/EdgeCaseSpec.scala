@@ -129,6 +129,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(EventOps.asofPurchaseSignup(emptyEvents).count() == 0)
   }
 
+  test("round-8 mixing ops on empty / degenerate corpora: empty results, never a throw") {
+    import graft.operators.{Decontaminate, Importance, Sampling}
+    val empty = Seq.empty[(Long, String, String, String)].toDF("doc_id", "lang", "source", "text")
+    val one = Seq((1L, "en", "web", "just one tiny document here")).toDF("doc_id", "lang", "source", "text")
+    // importance: training on empty sides still yields a usable (empty)
+    // weight table; scoring under it falls back to the neutral ratio
+    val wEmpty = Importance.train(empty, empty)
+    assert(wEmpty.count() === 0L)
+    val scored = Importance.score(one, wEmpty).collect()
+    assert(scored.length === 1 && scored.head.getAs[Long]("imp_avg") === Importance.Scale)
+    // resampling an empty corpus selects nothing (W = null path)
+    assert(Importance.resampleImportant(empty, wEmpty, 5).count() === 0L)
+    // a single-doc corpus resampled to 1 returns exactly that doc
+    val picked = Importance.resampleImportant(one, wEmpty, 1).collect()
+    assert(picked.length === 1 && picked.head.getLong(0) === 1L)
+    // budget/plan ops on empty frames
+    assert(Sampling.capTokenBudget(empty, 100L).count() === 0L)
+    assert(Sampling.shufflePlan(empty, 4).count() === 0L)
+    assert(
+      Sampling.curriculumPlan(empty.selectExpr("doc_id", "5L as s"), 4, "s").count() === 0L
+    )
+    // zero budget admits nothing; a doc exactly on the budget is admitted
+    assert(Sampling.capTokenBudget(one, 0L).count() === 0L)
+    assert(Sampling.capTokenBudget(one, 5L).count() === 1L)
+    // span decontamination: empty benchmark cuts nothing, empty corpus ok
+    val redacted = Decontaminate.redactOverlaps(one, empty, 4).collect()
+    assert(redacted.length === 1 && redacted.head.getString(1) === "just one tiny document here")
+    assert(Decontaminate.redactOverlaps(empty, one, 4).count() === 0L)
+    assert(Decontaminate.benchmarkExposure(empty, one, 4).count() === 0L)
+    // the full mixing pipeline on an empty corpus: empty plan, no throw
+    // (the mean-importance head() guard and every downstream stage)
+    assert(graft.operators.Pipeline.mixCorpus(empty, one, 100L, 4).count() === 0L)
+  }
+
   test("sharded write of an empty frame round-trips as zero rows") {
     val dir = s"$testOut/empty_dump"
     ShardedParquetSink.write(emptyDocs, dir, ParquetLayout(maxRecordsPerFile = 100L))
