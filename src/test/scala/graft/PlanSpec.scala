@@ -118,6 +118,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "no BNLJ")
   }
 
+  test("mixing-tail plans: no cartesian; benchmark sides broadcast; budget plan BNLJ-free") {
+    for (
+      q <- Seq(
+        "q93_token_budget",
+        "q95_dsir_resample",
+        "q96_redact_overlaps",
+        "q98_curriculum_plan",
+        "q99_bench_exposure"
+      )
+    ) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q: no cartesian")
+    }
+    // the gram indexes are benchmark-sized — they must broadcast, never
+    // shuffle the corpus on a gram key
+    assert(plan("q96_redact_overlaps").contains("BroadcastHashJoin"), "q96 index broadcasts")
+    assert(plan("q99_bench_exposure").contains("BroadcastHashJoin"), "q99 index broadcasts")
+    // the budget plan has no nested-loop join anywhere; the resample
+    // plan's ONLY nested loop is the 1-row total (scalar cross join)
+    assert(!plan("q93_token_budget").contains("BroadcastNestedLoopJoin"), "q93 BNLJ-free")
+    val bnlj = plan("q95_dsir_resample").split('\n').filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.forall(_.contains("Cross")), s"q95 BNLJ must be the scalar cross join: ${bnlj.toSeq}")
+  }
+
+  test("mixCorpus: every corpus-sized join is an equi-join; nested loops are scalar-only") {
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val bucket = graft.functions.GraftExpressions.poly_hash(
+      org.apache.spark.sql.functions.col("text")
+    ) % 10
+    val p = graft.operators.Pipeline
+      .mixCorpus(docs.filter(bucket < 9), docs.filter(bucket >= 9), 300L, 4)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!p.contains("CartesianProduct"), "no cartesian in the mixing pipeline")
+    val bnlj = p.split('\n').filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(
+      bnlj.forall(_.contains("Cross")),
+      s"every nested loop must be a 1-row scalar cross join: ${bnlj.toSeq}"
+    )
+    assert(!p.contains("rangepartitioning"), "no global sort in the mixing pipeline")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
