@@ -651,6 +651,14 @@ object SparkEntry {
         )
         .orderBy(col("doc_id"))
     }),
+    // BPE merge training: 8 rounds of most-frequent-adjacent-pair fusion
+    // over the word-frequency table (corpus read once; the loop runs on
+    // distinct words) — the tokenizer-prep step after q81's raw vocab
+    "q100_bpe_merges" -> ((s, dir) => {
+      graft.operators.Vocabulary
+        .bpeMerges(t(s, dir, "documents"), nMerges = 8)
+        .orderBy(col("merge_idx"))
+    }),
     // eval-exposure report (the reverse contamination direction): for
     // each benchmark item, how many corpus docs share a 4-gram with it
     // and how many of its distinct grams are exposed
@@ -1302,7 +1310,50 @@ object SparkEntry {
          )"""
   }
 
+  /** The BPE-trainer oracle: `nMerges` unrolled rounds, each = adjacent
+    * pair counts over the word table, a LIMIT-1 argmax (count desc, then
+    * pair — the engine's tie-break), and the merge applied by the SAME
+    * string-accumulator left fold the Scala side runs (`list_reduce`
+    * with a chr(31)-delimited accumulator; a fused symbol no longer ends
+    * with `sep+left`, so it cannot re-fuse within the round). An
+    * exhausted round leaves its m-CTE empty, emptying every later round
+    * — mirroring the engine's early stop.
+    */
+  private def bpeOracle(nMerges: Int): String = {
+    val sep = "chr(31)"
+    def round(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s""", p$i AS (
+           SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+             SELECT cnt, syms[j+1] AS l, syms[j+2] AS r
+             FROM $prev, unnest(range(0, len(syms) - 1)) AS u(j)
+           ) t$i GROUP BY 1, 2
+         ), m$i AS (
+           SELECT l, r, total FROM p$i ORDER BY total DESC, l, r LIMIT 1
+         ), s$i AS (
+           SELECT string_split(substr(list_reduce(list_prepend('', syms),
+             (acc, x) -> CASE WHEN right(acc, length($sep || l)) = $sep || l AND x = r
+               THEN acc || x ELSE acc || $sep || x END), 2), $sep) AS syms, cnt
+           FROM $prev, m$i
+         )"""
+    }
+    val unions = (1 to nMerges)
+      .map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS merge_idx, l AS "left", r AS "right", total AS pair_count FROM m$i"""
+      )
+      .mkString("\n         UNION ALL ")
+    s"""WITH words AS (
+         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           SELECT unnest(${tokens("text")}) AS w FROM documents) t0
+         WHERE length(w) > 0 GROUP BY w
+       ), s0 AS (
+         SELECT string_split_regex(w, '') AS syms, cnt FROM words
+       )${(1 to nMerges).map(round).mkString}
+       SELECT * FROM ($unions) u ORDER BY merge_idx"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q100_bpe_merges" -> bpeOracle(8),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,

@@ -50,6 +50,97 @@ object Vocabulary {
       )
   }
 
+  /** Symbol separator inside the BPE fold's accumulator string — U+001F
+    * (unit separator). Symbols must not contain it; real tokenizer
+    * corpora pre-normalize control characters out (and
+    * `TextFunctions.normalize` is the engine's step for that).
+    */
+  val BpeSep = "\u001f"
+
+  /** Distributed BPE MERGE TRAINING — the byte-pair-encoding trainer's
+    * core loop (Sennrich et al. 2016), the step between [[build]]'s raw
+    * vocabulary and an actual subword tokenizer: repeatedly find the
+    * most frequent adjacent symbol pair across the corpus and fuse it.
+    * Returns the merge table `(merge_idx, left, right, pair_count)` —
+    * `nMerges` rows, the artifact a tokenizer ships.
+    *
+    * Scale shape — the classic trainer trick, Spark-realized: the corpus
+    * is read ONCE, into the WORD-FREQUENCY table (one partial-aggregated
+    * hash aggregate; distinct words, not occurrences). Every merge round
+    * then runs on that bounded table: adjacent-pair counts weighted by
+    * word frequency (explode + hash agg with map-side partials), a
+    * driver-side argmax of one row (count desc, then pair — the
+    * deterministic tie-break), and one scan applying the merge. The loop
+    * is driver-iterated like the Lloyd trainers, with the word table
+    * localCheckpoint-ed per round so round r+1's lineage does not replay
+    * rounds 1..r.
+    *
+    * The merge application is a LEFT FOLD over each word's symbols with
+    * a STRING accumulator: append `sep + x`, except when the accumulator
+    * ends with `sep + left` and `x == right` — then append `x` bare,
+    * fusing the pair. Newly fused symbols cannot re-fuse in the same
+    * round (the accumulator no longer ends with `sep + left`), which is
+    * exactly the non-overlapping left-to-right semantics of the
+    * reference BPE implementations — and the identical fold runs in the
+    * DuckDB oracle via `list_reduce` over the same strings.
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      nMerges: Int,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(nMerges > 0, s"need nMerges > 0, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= nMerges && !exhausted) {
+      val top = words
+        .select(
+          col("cnt"),
+          explode(
+            transform(
+              // sequence(0, -1) DESCENDS for 1-symbol words — guard to empty
+              when(size(col("syms")) >= 2, sequence(lit(0), size(col("syms")) - 2))
+                .otherwise(array().cast("array<int>")),
+              j => struct(element_at(col("syms"), j + 1).as("l"), element_at(col("syms"), j + 2).as("r"))
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((i.toLong, l, r, cnt))
+        val folded = aggregate(
+          col("syms"),
+          lit(""),
+          (acc, x) =>
+            when(acc.endsWith(lit(BpeSep + l)) && x === lit(r), concat(acc, x))
+              .otherwise(concat(acc, lit(BpeSep), x))
+        )
+        // folded = "␟s1␟s2…": drop the leading separator, re-split
+        words = words
+          .select(split(folded.substr(lit(2), length(folded)), BpeSep).as("syms"), col("cnt"))
+          .localCheckpoint(true)
+        i += 1
+      }
+    }
+    merges.result().toDF("merge_idx", "left", "right", "pair_count")
+  }
+
   /** Per-document OOV profile against a built vocabulary:
     * `(idCol, n_tok, n_oov, oov_permille)`, all BIGINT. A token is OOV
     * iff absent from `vocab.tok`.

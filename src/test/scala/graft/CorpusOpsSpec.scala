@@ -50,6 +50,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Decontaminate.clean(corpus, benchmark.limit(0), 4).count() === corpus.count())
   }
 
+  test("bpeMerges: reproduces the textbook merge sequence, ties broken lexically") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    // the Sennrich toy corpus shape: low:3 lower:1 lowest:1
+    val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    val merges = Vocabulary
+      .bpeMerges(docs, 5)
+      .as[(Long, String, String, Long)]
+      .collect()
+      .toSeq
+    // round 1: (l,o) and (o,w) tie at 5 — lexical tie-break picks (l,o);
+    // then (lo,w)=5, (low,e)=2, (lowe,r) vs (lowe,s) tie → r, (lowe,s)
+    assert(
+      merges === Seq(
+        (1L, "l", "o", 5L),
+        (2L, "lo", "w", 5L),
+        (3L, "low", "e", 2L),
+        (4L, "lowe", "r", 1L),
+        (5L, "lowe", "s", 1L)
+      )
+    )
+  }
+
+  test("bpeMerges: non-overlapping left-to-right fusion; exhaustion stops early") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    // "aaaa" twice: round 1 counts 3 adjacent (a,a) pairs per word but
+    // fuses them non-overlapping → [aa, aa]; round 2 fuses (aa, aa);
+    // round 3 has no pairs left and must stop instead of looping
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = Vocabulary
+      .bpeMerges(docs, 3)
+      .as[(Long, String, String, Long)]
+      .collect()
+      .toSeq
+    assert(merges === Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
+  }
+
   test("benchmarkExposure: the reverse direction agrees with overlapReport's totals") {
     val k = 4
     val exposure = Decontaminate.benchmarkExposure(corpus, benchmark, k)
