@@ -659,6 +659,14 @@ object SparkEntry {
         .bpeMerges(t(s, dir, "documents"), nMerges = 8)
         .orderBy(col("merge_idx"))
     }),
+    // BPE serving: per-doc word/subword counts via the broadcast
+    // segmentation table the trainer already computed — encoding is a
+    // dictionary lookup, never a per-document merge-loop re-run
+    "q101_bpe_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
+      graft.operators.Vocabulary.bpeProfile(docs, segs).orderBy(col("doc_id"))
+    }),
     // eval-exposure report (the reverse contamination direction): for
     // each benchmark item, how many corpus docs share a 4-gram with it
     // and how many of its distinct grams are exposed
@@ -1319,7 +1327,7 @@ object SparkEntry {
     * exhausted round leaves its m-CTE empty, emptying every later round
     * — mirroring the engine's early stop.
     */
-  private def bpeOracle(nMerges: Int): String = {
+  private def bpeChain(nMerges: Int): String = {
     val sep = "chr(31)"
     def round(i: Int): String = {
       val prev = s"s${i - 1}"
@@ -1331,29 +1339,49 @@ object SparkEntry {
          ), m$i AS (
            SELECT l, r, total FROM p$i ORDER BY total DESC, l, r LIMIT 1
          ), s$i AS (
-           SELECT string_split(substr(list_reduce(list_prepend('', syms),
+           SELECT w, string_split(substr(list_reduce(list_prepend('', syms),
              (acc, x) -> CASE WHEN right(acc, length($sep || l)) = $sep || l AND x = r
                THEN acc || x ELSE acc || $sep || x END), 2), $sep) AS syms, cnt
            FROM $prev, m$i
          )"""
     }
-    val unions = (1 to nMerges)
-      .map(i =>
-        s"""SELECT CAST($i AS BIGINT) AS merge_idx, l AS "left", r AS "right", total AS pair_count FROM m$i"""
-      )
-      .mkString("\n         UNION ALL ")
     s"""WITH words AS (
          SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
            SELECT unnest(${tokens("text")}) AS w FROM documents) t0
          WHERE length(w) > 0 GROUP BY w
        ), s0 AS (
-         SELECT string_split_regex(w, '') AS syms, cnt FROM words
-       )${(1 to nMerges).map(round).mkString}
+         SELECT w, string_split_regex(w, '') AS syms, cnt FROM words
+       )${(1 to nMerges).map(round).mkString}"""
+  }
+
+  private def bpeOracle(nMerges: Int): String = {
+    val unions = (1 to nMerges)
+      .map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS merge_idx, l AS "left", r AS "right", total AS pair_count FROM m$i"""
+      )
+      .mkString("\n         UNION ALL ")
+    s"""${bpeChain(nMerges)}
        SELECT * FROM ($unions) u ORDER BY merge_idx"""
   }
 
+  /** q101: the serving side — per-doc word/subword counts by joining the
+    * final segmentation table `s{nMerges}` (inner join: every corpus
+    * word is in the table it trained, which is the gated case).
+    */
+  private def bpeProfileOracle(nMerges: Int): String =
+    s"""${bpeChain(nMerges)}, prof AS (
+         SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(${tokens("text")}) AS w FROM documents) t00
+         WHERE length(w) > 0
+       )
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(s$nMerges.syms)) AS BIGINT) AS n_subwords
+       FROM prof JOIN s$nMerges USING (w)
+       GROUP BY 1 ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     "q100_bpe_merges" -> bpeOracle(8),
+    "q101_bpe_profile" -> bpeProfileOracle(8),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,

@@ -88,7 +88,27 @@ object Vocabulary {
       docs: DataFrame,
       nMerges: Int,
       textCol: String = "text"
-  ): DataFrame = {
+  ): DataFrame =
+    bpeTrain(docs, nMerges, textCol)._1
+
+  /** The TRAINED SEGMENTATIONS — `(w, syms, cnt)`: every corpus word
+    * with its subword decomposition after `nMerges` rounds. This is the
+    * SERVING artifact: BPE-encoding a corpus is a broadcast lookup
+    * against this table (a word's tokenization is fully determined by
+    * the merge sequence, and the trainer already computed it for every
+    * word it saw), not a per-document re-run of the merge loop.
+    */
+  def bpeSegmentations(
+      docs: DataFrame,
+      nMerges: Int,
+      textCol: String = "text"
+  ): DataFrame = bpeTrain(docs, nMerges, textCol)._2
+
+  private def bpeTrain(
+      docs: DataFrame,
+      nMerges: Int,
+      textCol: String
+  ): (DataFrame, DataFrame) = {
     require(nMerges > 0, s"need nMerges > 0, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -97,7 +117,7 @@ object Vocabulary {
       .filter(length(col("w")) > 0)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
-      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var i = 1
@@ -133,13 +153,46 @@ object Vocabulary {
         )
         // folded = "␟s1␟s2…": drop the leading separator, re-split
         words = words
-          .select(split(folded.substr(lit(2), length(folded)), BpeSep).as("syms"), col("cnt"))
+          .select(
+            col("w"),
+            split(folded.substr(lit(2), length(folded)), BpeSep).as("syms"),
+            col("cnt")
+          )
           .localCheckpoint(true)
         i += 1
       }
     }
-    merges.result().toDF("merge_idx", "left", "right", "pair_count")
+    (merges.result().toDF("merge_idx", "left", "right", "pair_count"), words)
   }
+
+  /** Per-document SUBWORD profile under a trained segmentation table —
+    * the serving side of [[bpeMerges]]: `(idCol, n_words, n_subwords)`,
+    * where each word contributes its trained decomposition length. The
+    * segmentation table is word-bounded and broadcasts; the corpus never
+    * shuffles until the per-document aggregate. (Words absent from the
+    * table — impossible when encoding the training corpus itself, the
+    * gated case — fall back to character count, the zero-merge
+    * decomposition.)
+    */
+  def bpeProfile(
+      docs: DataFrame,
+      segmentations: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(
+        broadcast(segmentations.select(col("w"), size(col("syms")).cast("long").as("__n"))),
+        Seq("w"),
+        "left"
+      )
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("__n"), length(col("w")).cast("long"))).as("n_subwords")
+      )
 
   /** Per-document OOV profile against a built vocabulary:
     * `(idCol, n_tok, n_oov, oov_permille)`, all BIGINT. A token is OOV

@@ -88,6 +88,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(merges === Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
   }
 
+  test("bpeProfile: more merges never grow the encoding; unknown words fall back to chars") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    val docs = Seq((1L, "low lower lowest"), (2L, "low low")).toDF("doc_id", "text")
+    def subwords(n: Int) = Vocabulary
+      .bpeProfile(docs, Vocabulary.bpeSegmentations(docs, n))
+      .agg(sum("n_subwords"))
+      .as[Long]
+      .head()
+    val after1 = subwords(1)
+    val after5 = subwords(5)
+    // chars: low=3, lower=5, lowest=6, low=3, low=3 → 20 before merges;
+    // each applied merge can only fuse, never split
+    assert(after1 < 20L && after5 < after1)
+    // a word the table never saw decomposes to characters
+    val seg = Vocabulary.bpeSegmentations(docs, 5)
+    val unknown = Vocabulary
+      .bpeProfile(Seq((9L, "zebra low")).toDF("doc_id", "text"), seg)
+      .as[(Long, Long, Long)]
+      .head()
+    // zebra → 5 chars; low → its trained decomposition (1 symbol by round 3)
+    assert(unknown === ((9L, 2L, 6L)))
+  }
+
   test("benchmarkExposure: the reverse direction agrees with overlapReport's totals") {
     val k = 4
     val exposure = Decontaminate.benchmarkExposure(corpus, benchmark, k)
