@@ -515,6 +515,21 @@ object ScaleSmoke {
         f"curriculum=$nCur/${tCur}%.1fs shuffle=$nShuf/${tShuf}%.1fs " +
         f"(redact ${tRedact}%.1f s, expose ${tExpose}%.1f s)"
     )
+
+    // BPE trainer at 1M docs: after the single corpus pass, every round
+    // runs on the word-frequency table — report its size so "trainer
+    // cost is word-bounded, not corpus-bounded" is a number
+    val nWords = docs
+      .select(explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .distinct()
+      .count()
+    val (bpe, tBpe) = time("bpeMerges (4 rounds)")(
+      graft.operators.Vocabulary.bpeMerges(docs, 4).collect()
+    )
+    println(
+      s"[mix] bpe: distinctWords=$nWords merges=${bpe.map(r => r.getString(1) + "+" + r.getString(2)).mkString(",")} " +
+        f"in ${tBpe}%.1f s (corpus read once; rounds run on the $nWords-row word table)"
+    )
     spark.stop()
   }
 
