@@ -667,6 +667,14 @@ object SparkEntry {
       val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
       graft.operators.Vocabulary.bpeProfile(docs, segs).orderBy(col("doc_id"))
     }),
+    // exact heavy hitters (freq > n/64) via the two-pass Misra-Gries
+    // sketch-then-recount: pass 1 reduces each partition to <= 64
+    // counters before a single-row exchange, pass 2 recounts only the
+    // candidates — the corpus token stream never shuffles on its own key
+    "q102_heavy_hitters" -> ((s, dir) => {
+      graft.operators.HeavyHitters
+        .heavyHitters(t(s, dir, "documents"), "text", k = 64)
+    }),
     // eval-exposure report (the reverse contamination direction): for
     // each benchmark item, how many corpus docs share a 4-gram with it
     // and how many of its distinct grams are exposed
@@ -1382,6 +1390,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q100_bpe_merges" -> bpeOracle(8),
     "q101_bpe_profile" -> bpeProfileOracle(8),
+    // the sketch only bounds pass-2's recount set, so the oracle is the
+    // plain exact GROUP BY / threshold the operator's result equals
+    "q102_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(${tokens("text")}) AS tok FROM documents),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk),
+         f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY tok)
+         SELECT tok, freq, freq * 1000 // n AS permille
+         FROM f, tot WHERE freq * 64 > n ORDER BY freq DESC, tok""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,

@@ -1078,6 +1078,10 @@ object GraftExpressions {
       TopKNeighbors(GraftBridge.expression(score), GraftBridge.expression(id), k)
         .toAggregateExpression()
     )
+  def misra_gries(item: Column, capacity: Int): Column =
+    GraftBridge.column(
+      MisraGries(GraftBridge.expression(item), capacity).toAggregateExpression()
+    )
   def text_stats(text: Column): Column =
     GraftBridge.column(TextStats(GraftBridge.expression(text)))
   def quality_score(text: Column): Column =
