@@ -675,6 +675,15 @@ object SparkEntry {
       graft.operators.HeavyHitters
         .heavyHitters(t(s, dir, "documents"), "text", k = 64)
     }),
+    // BM25 ranked retrieval in the all-integer scoring discipline: the
+    // isin(query) filter runs before the tf aggregate (only query-term
+    // occurrences shuffle), the <= |Q|-row model broadcasts back, and
+    // the top-k is a TakeOrdered — no global sort, no corpus-keyed join
+    "q103_bm25" -> ((s, dir) => {
+      graft.operators.Retrieval
+        .bm25TopK(t(s, dir, "documents"), "text", Seq("dup", "vector", "merge"), 10)
+        .orderBy(col("rnk"))
+    }),
     // eval-exposure report (the reverse contamination direction): for
     // each benchmark item, how many corpus docs share a 4-gram with it
     // and how many of its distinct grams are exposed
@@ -1398,6 +1407,30 @@ object SparkEntry {
          f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY tok)
          SELECT tok, freq, freq * 1000 // n AS permille
          FROM f, tot WHERE freq * 64 > n ORDER BY freq DESC, tok""",
+    // every fixed-point step of Retrieval's scoring replayed with // —
+    // idf_u = (N-df)*1e6 // (df+1), k_m = 300 + 900*dl*1000 // avgdl_m,
+    // term = idf_u * tf*2200 // (tf*1000 + k_m), integer-summed
+    "q103_bm25" ->
+      s"""WITH d AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(len(toks)) AS BIGINT) AS tot FROM d),
+         stats AS (SELECT n, tot * 1000 // n AS avgdl_m FROM st),
+         tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok,
+                  CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d)
+                WHERE tok IN ('dup', 'vector', 'merge') GROUP BY 1, 2, 3),
+         df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         scored AS (
+           SELECT tf.doc_id,
+             (((stats.n - df.df) * 1000000 // (df.df + 1)) * (tf.tf * 2200))
+               // (tf.tf * 1000 + (300 + (900 * tf.dl * 1000) // stats.avgdl_m))
+               AS term_score
+           FROM tf JOIN df USING (tok) CROSS JOIN stats),
+         agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+                 FROM scored GROUP BY doc_id)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+           doc_id, score
+         FROM agg ORDER BY score DESC, doc_id LIMIT 10""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,
