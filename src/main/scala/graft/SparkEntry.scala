@@ -684,6 +684,16 @@ object SparkEntry {
         .bm25TopK(t(s, dir, "documents"), "text", Seq("dup", "vector", "merge"), 10)
         .orderBy(col("rnk"))
     }),
+    // hard-negative mining (DPR/Contriever): per query the top-k most
+    // similar candidates BELOW the near-dup threshold — near-dups are
+    // false negatives for a contrastive loss, so they are excluded by
+    // the same cosine the ranking uses. Exact variant gated; the
+    // cell-pruned hardNegativesIvf twin is recall-gated in AnnRecallSpec
+    "q104_hard_negatives" -> ((s, dir) => {
+      Similarity
+        .hardNegatives(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, maxCos = 0.3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // eval-exposure report (the reverse contamination direction): for
     // each benchmark item, how many corpus docs share a 4-gram with it
     // and how many of its distinct grams are exposed
@@ -1431,6 +1441,22 @@ object SparkEntry {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
            doc_id, score
          FROM agg ORDER BY score DESC, doc_id LIMIT 10""",
+    // q30's oracle with the near-dup exclusion applied to the UNROUNDED
+    // cosine before ranking, exactly as the Spark filter runs
+    "q104_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${cosine("q.embedding", "c.embedding")} AS cos
+           FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM scored WHERE cos < 0.3
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,

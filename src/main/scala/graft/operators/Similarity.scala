@@ -119,17 +119,46 @@ object Similarity {
     * `vec_id` is in `queryIds`), self-matches excluded, ties broken by
     * neighbor id for full determinism.
     */
-  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    topK(bruteScored(emb, queryIds), k)
+
+  /** The exact all-candidates scored frame shared by [[bruteForceTopK]]
+    * and [[hardNegatives]]: every (query, candidate) cosine, self-matches
+    * excluded.
+    */
+  private def bruteScored(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
     val queries = e.filter(col("vec_id").isin(queryIds: _*))
-    val scored = broadcast(queries.as("q"))
+    broadcast(queries.as("q"))
       .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("q.embedding"), col("c.embedding")).as("cos")
       )
-    topK(scored, k)
+  }
+
+  /** Hard-negative mining for contrastive training (the retrieval-training
+    * data operator: DPR/Contriever-style "similar but NOT a positive"):
+    * per query, the top-k candidates by cosine among those BELOW the
+    * near-duplicate threshold `maxCos` — the most-confusable negatives,
+    * with the near-dups (which would be false negatives, poisoning the
+    * contrastive loss) excluded by the same cosine the ranking uses.
+    *
+    * The exclusion is a scan-side predicate on the scored frame, so it
+    * composes with ANY candidate generator; this exact variant scores all
+    * candidates, [[hardNegativesIvf]] is the cell-pruned scale path.
+    */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int, maxCos: Double): DataFrame =
+    topK(bruteScored(emb, queryIds).filter(col("cos") < maxCos), k)
+
+  /** [[hardNegatives]] over the IVF candidate stream: identical filter,
+    * cell-pruned candidates — the billion-vector mining shape (candidates
+    * per query bounded by probed-cell occupancy, not corpus size).
+    */
+  def hardNegativesIvf(emb: DataFrame, queryIds: Seq[Long], k: Int, maxCos: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    ivfSearch(e, trainCodebook(emb).centroids, queryIds, k, maxCos = Some(maxCos))
   }
 
   /** Attach the L-table LSH signature column `buckets` (array<long>). */
@@ -319,7 +348,8 @@ object Similarity {
       e: DataFrame,
       centroids: DataFrame,
       queryIds: Seq[Long],
-      k: Int
+      k: Int,
+      maxCos: Option[Double] = None
   ): DataFrame = {
     // ONE ranking serves both sides (mirroring the oracle's ranked_cells):
     // corpus assignment is rank 1, query probes are ranks 1..IvfProbes —
@@ -345,7 +375,7 @@ object Similarity {
         col("c.vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("q.embedding"), col("c.embedding")).as("cos")
       )
-    topK(scored, k)
+    topK(maxCos.fold(scored)(m => scored.filter(col("cos") < m)), k)
   }
 
   /** ANN top-k via multi-table multi-probe LSH. The corpus explodes to

@@ -218,4 +218,39 @@ class AnnRecallSpec extends SparkSpec {
       "release must drop the cache entry"
     )
   }
+
+  test("hardNegatives laws: no-op threshold == brute top-k; exclusion caps every cosine and bites") {
+    val emb = Tables.load(spark, Sf001, "embeddings")
+    val queries = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      df.select("query_id", "rnk", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    // maxCos above any cosine -> exactly the unfiltered exact search
+    assert(
+      rows(Similarity.hardNegatives(emb, queries, 10, maxCos = 2.0)) ===
+        rows(Similarity.bruteForceTopK(emb, queries, 10))
+    )
+    val hard = Similarity.hardNegatives(emb, queries, 10, maxCos = 0.3)
+    assert(
+      hard.select("cosine").as[Double].collect().forall(_ < 0.3 + 1e-6),
+      "a near-duplicate leaked into the negatives"
+    )
+    // the exclusion must actually change the answer on the fixture (the
+    // top of the unfiltered list is above the threshold)
+    assert(rows(hard) !== rows(Similarity.bruteForceTopK(emb, queries, 10)))
+    // every query still gets k negatives (the corpus is large enough)
+    assert(hard.groupBy("query_id").count().as[(Long, Long)].collect().forall(_._2 == 10))
+  }
+
+  test("hardNegativesIvf recall@10 vs exact hardNegatives >= 0.8 on sf0.1") {
+    val emb = Tables.load(spark, Sf01, "embeddings")
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.hardNegatives(emb, queries, 10, maxCos = 0.3))
+    val approx = pairs(Similarity.hardNegativesIvf(emb, queries, 10, maxCos = 0.3))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"hard-negative ivf recall@10 = $recall%.3f (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.8, f"IVF hard-negative recall collapsed: $recall%.3f < 0.8")
+  }
 }
