@@ -694,6 +694,47 @@ object SparkEntry {
         .hardNegatives(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, maxCos = 0.3)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // ORC interchange roundtrip (q72's digest gate over the other
+    // columnar envelope): write sharded ORC, read back, digest content
+    "q105_orc_roundtrip" -> ((s, dir) => {
+      val out = dumpPath("orc_q105", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .coalesce(1) // single writer task -> shard count is pure arithmetic
+      graft.sources.OrcSink.write(docs, out, maxRecordsPerFile = 100L)
+      val back = graft.sources.OrcSink
+        .read(s, out, Some("doc_id BIGINT, lang STRING, text STRING"))
+      import s.implicits._
+      back
+        .select(col("doc_id"), GraftExpressions.poly_hash(col("text")).as("ph"))
+        .agg(
+          count(lit(1)).as("total_rows"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          expr("bit_xor(ph)").as("content_xor")
+        )
+        .crossJoin(Seq(graft.sources.OrcSink.shardCount(s, out)).toDF("n_files"))
+    }),
+    // CSV interchange roundtrip: quoted-and-escaped export, schema-pinned
+    // FAILFAST read-back, same content digest — the escaping path is the
+    // part of CSV that silently corrupts when wrong
+    "q106_csv_roundtrip" -> ((s, dir) => {
+      val out = dumpPath("csv_q106", dir)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .coalesce(1)
+      graft.sources.CsvSink.write(docs, out, maxRecordsPerFile = 100L)
+      val back = graft.sources.CsvSink
+        .read(s, out, "doc_id BIGINT, lang STRING, text STRING")
+      import s.implicits._
+      back
+        .select(col("doc_id"), GraftExpressions.poly_hash(col("text")).as("ph"))
+        .agg(
+          count(lit(1)).as("total_rows"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          expr("bit_xor(ph)").as("content_xor")
+        )
+        .crossJoin(Seq(graft.sources.CsvSink.shardCount(s, out)).toDF("n_files"))
+    }),
     // eval-exposure report (the reverse contamination direction): for
     // each benchmark item, how many corpus docs share a 4-gram with it
     // and how many of its distinct grams are exposed
@@ -1457,6 +1498,18 @@ object SparkEntry {
          )
          SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q105_orc_roundtrip" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+         CAST(bit_xor(${polyHash("text")}) AS BIGINT) AS content_xor,
+         CAST(ceil(COUNT(*) / 100.0) AS BIGINT) AS n_files
+         FROM documents""",
+    "q106_csv_roundtrip" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+         CAST(bit_xor(${polyHash("text")}) AS BIGINT) AS content_xor,
+         CAST(ceil(COUNT(*) / 100.0) AS BIGINT) AS n_files
+         FROM documents""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,

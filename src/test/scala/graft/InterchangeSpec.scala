@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CsvSink, OrcSink}
+
+/** Round-trip laws for the ORC and CSV interchange sinks — the adversarial
+  * content (delimiters, quotes, CR/LF, unicode) is the part of an export
+  * that silently corrupts when the escaping contract is wrong.
+  */
+class InterchangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nasty = Seq(
+    1L -> "plain text",
+    2L -> "comma, separated, values",
+    3L -> "a \"quoted\" phrase",
+    4L -> "trailing backslash \\",
+    5L -> "unicode: héllo wörld ζω 中文",
+    6L -> "tab\tseparated",
+    7L -> "quote-comma \",\" mix",
+    8L -> "line one\nline two", // CR/LF content: CSV needs multiLine
+    9L -> "  leading and trailing  "
+  )
+
+  test("ORC round-trips adversarial strings exactly, any content") {
+    val out = s"$testOut/orc_nasty"
+    val df = nasty.toDF("id", "s")
+    OrcSink.write(df, out, maxRecordsPerFile = 4L)
+    val back = OrcSink.read(spark, out, Some("id BIGINT, s STRING"))
+      .as[(Long, String)].collect().toMap
+    assert(back === nasty.toMap)
+  }
+
+  test("CSV round-trips embedded delimiters/quotes/CRLF exactly under multiLine read") {
+    val out = s"$testOut/csv_nasty"
+    val df = nasty.toDF("id", "s")
+    CsvSink.write(df, out, maxRecordsPerFile = 100L, codec = "none")
+    val back = CsvSink.read(spark, out, "id BIGINT, s STRING", multiLine = true)
+      .as[(Long, String)].collect().toMap
+    assert(back === nasty.toMap)
+  }
+
+  test("CSV single-line corpora round-trip without multiLine (the splittable path)") {
+    val out = s"$testOut/csv_singleline"
+    val df = nasty.filterNot(_._2.contains("\n")).toDF("id", "s")
+    CsvSink.write(df, out, maxRecordsPerFile = 100L)
+    val back = CsvSink.read(spark, out, "id BIGINT, s STRING")
+      .as[(Long, String)].collect().toMap
+    assert(back === nasty.filterNot(_._2.contains("\n")).toMap)
+  }
+
+  test("CSV read is FAILFAST: a malformed row aborts instead of nulling") {
+    val out = s"$testOut/csv_corrupt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/part-corrupt.csv"),
+      "id,s\nnot_a_number,hello\n"
+    )
+    val ex = intercept[org.apache.spark.SparkException] {
+      CsvSink.read(spark, out, "id BIGINT, s STRING").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
+  test("both sinks honor maxRecordsPerFile sharding") {
+    val df = (0 until 50).map(i => (i.toLong, s"row $i")).toDF("id", "s").coalesce(1)
+    val orcOut = s"$testOut/orc_shards"
+    OrcSink.write(df, orcOut, maxRecordsPerFile = 10L)
+    assert(OrcSink.shardCount(spark, orcOut) === 5L)
+    val csvOut = s"$testOut/csv_shards"
+    CsvSink.write(df, csvOut, maxRecordsPerFile = 10L)
+    assert(CsvSink.shardCount(spark, csvOut) === 5L)
+  }
+}
