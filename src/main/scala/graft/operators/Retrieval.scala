@@ -60,27 +60,47 @@ object Retrieval {
       .crossJoin(broadcast(stats))
   }
 
-  /** Score `docs` against a (broadcast) [[bm25Model]] frame: one scan —
-    * `(doc_id, score)` for every document containing at least one query
-    * term, `score` the exact integer BM25 sum above.
+  /** Per-(doc, term) integer BM25 term scores against a (broadcast)
+    * [[bm25Model]] frame — `(doc_id, tok, term_score)`. STATELESS except
+    * for the per-doc tf aggregate, which groups only on (doc, query-term)
+    * keys that arrive together; the streaming twin
+    * ([[graft.streaming.StreamingOps]]) therefore computes tf per
+    * document inside `foreachBatch` (micro-batch-exact, since a doc's
+    * tokens arrive with the doc) and shares THIS arithmetic.
     */
-  def bm25ScoreAgainst(docs: DataFrame, model: DataFrame, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    docs
-      .select(col("doc_id"), size(toks).cast("long").as("dl"), explode(toks).as("tok"))
-      .join(broadcast(model), Seq("tok"))
+  def termScores(docs: DataFrame, model: DataFrame, textCol: String): DataFrame =
+    matchedTerms(docs, model, textCol)
       .groupBy(col("doc_id"), col("dl"), col("tok"), col("df"), col("n"), col("avgdl_m"))
       .agg(count(lit(1)).as("tf"))
       .select(
         col("doc_id"),
+        col("tok"),
         expr(
           "((n - df) * 1000000 div (df + 1)) * (tf * 2200)" +
             " div (tf * 1000 + (300 + (900 * dl * 1000) div avgdl_m))"
         ).as("term_score")
       )
+
+  /** The STATELESS front half of [[termScores]]: explode tokens, keep
+    * query-term hits, attach the broadcast model row — one projection,
+    * no aggregate, which is what a streaming plan can run without a
+    * StateStore ([[graft.streaming.StreamingOps.scoreBm25Against]]).
+    */
+  def matchedTerms(docs: DataFrame, model: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"), explode(toks).as("tok"))
+      .join(broadcast(model), Seq("tok"))
+  }
+
+  /** Score `docs` against a (broadcast) [[bm25Model]] frame: one scan —
+    * `(doc_id, score)` for every document containing at least one query
+    * term, `score` the exact integer BM25 sum above.
+    */
+  def bm25ScoreAgainst(docs: DataFrame, model: DataFrame, textCol: String): DataFrame =
+    termScores(docs, model, textCol)
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
-  }
 
   /** End-to-end ranked retrieval: `(rnk, doc_id, score)` — global top-k
     * by (score desc, doc_id), ranks assigned AFTER the TakeOrdered so no

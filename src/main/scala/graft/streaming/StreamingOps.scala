@@ -348,6 +348,24 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.Importance.scoredFeatures(stream, weights, numBuckets, k)
 
+  /** Streaming BM25 scoring — in-flight relevance against a STATIC query
+    * model ([[graft.operators.Retrieval.bm25Model]], trained once off the
+    * batch corpus; <= |Q| rows, always broadcast). The stream side is the
+    * STATELESS front half only — explode tokens, keep query-term hits,
+    * attach the model row — because tf and the per-doc score sum are
+    * aggregates: on the stream they would plan a StateStore and never
+    * emit in append mode, while in `foreachBatch` they are
+    * micro-batch-exact (a document's tokens arrive with the document —
+    * run `Retrieval.bm25ScoreAgainst` on the batch frame; the
+    * StreamingSpec law pins streaming == batch through that path).
+    */
+  def scoreBm25Against(
+      model: DataFrame,
+      stream: DataFrame,
+      textCol: String = "text"
+  ): DataFrame =
+    graft.operators.Retrieval.matchedTerms(stream, model, textCol)
+
   /** Watermarked STREAM-STREAM interval join — the attribution shape: for
     * each purchase, every signup by the same user in the `window` before
     * it (inclusive on both ends). Both sides carry a watermark and the

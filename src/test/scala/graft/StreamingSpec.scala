@@ -254,6 +254,46 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(1L) > byDoc(2L), s"target-like ${byDoc(1L)} should beat raw-like ${byDoc(2L)}")
   }
 
+  test("streaming BM25 scoring is stateless; foreachBatch aggregate == batch score") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.load(spark, Sf0001, "documents")
+    val model = graft.operators.Retrieval
+      .bm25Model(corpus, "text", Seq("dup", "vector", "merge"))
+      .localCheckpoint(true)
+    val arrivals = corpus.select("doc_id", "text").as[(Long, String)].collect().take(20).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val scored = StreamingOps.scoreBm25Against(model, stream.toDF().toDF("doc_id", "text"))
+    val q = scored.writeStream.outputMode("append").format("memory").queryName("bm25_s").start()
+    stream.addData(arrivals); q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty, "scoreBm25Against must plan stateless")
+    q.stop()
+    // foreachBatch side: per-doc tf + the shared integer arithmetic over
+    // the streamed matched-term rows == the batch scorer on the same docs
+    val streamAgg = spark
+      .table("bm25_s")
+      .groupBy("doc_id", "dl", "tok", "df", "n", "avgdl_m")
+      .agg(count(lit(1)).as("tf"))
+      .select(
+        col("doc_id"),
+        expr(
+          "((n - df) * 1000000 div (df + 1)) * (tf * 2200)" +
+            " div (tf * 1000 + (300 + (900 * dl * 1000) div avgdl_m))"
+        ).as("term_score")
+      )
+      .groupBy("doc_id")
+      .agg(sum("term_score").as("score"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val batch = graft.operators.Retrieval
+      .bm25ScoreAgainst(arrivals.toDF("doc_id", "text"), model, "text")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(streamAgg == batch)
+    assert(streamAgg.nonEmpty, "no arrival matched a query term — law vacuous")
+  }
+
   test("streaming near-dup against a static corpus finds each doc's own copy") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, Sf0001, "documents")
