@@ -156,9 +156,15 @@ object Similarity {
     * cell-pruned candidates — the billion-vector mining shape (candidates
     * per query bounded by probed-cell occupancy, not corpus size).
     */
-  def hardNegativesIvf(emb: DataFrame, queryIds: Seq[Long], k: Int, maxCos: Double): DataFrame = {
+  def hardNegativesIvf(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      maxCos: Double,
+      every: Int = 1
+  ): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    ivfSearch(e, trainCodebook(emb).centroids, queryIds, k, maxCos = Some(maxCos))
+    ivfSearch(e, trainCodebook(emb, every).centroids, queryIds, k, maxCos = Some(maxCos))
   }
 
   /** Attach the L-table LSH signature column `buckets` (array<long>). */

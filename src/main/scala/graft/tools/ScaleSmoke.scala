@@ -404,6 +404,132 @@ object ScaleSmoke {
     *    score-side lookup is a BROADCAST join (the corpus must never
     *    shuffle on a feature key), and times all three passes.
     */
+  /** Round-9 retrieval/heavy-hitter smoke: 1M docs with a planted hot-token
+    * overlay (10 tokens at ~3.3% each — above the n/64 threshold, so the
+    * answer is non-empty) over a ~20M-id background vocabulary. The HUGE
+    * background is the point: heavy hitters exist for the regime where the
+    * distinct-token table itself is enormous (web-scale text), so the
+    * naive `groupBy(token)` must build and shuffle a ~30M-row frequency
+    * table while the sketch pass carries 64 counters per partition. With a
+    * toy 5k vocabulary the naive plan wins trivially — that comparison
+    * argues nothing. Also: BM25 top-k end-to-end with the matched-rows
+    * reduction the pre-aggregate filter buys, and brute vs sampled-IVF
+    * hard negatives on CLUSTERED vectors (200 planted centers — IVF cell
+    * pruning assumes cluster structure; on uniform-random vectors every
+    * cell is equidistant and recall collapses by construction, which is a
+    * property of the data, not the plan).
+    */
+  private def retrievalMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 1000000L
+    val nVec = 200000L
+    val spark = GraftSession.local("scale-smoke-retrieval", 32)
+    import spark.implicits._
+    def time[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[retrieval] $name%-34s $secs%8.2f s")
+      (r, secs)
+    }
+    val docs = spark
+      .range(n)
+      .map { id =>
+        val sb = new StringBuilder(450)
+        var i = 0
+        while (i < 50) {
+          if (i > 0) sb.append(' ')
+          val h = mix(id * 53L + i)
+          if (h % 3 == 0) sb.append("hot").append((h / 3) % 10L)
+          else sb.append("tok").append(mix(h) % 20000000L)
+          i += 1
+        }
+        (id, sb.toString)
+      }
+      .toDF("doc_id", "text")
+      .persist()
+    println(s"[retrieval] corpus: ${docs.count()} docs x 50 tokens, ~20M-id background vocab")
+    // warm the explode/agg codegen paths once (the q11/q32 bench lesson:
+    // first-query JIT otherwise lands in whichever operator runs first)
+    docs.limit(1000).select(explode(split(col("text"), " ")).as("tok"))
+      .agg(graft.functions.GraftExpressions.misra_gries(col("tok"), 8)).collect()
+
+    val (_, tPass1) = time("  mg sketch pass alone") {
+      graft.operators.HeavyHitters.candidates(docs, "text", 64).collect()
+    }
+    val (hh, tSketch) = time("heavy hitters (2-pass MG)") {
+      graft.operators.HeavyHitters.heavyHitters(docs, "text", k = 64).collect()
+    }
+    println(f"[retrieval] pass-1 sketch $tPass1%.2f s of the $tSketch%.2f s two-pass total")
+    val (naive, tNaive) = time("heavy hitters (full groupBy)") {
+      val tk = docs.select(explode(split(col("text"), " ")).as("tok"))
+      val tot = tk.count()
+      tk.groupBy("tok").count().filter(col("count") * 64 > tot)
+        .select(col("tok"), col("count").as("freq")).collect()
+    }
+    assert(
+      hh.map(r => (r.getString(0), r.getLong(1))).toSet ==
+        naive.map(r => (r.getString(0), r.getLong(1))).toSet,
+      "sketch-then-recount diverged from the exact plan at 1M docs"
+    )
+    // the scale argument is SHUFFLE VOLUME, not single-box wall-clock: the
+    // naive plan's exchange carries the full distinct-token table, the
+    // sketch's carries partitions x capacity counters + candidate hits
+    val distinctToks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(approx_count_distinct(col("tok"))).head().getLong(0)
+    println(s"[retrieval] hitters=${hh.length} (expect 10 hot tokens); " +
+      f"sketch ${tSketch}%.2f s vs naive ${tNaive}%.2f s; naive shuffles ~$distinctToks " +
+      s"distinct-token partials, the sketch 32x64 counters + candidate hits only")
+
+    val (top, tBm25) = time("bm25 top-10 (3 terms)") {
+      graft.operators.Retrieval
+        .bm25TopK(docs, "text", Seq("hot0", "hot7", "tok42"), 10).collect()
+    }
+    val matched = graft.operators.Retrieval
+      .matchedTerms(
+        docs,
+        graft.operators.Retrieval.bm25Model(docs, "text", Seq("hot0", "hot7", "tok42")),
+        "text"
+      )
+      .count()
+    println(f"[retrieval] bm25 rows=${top.length} in $tBm25%.2f s; " +
+      s"matched-term rows shuffled: $matched of ${n * 50} corpus tokens " +
+      f"(${matched * 100.0 / (n * 50)}%.2f%%)")
+
+    // clustered embeddings: 200 planted centers, per-vector jitter — the
+    // geometry ANN cell pruning exists for
+    val emb = spark
+      .range(nVec)
+      .map { id =>
+        val c = id % 200L
+        val v = Array.tabulate(64) { j =>
+          val center = ((mix(c * 977L + j) % 2001L) - 1000L).toFloat / 1000f
+          val noise = ((mix(id * 131L + j) % 401L) - 200L).toFloat / 1000f
+          center + noise
+        }
+        (id, v)
+      }
+      .toDF("vec_id", "embedding")
+      .persist()
+    println(s"[retrieval] vectors: ${emb.count()} x 64d, 200 planted clusters")
+    // mining runs per TRAINING BATCH of queries, so compare at a 100-query
+    // batch: brute scores nVec x |Q| cosines, IVF bounds candidates by
+    // probed-cell occupancy and amortizes its one-off trainer
+    val qids = (0L until 100L).toSeq
+    val (exact, tBrute) = time("hard negatives x100 (brute)") {
+      graft.operators.Similarity.hardNegatives(emb, qids, 10, maxCos = 0.98)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    }
+    val (approx, tIvf) = time("hard negatives x100 (IVF, every=4)") {
+      graft.operators.Similarity.hardNegativesIvf(emb, qids, 10, maxCos = 0.98, every = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    }
+    val recall = (exact & approx).size.toDouble / exact.size
+    println(f"[retrieval] hard-negative recall@10 = $recall%.3f at $nVec vectors x 100 queries; " +
+      f"brute $tBrute%.2f s vs sampled-ivf $tIvf%.2f s")
+    docs.unpersist(); emb.unpersist()
+    spark.stop()
+  }
+
   private def mixMain(args: Array[String]): Unit = {
     val n = if (args.length > 1) args(1).toLong else 1000000L
     val spark = GraftSession.local("scale-smoke-mix", 32)
@@ -602,6 +728,7 @@ object ScaleSmoke {
     if (args.headOption.contains("cluster")) { clusterMain(args); return }
     if (args.headOption.contains("corpus")) { corpusMain(args); return }
     if (args.headOption.contains("mix")) { mixMain(args); return }
+    if (args.headOption.contains("retrieval")) { retrievalMain(args); return }
     if (args.headOption.contains("stream")) { streamMain(args); return }
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val spark = GraftSession.local("scale-smoke", 32)
