@@ -735,6 +735,39 @@ object SparkEntry {
         )
         .crossJoin(Seq(graft.sources.CsvSink.shardCount(s, out)).toDF("n_files"))
     }),
+    // inverted-index construction: one row per token with doc-id-sorted
+    // postings + tfs — two hash aggregates ((tok,doc) tf with map-side
+    // partials, then per-token assembly), per-row size bounded by df
+    // (invertedIndexBlocked is the stopword-skew layout; flatten law in
+    // RetrievalSpec). The gate flattens the posting arrays to scalar
+    // (tok, df, pos, doc_id, tf) rows — the driver compare hashes scalar
+    // cells — with pos pinning each array element's position.
+    "q107_inverted_index" -> ((s, dir) => {
+      graft.operators.Retrieval
+        .invertedIndex(t(s, dir, "documents"))
+        .select(
+          col("tok"),
+          col("df"),
+          posexplode(arrays_zip(col("doc_ids"), col("tfs"))).as(Seq("pos", "p"))
+        )
+        .select(
+          col("tok"),
+          col("df"),
+          col("pos").cast("long").as("pos"),
+          col("p.doc_ids").as("doc_id"),
+          col("p.tfs").as("tf")
+        )
+        .orderBy(col("tok"), col("pos"))
+    }),
+    // conjunctive Boolean retrieval over the index: the tok filter pushes
+    // into the index scan, only |Q| posting rows explode, and the AND is
+    // one hash aggregate (HAVING n_hit = |Q|) — corpus text never touched
+    "q108_index_search" -> ((s, dir) => {
+      val idx = graft.operators.Retrieval.invertedIndex(t(s, dir, "documents"))
+      graft.operators.Retrieval
+        .searchAll(idx, Seq("dup", "vector", "merge"))
+        .orderBy(col("doc_id"))
+    }),
     // eval-exposure report (the reverse contamination direction): for
     // each benchmark item, how many corpus docs share a 4-gram with it
     // and how many of its distinct grams are exposed
@@ -1482,6 +1515,23 @@ object SparkEntry {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
            doc_id, score
          FROM agg ORDER BY score DESC, doc_id LIMIT 10""",
+    // the flattened posting rows replayed over the same (tok, doc) tf
+    // frame; pos = the 0-based position in the doc-id-sorted posting list
+    "q107_inverted_index" ->
+      s"""WITH occ AS (SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents),
+         tf AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM occ GROUP BY 1, 2),
+         df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+         SELECT tok, df,
+           CAST(ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) - 1 AS BIGINT) AS pos,
+           doc_id, tf
+         FROM tf JOIN df USING (tok) ORDER BY tok, pos""",
+    "q108_index_search" ->
+      s"""WITH occ AS (SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents),
+         tf AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM occ WHERE tok IN ('dup', 'vector', 'merge') GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
+         FROM tf GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""",
     // q30's oracle with the near-dup exclusion applied to the UNROUNDED
     // cosine before ranking, exactly as the Spark filter runs
     "q104_hard_negatives" ->

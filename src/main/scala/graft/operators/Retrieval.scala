@@ -118,4 +118,105 @@ object Retrieval {
       )
       .select(col("rnk"), col("doc_id"), col("score"))
   }
+
+  // ------------------------------------------------------------ inverted index
+
+  /** INVERTED INDEX construction — the materialized retrieval artifact
+    * next to [[bm25Model]]'s query-scoped scoring: one row per distinct
+    * token, `(tok, df, doc_ids, tfs)`, postings sorted by doc id with
+    * `tfs[i]` the term frequency in `doc_ids[i]`. Persist it once (any
+    * of the engine's sinks) and every subsequent query reads |Q| rows
+    * instead of re-scanning the corpus — the build-once/serve-many
+    * lifecycle of the codebook and LM-model operators, applied to text.
+    *
+    * Scale shape: two hash aggregates — `(tok, doc)` term frequencies
+    * (map-side partials collapse each document's repeats before the
+    * exchange) then per-token posting assembly. The per-token row is
+    * bounded by the term's document frequency, which is exactly the
+    * posting-skew of a real index: a stopword's posting row is
+    * corpus-sized. `maxDf` caps it (drop terms in more than `maxDf`
+    * docs — they carry no retrieval signal and every search would scan
+    * them; the [[graft.operators.Dedup.WinnowMaxDf]] discipline), and
+    * [[invertedIndexBlocked]] is the structural answer when capped terms
+    * must still be served.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDf: Long = Long.MaxValue
+  ): DataFrame = {
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
+    termFrequencies(docs, textCol, idCol)
+      .groupBy(col("tok"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("p"))
+      .filter(size(col("p")) <= maxDf)
+      .select(
+        col("tok"),
+        size(col("p")).cast("long").as("df"),
+        transform(col("p"), s => s.getField("doc_id")).as("doc_ids"),
+        transform(col("p"), s => s.getField("tf")).as("tfs")
+      )
+  }
+
+  /** [[invertedIndex]] with BLOCKED posting lists — the 100-TB layout:
+    * postings for token `tok` split across rows `(tok, block, df,
+    * doc_ids, tfs)` with `block = doc_id div blockDocs`, so no single
+    * row (and no single aggregation task's collect) exceeds `blockDocs`
+    * postings even for a stopword. The block key is a pure function of
+    * the doc id — no window ranks anything, the split is one extra
+    * grouping column on the same aggregate — and flattening the blocks
+    * back in `(tok, block)` order reproduces [[invertedIndex]] exactly
+    * (spec-pinned), because doc-id order refines block order.
+    */
+  def invertedIndexBlocked(
+      docs: DataFrame,
+      blockDocs: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(blockDocs >= 1, s"need blockDocs >= 1, got $blockDocs")
+    termFrequencies(docs, textCol, idCol)
+      .withColumn("block", expr(s"doc_id div $blockDocs"))
+      .groupBy(col("tok"), col("block"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("p"))
+      .select(
+        col("tok"),
+        col("block"),
+        size(col("p")).cast("long").as("df"),
+        transform(col("p"), s => s.getField("doc_id")).as("doc_ids"),
+        transform(col("p"), s => s.getField("tf")).as("tfs")
+      )
+  }
+
+  /** The shared `(tok, doc_id, tf)` frame under both index layouts. */
+  private def termFrequencies(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** CONJUNCTIVE (AND) Boolean retrieval over an [[invertedIndex]] frame:
+    * documents containing EVERY query term, `(doc_id, tf_sum)` with the
+    * summed term frequency as the tie-breakable relevance weight. This is
+    * the operator that justifies materializing the index: the plan reads
+    * |Q| index rows (the `tok` filter pushes into the index scan) and
+    * explodes only THOSE posting lists — corpus text is never touched,
+    * where [[bm25ScoreAgainst]] re-tokenizes every document. The
+    * intersection is one hash aggregate over the exploded postings
+    * (`HAVING count = |Q|`), never a pairwise list walk, so a term's
+    * posting skew bounds task size exactly as in the build.
+    */
+  def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    require(distinctTerms.nonEmpty, "empty query")
+    index
+      .filter(col("tok").isin(distinctTerms: _*))
+      .select(explode(arrays_zip(col("doc_ids"), col("tfs"))).as("h"))
+      .select(col("h.doc_ids").as("doc_id"), col("h.tfs").as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("tf")).as("tf_sum"))
+      .filter(col("n_hit") === distinctTerms.size.toLong)
+      .select(col("doc_id"), col("tf_sum"))
+  }
 }

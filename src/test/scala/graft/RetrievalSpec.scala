@@ -88,4 +88,97 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  // ------------------------------------------------------------ inverted index
+
+  test("inverted index: postings sorted, arrays aligned, df = |postings|, token mass conserved") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val idx = Retrieval.invertedIndex(docs).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val ids = r.getAs[collection.Seq[Long]]("doc_ids")
+      val tfs = r.getAs[collection.Seq[Long]]("tfs")
+      assert(ids === ids.sorted, s"postings unsorted for ${r.getAs[String]("tok")}")
+      assert(ids.length === tfs.length)
+      assert(r.getAs[Long]("df") === ids.length.toLong)
+      assert(ids.distinct.length === ids.length, "duplicate doc in posting list")
+    }
+    // every token occurrence is accounted for exactly once across the index
+    val indexMass = idx.map(_.getAs[collection.Seq[Long]]("tfs").sum).sum
+    val corpusMass = docs
+      .select(sum(size(split(col("text"), " "))).cast("long"))
+      .head().getLong(0)
+    assert(indexMass === corpusMass)
+  }
+
+  test("inverted index: maxDf caps the hot terms and drops nothing else") {
+    val docs = corpus(
+      0L -> "hot a",
+      1L -> "hot b",
+      2L -> "hot a",
+      3L -> "hot c"
+    )
+    val full = Retrieval.invertedIndex(docs).collect().map(_.getAs[String]("tok")).toSet
+    val capped = Retrieval.invertedIndex(docs, maxDf = 3).collect().map(_.getAs[String]("tok")).toSet
+    assert(full === Set("hot", "a", "b", "c"))
+    assert(capped === Set("a", "b", "c")) // df(hot)=4 > 3; df(a)=2 survives
+  }
+
+  test("blocked index flattens back to the plain index (block order refines doc order)") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val plain = Retrieval.invertedIndex(docs)
+      .select(col("tok"), col("doc_ids"), col("tfs"))
+      .as[(String, Seq[Long], Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val blocked = Retrieval.invertedIndexBlocked(docs, blockDocs = 64)
+      .orderBy(col("tok"), col("block"))
+      .select(col("tok"), col("block"), col("doc_ids"), col("tfs"))
+      .as[(String, Long, Seq[Long], Seq[Long])].collect()
+    // no row exceeds the block bound
+    assert(blocked.forall(_._3.length <= 64))
+    val flat = blocked.groupBy(_._1).map { case (tok, rows) =>
+      val sorted = rows.sortBy(_._2)
+      tok -> (sorted.flatMap(_._3).toSeq, sorted.flatMap(_._4).toSeq)
+    }
+    assert(flat === plain)
+  }
+
+  test("searchAll == direct containment filter, and handles duplicate query terms") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val terms = Seq("dup", "vector", "merge")
+    val idx = Retrieval.invertedIndex(docs)
+    val got = Retrieval.searchAll(idx, terms ++ Seq("dup")) // dup twice: must not double-require
+      .as[(Long, Long)].collect().toMap
+    val toks = split(col("text"), " ")
+    val want = docs
+      .filter(terms.map(t => array_contains(toks, t)).reduce(_ && _))
+      .select(
+        col("doc_id"),
+        terms
+          .map(t => size(filter(toks, x => x === lit(t))).cast("long"))
+          .reduce(_ + _)
+          .as("tf_sum")
+      )
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("searchAll: empty query fails loudly; no-hit query returns empty") {
+    val idx = Retrieval.invertedIndex(corpus(0L -> "a b"))
+    intercept[IllegalArgumentException](Retrieval.searchAll(idx, Seq.empty))
+    assert(Retrieval.searchAll(idx, Seq("zz")).count() === 0L)
+  }
+
+  test("physical plan: index build and search are aggregate-only — no window, no cartesian") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val build = Retrieval.invertedIndex(docs).queryExecution.executedPlan.toString
+    assert(!build.contains("Window"))
+    assert(!build.contains("CartesianProduct"))
+    assert(!build.contains("BroadcastNestedLoopJoin"))
+    val search = Retrieval.searchAll(Retrieval.invertedIndex(docs), Seq("dup", "merge"))
+      .queryExecution.executedPlan.toString
+    assert(!search.contains("Window"))
+    assert(!search.contains("CartesianProduct"))
+    assert(!search.contains("BroadcastNestedLoopJoin"))
+  }
 }
