@@ -615,6 +615,17 @@ object SparkEntry {
         .hygienicTrainingData(docs.filter(bucket < 9), docs.filter(bucket >= 9))
         .orderBy(col("doc_id"), col("seq_id"))
     }),
+    // attrition funnel over the q82 chain: one row per hygiene stage
+    // (n_in, n_dropped, n_out) — each boundary a 1-row count over the
+    // SAME frames the pipeline runs (dedup boundaries read checkpointed
+    // frames, so the clustering work runs once)
+    "q109_attrition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = GraftExpressions.poly_hash(col("text")) % 10
+      graft.operators.Pipeline
+        .attrition(docs.filter(bucket < 9), docs.filter(bucket >= 9))
+        .orderBy(col("stage_idx"))
+    }),
     // curriculum shard plan: content-hash shard placement (each shard an
     // unbiased corpus sample) with WITHIN-shard order ranked by token
     // count — the sequence-length-warmup curriculum; same one-exchange +
@@ -1465,6 +1476,90 @@ object SparkEntry {
        SELECT * FROM ($unions) u ORDER BY merge_idx"""
   }
 
+  /** The q82 hygienic chain — scrub → Gopher → quality → repetition →
+    * decontamination → exact dedup → near dedup (best-rep) → temperature
+    * mix — as a CTE sequence `raw … samp` over the documents table with
+    * the fixture's 9/1 content-hash corpus/benchmark split. ONE source of
+    * truth for the pipeline gate (q82 packs `samp`) and the attrition
+    * gate (q109 counts every stage boundary): the stage order and every
+    * threshold live here, once. Embed inside `WITH RECURSIVE` (the
+    * cluster chain's `reach` member is recursive).
+    */
+  private lazy val hygienicChainCtes: String = {
+    val tok = tokens("text")
+    val nTok = s"len($tok)"
+    val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
+    val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
+    val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
+    val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
+    val stopScore = s"least(1.0, $stopRatio * 5.0)"
+    val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+    val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
+    val quality = s"(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore)"
+    val scrubExpr =
+      s"regexp_replace(regexp_replace(text, '${TextFunctions.EmailRegex}', '<email>', 'g'), " +
+        s"'${TextFunctions.LongNumberRegex}', '<num>', 'g')"
+    s"""raw AS (
+           SELECT doc_id, lang, text, (${polyHash("text")} % 10) AS bkt FROM documents
+         ), scrubbed AS (
+           SELECT doc_id, lang, $scrubExpr AS text FROM raw WHERE bkt < 9
+         ), benchs AS (
+           SELECT $scrubExpr AS text FROM raw WHERE bkt >= 9
+         ), bgrams AS (
+           SELECT DISTINCT unnest(${shingleHashesDistinct("text", 4)}) AS gh FROM benchs
+         ), gph AS (
+           SELECT doc_id, lang, text FROM scrubbed
+           WHERE ${gopherKeepPredicate("text")}
+         ), qual AS (
+           SELECT doc_id, lang, text FROM gph WHERE $quality >= 0.4275
+         ), repg AS (
+           SELECT doc_id, gh, COUNT(*) AS c FROM (
+             SELECT doc_id, unnest(${positionalShingleHashes("text", 2)}) AS gh FROM qual
+           ) g0 GROUP BY 1, 2
+         ), repk AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, SUM(c) AS ng, COUNT(*) AS nd, MAX(c) AS tc
+             FROM repg GROUP BY 1) rs
+           WHERE round(1.0 - CAST(nd AS DOUBLE) / CAST(ng AS DOUBLE), 6) <= 0.3
+             AND round(CAST(tc AS DOUBLE) / CAST(ng AS DOUBLE), 6) <= 0.2
+         ), nonrep AS (
+           SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN repk USING (doc_id)
+         ), cont AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT doc_id, unnest(${shingleHashesDistinct("text", 4)}) AS gh FROM nonrep
+           ) cg JOIN bgrams USING (gh)
+         ), cleand AS (
+           SELECT nonrep.doc_id, nonrep.lang, nonrep.text FROM nonrep
+           WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         ), ex AS (
+           SELECT MIN(doc_id) AS doc_id FROM cleand GROUP BY text
+         ), exd AS (
+           SELECT cleand.doc_id, cleand.lang, cleand.text FROM cleand JOIN ex USING (doc_id)
+         ), ${clusterChain("exd")}, scored AS (
+           SELECT doc_id, round($quality, 6) AS score FROM exd
+         ), ranked AS (
+           SELECT c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY s.score DESC, c.doc_id) AS rn
+           FROM cc c JOIN scored s ON c.doc_id = s.doc_id
+         ), surv AS (
+           SELECT exd.doc_id, exd.lang, exd.text
+           FROM exd JOIN ranked ON exd.doc_id = ranked.doc_id AND ranked.rn = 1
+         ), lc AS (
+           SELECT lang, COUNT(*) AS n_g FROM surv GROUP BY 1
+         ), lm AS (
+           SELECT MIN(n_g) AS n_min FROM lc
+         ), lthr AS (
+           SELECT lang,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS thr
+           FROM lc, lm
+         ), samp AS (
+           SELECT surv.doc_id, surv.lang, surv.text
+           FROM surv JOIN lthr ON surv.lang IS NOT DISTINCT FROM lthr.lang
+           WHERE (${polyHash("surv.text")} % 1000000) < thr
+         )"""
+  }
+
   /** q101: the serving side — per-doc word/subword counts by joining the
     * final segmentation table `s{nMerges}` (inner join: every corpus
     * word is in the table it trained, which is the gated case).
@@ -2099,79 +2194,8 @@ object SparkEntry {
     // (scrubbed both sides), and the sqrt-temperature mix replacing the
     // fixed balanced sample — seven mirrored stages in one CTE chain
     "q82_hygienic_pipeline" -> {
-      val r = Dedup.RowsPerBand
       val tok = tokens("text")
-      val nTok = s"len($tok)"
-      val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
-      val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
-      val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
-      val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
-      val stopScore = s"least(1.0, $stopRatio * 5.0)"
-      val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
-      val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
-      val quality = s"(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore)"
-      val scrubExpr =
-        s"regexp_replace(regexp_replace(text, '${TextFunctions.EmailRegex}', '<email>', 'g'), " +
-          s"'${TextFunctions.LongNumberRegex}', '<num>', 'g')"
-      s"""WITH RECURSIVE raw AS (
-           SELECT doc_id, lang, text, (${polyHash("text")} % 10) AS bkt FROM documents
-         ), scrubbed AS (
-           SELECT doc_id, lang, $scrubExpr AS text FROM raw WHERE bkt < 9
-         ), benchs AS (
-           SELECT $scrubExpr AS text FROM raw WHERE bkt >= 9
-         ), bgrams AS (
-           SELECT DISTINCT unnest(${shingleHashesDistinct("text", 4)}) AS gh FROM benchs
-         ), gph AS (
-           SELECT doc_id, lang, text FROM scrubbed
-           WHERE ${gopherKeepPredicate("text")}
-         ), qual AS (
-           SELECT doc_id, lang, text FROM gph WHERE $quality >= 0.4275
-         ), repg AS (
-           SELECT doc_id, gh, COUNT(*) AS c FROM (
-             SELECT doc_id, unnest(${positionalShingleHashes("text", 2)}) AS gh FROM qual
-           ) g0 GROUP BY 1, 2
-         ), repk AS (
-           SELECT doc_id FROM (
-             SELECT doc_id, SUM(c) AS ng, COUNT(*) AS nd, MAX(c) AS tc
-             FROM repg GROUP BY 1) rs
-           WHERE round(1.0 - CAST(nd AS DOUBLE) / CAST(ng AS DOUBLE), 6) <= 0.3
-             AND round(CAST(tc AS DOUBLE) / CAST(ng AS DOUBLE), 6) <= 0.2
-         ), nonrep AS (
-           SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN repk USING (doc_id)
-         ), cont AS (
-           SELECT DISTINCT doc_id FROM (
-             SELECT doc_id, unnest(${shingleHashesDistinct("text", 4)}) AS gh FROM nonrep
-           ) cg JOIN bgrams USING (gh)
-         ), cleand AS (
-           SELECT nonrep.doc_id, nonrep.lang, nonrep.text FROM nonrep
-           WHERE doc_id NOT IN (SELECT doc_id FROM cont)
-         ), ex AS (
-           SELECT MIN(doc_id) AS doc_id FROM cleand GROUP BY text
-         ), exd AS (
-           SELECT cleand.doc_id, cleand.lang, cleand.text FROM cleand JOIN ex USING (doc_id)
-         ), ${clusterChain("exd")}, scored AS (
-           SELECT doc_id, round($quality, 6) AS score FROM exd
-         ), ranked AS (
-           SELECT c.doc_id,
-             ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY s.score DESC, c.doc_id) AS rn
-           FROM cc c JOIN scored s ON c.doc_id = s.doc_id
-         ), surv AS (
-           SELECT exd.doc_id, exd.lang, exd.text
-           FROM exd JOIN ranked ON exd.doc_id = ranked.doc_id AND ranked.rn = 1
-         ), lc AS (
-           SELECT lang, COUNT(*) AS n_g FROM surv GROUP BY 1
-         ), lm AS (
-           SELECT MIN(n_g) AS n_min FROM lc
-         ), lthr AS (
-           SELECT lang,
-             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE))
-               * 1000000.0) AS BIGINT) AS thr
-           FROM lc, lm
-         ), samp AS (
-           SELECT surv.doc_id, surv.lang, surv.text
-           FROM surv JOIN lthr ON surv.lang IS NOT DISTINCT FROM lthr.lang
-           WHERE (${polyHash("surv.text")} % 1000000) < thr
-         ), tt AS (
+      s"""WITH RECURSIVE $hygienicChainCtes, tt AS (
            SELECT doc_id, lang, $tok AS toks FROM samp
          ), chnk AS (
            SELECT doc_id, lang, i AS chunk_idx,
@@ -2187,6 +2211,30 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM run GROUP BY 1, 2, 3 ORDER BY 1, 3"""
+    },
+    // the same chain CTEs, with each stage boundary counted once and the
+    // funnel rows assembled by UNION ALL (fixed 7-row shape)
+    "q109_attrition" -> {
+      val stages = Seq(
+        ("gopher", "scrubbed", "gph"),
+        ("quality", "gph", "qual"),
+        ("repetition", "qual", "nonrep"),
+        ("decontamination", "nonrep", "cleand"),
+        ("exact_dedup", "cleand", "exd"),
+        ("near_dedup", "exd", "surv"),
+        ("mix", "surv", "samp")
+      )
+      val rows = stages.zipWithIndex
+        .map { case ((stage, in, out), i) =>
+          s"""SELECT CAST(${i + 1} AS BIGINT) AS stage_idx, '$stage' AS stage,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM $in) AS n_in,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM $in)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM $out) AS n_dropped,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM $out) AS n_out"""
+        }
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $hygienicChainCtes
+         SELECT * FROM ($rows) ORDER BY stage_idx"""
     },
     // eval exposure: per-bench-doc distinct (corpus doc, gram) joins on
     // the shared 4-gram hash, both sides' window sets per-doc distinct

@@ -114,7 +114,21 @@ object Pipeline {
       textCol: String,
       idCol: String,
       carryCols: Seq[String]
-  ): DataFrame = {
+  ): DataFrame =
+    dedupStages(gated, nearDupThreshold, textCol, idCol, carryCols)._2
+
+  /** [[dedupSurvivors]] with the intermediate exact-dedup frame exposed —
+    * the attrition report needs the per-stage boundary, and computing it
+    * HERE keeps one source of truth for the keeper-struct and checkpoint
+    * subtleties. Returns `(exactKept, nearKept)`, both checkpointed.
+    */
+  private def dedupStages(
+      gated: DataFrame,
+      nearDupThreshold: Double,
+      textCol: String,
+      idCol: String,
+      carryCols: Seq[String]
+  ): (DataFrame, DataFrame) = {
     val keeperFields = (idCol +: carryCols).map(col)
     val exactKept = gated
       .groupBy(col(textCol))
@@ -124,7 +138,7 @@ object Pipeline {
     val reps = Dedup
       .dedupNearBest(exactKept, nearDupThreshold, textCol, idCol)
       .select(col("doc_id").as(idCol))
-    exactKept.join(reps, Seq(idCol), "left_semi").localCheckpoint(true)
+    (exactKept, exactKept.join(reps, Seq(idCol), "left_semi").localCheckpoint(true))
   }
 
   /** Run the full pipeline; returns one row per training sequence:
@@ -199,14 +213,46 @@ object Pipeline {
       textCol: String = "text",
       idCol: String = "doc_id",
       groupCol: String = "lang"
-  ): DataFrame = {
+  ): DataFrame =
+    hygienicStages(
+      docs,
+      benchmark,
+      cfg,
+      maxDupFrac,
+      maxTopFrac,
+      decontamK,
+      temperature,
+      textCol,
+      idCol,
+      groupCol
+    ).last._2
+
+  /** The hygienic chain's stage boundaries IN ORDER — `(stage, frame)`
+    * with each frame the survivors entering the next stage. One source of
+    * truth for [[selectHygienic]] (which returns the last frame) and the
+    * attrition report (which counts every boundary): the stage order,
+    * the scrub-before-hash discipline, and the checkpoint scopes cannot
+    * drift between the pipeline and its own audit.
+    */
+  private def hygienicStages(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      cfg: Config,
+      maxDupFrac: Double,
+      maxTopFrac: Double,
+      decontamK: Int,
+      temperature: Int,
+      textCol: String,
+      idCol: String,
+      groupCol: String
+  ): Seq[(String, DataFrame)] = {
     // stages 1-3: scrub, then the STRUCTURAL Gopher gate, then the
     // model-shaped quality score — the MassiveText order (hard structural
     // rules drop machine noise before any continuum scoring spends a
     // kernel pass on it). The benchmark side is scrubbed with the same
     // chain before indexing (scrub-before-hash).
-    val structural =
-      Heuristics.filterGopher(scrubDocs(docs, textCol, idCol, groupCol), textCol = textCol)
+    val scrubbed = scrubDocs(docs, textCol, idCol, groupCol)
+    val structural = Heuristics.filterGopher(scrubbed, textCol = textCol)
     val qualified =
       structural.filter(TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality)
     val benchScrubbed = benchmark.select(TextFunctions.scrub(col(textCol)).as(textCol))
@@ -214,9 +260,116 @@ object Pipeline {
       Repetition.filterRepetitive(qualified, 2, maxDupFrac, maxTopFrac, textCol, idCol)
     val decontaminated =
       Decontaminate.clean(nonRepetitive, benchScrubbed, decontamK, textCol, idCol)
-    val survivors =
-      dedupSurvivors(decontaminated, cfg.nearDupThreshold, textCol, idCol, Seq(groupCol))
-    Sampling.temperatureFlatten(survivors, groupCol, textCol, temperature)
+    val (exactKept, nearKept) =
+      dedupStages(decontaminated, cfg.nearDupThreshold, textCol, idCol, Seq(groupCol))
+    val mixed = Sampling.temperatureFlatten(nearKept, groupCol, textCol, temperature)
+    Seq(
+      "input" -> scrubbed,
+      "gopher" -> structural,
+      "quality" -> qualified,
+      "repetition" -> nonRepetitive,
+      "decontamination" -> decontaminated,
+      "exact_dedup" -> exactKept,
+      "near_dedup" -> nearKept,
+      "mix" -> mixed
+    )
+  }
+
+  /** ATTRITION FUNNEL over [[selectHygienic]]'s chain — the
+    * explainability report every production corpus build publishes
+    * (RefinedWeb/Dolma report exactly this table): one row per stage,
+    * `(stage_idx, stage, n_in, n_dropped, n_out)`, where `n_in` is the
+    * documents entering the stage and `n_dropped` what it removed. The
+    * row set and order are FIXED (seven stages, idx 1..7) regardless of
+    * which stages happen to drop nothing, so the report schema is stable
+    * across corpora.
+    *
+    * Cost shape: one count per stage boundary over the SAME frames the
+    * pipeline itself runs — the scan-shaped gates recount cheaply, the
+    * aggregate stages recount their aggregate, and both dedup boundaries
+    * read checkpointed frames, so the expensive clustering work runs
+    * once, not once per count. Each count is a 1-row aggregate; the
+    * funnel arithmetic happens on an 8-row local frame.
+    */
+  def attrition(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      cfg: Config = Config(),
+      maxDupFrac: Double = 0.3,
+      maxTopFrac: Double = 0.2,
+      decontamK: Int = 4,
+      temperature: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      groupCol: String = "lang"
+  ): DataFrame = {
+    val stages = hygienicStages(
+      docs,
+      benchmark,
+      cfg,
+      maxDupFrac,
+      maxTopFrac,
+      decontamK,
+      temperature,
+      textCol,
+      idCol,
+      groupCol
+    )
+    val counts = stages.map { case (name, frame) => name -> frame.count() }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    counts
+      .sliding(2)
+      .zipWithIndex
+      .map { case (Seq((_, nIn), (stage, nOut)), i) =>
+        ((i + 1).toLong, stage, nIn, nIn - nOut, nOut)
+      }
+      .toSeq
+      .toDF("stage_idx", "stage", "n_in", "n_dropped", "n_out")
+  }
+
+  /** Per-document REJECT REASON — the row-level companion of
+    * [[attrition]]: `(idCol, reason)` for EVERY input document, `reason`
+    * the first stage that dropped it (the funnel's attribution), or
+    * `kept` if it reached the mix. Implemented as one projection of
+    * membership flags — the corpus left-joins each stage's id set on the
+    * id key (equi-joins; the dedup-side sets are checkpointed by the
+    * chain) — and a first-false CASE, so the chain itself still runs
+    * once.
+    */
+  def rejectReasons(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      cfg: Config = Config(),
+      maxDupFrac: Double = 0.3,
+      maxTopFrac: Double = 0.2,
+      decontamK: Int = 4,
+      temperature: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      groupCol: String = "lang"
+  ): DataFrame = {
+    val stages = hygienicStages(
+      docs,
+      benchmark,
+      cfg,
+      maxDupFrac,
+      maxTopFrac,
+      decontamK,
+      temperature,
+      textCol,
+      idCol,
+      groupCol
+    ).drop(1) // "input" drops nothing — it is not a reject reason
+    val flagged = stages.foldLeft(docs.select(col(idCol))) { case (acc, (name, frame)) =>
+      acc.join(frame.select(col(idCol), lit(1L).as(s"__$name")), Seq(idCol), "left")
+    }
+    val reason = stages
+      .map { case (name, _) => name }
+      .foldRight(lit("kept")) { case (name, rest) =>
+        when(col(s"__$name").isNull, lit(name)).otherwise(rest)
+      }
+    flagged.select(col(idCol), reason.as("reason"))
   }
 
   /** [[selectHygienic]] packed into training sequences — the q82 gate. */

@@ -156,6 +156,67 @@ class PipelineSpec extends SparkSpec {
     assert(packedTokens === chunkTokens)
   }
 
+  test("attrition funnel + reject reasons: chained counts, per-stage attribution, kept == pipeline") {
+    import spark.implicits._
+    // the crafted corpus from the hygienic test: one casualty per stage
+    val base = (0 until 98).map(i => s"word$i").mkString(" ") + " the of"
+    val other = (100 until 200).map(i => s"vocab$i").mkString(" ")
+    val benchRun = (1 to 10).map(i => s"bench$i").mkString(" ")
+    val crafted = Seq(
+      (1L, "en", base + " unique one"),
+      (2L, "en", base + " unique one"), // exact dup of 1
+      (3L, "en", Seq.fill(118)("loop").mkString(" ") + " the of"), // repetitive
+      (4L, "en", s"$other $benchRun the of"), // contaminated
+      (5L, "fr", other + " a is autre chose"),
+      (6L, "en", (0 until 60).map(i => s"keyword$i").mkString(" ")) // gopher casualty
+    ).toDF("doc_id", "lang", "text")
+    val benchmark = Seq((900L, "xx", benchRun)).toDF("doc_id", "lang", "text")
+
+    val funnel = Pipeline
+      .attrition(crafted, benchmark)
+      .orderBy("stage_idx")
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+    // fixed 7-row shape in stage order
+    assert(funnel.map(_._2).toSeq === Seq(
+      "gopher", "quality", "repetition", "decontamination", "exact_dedup", "near_dedup", "mix"
+    ))
+    // the funnel chains: n_out(i) == n_in(i+1), n_in - n_dropped == n_out
+    assert(funnel.head._3 === 6L)
+    funnel.foreach { case (_, _, nIn, nDropped, nOut) => assert(nIn - nDropped === nOut) }
+    funnel.sliding(2).foreach { w => assert(w(0)._5 === w(1)._3) }
+    // each crafted casualty lands in its intended stage
+    val drops = funnel.map(f => f._2 -> f._4).toMap
+    assert(drops("gopher") === 1L) // doc 6
+    assert(drops("repetition") === 1L) // doc 3
+    assert(drops("decontamination") === 1L) // doc 4
+    assert(drops("exact_dedup") === 1L) // doc 2 collapses into 1
+    assert(funnel.last._5 === 2L) // docs 1 and 5 survive
+
+    val reasons = Pipeline
+      .rejectReasons(crafted, benchmark)
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(reasons.size === 6) // one row per INPUT doc
+    assert(reasons(6L) === "gopher")
+    assert(reasons(3L) === "repetition")
+    assert(reasons(4L) === "decontamination")
+    assert(reasons(2L) === "exact_dedup")
+    assert(reasons(1L) === "kept")
+    assert(reasons(5L) === "kept")
+    // reason counts ARE the funnel's drop column
+    val reasonCounts = reasons.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    funnel.foreach { case (_, stage, _, nDropped, _) =>
+      assert(reasonCounts.getOrElse(stage, 0L) === nDropped, s"stage $stage")
+    }
+    // kept ids == the pipeline's own output
+    val keptIds = reasons.collect { case (id, "kept") => id }.toSet
+    val pipelineIds =
+      Pipeline.selectHygienic(crafted, benchmark).select("doc_id").as[Long].collect().toSet
+    assert(keptIds === pipelineIds)
+  }
+
   test("mixing pipeline: importance, temperature, budget, and shard stages all bite; plan laws hold") {
     import spark.implicits._
     // Every doc passes the structural gate (>=50 words, word-shaped, two
