@@ -1044,6 +1044,16 @@ object SparkEntry {
         .annIvfSampled(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, every = 2)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // product quantization (m=4 subspace Lloyd codebooks, asymmetric
+    // reconstruction scoring): the corpus candidate stream carries m
+    // integer codes instead of 64 floats — the 64x compression tier under
+    // int8's 4x; recall gated in AnnRecallSpec, refined variant reranks
+    // a shortlist exactly
+    "q110_ann_pq" -> ((s, dir) => {
+      Similarity
+        .annPqAdc(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // end-to-end multimodal pipeline: binary payload -> partition-parallel
     // decode (stub codec, real plumbing) -> similarity over the decoded
     // features. The decode stage is mapPartitions (not SQL), but the STUB
@@ -1294,40 +1304,91 @@ object SparkEntry {
            FROM scored GROUP BY 1
          )"""
 
-  private def ivfTrainerCtes(cellsOfN: String, src: String = "embeddings"): String = {
+  private def ivfTrainerCtes(
+      cellsOfN: String,
+      src: String = "embeddings",
+      p: String = ""
+  ): String = {
     val q = Similarity.IvfQuant // prints as 1000000.0
     def lloyd(idx: Int): String =
-      s"""s$idx AS (
+      s"""${p}s$idx AS (
          SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
-         FROM $src e CROSS JOIN cent$idx ct
-       ), a$idx AS (
+         FROM $src e CROSS JOIN ${p}cent$idx ct
+       ), ${p}a$idx AS (
          SELECT vec_id, cell FROM (
            SELECT vec_id, cell,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
-           FROM s$idx) t WHERE r = 1
-       ), ex$idx AS (
+           FROM ${p}s$idx) t WHERE r = 1
+       ), ${p}ex$idx AS (
          SELECT a.cell, unnest(e.embedding) AS x, unnest(range(len(e.embedding))) AS j
-         FROM a$idx a JOIN $src e ON a.vec_id = e.vec_id
-       ), sm$idx AS (
+         FROM ${p}a$idx a JOIN $src e ON a.vec_id = e.vec_id
+       ), ${p}sm$idx AS (
          SELECT cell, j,
            CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * $q + 0.5) AS BIGINT)) AS BIGINT) AS sx,
            CAST(COUNT(*) AS BIGINT) AS cnt
-         FROM ex$idx GROUP BY 1, 2
-       ), cent${idx + 1} AS (
+         FROM ${p}ex$idx GROUP BY 1, 2
+       ), ${p}cent${idx + 1} AS (
          SELECT cell, list(CAST(CAST(sx AS DOUBLE) / (cnt * $q) AS FLOAT) ORDER BY j) AS c_emb
-         FROM sm$idx GROUP BY cell
+         FROM ${p}sm$idx GROUP BY cell
        )"""
     val rounds = (0 until Similarity.IvfLloydRounds).map(lloyd).mkString(", ")
-    s"""nn AS (
+    s"""${p}nn AS (
          SELECT greatest(1, cells0) AS cells,
            greatest(1, n // greatest(1, cells0)) AS stride
          FROM (SELECT n, $cellsOfN AS cells0
                FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $src))
        ),
-       cent0 AS (
+       ${p}cent0 AS (
          SELECT CAST(vec_id // stride AS BIGINT) AS cell, embedding AS c_emb
-         FROM $src, nn WHERE vec_id % stride = 0 AND vec_id < stride * cells
+         FROM $src, ${p}nn WHERE vec_id % stride = 0 AND vec_id < stride * cells
        ), $rounds"""
+  }
+
+  /** The q110 PQ oracle: m per-subspace Lloyd trainer chains (the
+    * [[ivfTrainerCtes]] machinery over sliced embeddings, CTE names
+    * prefixed `p0…`), argmax-cosine encoding per (vector, subspace) with
+    * the (cos DESC, cell) tie-break, reconstruction by subspace-ordered
+    * concatenation, then q30's ranking over `cosine(q, recon)`.
+    */
+  private def pqAdcOracle(m: Int, k: Int): String = {
+    val dsub = Similarity.Dim / m
+    val subSrcs = (0 until m)
+      .map(s =>
+        s"sub${s}src AS (SELECT vec_id, embedding[${s * dsub + 1}:${(s + 1) * dsub}] AS embedding FROM embeddings)"
+      )
+      .mkString(", ")
+    val trainers =
+      (0 until m).map(s => ivfTrainerCtes(annCellsSql, s"sub${s}src", s"p$s")).mkString(", ")
+    val encUnion = (0 until m)
+      .map { s =>
+        s"""SELECT vec_id, CAST($s AS BIGINT) AS sub, cell FROM (
+           SELECT e.vec_id, ct.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosine("e.embedding", "ct.c_emb")} DESC, ct.cell) AS r
+           FROM sub${s}src e CROSS JOIN p$s$ivfFinalCent ct) t WHERE r = 1"""
+      }
+      .mkString(" UNION ALL ")
+    val cbUnion = (0 until m)
+      .map(s => s"SELECT CAST($s AS BIGINT) AS sub, cell, c_emb FROM p$s$ivfFinalCent")
+      .mkString(" UNION ALL ")
+    s"""WITH $subSrcs, $trainers, enc AS ($encUnion), cb AS ($cbUnion),
+       recon AS (
+         SELECT enc.vec_id, flatten(list(cb.c_emb ORDER BY enc.sub)) AS recon
+         FROM enc JOIN cb ON enc.sub = cb.sub AND enc.cell = cb.cell
+         GROUP BY enc.vec_id
+       ), q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ${cosine("q.embedding", "c.recon")} AS cos
+         FROM q JOIN recon c ON q.vec_id <> c.vec_id
+       ), ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         FROM scored
+       )
+       SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       FROM ranked WHERE rnk <= $k ORDER BY query_id, rnk"""
   }
 
   /** The q94 mixing-pipeline CTE chain (scrub → Gopher → quality →
@@ -1643,6 +1704,7 @@ object SparkEntry {
          )
          SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q110_ann_pq" -> pqAdcOracle(Similarity.PqSubspaces, 10),
     "q105_orc_roundtrip" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,

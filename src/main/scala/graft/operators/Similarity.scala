@@ -652,6 +652,179 @@ object Similarity {
       .otherwise(dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** PQ subspace count `m`: 64 dims → 4 subvectors of 16. Each vector
+    * compresses to m small integer codes — the knob trades reconstruction
+    * fidelity (higher m) against code size.
+    */
+  val PqSubspaces = 4
+
+  /** Per-subspace PQ codebooks as a first-class value (the [[Codebook]]
+    * lifecycle): `codebooks` = `(sub, cell, c_emb)` with `c_emb` a
+    * `Dim/m`-dim centroid — at most m·C rows, always broadcast-sized.
+    */
+  final case class PqCodebooks(m: Int, codebooks: DataFrame)
+
+  /** PRODUCT QUANTIZATION training (Jégou et al. 2011, the FAISS `PQ`
+    * stage): split every vector into `m` subvectors and fit an
+    * independent codebook per subspace with the SAME deterministic Lloyd
+    * trainer as [[trainedCentroids]] (stride-seeded, integer-quantized
+    * means, fixed rounds — so the whole trainer replays bit-for-bit in
+    * the DuckDB oracle, per subspace). Codebook size per subspace is the
+    * sample-count-derived [[annCells]]; `every` is the sampled-trainer
+    * knob ([[trainCodebook]]'s semantics — trainer cost divides by
+    * `every`, the m per-subspace chains totalling the same flops as ONE
+    * full-dim chain since each runs at Dim/m components.
+    *
+    * Where int8 ([[quantizeInt8]]) compresses 4×, PQ at m=4 stores 4
+    * byte-range codes per 64-float vector — 64× less candidate memory
+    * through storage and shuffle, the compression tier that makes a
+    * billion-vector corpus fit a cluster's RAM at all.
+    */
+  def trainPq(emb: DataFrame, m: Int = PqSubspaces, every: Int = 1): PqCodebooks = {
+    require(m >= 1 && Dim % m == 0, s"need m >= 1 dividing $Dim, got $m")
+    require(every >= 1, s"need every >= 1, got $every")
+    val dsub = Dim / m
+    val e0 = emb.select(col("vec_id"), col("embedding"))
+    val e =
+      if (every == 1) e0
+      else
+        e0.filter(col("vec_id") % lit(every.toLong) === 0)
+          .select(expr(s"vec_id div $every").as("vec_id"), col("embedding"))
+    val subs = (0 until m).map { s =>
+      trainedCentroids(
+        e.select(col("vec_id"), slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
+        annCells
+      ).select(lit(s.toLong).as("sub"), col("cell"), col("c_emb"))
+    }
+    PqCodebooks(m, subs.reduce(_.unionByName(_)))
+  }
+
+  /** PQ ENCODING: each vector → `(vec_id, codes)` with `codes[s]` the
+    * argmax-cosine cell of subvector s (ties to the smaller cell id —
+    * the engine's ranking tie-break). One explode to m subvector rows, a
+    * broadcast join against the codebooks, and two aggregates; the codes
+    * array is the m-integer object a deployment persists in place of the
+    * raw vectors.
+    */
+  def encodePq(emb: DataFrame, cb: PqCodebooks): DataFrame = {
+    val dsub = Dim / cb.m
+    emb
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        explode(sequence(lit(0L), lit((cb.m - 1).toLong))).as("sub")
+      )
+      .select(
+        col("vec_id"),
+        col("sub"),
+        slice(col("embedding"), col("sub") * lit(dsub) + lit(1), lit(dsub)).as("sv")
+      )
+      .join(broadcast(cb.codebooks), Seq("sub"))
+      .select(
+        col("vec_id"),
+        col("sub"),
+        col("cell"),
+        VectorFunctions.cosine(col("sv"), col("c_emb")).as("cos")
+      )
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("sub"), col("cell")))),
+          s => s.getField("cell")
+        ).as("codes")
+      )
+  }
+
+  /** DECODE a codes frame back to its reconstruction `(vec_id, recon)` —
+    * the concatenation of each code's centroid in subspace order (one
+    * broadcast equi-join + one aggregate; `array<struct<long, array>>`
+    * sorts lexicographically, so subspace order is exact).
+    */
+  def decodePq(codes: DataFrame, cb: PqCodebooks): DataFrame =
+    codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cell")))
+      .join(broadcast(cb.codebooks), Seq("sub", "cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("sub"), col("c_emb")))),
+            s => s.getField("c_emb")
+          )
+        ).as("recon")
+      )
+
+  /** ANN over PQ-compressed candidates — ASYMMETRIC scoring: the query
+    * stays full-precision, each candidate is scored as `cosine(q,
+    * reconstruction(codes))`. Same output contract as [[bruteForceTopK]];
+    * the accuracy loss is pure quantization error, recall-gated in
+    * AnnRecallSpec next to the int8 and IVF tiers.
+    *
+    * What PQ buys HERE is memory and shuffle bytes — the corpus flows as
+    * m integers per vector; reconstructions materialize per scan from the
+    * broadcast codebooks and never persist. Per-candidate compute stays
+    * O(Dim) (the classic per-query m×C lookup-table shortcut needs a
+    * float SUM whose order Spark's hash aggregate does not fix, and the
+    * engine's determinism discipline — fixed-order folds only — is
+    * non-negotiable; reconstruction scoring keeps every float operation
+    * in fold order and therefore oracle-exact).
+    */
+  def annPqAdc(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = PqSubspaces): DataFrame =
+    annPqAdcWith(emb, trainPq(emb, m), queryIds, k)
+
+  /** [[annPqAdc]] against caller-supplied codebooks (train-once lifecycle). */
+  def annPqAdcWith(emb: DataFrame, cb: PqCodebooks, queryIds: Seq[Long], k: Int): DataFrame =
+    topK(pqScored(emb, cb, queryIds), k)
+
+  /** The shared (query × reconstructed-candidate) scored frame. */
+  private def pqScored(emb: DataFrame, cb: PqCodebooks, queryIds: Seq[Long]): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val recon = decodePq(encodePq(e, cb), cb)
+    val queries = e.filter(col("vec_id").isin(queryIds: _*))
+    broadcast(queries.as("q"))
+      .join(recon.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("q.embedding"), col("c.recon")).as("cos")
+      )
+  }
+
+  /** PQ shortlist + EXACT re-rank (the FAISS refine stage): rank by
+    * [[annPqAdc]]'s compressed scores, keep each query's top
+    * `shortlist` candidates, then re-score ONLY those against the
+    * full-precision vectors. Exact cosines are read for k·shortlist
+    * rows per query instead of the corpus — the standard recipe when PQ
+    * error alone would cost recall; gated ≥ the IVF tier's recall floor
+    * in AnnRecallSpec.
+    */
+  def annPqRefined(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      shortlist: Int,
+      m: Int = PqSubspaces
+  ): DataFrame = {
+    require(shortlist >= k, s"need shortlist >= k, got shortlist=$shortlist k=$k")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val short = topK(pqScored(e, trainPq(emb, m), queryIds), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = e.filter(col("vec_id").isin(queryIds: _*))
+    val rescored = short
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        VectorFunctions.cosine(col("q_emb"), col("c_emb")).as("cos")
+      )
+    topK(rescored, k)
+  }
+
   /** Brute-force top-k over int8-QUANTIZED vectors — [[bruteForceTopK]]'s
     * contract (`query_id, rnk, neighbor_id, cosine`) at a quarter of the
     * candidate-scan bytes. Same shape: broadcast quantized queries,
