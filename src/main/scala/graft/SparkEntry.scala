@@ -678,6 +678,14 @@ object SparkEntry {
       val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
       graft.operators.Vocabulary.bpeProfile(docs, segs).orderBy(col("doc_id"))
     }),
+    // WordPiece trainer: the BPE round structure with the likelihood
+    // argmax (pair / (left * right) in fixed double-division order) —
+    // per-round symbol counts are one extra aggregate on the word table
+    "q111_wordpiece_merges" -> ((s, dir) => {
+      graft.operators.Vocabulary
+        .wordpieceMerges(t(s, dir, "documents"), nMerges = 8)
+        .orderBy(col("merge_idx"))
+    }),
     // exact heavy hitters (freq > n/64) via the two-pass Misra-Gries
     // sketch-then-recount: pass 1 reduces each partition to <= 64
     // counters before a single-row exchange, pass 2 recounts only the
@@ -1500,18 +1508,41 @@ object SparkEntry {
     * exhausted round leaves its m-CTE empty, emptying every later round
     * — mirroring the engine's early stop.
     */
-  private def bpeChain(nMerges: Int): String = {
+  private def bpeChain(nMerges: Int, wordpiece: Boolean = false): String = {
     val sep = "chr(31)"
+    // WordPiece rounds reference the previous symbol table THREE times
+    // (pairs, symbol counts, fold) — DuckDB inlines plain CTEs, so s8
+    // would expand to 3^8 scans of the base table and exhaust file
+    // handles; MATERIALIZED pins each round to one evaluation. (The BPE
+    // chain's 2-way reference stays as-is — the gated plain-CTE form.)
+    val mat = if (wordpiece) "MATERIALIZED " else ""
     def round(i: Int): String = {
       val prev = s"s${i - 1}"
+      // WordPiece: per-round weighted symbol counts feed the likelihood
+      // argmax (pc / lc) / rc with the SAME fixed double-division order
+      // as the Spark trainer; BPE ranks on the raw pair count
+      val selector =
+        if (wordpiece)
+          s""", sy$i AS (
+             SELECT s, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+               SELECT cnt, unnest(syms) AS s FROM $prev) ty$i GROUP BY 1
+           ), m$i AS (
+             SELECT p.l, p.r, p.total FROM p$i p
+             JOIN sy$i sl ON sl.s = p.l
+             JOIN sy$i sr ON sr.s = p.r
+             ORDER BY (CAST(p.total AS DOUBLE) / CAST(sl.c AS DOUBLE)) / CAST(sr.c AS DOUBLE)
+               DESC, p.l, p.r LIMIT 1
+           )"""
+        else
+          s""", m$i AS (
+             SELECT l, r, total FROM p$i ORDER BY total DESC, l, r LIMIT 1
+           )"""
       s""", p$i AS (
            SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS total FROM (
              SELECT cnt, syms[j+1] AS l, syms[j+2] AS r
              FROM $prev, unnest(range(0, len(syms) - 1)) AS u(j)
            ) t$i GROUP BY 1, 2
-         ), m$i AS (
-           SELECT l, r, total FROM p$i ORDER BY total DESC, l, r LIMIT 1
-         ), s$i AS (
+         )$selector, s$i AS $mat(
            SELECT w, string_split(substr(list_reduce(list_prepend('', syms),
              (acc, x) -> CASE WHEN right(acc, length($sep || l)) = $sep || l AND x = r
                THEN acc || x ELSE acc || $sep || x END), 2), $sep) AS syms, cnt
@@ -1527,13 +1558,13 @@ object SparkEntry {
        )${(1 to nMerges).map(round).mkString}"""
   }
 
-  private def bpeOracle(nMerges: Int): String = {
+  private def bpeOracle(nMerges: Int, wordpiece: Boolean = false): String = {
     val unions = (1 to nMerges)
       .map(i =>
         s"""SELECT CAST($i AS BIGINT) AS merge_idx, l AS "left", r AS "right", total AS pair_count FROM m$i"""
       )
       .mkString("\n         UNION ALL ")
-    s"""${bpeChain(nMerges)}
+    s"""${bpeChain(nMerges, wordpiece)}
        SELECT * FROM ($unions) u ORDER BY merge_idx"""
   }
 
@@ -1639,6 +1670,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q100_bpe_merges" -> bpeOracle(8),
     "q101_bpe_profile" -> bpeProfileOracle(8),
+    "q111_wordpiece_merges" -> bpeOracle(8, wordpiece = true),
     // the sketch only bounds pass-2's recount set, so the oracle is the
     // plain exact GROUP BY / threshold the operator's result equals
     "q102_heavy_hitters" ->

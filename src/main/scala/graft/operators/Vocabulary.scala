@@ -104,6 +104,60 @@ object Vocabulary {
       textCol: String = "text"
   ): DataFrame = bpeTrain(docs, nMerges, textCol)._2
 
+  /** The word-frequency table both subword trainers start from: one
+    * corpus pass, distinct words with counts, symbols seeded at
+    * characters.
+    */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+
+  /** The per-round weighted adjacent-pair counts over a symbol table —
+    * `(l, r, total)`, overlapping pairs all counted.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(
+        col("cnt"),
+        explode(
+          transform(
+            // sequence(0, -1) DESCENDS for 1-symbol words — guard to empty
+            when(size(col("syms")) >= 2, sequence(lit(0), size(col("syms")) - 2))
+              .otherwise(array().cast("array<int>")),
+            j => struct(element_at(col("syms"), j + 1).as("l"), element_at(col("syms"), j + 2).as("r"))
+          )
+        ).as("p")
+      )
+      .groupBy(col("p.l"), col("p.r"))
+      .agg(sum(col("cnt")).as("total"))
+
+  /** Apply one (l, r) merge to a symbol table — the left fold with a
+    * string accumulator (see [[bpeMerges]]'s scaladoc; the identical
+    * fold runs in the DuckDB oracle via `list_reduce`).
+    */
+  private def applyMerge(words: DataFrame, l: String, r: String): DataFrame = {
+    val folded = aggregate(
+      col("syms"),
+      lit(""),
+      (acc, x) =>
+        when(acc.endsWith(lit(BpeSep + l)) && x === lit(r), concat(acc, x))
+          .otherwise(concat(acc, lit(BpeSep), x))
+    )
+    // folded = "␟s1␟s2…": drop the leading separator, re-split
+    words
+      .select(
+        col("w"),
+        split(folded.substr(lit(2), length(folded)), BpeSep).as("syms"),
+        col("cnt")
+      )
+      .localCheckpoint(true)
+  }
+
   private def bpeTrain(
       docs: DataFrame,
       nMerges: Int,
@@ -112,31 +166,12 @@ object Vocabulary {
     require(nMerges > 0, s"need nMerges > 0, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
-      .localCheckpoint(true)
+    var words = wordTable(docs, textCol)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var i = 1
     var exhausted = false
     while (i <= nMerges && !exhausted) {
-      val top = words
-        .select(
-          col("cnt"),
-          explode(
-            transform(
-              // sequence(0, -1) DESCENDS for 1-symbol words — guard to empty
-              when(size(col("syms")) >= 2, sequence(lit(0), size(col("syms")) - 2))
-                .otherwise(array().cast("array<int>")),
-              j => struct(element_at(col("syms"), j + 1).as("l"), element_at(col("syms"), j + 2).as("r"))
-            )
-          ).as("p")
-        )
-        .groupBy(col("p.l"), col("p.r"))
-        .agg(sum(col("cnt")).as("total"))
+      val top = pairCounts(words)
         .orderBy(col("total").desc, col("l"), col("r"))
         .limit(1)
         .collect()
@@ -144,21 +179,76 @@ object Vocabulary {
       else {
         val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((i.toLong, l, r, cnt))
-        val folded = aggregate(
-          col("syms"),
-          lit(""),
-          (acc, x) =>
-            when(acc.endsWith(lit(BpeSep + l)) && x === lit(r), concat(acc, x))
-              .otherwise(concat(acc, lit(BpeSep), x))
+        words = applyMerge(words, l, r)
+        i += 1
+      }
+    }
+    (merges.result().toDF("merge_idx", "left", "right", "pair_count"), words)
+  }
+
+  /** WORDPIECE merge training (Schuster & Nakajima 2012; the BERT
+    * tokenizer's trainer): the same round structure as [[bpeMerges]] —
+    * word-frequency table once, one pair aggregate + driver argmax + one
+    * merge fold per round — but each round fuses the pair maximizing the
+    * LIKELIHOOD score `count(l,r) / (count(l)·count(r))` instead of the
+    * raw pair count: the merge that most increases a unigram LM's
+    * data likelihood, which prefers strongly-associated rare pairs over
+    * merely-frequent ones. Ties break on (score, l, r) — score compared
+    * as the double `(pc / lc) / rc` with a FIXED operation order, so the
+    * two engines compute the bit-identical IEEE value (no long overflow
+    * at any corpus size, unlike a scaled-integer ratio whose numerator
+    * `pc·10^12` would cap the trainable corpus).
+    *
+    * Returns `(merge_idx, left, right, pair_count)` — the same merge-
+    * table contract as BPE, so [[bpeProfile]]-style serving works
+    * unchanged off [[wordpieceSegmentations]].
+    */
+  def wordpieceMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame =
+    wordpieceTrain(docs, nMerges, textCol)._1
+
+  /** The trained WordPiece segmentation table (the [[bpeSegmentations]]
+    * serving artifact under the likelihood-scored merge sequence).
+    */
+  def wordpieceSegmentations(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame =
+    wordpieceTrain(docs, nMerges, textCol)._2
+
+  private def wordpieceTrain(
+      docs: DataFrame,
+      nMerges: Int,
+      textCol: String
+  ): (DataFrame, DataFrame) = {
+    require(nMerges > 0, s"need nMerges > 0, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = wordTable(docs, textCol)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= nMerges && !exhausted) {
+      // per-round weighted symbol occurrences — the unigram denominators
+      val syms = words
+        .select(col("cnt"), explode(col("syms")).as("s"))
+        .groupBy(col("s"))
+        .agg(sum(col("cnt")).as("c"))
+      val top = pairCounts(words)
+        .join(syms.select(col("s").as("l"), col("c").as("lc")), Seq("l"))
+        .join(syms.select(col("s").as("r"), col("c").as("rc")), Seq("r"))
+        .select(
+          col("l"),
+          col("r"),
+          col("total"),
+          // fixed order: (pc / lc) / rc — bit-identical in the oracle
+          (col("total").cast("double") / col("lc").cast("double") / col("rc").cast("double"))
+            .as("score")
         )
-        // folded = "␟s1␟s2…": drop the leading separator, re-split
-        words = words
-          .select(
-            col("w"),
-            split(folded.substr(lit(2), length(folded)), BpeSep).as("syms"),
-            col("cnt")
-          )
-          .localCheckpoint(true)
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((i.toLong, l, r, cnt))
+        words = applyMerge(words, l, r)
         i += 1
       }
     }

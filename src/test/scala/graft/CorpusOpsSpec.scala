@@ -112,6 +112,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(unknown === ((9L, 2L, 6L)))
   }
 
+  test("wordpieceMerges: likelihood argmax prefers the exclusive rare pair BPE ignores") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    // (a,b) is the most FREQUENT pair (10 occurrences) but a and b also
+    // occur alone 30 times each; (x,y) occurs twice and x/y occur ONLY
+    // together. BPE must fuse (a,b) first; WordPiece must fuse (x,y)
+    // first: 2/(2*2) = 0.5 beats 10/(40*40) ≈ 0.006.
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(30)("a") ++ Seq.fill(30)("b") ++
+      Seq.fill(2)("xy")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val bpeFirst = Vocabulary.bpeMerges(docs, 1).as[(Long, String, String, Long)].head()
+    val wpFirst = Vocabulary.wordpieceMerges(docs, 1).as[(Long, String, String, Long)].head()
+    assert(bpeFirst === ((1L, "a", "b", 10L)))
+    assert(wpFirst === ((1L, "x", "y", 2L)))
+  }
+
+  test("wordpieceMerges: same fold semantics and exhaustion as BPE; serving contract holds") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    // single-word corpus: every pair is exclusive, so likelihood order
+    // degrades to 1/(lc·rc) — the fold and early-exhaustion machinery is
+    // shared with BPE and must behave identically
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = Vocabulary.wordpieceMerges(docs, 3).as[(Long, String, String, Long)].collect().toSeq
+    // round 1: only pair (a,a), fused non-overlapping; round 2: (aa,aa);
+    // round 3 exhausted
+    assert(merges === Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
+    // serving: wordpiece segmentations drive the same bpeProfile lookup
+    val seg = Vocabulary.wordpieceSegmentations(docs, 2)
+    val prof = Vocabulary.bpeProfile(docs, seg).as[(Long, Long, Long)].head()
+    assert(prof === ((1L, 2L, 2L))) // two words, each one fused symbol
+  }
+
   test("benchmarkExposure: the reverse direction agrees with overlapReport's totals") {
     val k = 4
     val exposure = Decontaminate.benchmarkExposure(corpus, benchmark, k)
