@@ -678,6 +678,30 @@ object SparkEntry {
       val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
       graft.operators.Vocabulary.bpeProfile(docs, segs).orderBy(col("doc_id"))
     }),
+    // per-source corpus card: one scan into a (source, lang) aggregate,
+    // bounded rollup, min_by top-lang tie-break, dup mass over 8-byte
+    // content hashes — the datasheet composition table
+    "q112_corpus_card" -> ((s, dir) => {
+      graft.operators.Report
+        .corpusCard(t(s, dir, "documents"))
+        .orderBy(col("source"))
+    }),
+    // snapshot diff between two corpus versions (content-hash full outer
+    // join on the id — text never crosses the wire): snapshots derived
+    // deterministically from the fixture (mod-7 removals, mod-5
+    // additions, mod-3 revisions)
+    "q113_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs
+        .filter(col("doc_id") % 5 =!= 0)
+        .withColumn(
+          "text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text"))
+        )
+      graft.operators.Report.snapshotDiff(oldSnap, newSnap).orderBy(col("doc_id"))
+    }),
     // WordPiece trainer: the BPE round structure with the likelihood
     // argmax (pair / (left * right) in fixed double-division order) —
     // per-round symbol counts are one extra aggregate on the word table
@@ -1671,6 +1695,46 @@ object SparkEntry {
     "q100_bpe_merges" -> bpeOracle(8),
     "q101_bpe_profile" -> bpeProfileOracle(8),
     "q111_wordpiece_merges" -> bpeOracle(8, wordpiece = true),
+    "q112_corpus_card" ->
+      s"""WITH pl AS (
+           SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(${tokens("text")})) AS BIGINT) AS n_tokens,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT ${polyHash("text")}) AS BIGINT) AS n_distinct
+           FROM documents GROUP BY 1, 2
+         ), agg AS (
+           SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(n_distinct) AS BIGINT) AS nd
+           FROM pl GROUP BY 1
+         ), top AS (
+           SELECT source, lang AS top_lang FROM (
+             SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_docs DESC, lang) AS r
+             FROM pl) t WHERE r = 1
+         )
+         SELECT agg.source, n_docs, n_tokens, n_chars, n_langs, top_lang,
+           n_tokens * 1000 // n_docs AS mean_tok_milli,
+           (n_docs - nd) * 1000 // n_docs AS dup_permille
+         FROM agg JOIN top USING (source) ORDER BY source""",
+    "q113_snapshot_diff" ->
+      s"""WITH olds AS (
+           SELECT doc_id, ${polyHash("text")} AS old_ph FROM documents WHERE doc_id % 7 <> 0
+         ), news AS (
+           SELECT doc_id, ${polyHash("t2")} AS new_ph FROM (
+             SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' rev' ELSE text END AS t2
+             FROM documents WHERE doc_id % 5 <> 0) n0
+         )
+         SELECT coalesce(olds.doc_id, news.doc_id) AS doc_id,
+           CASE WHEN olds.doc_id IS NULL THEN 'added'
+                WHEN news.doc_id IS NULL THEN 'removed'
+                WHEN old_ph <> new_ph THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM olds FULL JOIN news ON olds.doc_id = news.doc_id
+         ORDER BY doc_id""",
     // the sketch only bounds pass-2's recount set, so the oracle is the
     // plain exact GROUP BY / threshold the operator's result equals
     "q102_heavy_hitters" ->

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, TextFunctions}
+
+/** Corpus-level REPORTING operators — the datasheet/data-card and
+  * version-diff surfaces a production corpus publishes next to the
+  * attrition funnel ([[Pipeline.attrition]]): what is IN the corpus, per
+  * source, and what CHANGED between two snapshots. (Reference scope: the
+  * reference dumps one table and reports row counts — `dump_table.py`'s
+  * final print; these are the corpus-scale generalization, SURVEY §2.1
+  * north-star.)
+  *
+  * Determinism discipline: every metric is an integer (milli/permille
+  * ratios via floored division) or a deterministically tie-broken string,
+  * so the card hash-matches the DuckDB oracle exactly.
+  */
+object Report {
+
+  /** The per-source CORPUS CARD: one row per source —
+    * `(source, n_docs, n_tokens, n_chars, n_langs, top_lang,
+    * mean_tok_milli, dup_permille)` — the "composition" table of a
+    * datasheet (Gebru et al., Datasheets for Datasets; the Pile/Dolma
+    * papers publish exactly this shape).
+    *
+    * Scale shape: ONE corpus scan into a per-(source, lang) aggregate
+    * (map-side partials; token/char counts ride the same projection),
+    * then a per-source rollup of the bounded sources×langs frame.
+    * `top_lang` is `min_by(lang, (-count, lang))` — max count, ties to
+    * the smaller lang string, no window over anything corpus-sized.
+    * Exact-duplicate mass is counted over the 8-byte content hash
+    * (`poly_hash(text)`), not the text itself, so the distinct aggregate
+    * shuffles hashes, never documents.
+    */
+  def corpusCard(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      sourceCol: String = "source"
+  ): DataFrame = {
+    val perLang = docs
+      .select(
+        col(sourceCol).as("source"),
+        col(langCol).as("lang"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        length(col(textCol)).cast("long").as("n_chr"),
+        GraftExpressions.poly_hash(col(textCol)).as("ph")
+      )
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"),
+        // distinct content hashes per (source, lang); summing these per
+        // source is exact because a hash identical across LANGS within a
+        // source still represents distinct (lang, text) corpus entries —
+        // the card's duplicate metric is per-source WITHIN-lang dup mass
+        countDistinct(col("ph")).as("n_distinct")
+      )
+    perLang
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        count(lit(1)).as("n_langs"),
+        min_by(col("lang"), struct((-col("n_docs")).as("neg"), col("lang"))).as("top_lang"),
+        sum(col("n_distinct")).as("n_distinct")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_chars"),
+        col("n_langs"),
+        col("top_lang"),
+        expr("n_tokens * 1000 div n_docs").as("mean_tok_milli"),
+        expr("(n_docs - n_distinct) * 1000 div n_docs").as("dup_permille")
+      )
+  }
+
+  /** SNAPSHOT DIFF between two corpus versions — the data-versioning
+    * primitive under incremental pipelines ([[Dedup.dedupAgainst]]'s
+    * bookkeeping face): one row per doc id present in either snapshot,
+    * `(idCol, status)` with status `added` (new only), `removed` (old
+    * only), `changed` (both, content hash differs), `unchanged`.
+    *
+    * One full outer equi-join on the id over 8-byte content hashes —
+    * text never crosses the wire; at 100 TB both sides shuffle
+    * (id, hash) pairs only, and the join key is the id, so the exchange
+    * is as small as a diff can be.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(idCol), GraftExpressions.poly_hash(col(textCol)).as(as))
+    hashed(oldSnap, "old_ph")
+      .join(hashed(newSnap, "new_ph"), Seq(idCol), "full_outer")
+      .select(
+        col(idCol),
+        when(col("old_ph").isNull, lit("added"))
+          .when(col("new_ph").isNull, lit("removed"))
+          .when(col("old_ph") =!= col("new_ph"), lit("changed"))
+          .otherwise(lit("unchanged"))
+          .as("status")
+      )
+  }
+
+  /** [[snapshotDiff]] rolled up to the 4-row summary `(status, n_docs)`
+    * — the number a release note quotes.
+    */
+  def snapshotDiffSummary(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    snapshotDiff(oldSnap, newSnap, textCol, idCol)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+}

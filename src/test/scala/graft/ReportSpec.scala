@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Report
+
+/** Laws for the reporting operators: the corpus card must CONSERVE the
+  * totals it summarizes (a datasheet that disagrees with its corpus is
+  * worse than none), and the snapshot diff must partition the id
+  * universe with the symmetry a diff owes its reader.
+  */
+class ReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = sources.Tables.load(spark, Sf001, "documents")
+
+  test("corpusCard conserves corpus totals and derives integer ratios") {
+    val card = Report.corpusCard(docs).collect()
+    assert(card.nonEmpty)
+    val (nDocs, nTok, nChr) = docs
+      .select(
+        count(lit(1)),
+        sum(size(split(col("text"), " "))).cast("long"),
+        sum(length(col("text"))).cast("long")
+      )
+      .as[(Long, Long, Long)]
+      .head()
+    assert(card.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(card.map(_.getAs[Long]("n_tokens")).sum === nTok)
+    assert(card.map(_.getAs[Long]("n_chars")).sum === nChr)
+    card.foreach { r =>
+      assert(r.getAs[Long]("mean_tok_milli") ===
+        r.getAs[Long]("n_tokens") * 1000L / r.getAs[Long]("n_docs"))
+      val dup = r.getAs[Long]("dup_permille")
+      assert(dup >= 0L && dup < 1000L)
+    }
+  }
+
+  test("corpusCard: top_lang is the per-source argmax with the lexical tie-break; dup mass counts") {
+    val crafted = Seq(
+      // s1: de wins 2-1; s2: en and fr tie at 1 -> 'en' (smaller string)
+      (1L, "de", "s1", "a b"),
+      (2L, "de", "s1", "c d"),
+      (3L, "en", "s1", "e f"),
+      (4L, "fr", "s2", "g h"),
+      (5L, "en", "s2", "i j"),
+      // s3: three docs, two identical -> dup_permille = 333
+      (6L, "en", "s3", "same text"),
+      (7L, "en", "s3", "same text"),
+      (8L, "en", "s3", "other text")
+    ).toDF("doc_id", "lang", "source", "text")
+    val card = Report
+      .corpusCard(crafted)
+      .select("source", "top_lang", "dup_permille")
+      .as[(String, String, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(card("s1") === (("de", 0L)))
+    assert(card("s2") === (("en", 0L)))
+    assert(card("s3") === (("en", 333L)))
+  }
+
+  test("snapshotDiff laws: identity, disjoint, revision, and direction symmetry") {
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    // identity: everything unchanged
+    assert(
+      Report.snapshotDiff(a, a).select("status").as[String].collect().toSet === Set("unchanged")
+    )
+    // revision + add + remove
+    val b = Seq((2L, "two"), (3L, "three REVISED"), (4L, "four")).toDF("doc_id", "text")
+    val fwd = Report.snapshotDiff(a, b).as[(Long, String)].collect().toMap
+    assert(fwd === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // the reverse diff swaps added/removed and keeps changed/unchanged
+    val bwd = Report.snapshotDiff(b, a).as[(Long, String)].collect().toMap
+    assert(bwd === Map(1L -> "added", 2L -> "unchanged", 3L -> "changed", 4L -> "removed"))
+    // every id in either snapshot appears exactly once
+    assert(fwd.keySet === Set(1L, 2L, 3L, 4L))
+    // summary rolls up the same rows
+    val summary = Report.snapshotDiffSummary(a, b).as[(String, Long)].collect().toMap
+    assert(summary === Map("removed" -> 1L, "unchanged" -> 1L, "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("plans: card has no corpus window and one scan family; diff is a single equi-join") {
+    val card = Report.corpusCard(docs).queryExecution.executedPlan.toString
+    assert(!card.contains("Window"))
+    assert(!card.contains("CartesianProduct"))
+    val diff = Report
+      .snapshotDiff(docs, docs)
+      .queryExecution.executedPlan.toString
+    assert(!diff.contains("CartesianProduct"))
+    assert(!diff.contains("BroadcastNestedLoopJoin"))
+  }
+}
