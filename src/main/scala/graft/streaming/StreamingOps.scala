@@ -366,6 +366,36 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.Retrieval.matchedTerms(stream, model, textCol)
 
+  /** LIVE CORPUS CARD — the streaming face of
+    * [[graft.operators.Report.corpusCard]]: per (event-time window,
+    * source) document/token counts over an ingest stream, the datasheet
+    * accumulating as the crawl lands. A genuinely STATEFUL streaming
+    * aggregation (unlike the scoring twins, which are deliberately
+    * stateless projections): the state is keyed on (window, source) —
+    * bounded by sources × open windows — and the watermark closes
+    * windows, so state is evicted as event time advances; in append
+    * mode a window's row emits exactly once, when it can no longer
+    * change. Token counts ride the same projection as the grouping
+    * (one kernel call per row), so the stream side never re-reads a
+    * document.
+    */
+  def cardStream(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      sourceCol: String = "source",
+      textCol: String = "text",
+      watermark: String = "10 minutes",
+      width: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("w"), col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens")
+      )
+      .select(col("w.start").as("window_start"), col("source"), col("n_docs"), col("n_tokens"))
+
   /** Watermarked STREAM-STREAM interval join — the attribution shape: for
     * each purchase, every signup by the same user in the `window` before
     * it (inclusive on both ends). Both sides carry a watermark and the

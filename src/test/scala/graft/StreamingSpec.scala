@@ -8,6 +8,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.time.Instant
 
+/** A timestamped ingest document — top-level so Spark can instantiate it
+  * without an outer-instance reference (an inner case class fails
+  * deserialization in MemoryStream).
+  */
+final case class DocEv(doc_id: Long, ts: Instant, source: String, text: String)
+
 /** Streaming == batch equivalence on the events fixture: the same logic
   * must produce the same rows whether it runs as a bounded DataFrame job
   * or through readStream with watermarks and state.
@@ -37,6 +43,41 @@ class StreamingSpec extends SparkSpec {
     val got = streamed.as[(Instant, String, Long, Double)].collect().toSet
     val exp = batch.as[(Instant, String, Long, Double)].collect().toSet
     assert(got == exp)
+  }
+
+  test("cardStream: watermarked live corpus card == batch card per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Instant.parse("2026-01-01T00:10:00Z")
+    val mkDocs = Seq(
+      DocEv(1L, t0, "web", "a b c"),
+      DocEv(2L, t0.plusSeconds(60), "web", "d e"),
+      DocEv(3L, t0.plusSeconds(120), "books", "f"),
+      DocEv(4L, t0.plusSeconds(3700), "web", "g h i j") // next window
+    )
+    val stream = MemoryStream[DocEv]
+    stream.addData(mkDocs)
+    // a late far-future row advances the watermark past window 1+2
+    stream.addData(DocEv(9L, t0.plusSeconds(20000), "web", "zz"))
+    val streamed = StreamingOps.runToMemory(
+      spark,
+      StreamingOps.cardStream(stream.toDF(), watermark = "0 seconds"),
+      "card_stream"
+    )
+    // append mode emitted exactly the CLOSED windows, matching the batch
+    // aggregation restricted to them
+    val got = streamed
+      .as[(Instant, String, Long, Long)].collect().toSet
+    val batch = StreamingOps
+      .cardStream(mkDocs.toDF())
+      .as[(Instant, String, Long, Long)].collect().toSet
+    assert(got.subsetOf(batch))
+    assert(got.map(_._1).size === 2) // both pre-watermark windows closed
+    assert(got === batch.filter(_._1.isBefore(t0.plusSeconds(19000))))
+    // and the stateful aggregation carries watermark-scoped state only:
+    // the plan is a streaming aggregate (StateStore present by design)
+    assert(got.contains((Instant.parse("2026-01-01T00:00:00Z"), "web", 2L, 5L)))
+    assert(got.contains((Instant.parse("2026-01-01T00:00:00Z"), "books", 1L, 1L)))
+    assert(got.contains((Instant.parse("2026-01-01T01:00:00Z"), "web", 1L, 4L)))
   }
 
   test("custom interval-merge sessionizer == batch sessions after watermark flush") {
