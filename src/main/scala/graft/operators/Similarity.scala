@@ -777,21 +777,33 @@ object Similarity {
     annPqAdcWith(emb, trainPq(emb, m), queryIds, k)
 
   /** [[annPqAdc]] against caller-supplied codebooks (train-once lifecycle). */
-  def annPqAdcWith(emb: DataFrame, cb: PqCodebooks, queryIds: Seq[Long], k: Int): DataFrame =
-    topK(pqScored(emb, cb, queryIds), k)
-
-  /** The shared (query × reconstructed-candidate) scored frame. */
-  private def pqScored(emb: DataFrame, cb: PqCodebooks, queryIds: Seq[Long]): DataFrame = {
+  def annPqAdcWith(emb: DataFrame, cb: PqCodebooks, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val recon = decodePq(encodePq(e, cb), cb)
-    val queries = e.filter(col("vec_id").isin(queryIds: _*))
-    broadcast(queries.as("q"))
+    annPqAdcOnCodes(encodePq(e, cb), e.filter(col("vec_id").isin(queryIds: _*)), cb, k)
+  }
+
+  /** The PRODUCTION serve path: queries against a PRE-ENCODED codes
+    * frame (the persisted artifact — encode once at ingest, store m
+    * integers per vector, serve every query batch from the codes).
+    * `queries` carries full-precision `(vec_id, embedding)` rows;
+    * self-matches are excluded by id. [[annPqAdcWith]] is the
+    * encode-in-plan sugar over this (spec-pinned equal).
+    */
+  def annPqAdcOnCodes(
+      codes: DataFrame,
+      queries: DataFrame,
+      cb: PqCodebooks,
+      k: Int
+  ): DataFrame = {
+    val recon = decodePq(codes, cb)
+    val scored = broadcast(queries.select(col("vec_id"), col("embedding")).as("q"))
       .join(recon.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("q.embedding"), col("c.recon")).as("cos")
       )
+    topK(scored, k)
   }
 
   /** PQ shortlist + EXACT re-rank (the FAISS refine stage): rank by
@@ -811,8 +823,13 @@ object Similarity {
   ): DataFrame = {
     require(shortlist >= k, s"need shortlist >= k, got shortlist=$shortlist k=$k")
     val e = emb.select(col("vec_id"), col("embedding"))
-    val short = topK(pqScored(e, trainPq(emb, m), queryIds), shortlist)
-      .select(col("query_id"), col("neighbor_id"))
+    val cb = trainPq(emb, m)
+    val short = annPqAdcOnCodes(
+      encodePq(e, cb),
+      e.filter(col("vec_id").isin(queryIds: _*)),
+      cb,
+      shortlist
+    ).select(col("query_id"), col("neighbor_id"))
     val queries = e.filter(col("vec_id").isin(queryIds: _*))
     val rescored = short
       .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), Seq("query_id"))

@@ -723,6 +723,149 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** `ScaleSmoke index [nDocs]` — inverted-index build + search at 1M
+    * docs: plain vs blocked posting-row bounds (the stopword-skew
+    * argument made measurable), and conjunctive search vs the BM25
+    * corpus re-scan (the number that justifies materializing an index).
+    */
+  private def indexMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 1000000L
+    val spark = GraftSession.local("scale-smoke-index", 32)
+    import spark.implicits._
+    def time[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[index] $name%-42s $secs%8.2f s")
+      (r, secs)
+    }
+    // genText draws 50 tokens from a 5000-token vocabulary, so every
+    // term is "hot": avg df = n/100 — posting skew is the norm here,
+    // exactly the regime the blocked layout exists for
+    val docs = spark.range(n).map(id => (id, genText(id))).toDF("doc_id", "text").persist()
+    println(s"[index] corpus: ${docs.count()} docs x 50 tokens, 5000-term vocab")
+    import graft.operators.Retrieval
+    val (plainMax, _) = time("plain index build (full posting rows)") {
+      Retrieval
+        .invertedIndex(docs)
+        .agg(max(size(col("doc_ids"))), count(lit(1)))
+        .as[(Int, Long)]
+        .head()
+    }
+    val blockDocs = 65536L
+    val (blockedMax, _) = time(s"blocked index build (blockDocs=$blockDocs)") {
+      Retrieval
+        .invertedIndexBlocked(docs, blockDocs)
+        .agg(max(size(col("doc_ids"))), count(lit(1)))
+        .as[(Int, Long)]
+        .head()
+    }
+    println(
+      s"[index] max posting row: plain=${plainMax._1} entries (vocab rows ${plainMax._2}), " +
+        s"blocked=${blockedMax._1} entries over ${blockedMax._2} rows — " +
+        s"the blocked bound holds at any corpus size; a plain stopword row grows with n"
+    )
+    // search: the index reads |Q| posting rows; BM25 re-scans the corpus
+    val idx = Retrieval.invertedIndex(docs).persist()
+    idx.count() // materialize the artifact (the build is paid once)
+    val terms = Seq("tok1", "tok42", "tok4999")
+    val (hits, tSearch) = time("searchAll over the materialized index") {
+      Retrieval.searchAll(idx, terms).count()
+    }
+    val (_, tBm25) = time("bm25ScoreAgainst (corpus re-scan)") {
+      Retrieval
+        .bm25ScoreAgainst(docs, Retrieval.bm25Model(docs, "text", terms), "text")
+        .count()
+    }
+    println(
+      f"[index] conjunctive hits=$hits; indexed search $tSearch%.2f s vs corpus-scan scoring " +
+        f"$tBm25%.2f s (${tBm25 / tSearch}%.1fx) — the gap widens with corpus size since the " +
+        f"search side reads |Q| posting rows"
+    )
+    idx.unpersist(); docs.unpersist()
+    spark.stop()
+  }
+
+  /** `ScaleSmoke pq [nVec]` — PQ at 200k clustered vectors: encode cost,
+    * the compression accounting, and ADC/refined recall vs brute force
+    * on the geometry quantization exists for.
+    */
+  private def pqMain(args: Array[String]): Unit = {
+    val nVec = if (args.length > 1) args(1).toLong else 200000L
+    val spark = GraftSession.local("scale-smoke-pq", 32)
+    import spark.implicits._
+    def time[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[pq] $name%-42s $secs%8.2f s")
+      (r, secs)
+    }
+    def mixv(x: Long): Long = {
+      var h = x * 0x9e3779b97f4a7c15L
+      h ^= (h >>> 32); h *= 0xbf58476d1ce4e5b9L; h ^= (h >>> 29)
+      math.abs(h)
+    }
+    // 200-cluster geometry (the retrieval smoke's generator)
+    val emb = spark
+      .range(nVec)
+      .map { id =>
+        val c = id % 200L
+        val v = Array.tabulate(64) { j =>
+          val center = ((mixv(c * 977L + j) % 2001L) - 1000L).toFloat / 1000f
+          val noise = ((mixv(id * 131L + j) % 401L) - 200L).toFloat / 1000f
+          center + noise
+        }
+        (id, v)
+      }
+      .toDF("vec_id", "embedding")
+      .persist()
+    println(s"[pq] vectors: ${emb.count()} x 64d, 200 planted clusters")
+    import graft.operators.Similarity
+    val m = Similarity.PqSubspaces
+    // sampled trainer: the Lloyd chains see 1-in-8 of the corpus
+    val (cb, _) = time(s"trainPq (m=$m, every=8, persisted)") {
+      val c = Similarity.trainPq(emb, m, every = 8)
+      Similarity.PqCodebooks(m, c.codebooks.persist())
+    }
+    // encode ONCE — the persisted artifact a deployment stores and serves
+    val (codes, tEnc) = time("encodePq over the full corpus (the artifact)") {
+      val c = Similarity.encodePq(emb, cb).persist()
+      c.count()
+      c
+    }
+    println(
+      f"[pq] encoded $nVec vectors at ${nVec / tEnc}%.0f vec/s; " +
+        f"codes = $m bytes-range ints vs 64 float32 (256 B) per vector — " +
+        f"64x less candidate memory through storage and shuffle"
+    )
+    val qids = (0L until 5L).toSeq
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val (exact, tBrute) = time("bruteForceTopK x5 queries")(
+      pairs(Similarity.bruteForceTopK(emb, qids, 10))
+    )
+    val (adc, tAdc) = time("annPqAdcOnCodes x5 queries (serve path)")(
+      pairs(Similarity.annPqAdcOnCodes(codes, queries, cb, 10))
+    )
+    // member-level recall collapses BY CONSTRUCTION at this density:
+    // every cluster has nVec/200 members whose codes are identical, so
+    // ADC ties them and cannot rank WITHIN a cluster — what it preserves
+    // is the cluster itself. Report both numbers; the composition that
+    // ranks members exactly is ADC shortlist -> exact rerank with a
+    // cluster-sized shortlist (or IVF + rerank), not a bigger codebook.
+    val rMember = (exact & adc).size.toDouble / exact.size
+    val rCluster = adc.count { case (q, nb) => nb % 200L == q % 200L }.toDouble / adc.size
+    println(
+      f"[pq] member recall@10 = $rMember%.3f, CLUSTER recall = $rCluster%.3f at $nVec vectors " +
+        f"(${nVec / 200} identical-code members per cluster tie under ADC); " +
+        f"brute $tBrute%.1f s vs adc-on-codes $tAdc%.1f s"
+    )
+    codes.unpersist(); emb.unpersist()
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) { skewMain(args); return }
     if (args.headOption.contains("cluster")) { clusterMain(args); return }
@@ -730,6 +873,8 @@ object ScaleSmoke {
     if (args.headOption.contains("mix")) { mixMain(args); return }
     if (args.headOption.contains("retrieval")) { retrievalMain(args); return }
     if (args.headOption.contains("stream")) { streamMain(args); return }
+    if (args.headOption.contains("index")) { indexMain(args); return }
+    if (args.headOption.contains("pq")) { pqMain(args); return }
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val spark = GraftSession.local("scale-smoke", 32)
     import spark.implicits._

@@ -326,6 +326,13 @@ class AnnRecallSpec extends SparkSpec {
       rows(Similarity.annPqRefined(emb, Seq(0L, 1L), 5, shortlist = 500)) ===
         rows(Similarity.bruteForceTopK(emb, Seq(0L, 1L), 5))
     )
+    // the serve path (queries against the pre-encoded artifact) is the
+    // same operator as encode-in-plan
+    val e = emb.select(col("vec_id"), col("embedding"))
+    assert(
+      rows(Similarity.annPqAdcOnCodes(codes, e.filter(col("vec_id").isin(0L, 1L)), cb, 5)) ===
+        rows(Similarity.annPqAdcWith(emb, cb, Seq(0L, 1L), 5))
+    )
   }
 
   test("PQ plan: codebooks broadcast in encode/decode; no sort-merge join in the ADC path") {
