@@ -713,14 +713,20 @@ object Similarity {
     emb
       .select(
         col("vec_id"),
-        col("embedding"),
-        explode(sequence(lit(0L), lit((cb.m - 1).toLong))).as("sub")
+        // posexplode of the pre-sliced array MATERIALIZES each subvector
+        // into its generated row: the join below projects `sv` as a
+        // stored column. (Slicing after the explode left `sv` an
+        // expression the codebook join re-evaluated once per matched
+        // centroid — C× redundant array copies; the first 200k-vector
+        // smoke measured the difference.)
+        posexplode(
+          transform(
+            sequence(lit(0), lit(cb.m - 1)),
+            s => slice(col("embedding"), s * lit(dsub) + lit(1), lit(dsub))
+          )
+        ).as(Seq("sub", "sv"))
       )
-      .select(
-        col("vec_id"),
-        col("sub"),
-        slice(col("embedding"), col("sub") * lit(dsub) + lit(1), lit(dsub)).as("sv")
-      )
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("sv"))
       .join(broadcast(cb.codebooks), Seq("sub"))
       .select(
         col("vec_id"),

@@ -823,19 +823,32 @@ object ScaleSmoke {
     println(s"[pq] vectors: ${emb.count()} x 64d, 200 planted clusters")
     import graft.operators.Similarity
     val m = Similarity.PqSubspaces
-    // sampled trainer: the Lloyd chains see 1-in-8 of the corpus
-    val (cb, _) = time(s"trainPq (m=$m, every=8, persisted)") {
+    // sampled trainer: the Lloyd chains see 1-in-8 of the corpus. The
+    // codebook MATERIALIZES here (count after persist) so the number is
+    // the trainer's, not smeared into the first consumer — composition
+    // is lazy and the first smoke cut mis-attributed these 4 chains to
+    // encode
+    val (cb, _) = time(s"trainPq (m=$m, every=8, materialized)") {
       val c = Similarity.trainPq(emb, m, every = 8)
-      Similarity.PqCodebooks(m, c.codebooks.persist())
+      val p = Similarity.PqCodebooks(m, c.codebooks.persist())
+      p.codebooks.count()
+      p
     }
-    // encode ONCE — the persisted artifact a deployment stores and serves
-    val (codes, tEnc) = time("encodePq over the full corpus (the artifact)") {
-      val c = Similarity.encodePq(emb, cb).persist()
-      c.count()
-      c
+    // encode ONCE into the parquet artifact a deployment stores and
+    // serves. Timed as the WRITE: a count() of the encode plan prunes
+    // the codes column out of the final aggregate entirely (Catalyst
+    // drops the unreferenced collect_list), so a count-based "encode
+    // throughput" would measure a plan that never builds the codes
+    val codesDir = "/tmp/graft-pq-smoke/codes"
+    val fs = new org.apache.hadoop.fs.Path(codesDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft-pq-smoke"), true)
+    val (codes, tEnc) = time("encodePq -> parquet artifact + read back") {
+      Similarity.encodePq(emb, cb).write.mode("overwrite").parquet(codesDir)
+      spark.read.parquet(codesDir)
     }
     println(
-      f"[pq] encoded $nVec vectors at ${nVec / tEnc}%.0f vec/s; " +
+      f"[pq] encoded $nVec vectors at ${nVec / tEnc}%.0f vec/s into the artifact; " +
         f"codes = $m bytes-range ints vs 64 float32 (256 B) per vector — " +
         f"64x less candidate memory through storage and shuffle"
     )
