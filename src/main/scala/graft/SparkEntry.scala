@@ -811,6 +811,37 @@ object SparkEntry {
         .searchAll(idx, Seq("dup", "vector", "merge"))
         .orderBy(col("doc_id"))
     }),
+    // exact phrase search: one positional explode filtered to the
+    // phrase's terms (only those occurrences shuffle), then |phrase|-1
+    // equi-joins on (doc, normalized start position)
+    "q114_phrase_search" -> ((s, dir) => {
+      graft.operators.Retrieval
+        .searchPhrase(t(s, dir, "documents"), Seq("table", "hash"))
+        .orderBy(col("doc_id"))
+    }),
+    // incremental index maintenance: the indexes of two disjoint corpus
+    // halves merged through posting-row re-aggregation must equal the
+    // full rebuild EXACTLY — the oracle is q107's full-corpus SQL
+    "q115_index_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = graft.operators.Retrieval.invertedIndex(docs.filter(col("doc_id") < 250))
+      val b = graft.operators.Retrieval.invertedIndex(docs.filter(col("doc_id") >= 250))
+      graft.operators.Retrieval
+        .mergeIndexes(a, b)
+        .select(
+          col("tok"),
+          col("df"),
+          posexplode(arrays_zip(col("doc_ids"), col("tfs"))).as(Seq("pos", "p"))
+        )
+        .select(
+          col("tok"),
+          col("df"),
+          col("pos").cast("long").as("pos"),
+          col("p.doc_ids").as("doc_id"),
+          col("p.tfs").as("tf")
+        )
+        .orderBy(col("tok"), col("pos"))
+    }),
     // eval-exposure report (the reverse contamination direction): for
     // each benchmark item, how many corpus docs share a 4-gram with it
     // and how many of its distinct grams are exposed
@@ -1592,6 +1623,20 @@ object SparkEntry {
        SELECT * FROM ($unions) u ORDER BY merge_idx"""
   }
 
+  /** The full-corpus inverted index as flattened posting rows — the gate
+    * for BOTH q107 (direct build) and q115 (merge of two disjoint-half
+    * indexes, which must equal the rebuild exactly).
+    */
+  private lazy val invertedIndexOracle: String =
+    s"""WITH occ AS (SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents),
+       tf AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM occ GROUP BY 1, 2),
+       df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+       SELECT tok, df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) - 1 AS BIGINT) AS pos,
+         doc_id, tf
+       FROM tf JOIN df USING (tok) ORDER BY tok, pos"""
+
   /** The q82 hygienic chain — scrub → Gopher → quality → repetition →
     * decontamination → exact dedup → near dedup (best-rep) → temperature
     * mix — as a CTE sequence `raw … samp` over the documents table with
@@ -1769,15 +1814,18 @@ object SparkEntry {
          FROM agg ORDER BY score DESC, doc_id LIMIT 10""",
     // the flattened posting rows replayed over the same (tok, doc) tf
     // frame; pos = the 0-based position in the doc-id-sorted posting list
-    "q107_inverted_index" ->
-      s"""WITH occ AS (SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents),
-         tf AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
-                FROM occ GROUP BY 1, 2),
-         df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
-         SELECT tok, df,
-           CAST(ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) - 1 AS BIGINT) AS pos,
-           doc_id, tf
-         FROM tf JOIN df USING (tok) ORDER BY tok, pos""",
+    "q107_inverted_index" -> invertedIndexOracle,
+    // merge(index(A), index(B)) over disjoint halves == the full rebuild:
+    // the oracle IS q107's full-corpus index
+    "q115_index_merge" -> invertedIndexOracle,
+    "q114_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+         occ AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM d),
+         l0 AS (SELECT doc_id, pos AS s FROM occ WHERE tok = 'table'),
+         l1 AS (SELECT doc_id, pos - 1 AS s FROM occ WHERE tok = 'hash')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+         FROM (SELECT l0.doc_id, l0.s FROM l0 JOIN l1 ON l0.doc_id = l1.doc_id AND l0.s = l1.s) t
+         GROUP BY doc_id ORDER BY doc_id""",
     "q108_index_search" ->
       s"""WITH occ AS (SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents),
          tf AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf

@@ -147,8 +147,14 @@ object Retrieval {
       maxDf: Long = Long.MaxValue
   ): DataFrame = {
     require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
-    termFrequencies(docs, textCol, idCol)
-      .groupBy(col("tok"))
+    assemblePostings(termFrequencies(docs, textCol, idCol), maxDf)
+  }
+
+  /** Per-token posting assembly from a `(tok, doc_id, tf)` frame — the
+    * shared back half of [[invertedIndex]] and [[mergeIndexes]].
+    */
+  private def assemblePostings(tf: DataFrame, maxDf: Long): DataFrame =
+    tf.groupBy(col("tok"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("p"))
       .filter(size(col("p")) <= maxDf)
       .select(
@@ -157,6 +163,27 @@ object Retrieval {
         transform(col("p"), s => s.getField("doc_id")).as("doc_ids"),
         transform(col("p"), s => s.getField("tf")).as("tfs")
       )
+
+  /** INCREMENTAL INDEX MAINTENANCE: merge partial indexes over DISJOINT
+    * document sets into the index of their union — the daily-crawl
+    * operator (index the delta, merge into the base; never re-tokenize
+    * the base corpus). Each part's postings explode back to `(tok, doc,
+    * tf)` rows — 3 small integers per posting, the text is long gone —
+    * and re-assemble through the shared aggregation, so `merge(index(A),
+    * index(B)) == index(A ∪ B)` EXACTLY (spec-pinned). Contract: parts
+    * must be document-disjoint (a doc split across parts would carry two
+    * partial tf rows; dedup upstream is the engine's own
+    * [[Dedup.dedupAgainst]] admission path).
+    */
+  def mergeIndexes(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "no index parts to merge")
+    val occ = parts
+      .map(
+        _.select(col("tok"), explode(arrays_zip(col("doc_ids"), col("tfs"))).as("h"))
+          .select(col("tok"), col("h.doc_ids").as("doc_id"), col("h.tfs").as("tf"))
+      )
+      .reduce(_.unionByName(_))
+    assemblePostings(occ, Long.MaxValue)
   }
 
   /** [[invertedIndex]] with BLOCKED posting lists — the 100-TB layout:
@@ -207,6 +234,42 @@ object Retrieval {
     * (`HAVING count = |Q|`), never a pairwise list walk, so a term's
     * posting skew bounds task size exactly as in the build.
     */
+  /** EXACT PHRASE search: documents containing `phrase`'s tokens at
+    * CONSECUTIVE positions, `(doc_id, n_matches)` with the occurrence
+    * count. Plan shape: one positional explode filtered to the phrase's
+    * terms (only THOSE occurrences shuffle — the q103 pre-aggregate
+    * filter discipline), then |phrase|−1 equi-joins on `(doc,
+    * normalized position)` — occurrence i of term j must sit at start
+    * position p, i.e. its own position minus j; the join key carries the
+    * doc id, so skew is bounded by a term's per-doc frequency, never by
+    * corpus-wide popularity. Repeated phrase terms (`"a a"`) fall out of
+    * the same join — each leg filters its own term independently.
+    */
+  def searchPhrase(
+      docs: DataFrame,
+      phrase: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val occ = docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok"))
+      )
+      .filter(col("tok").isin(phrase.distinct: _*))
+    def leg(term: String, offset: Int): DataFrame =
+      occ
+        .filter(col("tok") === lit(term))
+        .select(col("doc_id"), (col("pos") - lit(offset)).as("start"))
+    val starts = phrase.zipWithIndex
+      .map { case (t, i) => leg(t, i) }
+      .reduce(_.join(_, Seq("doc_id", "start")))
+    starts
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
     val distinctTerms = terms.distinct
     require(distinctTerms.nonEmpty, "empty query")

@@ -812,6 +812,66 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF + PQ — the composed billion-vector serve stack (FAISS `IVFADC`
+    * proper): the full-dim IVF codebook prunes candidates to the probed
+    * cells, and the candidate scan reads PQ RECONSTRUCTIONS instead of
+    * raw vectors — cell pruning bounds how many candidates a query
+    * touches, PQ bounds the bytes each candidate costs, and the two
+    * knobs compose because the exclusion/scoring stages are independent
+    * (`every` caps BOTH trainers). Optional `rerank`: re-score the PQ
+    * top-`rerank` shortlist against exact vectors (the refine stage) —
+    * at high cluster density PQ codes tie within a cluster, so member-
+    * level ranking NEEDS this (see the 200k smoke).
+    */
+  def annIvfPq(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      m: Int = PqSubspaces,
+      every: Int = 1,
+      rerank: Int = 0
+  ): DataFrame = {
+    require(rerank == 0 || rerank >= k, s"need rerank = 0 or >= k, got rerank=$rerank k=$k")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val cb = trainCodebook(emb, every)
+    val pq = trainPq(emb, m, every)
+    val rankedCells = topK(cellScores(e, cb.centroids), IvfProbes)
+      .select(col("query_id").as("vec_id"), col("rnk"), col("neighbor_id").as("cell"))
+    val recon = decodePq(encodePq(e, pq), pq)
+    val corpusCells =
+      recon.join(rankedCells.filter(col("rnk") === 1).select("vec_id", "cell"), "vec_id")
+    val queryCells = e
+      .filter(col("vec_id").isin(queryIds: _*))
+      .join(rankedCells.select("vec_id", "cell"), "vec_id")
+    val scored = broadcast(queryCells.as("q"))
+      .join(
+        corpusCells.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id")
+      )
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("q.embedding"), col("c.recon")).as("cos")
+      )
+    if (rerank == 0) topK(scored, k)
+    else {
+      val short = topK(scored, rerank).select(col("query_id"), col("neighbor_id"))
+      val queries = e.filter(col("vec_id").isin(queryIds: _*))
+      val rescored = short
+        .join(
+          broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+          Seq("query_id")
+        )
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")), Seq("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          VectorFunctions.cosine(col("q_emb"), col("c_emb")).as("cos")
+        )
+      topK(rescored, k)
+    }
+  }
+
   /** PQ shortlist + EXACT re-rank (the FAISS refine stage): rank by
     * [[annPqAdc]]'s compressed scores, keep each query's top
     * `shortlist` candidates, then re-score ONLY those against the

@@ -335,6 +335,24 @@ class AnnRecallSpec extends SparkSpec {
     )
   }
 
+  test("annIvfPq recall on 200-cluster geometry; exact rerank never loses recall") {
+    val emb = clusteredVecs(2000L).persist()
+    try {
+      val queries = Seq(0L, 1L, 2L, 3L, 4L)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val exact = pairs(Similarity.bruteForceTopK(emb, queries, 10))
+      val ivfpq = pairs(Similarity.annIvfPq(emb, queries, 10))
+      val reranked = pairs(Similarity.annIvfPq(emb, queries, 10, rerank = 50))
+      val r1 = (exact & ivfpq).size.toDouble / exact.size
+      val r2 = (exact & reranked).size.toDouble / exact.size
+      info(f"ivf+pq recall@10 = $r1%.3f, +rerank(50) = $r2%.3f")
+      assert(r1 >= 0.8, f"IVF+PQ recall collapsed on clustered geometry: $r1%.3f < 0.8")
+      assert(r2 >= r1, "exact reranking must not lose recall")
+      intercept[IllegalArgumentException](Similarity.annIvfPq(emb, queries, 10, rerank = 5))
+    } finally { emb.unpersist(); () }
+  }
+
   test("PQ plan: codebooks broadcast in encode/decode; no sort-merge join in the ADC path") {
     val emb = Tables.load(spark, Sf001, "embeddings")
     val plan = Similarity.annPqAdc(emb, Seq(0L, 1L), 5)

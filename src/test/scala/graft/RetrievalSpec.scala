@@ -169,6 +169,44 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.searchAll(idx, Seq("zz")).count() === 0L)
   }
 
+  test("searchPhrase: adjacency is strict, overlaps count, repeated terms work, 1-term = tf") {
+    val docs = corpus(
+      0L -> "x table hash y table hash",  // two matches
+      1L -> "table y hash",               // gap -> no match
+      2L -> "hash table",                 // wrong order -> no match
+      3L -> "a a a",                      // repeated-term phrase territory
+      4L -> "table hash"                  // exact doc
+    )
+    val got = Retrieval.searchPhrase(docs, Seq("table", "hash"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 4L -> 1L))
+    // overlapping matches of a repeated-term phrase: "a a" in "a a a"
+    // starts at positions 0 and 1
+    val rep = Retrieval.searchPhrase(docs, Seq("a", "a")).as[(Long, Long)].collect().toMap
+    assert(rep === Map(3L -> 2L))
+    // single-term phrase degenerates to the term count
+    val single = Retrieval.searchPhrase(docs, Seq("table")).as[(Long, Long)].collect().toMap
+    assert(single === Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 4L -> 1L))
+    intercept[IllegalArgumentException](Retrieval.searchPhrase(docs, Seq.empty))
+  }
+
+  test("mergeIndexes over disjoint parts == the full rebuild; degenerate cases hold") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("tok", "df", "doc_ids", "tfs")
+        .as[(String, Long, Seq[Long], Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val full = flat(Retrieval.invertedIndex(docs))
+    // three-way split on an arbitrary hash of the id
+    val parts = (0 until 3).map(i =>
+      Retrieval.invertedIndex(docs.filter(pmod(col("doc_id") * 2654435761L, lit(3)) === i))
+    )
+    assert(flat(Retrieval.mergeIndexes(parts: _*)) === full)
+    // single part is the identity; empty part list fails loudly
+    assert(flat(Retrieval.mergeIndexes(Retrieval.invertedIndex(docs))) === full)
+    intercept[IllegalArgumentException](Retrieval.mergeIndexes())
+  }
+
   test("physical plan: index build and search are aggregate-only — no window, no cartesian") {
     val docs = spark.read.parquet(s"$Sf001/documents.parquet")
     val build = Retrieval.invertedIndex(docs).queryExecution.executedPlan.toString
