@@ -811,6 +811,24 @@ object SparkEntry {
         .searchAll(idx, Seq("dup", "vector", "merge"))
         .orderBy(col("doc_id"))
     }),
+    // phrase search served FROM the positional index artifact: the
+    // phrase's index rows explode back to occurrences and the same
+    // normalized-start joins intersect them — corpus text never read;
+    // gate == q114's oracle (indexed == direct)
+    "q116_phrase_indexed" -> ((s, dir) => {
+      val idx = graft.operators.Retrieval.invertedIndexPositional(t(s, dir, "documents"))
+      graft.operators.Retrieval
+        .searchPhraseIndexed(idx, Seq("table", "hash"))
+        .orderBy(col("doc_id"))
+    }),
+    // generic table profiler (the ANALYZE surface): one pass, every
+    // column's null/distinct/min/max riding a single agg row melted to
+    // schema-sized per-column rows
+    "q117_table_profile" -> ((s, dir) => {
+      graft.operators.Report
+        .profileTable(t(s, dir, "documents"))
+        .orderBy(col("column"))
+    }),
     // exact phrase search: one positional explode filtered to the
     // phrase's terms (only those occurrences shuffle), then |phrase|-1
     // equi-joins on (doc, normalized start position)
@@ -1818,6 +1836,28 @@ object SparkEntry {
     // merge(index(A), index(B)) over disjoint halves == the full rebuild:
     // the oracle IS q107's full-corpus index
     "q115_index_merge" -> invertedIndexOracle,
+    // indexed phrase search must equal the direct scan — same oracle
+    "q116_phrase_indexed" ->
+      s"""WITH d AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+         occ AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM d),
+         l0 AS (SELECT doc_id, pos AS s FROM occ WHERE tok = 'table'),
+         l1 AS (SELECT doc_id, pos - 1 AS s FROM occ WHERE tok = 'hash')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+         FROM (SELECT l0.doc_id, l0.s FROM l0 JOIN l1 ON l0.doc_id = l1.doc_id AND l0.s = l1.s) t
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q117_table_profile" -> {
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      cols
+        .map(c =>
+          s"""SELECT '$c' AS "column", (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows,
+             CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(MIN($c) AS VARCHAR) AS min_val,
+             CAST(MAX($c) AS VARCHAR) AS max_val
+             FROM documents"""
+        )
+        .mkString(" UNION ALL ") + " ORDER BY \"column\""
+    },
     "q114_phrase_search" ->
       s"""WITH d AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
          occ AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM d),

@@ -113,6 +113,58 @@ object Report {
       )
   }
 
+  /** GENERIC TABLE PROFILER — the ANALYZE surface next to the corpus
+    * card: one row per column of ANY input frame, `(column, n_rows,
+    * n_nulls, n_distinct, min_val, max_val)` with min/max rendered as
+    * strings so the report schema is column-type-independent. ONE corpus
+    * pass: every column's aggregates ride a single `agg(...)` row that
+    * is then melted to per-column rows via an in-memory explode (the
+    * per-column frame is schema-sized, never data-sized). The reference
+    * infers a table's schema by sampling (`dump_table.py`'s
+    * 10-row probe); this is the statistics sibling a warehouse keeps
+    * next to it.
+    *
+    * `exact = false` swaps `countDistinct` for `approx_count_distinct`
+    * (HLL): the exact form plans one Expand pass per distinct aggregate
+    * — fine for a nightly profile, but at 100 TB the sketch is the
+    * right default and the rest of the report is unchanged (the gate
+    * pins the exact form; the sketch form is law-tested for bounds).
+    */
+  def profileTable(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "cannot profile a zero-column frame")
+    val aggs = fields.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c)).as(s"${f.name}__distinct"),
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max")
+      )
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs.toSeq: _*)
+    val melted = fields.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        col("__n").as("n_rows"),
+        col(s"`${f.name}__nulls`").as("n_nulls"),
+        col(s"`${f.name}__distinct`").as("n_distinct"),
+        col(s"`${f.name}__min`").as("min_val"),
+        col(s"`${f.name}__max`").as("max_val")
+      )
+    }
+    one
+      .select(explode(array(melted: _*)).as("r"))
+      .select(
+        col("r.column"),
+        col("r.n_rows"),
+        col("r.n_nulls"),
+        col("r.n_distinct"),
+        col("r.min_val"),
+        col("r.max_val")
+      )
+  }
+
   /** [[snapshotDiff]] rolled up to the 4-row summary `(status, n_docs)`
     * — the number a release note quotes.
     */

@@ -234,6 +234,70 @@ object Retrieval {
     * (`HAVING count = |Q|`), never a pairwise list walk, so a term's
     * posting skew bounds task size exactly as in the build.
     */
+  /** POSITIONAL inverted index — `(tok, df, doc_ids, positions)` with
+    * `positions[i]` the ascending token positions of `tok` in
+    * `doc_ids[i]`: the artifact that serves PHRASE queries without
+    * touching corpus text ([[searchPhraseIndexed]]). Same two-aggregate
+    * build as [[invertedIndex]] with the position lists riding the
+    * grouping; posting size grows by the occurrence count (tf numbers
+    * become position arrays) — the standard positional-index cost, paid
+    * at build so phrase queries read |phrase| rows.
+    */
+  def invertedIndexPositional(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDf: Long = Long.MaxValue
+  ): DataFrame = {
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok"))
+      )
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(array_sort(collect_list(col("pos").cast("long"))).as("ps"))
+      .groupBy(col("tok"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("ps")))).as("p"))
+      .filter(size(col("p")) <= maxDf)
+      .select(
+        col("tok"),
+        size(col("p")).cast("long").as("df"),
+        transform(col("p"), s => s.getField("doc_id")).as("doc_ids"),
+        transform(col("p"), s => s.getField("ps")).as("positions")
+      )
+  }
+
+  /** [[searchPhrase]] served from a POSITIONAL index instead of the
+    * corpus: the phrase's |distinct terms| index rows explode back to
+    * `(tok, doc, position)` occurrences and the same |phrase|−1
+    * `(doc, normalized start)` equi-joins intersect them — identical
+    * result (the q116 gate runs against q114's oracle), but the corpus
+    * text is never read. This is what the positional artifact is FOR: a
+    * phrase query's cost is bounded by its terms' posting sizes, not the
+    * corpus.
+    */
+  def searchPhraseIndexed(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val occ = index
+      .filter(col("tok").isin(phrase.distinct: _*))
+      .select(col("tok"), explode(arrays_zip(col("doc_ids"), col("positions"))).as("h"))
+      .select(
+        col("tok"),
+        col("h.doc_ids").as("doc_id"),
+        explode(col("h.positions")).as("pos")
+      )
+    def leg(term: String, offset: Int): DataFrame =
+      occ
+        .filter(col("tok") === lit(term))
+        .select(col("doc_id"), (col("pos") - lit(offset)).as("start"))
+    phrase.zipWithIndex
+      .map { case (t, i) => leg(t, i) }
+      .reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** EXACT PHRASE search: documents containing `phrase`'s tokens at
     * CONSECUTIVE positions, `(doc_id, n_matches)` with the occurrence
     * count. Plan shape: one positional explode filtered to the phrase's

@@ -81,6 +81,37 @@ class ReportSpec extends SparkSpec {
     assert(summary === Map("removed" -> 1L, "unchanged" -> 1L, "changed" -> 1L, "added" -> 1L))
   }
 
+  test("profileTable: exact null/distinct/min/max per column; sketch mode bounded; empty fails") {
+    val crafted = Seq(
+      (Some(1L), Some("b"), Some(2.5)),
+      (Some(1L), None, Some(1.5)),
+      (Some(3L), Some("a"), None),
+      (None, Some("a"), Some(2.5))
+    ).toDF("k", "s", "v")
+    val prof = Report.profileTable(crafted).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(prof.keySet === Set("k", "s", "v"))
+    prof.values.foreach(r => assert(r.getAs[Long]("n_rows") === 4L))
+    assert(prof("k").getAs[Long]("n_nulls") === 1L)
+    assert(prof("k").getAs[Long]("n_distinct") === 2L)
+    assert(prof("k").getAs[String]("min_val") === "1")
+    assert(prof("k").getAs[String]("max_val") === "3")
+    assert(prof("s").getAs[Long]("n_distinct") === 2L)
+    assert(prof("s").getAs[String]("min_val") === "a")
+    assert(prof("v").getAs[Long]("n_nulls") === 1L)
+    assert(prof("v").getAs[Long]("n_distinct") === 2L)
+    // sketch mode: same report shape, distinct within HLL tolerance
+    val approx = Report.profileTable(crafted, exact = false).collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Long]("n_distinct")).toMap
+    approx.foreach { case (c, nd) =>
+      val ex = prof(c).getAs[Long]("n_distinct")
+      assert(math.abs(nd - ex) <= math.max(1L, ex / 5), s"column $c: $nd vs $ex")
+    }
+    intercept[IllegalArgumentException](
+      Report.profileTable(spark.emptyDataFrame)
+    )
+  }
+
   test("plans: card has no corpus window and one scan family; diff is a single equi-join") {
     val card = Report.corpusCard(docs).queryExecution.executedPlan.toString
     assert(!card.contains("Window"))

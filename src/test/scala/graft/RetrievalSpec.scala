@@ -207,6 +207,33 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.mergeIndexes())
   }
 
+  test("positional index: positions sorted and tf-consistent; indexed phrase == direct scan") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val pidx = Retrieval.invertedIndexPositional(docs)
+    val tfByTokDoc = Retrieval.invertedIndex(docs)
+      .select(col("tok"), explode(arrays_zip(col("doc_ids"), col("tfs"))).as("h"))
+      .select(col("tok"), col("h.doc_ids").as("doc_id"), col("h.tfs").as("tf"))
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pidx.collect().foreach { r =>
+      val tok = r.getAs[String]("tok")
+      val ids = r.getAs[collection.Seq[Long]]("doc_ids")
+      val pos = r.getAs[collection.Seq[collection.Seq[Long]]]("positions")
+      assert(ids.length === pos.length)
+      ids.zip(pos).foreach { case (d, ps) =>
+        assert(ps === ps.sorted)
+        assert(ps.length.toLong === tfByTokDoc((tok, d)), s"positions vs tf for ($tok, $d)")
+      }
+    }
+    // indexed phrase search == the direct corpus scan, for several phrases
+    for (phrase <- Seq(Seq("table", "hash"), Seq("merge", "group"), Seq("table"))) {
+      val direct = Retrieval.searchPhrase(docs, phrase).as[(Long, Long)].collect().toMap
+      val indexed = Retrieval.searchPhraseIndexed(pidx, phrase).as[(Long, Long)].collect().toMap
+      assert(indexed === direct, s"phrase $phrase")
+    }
+    intercept[IllegalArgumentException](Retrieval.searchPhraseIndexed(pidx, Seq.empty))
+  }
+
   test("physical plan: index build and search are aggregate-only — no window, no cartesian") {
     val docs = spark.read.parquet(s"$Sf001/documents.parquet")
     val build = Retrieval.invertedIndex(docs).queryExecution.executedPlan.toString
