@@ -821,6 +821,15 @@ object SparkEntry {
         .searchPhraseIndexed(idx, Seq("table", "hash"))
         .orderBy(col("doc_id"))
     }),
+    // HyperLogLog distinct estimate per group: m=16 registers via one
+    // partial-aggregated max per (group, reg) — duplicates never
+    // shuffle; the estimate's ln-based small-range branch reads a
+    // precomputed literal table so it is hash-exact across engines
+    "q118_hll_distinct" -> ((s, dir) => {
+      graft.operators.Sketch
+        .hllDistinct(t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang"))
+    }),
     // generic table profiler (the ANALYZE surface): one pass, every
     // column's null/distinct/min/max riding a single agg row melted to
     // schema-sized per-column rows
@@ -1123,6 +1132,19 @@ object SparkEntry {
     "q84_ann_ivf_sampled" -> ((s, dir) => {
       Similarity
         .annIvfSampled(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, every = 2)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    // JL random projection feeding the same ANN contract: 64d -> 16d via
+    // the deterministic planeWeight matrix (no fit step), then brute
+    // top-5 over the projected vectors — the dimensionality lever in
+    // front of the vector stack, recall-gated in AnnRecallSpec
+    "q119_ann_projected" -> ((s, dir) => {
+      Similarity
+        .bruteForceTopK(
+          Similarity.randomProject(t(s, dir, "embeddings"), 16),
+          Seq(0L, 1L, 2L),
+          5
+        )
         .orderBy(col("query_id"), col("rnk"))
     }),
     // product quantization (m=4 subspace Lloyd codebooks, asymmetric
@@ -1858,6 +1880,29 @@ object SparkEntry {
         )
         .mkString(" UNION ALL ") + " ORDER BY \"column\""
     },
+    "q118_hll_distinct" -> {
+      val p = 4
+      val m = 1 << p
+      val lut = graft.operators.Sketch.hllLut(p).mkString("[", ", ", "]")
+      val alphaM2 = graft.operators.Sketch.hllAlphaM2(p)
+      s"""WITH ph AS (SELECT lang, ${polyHash("text")} AS ph0 FROM documents),
+         hh AS (SELECT lang, ${remix32("ph0")} AS h FROM ph),
+         rr AS (SELECT lang, h % $m AS reg,
+           CASE WHEN (h // $m) = 0 THEN ${32 - p + 1}
+                ELSE CAST(round(log2((h // $m) & -(h // $m))) AS BIGINT) + 1 END AS rho
+           FROM hh),
+         ag AS (SELECT lang, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+         g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_regs_set,
+           list_reduce(list_prepend(0.0, list(power(0.5, rho) ORDER BY reg)), (a, b) -> a + b) AS sp
+           FROM ag GROUP BY 1),
+         e AS (SELECT lang, n_regs_set, $m - n_regs_set AS zeros,
+           $alphaM2 / (sp + CAST($m - n_regs_set AS DOUBLE)) AS raw
+           FROM g)
+         SELECT lang, n_regs_set, CAST(zeros AS BIGINT) AS zeros,
+           CAST(CASE WHEN raw <= ${2.5 * m} AND zeros > 0 THEN ($lut)[CAST(zeros AS INT)]
+                ELSE CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) END AS BIGINT) AS est_micro
+         FROM e ORDER BY lang"""
+    },
     "q114_phrase_search" ->
       s"""WITH d AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
          occ AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM d),
@@ -1889,6 +1934,30 @@ object SparkEntry {
          SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
     "q110_ann_pq" -> pqAdcOracle(Similarity.PqSubspaces, 10),
+    // the projection matrix is the shared planeWeight fragment; each
+    // output component folds the 64 input dims in order, then q30's
+    // ranking runs over the projected vectors
+    "q119_ann_projected" -> {
+      val proj =
+        s"""list_transform(range(0, 16), p ->
+           CAST(list_reduce(list_prepend(0.0, list_transform(range(0, 64), jd ->
+             CAST(embedding[jd+1] AS DOUBLE) * ${planeWeight("p", "jd", Similarity.Dim)})),
+             (x, y) -> x + y) AS REAL))"""
+      s"""WITH pr AS (SELECT vec_id, $proj AS embedding FROM embeddings),
+         q AS (SELECT vec_id, embedding FROM pr WHERE vec_id < 3),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${cosine("q.embedding", "c.embedding")} AS cos
+           FROM q JOIN pr c ON q.vec_id <> c.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM scored
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
     "q105_orc_roundtrip" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,

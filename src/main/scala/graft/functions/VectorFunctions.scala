@@ -36,6 +36,48 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x))
 
+  /** The deterministic hyperplane weight `w(p, j)` shared with the LSH
+    * kernel ([[Kernels.planeWeight]] / `OracleFragments.planeWeight`) as
+    * pure Column arithmetic: two multiplicative rounds with xor-shift
+    * mixing, mapped to `[−0.5, 0.5)`. Same bits, same fold — so any
+    * operator built on it replays exactly in the DuckDB oracle.
+    */
+  def planeWeight(p: Column, j: Column, dim: Int): Column = {
+    val idx = p.cast("long") * lit(dim.toLong) + j.cast("long")
+    val h1 = (idx * lit(2654435761L)) % lit(2147483648L)
+    val h2 = h1.bitwiseXOR(shiftright(h1, 15))
+    val h3 = (h2 * lit(48271L)) % lit(2147483648L)
+    val h4 = h3.bitwiseXOR(shiftright(h3, 13))
+    (h4 % lit(1000003L)).cast("double") / lit(1000003.0) - lit(0.5)
+  }
+
+  /** Johnson-Lindenstrauss RANDOM PROJECTION: `dim`-d vector → `outDim`
+    * floats, row p of the projection matrix being the [[planeWeight]]
+    * hyperplane — the dimensionality-reduction lever in front of the
+    * ANN/dedup stack (project once at ingest, run every downstream
+    * cosine at outDim/dim of the flops and bytes). Deterministic and
+    * data-independent: no fit step, any two engines (and any two
+    * corpora) build the identical matrix from the plane index alone.
+    * Each output component folds in input order, so the whole transform
+    * is oracle-exact.
+    */
+  def randomProjection(vec: Column, outDim: Int, dim: Int): Column = {
+    require(outDim >= 1, s"need outDim >= 1, got $outDim")
+    transform(
+      sequence(lit(0), lit(outDim - 1)),
+      p =>
+        aggregate(
+          zip_with(
+            vec,
+            sequence(lit(0), lit(dim - 1)),
+            (x, j) => x.cast("double") * planeWeight(p, j, dim)
+          ),
+          lit(0.0),
+          (acc, t) => acc + t
+        ).cast("float")
+    )
+  }
+
   /** Multi-table random-hyperplane LSH signature (array<long>, one packed
     * bucket per table) — codegen'd expression over the shared deterministic
     * xor-shift plane generator ([[Kernels.planeWeight]]). See

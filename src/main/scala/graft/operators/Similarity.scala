@@ -652,6 +652,19 @@ object Similarity {
       .otherwise(dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
   }
 
+  /** Project the corpus to `outDim` dims via the deterministic JL matrix
+    * ([[VectorFunctions.randomProjection]]) — same `(vec_id, embedding)`
+    * contract, so every downstream operator (brute/LSH/IVF/PQ/dedup)
+    * composes unchanged at outDim/Dim of the flops and bytes. The
+    * distance-preservation price is gated in AnnRecallSpec (projected
+    * brute-force recall vs full-dim exact on clustered geometry).
+    */
+  def randomProject(emb: DataFrame, outDim: Int): DataFrame =
+    emb.select(
+      col("vec_id"),
+      VectorFunctions.randomProjection(col("embedding"), outDim, Dim).as("embedding")
+    )
+
   // ------------------------------------------------- product quantization
 
   /** PQ subspace count `m`: 64 dims → 4 subvectors of 16. Each vector

@@ -89,6 +89,129 @@ object Sketch {
       )
   }
 
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** HLL register width: hashes are 32-bit after remix, so a register
+    * value is at most `32 - p + 1`.
+    */
+  private def maxRho(p: Int): Int = 32 - p + 1
+
+  /** The alpha_m bias constant (Flajolet et al. 2007) times m², as ONE
+    * Scala double both engines receive as the same literal.
+    */
+  def hllAlphaM2(p: Int): Double = {
+    val m = 1 << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m
+  }
+
+  /** Small-range (linear-counting) correction as a PRECOMPUTED integer
+    * lookup table: `lut(z-1) = round(m·ln(m/z)·10^6)` micro-units for
+    * `z = 1 … m−1` empty registers. Baking `ln` into literals computed
+    * ONCE in Scala is what keeps the estimate hash-exact across engines
+    * — a cross-engine `ln` call could differ in the last ulp and flip a
+    * rounded digit; a shared literal table cannot.
+    */
+  def hllLut(p: Int): Seq[Long] = {
+    val m = 1 << p
+    (1 until m).map(z => math.round(m * math.log(m.toDouble / z) * 1e6))
+  }
+
+  /** Per-(group, register) HLL state — `(groupCol, reg, rho)` with
+    * `rho` the max leading-run rank observed: `reg = h mod m` buckets
+    * the remixed 32-bit hash, `rho = trailing-zero-count(h div m) + 1`
+    * (computed as `round(log2(w & −w)) + 1` — the lowest-set-bit trick;
+    * the true value is an integer, so nearest-integer rounding absorbs
+    * any ulp difference between engines' `log2`). One partial-aggregated
+    * `max` per (group, reg): duplicates never shuffle (max over
+    * occurrences == max over distinct — the property KMV's distinct
+    * pass pays for and HLL gets free), and merging two corpora's
+    * register tables is the same `max`, which is the mergeability a
+    * monitoring pipeline ships sketches around for (spec-pinned).
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      p: Int = 4
+  ): DataFrame = {
+    require(p >= 4 && p <= 14, s"need 4 <= p <= 14, got $p")
+    val m = 1L << p
+    df
+      .select(col(groupCol), remix32(GraftExpressions.poly_hash(col(keyCol))).as("h"))
+      .select(col(groupCol), (col("h") % m).as("reg"), shiftright(col("h"), p).as("w"))
+      .select(
+        col(groupCol),
+        col("reg"),
+        when(col("w") === 0L, lit(maxRho(p).toLong))
+          .otherwise(
+            (round(log2(col("w").bitwiseAND(-col("w")))) + lit(1)).cast("long")
+          )
+          .as("rho")
+      )
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** The HLL ESTIMATE from a register table: `(groupCol, n_regs_set,
+    * zeros, est_micro)` — the distinct-count estimate in micro-units,
+    * ALL-deterministic: the harmonic sum folds `2^−rho` terms (exact
+    * powers of two) in register order, the raw estimate is one IEEE
+    * division, and the small-range branch reads the [[hllLut]] literal.
+    * Standard error ≈ `1.04/√m`.
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String, p: Int = 4): DataFrame = {
+    require(p >= 4 && p <= 14, s"need 4 <= p <= 14, got $p")
+    val m = 1 << p
+    val lut = hllLut(p).toArray
+    val sorted = array_sort(collect_list(struct(col("reg"), col("rho"))))
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_regs_set"),
+        aggregate(
+          sorted,
+          lit(0.0),
+          (acc, s) => acc + pow(lit(0.5), s.getField("rho").cast("double"))
+        ).as("__sp")
+      )
+      .select(
+        col(groupCol),
+        col("n_regs_set"),
+        (lit(m.toLong) - col("n_regs_set")).as("zeros"),
+        (lit(hllAlphaM2(p)) /
+          (col("__sp") + (lit(m.toLong) - col("n_regs_set")).cast("double"))).as("__raw")
+      )
+      .select(
+        col(groupCol),
+        col("n_regs_set"),
+        col("zeros"),
+        when(
+          col("__raw") <= lit(2.5 * m) && col("zeros") > 0L,
+          element_at(lit(lut), col("zeros").cast("int"))
+        ).otherwise(floor(col("__raw") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("est_micro")
+      )
+  }
+
+  /** One-call per-group HLL distinct estimate — [[hllRegisters]] piped
+    * into [[hllEstimate]]. The KMV sibling with the opposite trade:
+    * fixed m-register state per group (KMV keeps k hashes), register
+    * MERGE across sketches (KMV re-minimizes), duplicates never shuffle.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      p: Int = 4
+  ): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, keyCol, p), groupCol, p)
+
   /** CORPUS OVERLAP estimate between two document sets from their KMV
     * sketches (Beyer et al., SIGMOD 2007: sketches are composable —
     * the k minima of A ∪ B are computable from the two side sketches, and

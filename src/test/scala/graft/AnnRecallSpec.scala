@@ -353,6 +353,51 @@ class AnnRecallSpec extends SparkSpec {
     } finally { emb.unpersist(); () }
   }
 
+  test("randomProject: plane signs agree with the LSH kernel; cluster structure survives 64->16") {
+    import org.apache.spark.sql.functions._
+    // cross-check: bit j of LSH table t's bucket IS the sign of projection
+    // component t*w+j — the Column planeWeight and the codegen kernel must
+    // be the same matrix
+    val emb = Tables.load(spark, Sf001, "embeddings")
+    val w = Similarity.LshPlanesPerTable
+    val nPlanes = Similarity.LshTables * w
+    val both = Similarity
+      .withBuckets(emb)
+      .select(
+        col("vec_id"),
+        col("buckets"),
+        graft.functions.VectorFunctions
+          .randomProjection(col("embedding"), nPlanes, Similarity.Dim)
+          .as("proj")
+      )
+      .collect()
+    both.foreach { r =>
+      val buckets = r.getAs[collection.Seq[Long]]("buckets")
+      val proj = r.getAs[collection.Seq[Float]]("proj")
+      for (t <- buckets.indices; j <- 0 until w) {
+        val bit = (buckets(t) >> j) & 1L
+        val sign = if (proj(t * w + j) >= 0f) 1L else 0L
+        assert(bit === sign, s"vec ${r.getLong(0)} table $t plane $j")
+      }
+    }
+    // JL usefulness: projected brute-force keeps the CLUSTER of each true
+    // neighbor on clustered geometry (member ranking inside a cluster is
+    // noise-dominated at 16 dims, exactly like PQ codes — the projection
+    // is a candidate-generation/pre-compression lever, not a final ranker)
+    val cl = clusteredVecs(2000L).persist()
+    try {
+      val queries = Seq(0L, 1L, 2L, 3L, 4L)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val proj = pairs(Similarity.bruteForceTopK(Similarity.randomProject(cl, 16), queries, 10))
+      val exact = pairs(Similarity.bruteForceTopK(cl, queries, 10))
+      val member = (exact & proj).size.toDouble / exact.size
+      val cluster = proj.count { case (q, nb) => nb % 200L == q % 200L }.toDouble / proj.size
+      info(f"projected(16) member recall = $member%.3f, cluster recall = $cluster%.3f")
+      assert(cluster >= 0.9, f"projection lost cluster structure: $cluster%.3f < 0.9")
+    } finally { cl.unpersist(); () }
+  }
+
   test("PQ plan: codebooks broadcast in encode/decode; no sort-merge join in the ADC path") {
     val emb = Tables.load(spark, Sf001, "embeddings")
     val plan = Similarity.annPqAdc(emb, Seq(0L, 1L), 5)

@@ -311,6 +311,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "bounded-heap aggregate plans as ObjectHashAggregate")
   }
 
+  test("hll: duplicates free, registers merge by max, estimates within error, LUT branch sane") {
+    import spark.implicits._
+    // duplicates never change the sketch (max over occurrences)
+    val a = spark.range(400).select(lit("g").as("grp"), concat(lit("v"), col("id")).as("v"))
+    val dup = a.union(a).union(a)
+    val regs = (df: org.apache.spark.sql.DataFrame) =>
+      Sketch.hllRegisters(df, "grp", "v").as[(String, Long, Long)].collect().toSet
+    assert(regs(dup) === regs(a))
+    // mergeability: registers(A ∪ B) == per-register max of the two sides
+    val b = spark.range(400, 800).select(lit("g").as("grp"), concat(lit("v"), col("id")).as("v"))
+    val merged = Sketch
+      .hllRegisters(a, "grp", "v")
+      .union(Sketch.hllRegisters(b, "grp", "v"))
+      .groupBy(col("grp"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+    assert(
+      regs(a.union(b)) ===
+        merged.as[(String, Long, Long)].collect().toSet
+    )
+    // and the estimate off the merged registers == the union's estimate
+    val estUnion = Sketch.hllDistinct(a.union(b), "grp", "v").collect().toSeq
+    val estMerged = Sketch.hllEstimate(merged, "grp").collect().toSeq
+    assert(estUnion === estMerged)
+    // accuracy: m=16 -> stderr ~26%; assert within 3 sigma on n=800
+    val est = estUnion.head.getAs[Long]("est_micro") / 1e6
+    assert(est > 800 * 0.22 && est < 800 * 2.2, s"HLL estimate $est too far from 800")
+    // small-range LUT branch: a 5-distinct group estimates close to 5
+    val tiny = spark.range(5).select(lit("t").as("grp"), concat(lit("x"), col("id")).as("v"))
+    val tinyEst = Sketch.hllDistinct(tiny, "grp", "v").head().getAs[Long]("est_micro") / 1e6
+    assert(math.abs(tinyEst - 5.0) <= 3.0, s"LUT branch estimate $tinyEst vs 5")
+    // deterministic under repartitioning
+    val d1 = Sketch.hllDistinct(docs, "lang", "text").collect().toSet
+    val d2 = Sketch.hllDistinct(docs.repartition(17), "lang", "text").collect().toSet
+    assert(d1 === d2)
+  }
+
   // ------------------------------------------------------------ segment dedup
 
   test("segment dedup: shared tile removed from the later doc, text reassembled in order") {
