@@ -702,6 +702,14 @@ object SparkEntry {
         )
       graft.operators.Report.snapshotDiff(oldSnap, newSnap).orderBy(col("doc_id"))
     }),
+    // collocation mining: adjacent pairs ranked by integer-rational LIFT
+    // (the log-free monotone core of PMI) — one pass, two vocab-bounded
+    // aggregates, broadcast unigram joins, TakeOrdered top-k
+    "q120_collocations" -> ((s, dir) => {
+      graft.operators.Vocabulary
+        .collocations(t(s, dir, "documents"), k = 30, minCount = 5)
+        .orderBy(col("lift_micro").desc, col("l"), col("r"))
+    }),
     // WordPiece trainer: the BPE round structure with the likelihood
     // argmax (pair / (left * right) in fixed double-division order) —
     // per-round symbol counts are one extra aggregate on the word table
@@ -1780,6 +1788,19 @@ object SparkEntry {
     "q100_bpe_merges" -> bpeOracle(8),
     "q101_bpe_profile" -> bpeProfileOracle(8),
     "q111_wordpiece_merges" -> bpeOracle(8, wordpiece = true),
+    "q120_collocations" ->
+      s"""WITH d AS (SELECT ${tokens("text")} AS toks FROM documents),
+         pr AS (SELECT toks[j+1] AS l, toks[j+2] AS r
+                FROM d, unnest(range(0, len(toks) - 1)) AS u(j)),
+         pc AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS n_lr
+                FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         ug AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT unnest(toks) AS t FROM d) t0 GROUP BY 1),
+         tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_total FROM d)
+         SELECT pc.l, pc.r, n_lr, ul.n AS n_l, ur.n AS n_r,
+           n_lr * n_total * 1000000 // (ul.n * ur.n) AS lift_micro
+         FROM pc JOIN ug ul ON ul.t = pc.l JOIN ug ur ON ur.t = pc.r CROSS JOIN tot
+         ORDER BY lift_micro DESC, pc.l, pc.r LIMIT 30""",
     "q112_corpus_card" ->
       s"""WITH pl AS (
            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -255,6 +255,70 @@ object Vocabulary {
     (merges.result().toDF("merge_idx", "left", "right", "pair_count"), words)
   }
 
+  /** COLLOCATION mining — the phrase-vocabulary prep step (Mikolov et
+    * al. 2013's phrase detection; the "New_York" pass before tokenizer
+    * training): adjacent token pairs ranked by LIFT, the log-free
+    * monotone core of PMI — `p(l,r) / (p(l)·p(r))` as the integer
+    * rational `n_lr · N · 10^6 div (n_l · n_r)` (N = total token count),
+    * so the score is bit-reproducible across engines with no
+    * transcendental in sight. `minCount` guards the classic PMI
+    * rare-pair explosion (a pair seen once between two hapaxes scores
+    * astronomically); the result is the global top-`k` by (lift desc,
+    * l, r), a bounded TakeOrdered — never a corpus-wide sort.
+    *
+    * Scale shape: ONE corpus pass explodes positional bigrams (the
+    * occurrence stream), two partial-aggregated hash aggregates (pair
+    * counts, unigram counts), a broadcast join of the unigram table
+    * back onto the pair table (both bounded by vocabulary, not corpus),
+    * and the top-k. Overflow bound: `n_lr · N · 10^6 < 2^63` holds to
+    * N ≈ 3·10^6 tokens at the fixture and, at web scale, the same
+    * ratio runs at `div 10^3` scaling — the knob is the literal.
+    */
+  def collocations(
+      docs: DataFrame,
+      k: Int,
+      minCount: Long = 5L,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    val toks = TextFunctions.tokens(col(textCol))
+    val pairs = docs
+      .select(
+        explode(
+          transform(
+            when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+              .otherwise(array().cast("array<int>")),
+            j => struct(element_at(toks, j + 1).as("l"), element_at(toks, j + 2).as("r"))
+          )
+        ).as("p")
+      )
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n_lr"))
+      .filter(col("n_lr") >= minCount)
+    val unigrams = docs
+      .select(explode(toks).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"))
+    val total = docs
+      .select(size(toks).cast("long").as("nt"))
+      .agg(sum(col("nt")).as("n_total"))
+    pairs
+      .join(broadcast(unigrams.select(col("t").as("l"), col("n").as("n_l"))), Seq("l"))
+      .join(broadcast(unigrams.select(col("t").as("r"), col("n").as("n_r"))), Seq("r"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("l"),
+        col("r"),
+        col("n_lr"),
+        col("n_l"),
+        col("n_r"),
+        expr("n_lr * n_total * 1000000 div (n_l * n_r)").as("lift_micro")
+      )
+      .orderBy(col("lift_micro").desc, col("l"), col("r"))
+      .limit(k)
+  }
+
   /** Per-document SUBWORD profile under a trained segmentation table —
     * the serving side of [[bpeMerges]]: `(idCol, n_words, n_subwords)`,
     * where each word contributes its trained decomposition length. The
