@@ -282,8 +282,13 @@ object Vocabulary {
   ): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
-    val toks = TextFunctions.tokens(col(textCol))
-    val pairs = docs
+    // materialize the token array BEFORE the pair transform: a lambda
+    // referencing the split() expression re-evaluates it per element
+    // (the positionalShingles pitfall, quadratic in document length);
+    // projecting it to a column first makes each split run once
+    val tokenized = docs.select(TextFunctions.tokens(col(textCol)).as("toks"))
+    val toks = col("toks")
+    val pairs = tokenized
       .select(
         explode(
           transform(
@@ -296,11 +301,11 @@ object Vocabulary {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(count(lit(1)).as("n_lr"))
       .filter(col("n_lr") >= minCount)
-    val unigrams = docs
+    val unigrams = tokenized
       .select(explode(toks).as("t"))
       .groupBy(col("t"))
       .agg(count(lit(1)).as("n"))
-    val total = docs
+    val total = tokenized
       .select(size(toks).cast("long").as("nt"))
       .agg(sum(col("nt")).as("n_total"))
     pairs

@@ -112,6 +112,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(unknown === ((9L, 2L, 6L)))
   }
 
+  test("collocations: exclusive pairs outrank frequent-but-independent ones; guards hold") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    // "new york": 8 occurrences, both words ONLY in the pair -> lift = N/8.
+    // "of the": 20 occurrences but of/the appear 60 times each -> lift ~ N*20/3600.
+    val text = (Seq.fill(8)("new york") ++ Seq.fill(20)("of the") ++
+      Seq.fill(40)("of") ++ Seq.fill(40)("the") ++ Seq.fill(3)("rare gem")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val top = Vocabulary.collocations(docs, k = 10, minCount = 5).collect()
+    assert(top.head.getAs[String]("l") === "new")
+    assert(top.head.getAs[String]("r") === "york")
+    // minCount guard: "rare gem" (3 occurrences) is excluded despite max lift
+    assert(!top.exists(r => r.getAs[String]("l") === "rare"))
+    top.foreach { r =>
+      val (nLr, nL, nR) = (r.getAs[Long]("n_lr"), r.getAs[Long]("n_l"), r.getAs[Long]("n_r"))
+      assert(nLr <= math.min(nL, nR), "pair count exceeds a member's count")
+      // the integer-rational lift replays by hand
+      val nTotal = docs.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).cast("long")).as[Long].head()
+      assert(r.getAs[Long]("lift_micro") === nLr * nTotal * 1000000L / (nL * nR))
+    }
+  }
+
   test("wordpieceMerges: likelihood argmax prefers the exclusive rare pair BPE ignores") {
     import spark.implicits._
     import graft.operators.Vocabulary
