@@ -301,6 +301,15 @@ object SparkEntry {
     "q38_dedup_clusters_star" -> ((s, dir) => {
       Dedup.clustersScalable(t(s, dir, "documents"), 0.8).orderBy(col("doc_id"))
     }),
+    // centrality-based cluster representative: 3 integer-exact damped
+    // power-iteration rounds over the near-dup graph, keep = per-cluster
+    // (cent desc, id) argmax — the canonical-version policy next to
+    // min-id (q36) and best-quality (q42)
+    "q121_dedup_central" -> ((s, dir) => {
+      Dedup
+        .dedupNearCentral(t(s, dir, "documents"), 0.8)
+        .orderBy(col("doc_id"))
+    }),
     "q36_dedup_near" -> ((s, dir) => {
       Dedup.dedupNear(t(s, dir, "documents"), 0.8).orderBy(col("doc_id"))
     }),
@@ -2340,6 +2349,41 @@ object SparkEntry {
       val r = Dedup.RowsPerBand
       s"""WITH RECURSIVE ${clusterChain("documents")}
          SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""
+    },
+    // the cluster chain's pair graph, then 3 unrolled integer power-
+    // iteration rounds (cent' = 150000 + inc*17//20) and the per-cluster
+    // (cent desc, id) argmax — every round replays the Spark arithmetic
+    "q121_dedup_central" -> {
+      def round(t: Int): String =
+        s""", inc$t AS (
+           SELECT e.d AS doc_id, CAST(SUM(sc.cent // deg.dg) AS BIGINT) AS inc
+           FROM edges2 e JOIN sc${t - 1} sc ON sc.doc_id = e.s JOIN deg ON deg.s = e.s
+           GROUP BY 1
+         ), sc$t AS (
+           SELECT d0.doc_id,
+             CAST(150000 + coalesce(inc, 0) * 17 // 20 AS BIGINT) AS cent
+           FROM documents d0 LEFT JOIN inc$t USING (doc_id)
+         )"""
+      s"""WITH RECURSIVE ${clusterChain("documents")},
+         edges2 AS (
+           SELECT doc_a AS s, doc_b AS d FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+         ), deg AS (
+           SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM edges2 GROUP BY 1
+         ), sc0 AS (
+           SELECT doc_id, CAST(1000000 AS BIGINT) AS cent FROM documents
+         )${(1 to 3).map(round).mkString}, rep AS (
+           SELECT cluster_id, doc_id AS rep_id FROM (
+             SELECT cc.cluster_id, cc.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                 ORDER BY sc3.cent DESC, cc.doc_id) AS r
+             FROM cc JOIN sc3 ON sc3.doc_id = cc.doc_id) t WHERE r = 1
+         )
+         SELECT sc3.doc_id, cc.cluster_id, sc3.cent AS cent_micro,
+           (cc.doc_id = rep.rep_id) AS keep
+         FROM sc3 JOIN cc ON cc.doc_id = sc3.doc_id
+         JOIN rep ON rep.cluster_id = cc.cluster_id
+         ORDER BY sc3.doc_id"""
     },
     "q38_dedup_clusters_star" -> {
       val r = Dedup.RowsPerBand

@@ -626,6 +626,80 @@ object Dedup {
       )
   }
 
+  /** CENTRALITY-based representative per near-dup cluster — the THIRD
+    * representative policy next to min-id ([[dedupNear]]) and
+    * best-quality ([[dedupNearBest]]): keep the member the duplication
+    * graph itself points at. Centrality is a damped power iteration
+    * (PageRank restricted to the near-dup graph): scores start at 10^6
+    * micro-units, and each of `rounds` fixed rounds sets
+    * `cent' = 150000 + (Σ_neighbors cent_j div deg_j) · 17 div 20` —
+    * teleport 0.15 and damping 17/20 in EXACT integer arithmetic, so
+    * every round replays bit-for-bit in the DuckDB oracle (fixed rounds
+    * + integer updates: the Lloyd-trainer determinism discipline applied
+    * to graph iteration). The winner is the canonical-version signal the
+    * min-id policy can't see: in a cluster of one original and N light
+    * edits of it, the original is the member near-duplicate to MOST
+    * others, i.e. the graph's hub.
+    *
+    * Scale shape: the banded pair machinery is the gated q25 path (pairs
+    * checkpointed once); each round is one equi-join + one
+    * partial-aggregated sum on the edge frame — work proportional to
+    * EDGES per round, never corpus²; the loop is driver-iterated with
+    * localCheckpoint per round like every trainer in the engine. Returns
+    * one row per document: `(idCol, cluster_id, cent_micro, keep)`, keep
+    * on the (cent desc, id asc) argmax of each cluster.
+    */
+  def dedupNearCentral(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      rounds: Int = 3
+  ): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    withSignatures(docs, textCol, idCol) { base =>
+      val pairs = minhashPairsOf(base, threshold)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      val ids = docs.select(col(idCol).as("doc_id")).localCheckpoint(true)
+      val labels = clustersFromPairs(ids, pairs)
+      val edges = pairs
+        .select(col("doc_a").as("s"), col("doc_b").as("d"))
+        .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+      var scores = ids.select(col("doc_id"), lit(1000000L).as("cent"))
+      for (_ <- 1 to rounds) {
+        val inc = edges
+          .join(scores.withColumnRenamed("doc_id", "s"), "s")
+          .join(deg, "s")
+          .select(col("d").as("doc_id"), expr("cent div dg").as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("inc"))
+        scores = ids
+          .join(inc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            expr("150000 + coalesce(inc, cast(0 as bigint)) * 17 div 20").as("cent")
+          )
+          .localCheckpoint(true)
+      }
+      val labeled = scores.join(labels, "doc_id")
+      val reps = labeled
+        .groupBy(col("cluster_id"))
+        .agg(max(struct(col("cent"), (-col("doc_id")).as("neg_id"))).as("b"))
+        .select(col("cluster_id"), (-col("b.neg_id")).as("rep_id"))
+      labeled
+        .join(reps, "cluster_id")
+        .select(
+          col("doc_id"),
+          col("cluster_id"),
+          col("cent").as("cent_micro"),
+          (col("doc_id") === col("rep_id")).as("keep")
+        )
+    }
+  }
+
   /** LEAKAGE-SAFE train/val split: the whole near-dup CLUSTER goes to one
     * side, decided by the content hash of the cluster's min-id
     * representative. The plain content-hash split

@@ -297,4 +297,44 @@ class DedupSpec extends SparkSpec {
     assert(together.select("split").distinct().count() === 1L)
     assert(together.select("cluster_id").distinct().count() === 1L, "sanity: they do cluster")
   }
+
+  test("dedupNearCentral: the hub wins a star cluster even with the LARGEST id; one keep per cluster") {
+    // a star over SHINGLE jaccard: each variant edits ONE token at its
+    // own interior position — 3 of 48 k=3 shingles change, so
+    // hub-variant jaccard = 45/51 ≈ 0.88 ≥ 0.8, while two variants
+    // differ in TWO positions (42/54 ≈ 0.78 < 0.8) — the near-dup graph
+    // is hub-centered. The hub gets the LARGEST id: the min-id policy
+    // (q36) would pick variant 0; the centrality policy must pick the
+    // hub — that's the semantics it adds.
+    val base = (0 until 50).map(i => s"w$i").toArray
+    def variant(i: Int): String = {
+      val t = base.clone()
+      t(5 + i * 10) = s"v$i"
+      t.mkString(" ")
+    }
+    val crafted = ((0 until 4).map(i => (i.toLong, variant(i))) :+
+      (99L, base.mkString(" ")) :+ // the hub, largest id
+      (500L, (100 until 150).map(i => s"z$i").mkString(" "))) // singleton
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupNearCentral(crafted, 0.8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cent_micro"), r.getAs[Boolean]("keep"))))
+      .toMap
+    // one star cluster (labelled by its min member 0) + one singleton
+    assert(out(99L)._1 === 0L)
+    assert(out(99L)._3 === true, "the hub must be the representative")
+    (0L until 4L).foreach(i => assert(out(i)._3 === false))
+    assert(out(500L)._3 === true, "a singleton keeps itself")
+    // hub centrality strictly above every leaf's
+    (0L until 4L).foreach(i => assert(out(99L)._2 > out(i)._2))
+    // exactly one keep per cluster
+    val byCluster = out.values.groupBy(_._1)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._3) === 1, s"cluster $c keep count")
+    }
+    // cluster labels agree with the gated clustering path
+    val labels = Dedup.clustersScalable(crafted, 0.8)
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, (c, _, _)) => assert(labels(id) === c) }
+  }
 }
