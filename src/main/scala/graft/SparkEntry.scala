@@ -828,6 +828,14 @@ object SparkEntry {
         .searchAll(idx, Seq("dup", "vector", "merge"))
         .orderBy(col("doc_id"))
     }),
+    // Boolean retrieval: must-AND + mustNot as a LEFT ANTI against the
+    // negated terms' disjunction — BOTH legs read only posting rows
+    "q122_bool_search" -> ((s, dir) => {
+      val idx = graft.operators.Retrieval.invertedIndex(t(s, dir, "documents"))
+      graft.operators.Retrieval
+        .searchBoolean(idx, Seq("dup", "vector"), Seq("merge"))
+        .orderBy(col("doc_id"))
+    }),
     // phrase search served FROM the positional index artifact: the
     // phrase's index rows explode back to occurrences and the same
     // normalized-start joins intersect them — corpus text never read;
@@ -1947,6 +1955,15 @@ object SparkEntry {
                 FROM occ WHERE tok IN ('dup', 'vector', 'merge') GROUP BY 1, 2)
          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
          FROM tf GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""",
+    "q122_bool_search" ->
+      s"""WITH occ AS (SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents),
+         tf AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM occ WHERE tok IN ('dup', 'vector') GROUP BY 1, 2),
+         hits AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
+                  FROM tf GROUP BY doc_id HAVING COUNT(*) = 2),
+         neg AS (SELECT DISTINCT doc_id FROM occ WHERE tok = 'merge')
+         SELECT doc_id, tf_sum FROM hits
+         WHERE doc_id NOT IN (SELECT doc_id FROM neg) ORDER BY doc_id""",
     // q30's oracle with the near-dup exclusion applied to the UNROUNDED
     // cosine before ranking, exactly as the Spark filter runs
     "q104_hard_negatives" ->

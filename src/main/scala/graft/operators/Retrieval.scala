@@ -298,6 +298,46 @@ object Retrieval {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** DISJUNCTIVE (OR) retrieval over an [[invertedIndex]] frame:
+    * documents containing AT LEAST ONE query term — `(doc_id, n_hit,
+    * tf_sum)` with the matched-term count as the coordination-level
+    * ranking signal. Identical plan shape to [[searchAll]] minus the
+    * HAVING: |Q| posting rows explode, one hash aggregate.
+    */
+  def searchAny(index: DataFrame, terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    require(distinctTerms.nonEmpty, "empty query")
+    index
+      .filter(col("tok").isin(distinctTerms: _*))
+      .select(explode(arrays_zip(col("doc_ids"), col("tfs"))).as("h"))
+      .select(col("h.doc_ids").as("doc_id"), col("h.tfs").as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("tf")).as("tf_sum"))
+  }
+
+  /** BOOLEAN retrieval: documents containing EVERY `must` term and NONE
+    * of the `mustNot` terms — [[searchAll]]'s conjunction with the
+    * exclusion as a LEFT ANTI join against the (equally posting-bounded)
+    * [[searchAny]] of the negated terms. The NOT side never scans the
+    * corpus either: both legs read only their terms' posting rows, so a
+    * `must NOT boilerplate-token` filter costs the boilerplate term's
+    * posting list, not a corpus pass.
+    */
+  def searchBoolean(
+      index: DataFrame,
+      must: Seq[String],
+      mustNot: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val hits = searchAll(index, must)
+    if (mustNot.isEmpty) hits
+    else
+      hits.join(
+        searchAny(index, mustNot).select(col("doc_id")),
+        Seq("doc_id"),
+        "left_anti"
+      )
+  }
+
   /** EXACT PHRASE search: documents containing `phrase`'s tokens at
     * CONSECUTIVE positions, `(doc_id, n_matches)` with the occurrence
     * count. Plan shape: one positional explode filtered to the phrase's

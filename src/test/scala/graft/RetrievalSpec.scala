@@ -169,6 +169,30 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.searchAll(idx, Seq("zz")).count() === 0L)
   }
 
+  test("searchAny / searchBoolean: OR coordination, NOT exclusion, set algebra holds") {
+    val docs = corpus(
+      0L -> "a b c",
+      1L -> "a x y",
+      2L -> "b x y",
+      3L -> "x y z",
+      4L -> "a b z"
+    )
+    val idx = Retrieval.invertedIndex(docs)
+    // OR: any of {a, b} with the coordination count
+    val any = Retrieval.searchAny(idx, Seq("a", "b"))
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    assert(any === Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 4L -> 2L))
+    // AND-NOT: {a, b} but not z -> doc 0 only (doc 4 has z)
+    val bool = Retrieval.searchBoolean(idx, Seq("a", "b"), Seq("z"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(bool === Set(0L))
+    // algebra: searchBoolean(must, Nil) == searchAll(must); AND ⊆ OR
+    val andIds = Retrieval.searchAll(idx, Seq("a", "b")).select("doc_id").as[Long].collect().toSet
+    assert(Retrieval.searchBoolean(idx, Seq("a", "b")).select("doc_id").as[Long].collect().toSet === andIds)
+    assert(andIds.subsetOf(any.keySet))
+    intercept[IllegalArgumentException](Retrieval.searchAny(idx, Seq.empty))
+  }
+
   test("searchPhrase: adjacency is strict, overlaps count, repeated terms work, 1-term = tf") {
     val docs = corpus(
       0L -> "x table hash y table hash",  // two matches
