@@ -828,6 +828,16 @@ object SparkEntry {
         .searchAll(idx, Seq("dup", "vector", "merge"))
         .orderBy(col("doc_id"))
     }),
+    // water-filling fair division of one global token budget across
+    // sources: small sources keep their supply, large ones equalize at
+    // the integer water level with the remainder distributed +1 by
+    // source name — sum(alloc) == min(T, sum(supply)) EXACTLY; every
+    // frame after the supply aggregate is sources-sized
+    "q123_waterfill_budget" -> ((s, dir) => {
+      graft.operators.Sampling
+        .waterfillBudgets(t(s, dir, "documents"), 20000L)
+        .orderBy(col("source"))
+    }),
     // Boolean retrieval: must-AND + mustNot as a LEFT ANTI against the
     // negated terms' disjunction — BOTH legs read only posting rows
     "q122_bool_search" -> ((s, dir) => {
@@ -1955,6 +1965,48 @@ object SparkEntry {
                 FROM occ WHERE tok IN ('dup', 'vector', 'merge') GROUP BY 1, 2)
          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
          FROM tf GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""",
+    "q123_waterfill_budget" -> {
+      val T = 20000L
+      s"""WITH sup AS (
+           SELECT source, CAST(SUM(len(${tokens("text")})) AS BIGINT) AS supply
+           FROM documents GROUP BY 1
+         ), rk AS (
+           SELECT source, supply,
+             CAST(ROW_NUMBER() OVER (ORDER BY supply, source) AS BIGINT) AS k,
+             CAST(SUM(supply) OVER (ORDER BY supply, source
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
+             CAST(COUNT(*) OVER () AS BIGINT) AS s_n
+           FROM sup
+         ), fl AS (
+           SELECT *, CASE WHEN supply <= ($T - (pfx - supply)) // (s_n - k + 1)
+             THEN 1 ELSE 0 END AS is_full
+           FROM rk
+         ), pa AS (
+           SELECT *, MIN(is_full) OVER (ORDER BY supply, source
+             ROWS UNBOUNDED PRECEDING) AS pall
+           FROM fl
+         ), st AS (
+           SELECT COALESCE(MAX(CASE WHEN pall = 1 THEN k END), 0) AS kf,
+             COALESCE(MAX(CASE WHEN pall = 1 THEN pfx END), 0) AS p_kf,
+             MAX(s_n) AS s_n
+           FROM pa
+         ), st2 AS (
+           SELECT kf, p_kf, s_n,
+             CASE WHEN s_n = kf THEN 0 ELSE ($T - p_kf) // (s_n - kf) END AS lvl,
+             CASE WHEN s_n = kf THEN 0 ELSE ($T - p_kf) % (s_n - kf) END AS rem
+           FROM st
+         ), cr AS (
+           SELECT pa.source, pa.supply, pa.k, st2.kf, st2.lvl, st2.rem,
+             CASE WHEN pa.k <= st2.kf THEN 0
+               ELSE CAST(ROW_NUMBER() OVER (PARTITION BY (pa.k <= st2.kf)
+                 ORDER BY pa.source) AS BIGINT) END AS cap_rk
+           FROM pa, st2
+         )
+         SELECT source, supply,
+           CAST(CASE WHEN k <= kf THEN supply
+             ELSE lvl + CASE WHEN cap_rk <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+         FROM cr ORDER BY source"""
+    },
     "q122_bool_search" ->
       s"""WITH occ AS (SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents),
          tf AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf

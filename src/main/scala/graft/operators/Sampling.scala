@@ -273,6 +273,136 @@ object Sampling {
     * source and runs in parallel across buckets. A whole-source sort
     * never happens; `buckets` is the straggler knob.
     */
+  /** WATER-FILLING fair division of ONE global token budget across
+    * sources — the mixing-design step BEFORE [[capTokenBudget]]'s
+    * per-source admission: small sources keep their whole supply, large
+    * sources are equalized at the common water level `L`, and the total
+    * allocation equals `min(T, Σ supply)` EXACTLY (max-min fairness, the
+    * Pile/Dolma budget-split question answered mechanically instead of
+    * by hand-tuned per-source caps). Returns `(source, supply, alloc)`.
+    *
+    * All-integer and engine-exact: sources sort ascending by (supply,
+    * source); `kf` = the longest prefix every member of which fits under
+    * its own trial level `(T − P_{k−1}) div (S−k+1)` (a prefix-AND, so
+    * no monotonicity assumption on the floored levels), the level is
+    * `L = (T − P_kf) div (S − kf)`, and the division remainder
+    * `r < S − kf` goes +1 to the first `r` capped sources by source
+    * name — deterministic to the last token. Every frame after the
+    * per-source supply aggregate is SOURCES-sized; the windows order
+    * bounded rows, never the corpus.
+    */
+  def waterfillBudgets(
+      docs: DataFrame,
+      totalTokens: Long,
+      sourceCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(totalTokens >= 0, s"need totalTokens >= 0, got $totalTokens")
+    import org.apache.spark.sql.expressions.Window
+    val supplies = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")).as("supply"))
+    val w = Window.orderBy(col("supply"), col("source"))
+    val ranked = supplies
+      .select(
+        col("source"),
+        col("supply"),
+        row_number().over(w).cast("long").as("k"),
+        sum(col("supply")).over(w).as("pfx"),
+        count(lit(1)).over(Window.partitionBy()).as("s_n")
+      )
+      // trial level if sources 1..k-1 are fully satisfied: the remaining
+      // S-k+1 sources share what is left of T (integer div — a double
+      // divide could land one off at representation boundaries)
+      .withColumn(
+        "full",
+        col("supply") <= expr(s"($totalTokens - (pfx - supply)) div (s_n - k + 1)")
+      )
+    val kfRow = ranked
+      .select(
+        col("source"),
+        col("supply"),
+        col("k"),
+        col("pfx"),
+        col("s_n"),
+        min(when(col("full"), lit(1)).otherwise(lit(0)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("pall")
+      )
+    val stats = kfRow
+      .agg(
+        max(when(col("pall") === 1, col("k")).otherwise(lit(0L))).as("kf"),
+        max(when(col("pall") === 1, col("pfx")).otherwise(lit(0L))).as("p_kf"),
+        max(col("s_n")).as("s_n")
+      )
+      .select(
+        col("kf"),
+        col("p_kf"),
+        col("s_n"),
+        when(col("s_n") === col("kf"), lit(0L))
+          .otherwise(expr(s"($totalTokens - p_kf) div (s_n - kf)"))
+          .as("lvl"),
+        when(col("s_n") === col("kf"), lit(0L))
+          .otherwise(expr(s"($totalTokens - p_kf) % (s_n - kf)"))
+          .as("rem")
+      )
+    kfRow
+      .crossJoin(broadcast(stats))
+      .select(
+        col("source"),
+        col("supply"),
+        col("k"),
+        col("kf"),
+        col("lvl"),
+        col("rem")
+      )
+      // rank ONLY the capped sources by name for the +1 remainder
+      .withColumn(
+        "cap_rk",
+        when(col("k") <= col("kf"), lit(0L))
+          .otherwise(
+            row_number()
+              .over(Window.partitionBy(col("k") <= col("kf")).orderBy(col("source")))
+              .cast("long")
+          )
+      )
+      .select(
+        col("source"),
+        col("supply"),
+        when(col("k") <= col("kf"), col("supply"))
+          .otherwise(col("lvl") + when(col("cap_rk") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc")
+      )
+  }
+
+  /** [[capTokenBudget]] under a GLOBAL budget fairly divided by
+    * [[waterfillBudgets]]: each source's admission threshold is ITS
+    * water-fill allocation (broadcast back onto the unshuffled corpus),
+    * and the admission itself is the same two-phase bucketed prefix sum.
+    * One row per admitted document: `(idCol, groupCol, n_tok, cum_tok)`.
+    */
+  def capTokenBudgetFair(
+      df: DataFrame,
+      totalTokens: Long,
+      groupCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 64
+  ): DataFrame = {
+    val allocs = waterfillBudgets(df, totalTokens, groupCol, textCol)
+      .select(col("source").as(groupCol), col("alloc"))
+    val base = df.select(
+      col(idCol),
+      col(groupCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      GraftExpressions.poly_hash(col(textCol)).as("__h")
+    )
+    bucketedRunningTotal(base, "n_tok", idCol, col(groupCol), buckets, "cum_tok")
+      .join(broadcast(allocs), Seq(groupCol))
+      .filter(col("cum_tok") <= col("alloc"))
+      .select(col(idCol), col(groupCol), col("n_tok"), col("cum_tok"))
+  }
+
   def capTokenBudget(
       df: DataFrame,
       budgetTokens: Long,

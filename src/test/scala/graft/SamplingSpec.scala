@@ -314,4 +314,46 @@ class SamplingSpec extends SparkSpec {
       s"corpus-side window not bucket-partitioned:\n$p"
     )
   }
+
+  // ----------------------------------------------------------- waterfill
+
+  test("waterfillBudgets: exact total, per-source bound, max-min fairness, T-monotone") {
+    val supplies = docs
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("supply"))
+      .as[(String, Long)].collect().toMap
+    val totalSupply = supplies.values.sum
+    var prev: Map[String, Long] = supplies.view.mapValues(_ => 0L).toMap
+    for (t <- Seq(0L, 1L, 7L, totalSupply / 3, totalSupply / 2, totalSupply - 1, totalSupply, totalSupply * 2)) {
+      val alloc = Sampling.waterfillBudgets(docs, t)
+        .select("source", "alloc").as[(String, Long)].collect().toMap
+      // exact conservation
+      assert(alloc.values.sum === math.min(t, totalSupply), s"T=$t")
+      // never over-allocate a source
+      alloc.foreach { case (s, a) => assert(a <= supplies(s) && a >= 0L, s"T=$t source $s") }
+      // max-min fairness: an unsatisfied source is within 1 of every allocation
+      val unsat = alloc.filter { case (s, a) => a < supplies(s) }
+      unsat.foreach { case (s, a) =>
+        alloc.values.foreach(other => assert(a >= other - 1, s"T=$t source $s unfair"))
+      }
+      // raising T never lowers anyone
+      alloc.foreach { case (s, a) => assert(a >= prev(s), s"T=$t source $s not monotone") }
+      prev = alloc
+    }
+  }
+
+  test("capTokenBudgetFair: per-source admitted mass <= its allocation; single source == capTokenBudget") {
+    val admitted = Sampling.capTokenBudgetFair(docs, 9000L)
+    val mass = admitted.groupBy("source").agg(sum("n_tok").as("m"))
+      .as[(String, Long)].collect().toMap
+    val alloc = Sampling.waterfillBudgets(docs, 9000L)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(mass.nonEmpty)
+    mass.foreach { case (s, m) => assert(m <= alloc(s), s"source $s over budget") }
+    // one source: the global budget IS the per-source budget
+    val one = docs.withColumn("source", lit("only"))
+    val fair = Sampling.capTokenBudgetFair(one, 800L).select("doc_id").as[Long].collect().toSet
+    val plain = Sampling.capTokenBudget(one, 800L).select("doc_id").as[Long].collect().toSet
+    assert(fair === plain)
+  }
 }
