@@ -52,6 +52,24 @@ object Bench {
       .selectExpr("g", "term", "c", "row_number() OVER (PARTITION BY g ORDER BY c DESC, term) AS rn")
       .filter("rn <= 3")
       .collect()
+    // IVF/Lloyd path (q37/q83's shape — the r08 out-of-band pair): the
+    // trained-quantizer chain's generated code (seeded centroids, two
+    // refine rounds of cosine-argmax + integer-quantized means, probe
+    // ranking, int8 candidate codes) is a one-shot JIT cost nothing
+    // above warms; r08 read q37 at 2.8x and q83 at 2.0x their anchors
+    // with the code untouched — the same first-run signature q11/q32/
+    // q34/q35 showed before their warmups landed. A 200-vector synthetic
+    // corpus drives the full chain (both the float and the quantized
+    // candidate scorers) in well under a second.
+    val warmEmb = spark
+      .range(200L)
+      .selectExpr(
+        "id AS vec_id",
+        s"transform(sequence(0, ${graft.operators.Similarity.Dim - 1})," +
+          " j -> cast(pmod(id * 31 + j * 7, 97) - 48 AS float)) AS embedding"
+      )
+    graft.operators.Similarity.annIvf(warmEmb, Seq(0L, 1L), 5).count()
+    graft.operators.Similarity.annIvfQuantized(warmEmb, Seq(0L, 1L), 5).count()
     spark.catalog.clearCache()
 
     // A failed query must NEVER record a (near-zero) time — that would

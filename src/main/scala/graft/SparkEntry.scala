@@ -838,6 +838,51 @@ object SparkEntry {
         .waterfillBudgets(t(s, dir, "documents"), 20000L)
         .orderBy(col("source"))
     }),
+    // BM25 served FROM the index artifacts (inverted index + norms
+    // table): the query's |Q| posting rows broadcast onto the norms
+    // join, corpus text never read or re-tokenized — bit-identical to
+    // q103's two-corpus-pass direct path (the oracle IS q103's SQL)
+    "q124_bm25_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = graft.operators.Retrieval.invertedIndex(docs)
+      val dls = graft.operators.Retrieval.docLengths(docs)
+      graft.operators.Retrieval
+        .bm25TopKIndexed(idx, dls, Seq("dup", "vector", "merge"), 10)
+        .orderBy(col("rnk"))
+    }),
+    // the PRODUCTION IVF serve path: codebook + cell assignments written
+    // to parquet ONCE (the training jobs run at artifact-build, before
+    // the returned plan exists), then queries served from the read-back
+    // artifacts — the returned plan contains parquet scans and the cell
+    // equi-join, NO Lloyd chain (PlanSpec-pinned); result == q37 exactly
+    "q125_ann_ivf_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbDir = dumpPath("ivf_q125_codebook", dir)
+      val idxDir = dumpPath("ivf_q125_index", dir)
+      val cb = Similarity.persistCodebook(Similarity.trainCodebook(emb))
+      try {
+        cb.centroids.write.mode("overwrite").parquet(cbDir)
+        Similarity.ivfIndex(emb, cb).write.mode("overwrite").parquet(idxDir)
+      } finally Similarity.releaseCodebook(cb)
+      Similarity
+        .annIvfServe(
+          s.read.parquet(idxDir),
+          s.read.parquet(cbDir),
+          emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L)),
+          10
+        )
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    // proximity (NEAR/slop) search served from the positional index:
+    // the two terms' posting rows explode and pair per doc — the
+    // operator between exact phrase (slop=0) and AND (slop=inf), both
+    // boundary laws spec-pinned; oracle = windowed self-join
+    "q126_near_search" -> ((s, dir) => {
+      val idx = graft.operators.Retrieval.invertedIndexPositional(t(s, dir, "documents"))
+      graft.operators.Retrieval
+        .searchNearIndexed(idx, "table", "vector", 3L)
+        .orderBy(col("doc_id"))
+    }),
     // Boolean retrieval: must-AND + mustNot as a LEFT ANTI against the
     // negated terms' disjunction — BOTH legs read only posting rows
     "q122_bool_search" -> ((s, dir) => {
@@ -1698,6 +1743,66 @@ object SparkEntry {
        SELECT * FROM ($unions) u ORDER BY merge_idx"""
   }
 
+  /** The integer-BM25 top-10 — the oracle for BOTH q103 (direct
+    * two-pass scoring) and q124 (served from the inverted index + norms
+    * artifacts, which must be bit-identical).
+    */
+  private lazy val bm25Oracle: String =
+    s"""WITH d AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+       st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(len(toks)) AS BIGINT) AS tot FROM d),
+       stats AS (SELECT n, tot * 1000 // n AS avgdl_m FROM st),
+       tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok,
+                CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d)
+              WHERE tok IN ('dup', 'vector', 'merge') GROUP BY 1, 2, 3),
+       df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       scored AS (
+         SELECT tf.doc_id,
+           (((stats.n - df.df) * 1000000 // (df.df + 1)) * (tf.tf * 2200))
+             // (tf.tf * 1000 + (300 + (900 * tf.dl * 1000) // stats.avgdl_m))
+             AS term_score
+         FROM tf JOIN df USING (tok) CROSS JOIN stats),
+       agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+               FROM scored GROUP BY doc_id)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+         doc_id, score
+       FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
+
+  /** The IVF trainer + search replay — the oracle for BOTH q37 (train
+    * in-plan) and q125 (served from the persisted codebook/assignment
+    * artifacts, which must be bit-identical).
+    */
+  private lazy val annIvfOracle: String = {
+    val p = Similarity.IvfProbes
+    s"""WITH ${ivfTrainerCtes(annCellsSql)}, scores AS (
+         SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+         FROM embeddings e CROSS JOIN $ivfFinalCent ct
+       ), ranked_cells AS (
+         SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+         FROM scores
+       ), assign1 AS (
+         SELECT vec_id, cell FROM ranked_cells WHERE r = 1
+       ), probes AS (
+         SELECT vec_id, cell FROM ranked_cells WHERE r <= $p AND vec_id < 5
+       ), cand AS (
+         SELECT DISTINCT pr.vec_id AS query_id, a.vec_id AS neighbor_id,
+           ${cosine("qe.embedding", "ce.embedding")} AS cos
+         FROM probes pr
+         JOIN assign1 a ON pr.cell = a.cell AND pr.vec_id <> a.vec_id
+         JOIN embeddings qe ON qe.vec_id = pr.vec_id
+         JOIN embeddings ce ON ce.vec_id = a.vec_id
+       ), ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         FROM cand
+       )
+       SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
+
   /** The full-corpus inverted index as flattened posting rows — the gate
     * for BOTH q107 (direct build) and q115 (merge of two disjoint-half
     * indexes, which must equal the rebuild exactly).
@@ -1879,27 +1984,21 @@ object SparkEntry {
     // every fixed-point step of Retrieval's scoring replayed with // —
     // idf_u = (N-df)*1e6 // (df+1), k_m = 300 + 900*dl*1000 // avgdl_m,
     // term = idf_u * tf*2200 // (tf*1000 + k_m), integer-summed
-    "q103_bm25" ->
+    "q103_bm25" -> bm25Oracle,
+    // BM25 served from the index + norms artifacts == the direct path
+    "q124_bm25_indexed" -> bm25Oracle,
+    // IVF served from persisted codebook/assignments == train-in-plan
+    "q125_ann_ivf_serve" -> annIvfOracle,
+    // proximity NEAR/slop: windowed self-join — min |pos_a - pos_b| per
+    // doc over the two terms' occurrences, matched iff min - 1 <= slop
+    "q126_near_search" ->
       s"""WITH d AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
-         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                       CAST(SUM(len(toks)) AS BIGINT) AS tot FROM d),
-         stats AS (SELECT n, tot * 1000 // n AS avgdl_m FROM st),
-         tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok,
-                  CAST(COUNT(*) AS BIGINT) AS tf
-                FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d)
-                WHERE tok IN ('dup', 'vector', 'merge') GROUP BY 1, 2, 3),
-         df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-         scored AS (
-           SELECT tf.doc_id,
-             (((stats.n - df.df) * 1000000 // (df.df + 1)) * (tf.tf * 2200))
-               // (tf.tf * 1000 + (300 + (900 * tf.dl * 1000) // stats.avgdl_m))
-               AS term_score
-           FROM tf JOIN df USING (tok) CROSS JOIN stats),
-         agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score
-                 FROM scored GROUP BY doc_id)
-         SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
-           doc_id, score
-         FROM agg ORDER BY score DESC, doc_id LIMIT 10""",
+         occ AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM d),
+         pa AS (SELECT doc_id, pos FROM occ WHERE tok = 'table'),
+         pb AS (SELECT doc_id, pos FROM occ WHERE tok = 'vector')
+         SELECT doc_id, CAST(MIN(ABS(pa.pos - pb.pos)) AS BIGINT) AS min_dist
+         FROM pa JOIN pb USING (doc_id) GROUP BY doc_id
+         HAVING MIN(ABS(pa.pos - pb.pos)) - 1 <= 3 ORDER BY doc_id""",
     // the flattened posting rows replayed over the same (tok, doc) tf
     // frame; pos = the 0-based position in the doc-id-sorted posting list
     "q107_inverted_index" -> invertedIndexOracle,
@@ -3437,35 +3536,7 @@ object SparkEntry {
          SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
     },
-    "q37_ann_ivf" -> {
-      val p = Similarity.IvfProbes
-      s"""WITH ${ivfTrainerCtes(annCellsSql)}, scores AS (
-           SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
-           FROM embeddings e CROSS JOIN $ivfFinalCent ct
-         ), ranked_cells AS (
-           SELECT vec_id, cell,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
-           FROM scores
-         ), assign1 AS (
-           SELECT vec_id, cell FROM ranked_cells WHERE r = 1
-         ), probes AS (
-           SELECT vec_id, cell FROM ranked_cells WHERE r <= $p AND vec_id < 5
-         ), cand AS (
-           SELECT DISTINCT pr.vec_id AS query_id, a.vec_id AS neighbor_id,
-             ${cosine("qe.embedding", "ce.embedding")} AS cos
-           FROM probes pr
-           JOIN assign1 a ON pr.cell = a.cell AND pr.vec_id <> a.vec_id
-           JOIN embeddings qe ON qe.vec_id = pr.vec_id
-           JOIN embeddings ce ON ce.vec_id = a.vec_id
-         ), ranked AS (
-           SELECT query_id, neighbor_id, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-           FROM cand
-         )
-         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
-         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
-    },
+    "q37_ann_ivf" -> annIvfOracle,
     // IVF + int8: q37's trainer/pruning chain verbatim; only the candidate
     // scoring swaps to the integer code cosine over q77's quantization
     "q83_ann_ivf_quantized" -> {

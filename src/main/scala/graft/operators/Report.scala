@@ -133,24 +133,47 @@ object Report {
   def profileTable(df: DataFrame, exact: Boolean = true): DataFrame = {
     val fields = df.schema.fields
     require(fields.nonEmpty, "cannot profile a zero-column frame")
-    val aggs = fields.flatMap { f =>
-      val c = col(s"`${f.name}`")
-      Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
-        (if (exact) countDistinct(c) else approx_count_distinct(c)).as(s"${f.name}__distinct"),
-        min(c).cast("string").as(s"${f.name}__min"),
-        max(c).cast("string").as(s"${f.name}__max")
-      )
+    // POSITIONAL binding: rename every column to an index-keyed alias
+    // first (toDF is positional), so frames with duplicate column names
+    // — routine after joins — profile each occurrence instead of dying
+    // in name resolution; the report still carries the original name.
+    val indexed = df.toDF(fields.indices.map(i => s"__c$i"): _*)
+    // Types with no ordering / no equality semantics (anything
+    // containing a map) can't feed min/max/countDistinct — profile
+    // their null count and report the rest as NULL rather than failing
+    // the whole table on one column.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case _ => true
     }
-    val one = df.agg(count(lit(1)).as("__n"), aggs.toSeq: _*)
-    val melted = fields.map { f =>
+    val aggs = fields.indices.flatMap { i =>
+      val c = col(s"__c$i")
+      if (orderable(fields(i).dataType))
+        Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"__c${i}__nulls"),
+          (if (exact) countDistinct(c) else approx_count_distinct(c)).as(s"__c${i}__distinct"),
+          min(c).cast("string").as(s"__c${i}__min"),
+          max(c).cast("string").as(s"__c${i}__max")
+        )
+      else
+        Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"__c${i}__nulls"),
+          lit(null).cast("long").as(s"__c${i}__distinct"),
+          lit(null).cast("string").as(s"__c${i}__min"),
+          lit(null).cast("string").as(s"__c${i}__max")
+        )
+    }
+    val one = indexed.agg(count(lit(1)).as("__n"), aggs.toSeq: _*)
+    val melted = fields.indices.map { i =>
       struct(
-        lit(f.name).as("column"),
+        lit(fields(i).name).as("column"),
         col("__n").as("n_rows"),
-        col(s"`${f.name}__nulls`").as("n_nulls"),
-        col(s"`${f.name}__distinct`").as("n_distinct"),
-        col(s"`${f.name}__min`").as("min_val"),
-        col(s"`${f.name}__max`").as("max_val")
+        col(s"__c${i}__nulls").as("n_nulls"),
+        col(s"__c${i}__distinct").as("n_distinct"),
+        col(s"__c${i}__min").as("min_val"),
+        col(s"__c${i}__max").as("max_val")
       )
     }
     one

@@ -106,17 +106,85 @@ object Retrieval {
     * by (score desc, doc_id), ranks assigned AFTER the TakeOrdered so no
     * task ever sorts more than k rows.
     */
-  def bm25TopK(docs: DataFrame, textCol: String, queryTerms: Seq[String], k: Int): DataFrame = {
+  def bm25TopK(docs: DataFrame, textCol: String, queryTerms: Seq[String], k: Int): DataFrame =
+    rankTop(bm25ScoreAgainst(docs, bm25Model(docs, textCol, queryTerms), textCol), k)
+
+  /** The shared ranked-retrieval tail: global top-k of a `(doc_id,
+    * score)` frame by (score desc, doc_id) — a TakeOrdered of k rows,
+    * ranks assigned AFTER the limit so no task ever sorts more than k.
+    */
+  private def rankTop(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = bm25ScoreAgainst(docs, bm25Model(docs, textCol, queryTerms), textCol)
+    scored
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-    scored
       .withColumn(
         "rnk",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long")
       )
       .select(col("rnk"), col("doc_id"), col("score"))
+  }
+
+  /** Per-document token counts `(doc_id, dl)` — the NORMS table a BM25
+    * deployment persists NEXT TO the inverted index (Lucene's `.nvd`):
+    * one projection over the corpus at index-build time, doc-count-sized
+    * at rest. [[bm25TopKIndexed]] needs it because document length is
+    * the one scoring input the postings don't carry.
+    */
+  def docLengths(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("dl")
+    )
+
+  /** BM25 ranked retrieval SERVED FROM the index artifacts — the
+    * operator [[invertedIndex]] + [[docLengths]] exist for: a query's
+    * cost is its |Q| posting rows joined against the norms table, the
+    * corpus text is never read or re-tokenized (where [[bm25TopK]]
+    * scans it twice: model pass + score pass). Same integer fixed-point
+    * arithmetic, same `(rnk, doc_id, score)` contract, bit-identical
+    * result (spec-pinned law; the gate replays q103's oracle): the
+    * index's `df` IS the model's distinct-doc count and the posting
+    * `tf` IS the per-(doc, term) aggregate. The global `(n, avgdl_m)`
+    * stats reduce the norms table, not the corpus. Serve from an
+    * UNCAPPED index: a `maxDf`-capped one silently treats capped terms
+    * as absent (retrieval-correct for stopwords, but not bit-equal to
+    * the direct path).
+    *
+    * Scale shape: the posting frame is |Q| rows pre-explosion and
+    * posting-bounded after; it BROADCASTS onto the norms join, so the
+    * only corpus-sized frame in the plan (the norms) is scanned once
+    * with no shuffle, partially aggregated per doc, and top-k'd through
+    * the same TakeOrdered tail.
+    */
+  def bm25TopKIndexed(
+      index: DataFrame,
+      docLens: DataFrame,
+      queryTerms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    val distinctTerms = queryTerms.distinct
+    require(distinctTerms.nonEmpty, "empty query")
+    val stats = docLens
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+      .select(col("n"), expr("tot * 1000 div n").as("avgdl_m"))
+    val postings = index
+      .filter(col("tok").isin(distinctTerms: _*))
+      .select(col("df"), explode(arrays_zip(col("doc_ids"), col("tfs"))).as("h"))
+      .select(col("df"), col("h.doc_ids").as("doc_id"), col("h.tfs").as("tf"))
+      .crossJoin(broadcast(stats))
+    val scored = docLens
+      .join(broadcast(postings), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        expr(
+          "((n - df) * 1000000 div (df + 1)) * (tf * 2200)" +
+            " div (tf * 1000 + (300 + (900 * dl * 1000) div avgdl_m))"
+        ).as("term_score")
+      )
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+    rankTop(scored, k)
   }
 
   // ------------------------------------------------------------ inverted index
@@ -164,26 +232,39 @@ object Retrieval {
         transform(col("p"), s => s.getField("tf")).as("tfs")
       )
 
-  /** INCREMENTAL INDEX MAINTENANCE: merge partial indexes over DISJOINT
-    * document sets into the index of their union — the daily-crawl
-    * operator (index the delta, merge into the base; never re-tokenize
-    * the base corpus). Each part's postings explode back to `(tok, doc,
-    * tf)` rows — 3 small integers per posting, the text is long gone —
-    * and re-assemble through the shared aggregation, so `merge(index(A),
-    * index(B)) == index(A ∪ B)` EXACTLY (spec-pinned). Contract: parts
-    * must be document-disjoint (a doc split across parts would carry two
-    * partial tf rows; dedup upstream is the engine's own
-    * [[Dedup.dedupAgainst]] admission path).
+  /** INCREMENTAL INDEX MAINTENANCE: merge partial indexes into the
+    * index of their union — the daily-crawl operator (index the delta,
+    * merge into the base; never re-tokenize the base corpus). Each
+    * part's postings explode back to `(tok, doc, tf)` rows — 3 small
+    * integers per posting, the text is long gone — re-aggregate per
+    * `(tok, doc_id)` (tf rows for the same document SUM, so a document
+    * whose text is split across parts merges to its true tf and never
+    * inflates df), and re-assemble through the shared aggregation:
+    * `merge(index(A), index(B)) == index(A ∪ B)` EXACTLY for disjoint
+    * OR text-partitioned parts (spec-pinned). What merge can NOT repair
+    * is the same text indexed twice (tf would double) — that dedup is
+    * upstream admission, the engine's own [[Dedup.dedupAgainst]] path.
+    *
+    * `maxDf` re-applies the df cap AFTER merging (default uncapped):
+    * merging parts built with a cap widens df — a term under the cap in
+    * every part can exceed it in the union — so the cap must be an
+    * argument here, never silently inherited from the parts.
     */
-  def mergeIndexes(parts: DataFrame*): DataFrame = {
+  def mergeIndexes(parts: DataFrame*): DataFrame = mergeIndexesCapped(Long.MaxValue, parts: _*)
+
+  /** [[mergeIndexes]] with the df cap re-applied to the merged union. */
+  def mergeIndexesCapped(maxDf: Long, parts: DataFrame*): DataFrame = {
     require(parts.nonEmpty, "no index parts to merge")
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
     val occ = parts
       .map(
         _.select(col("tok"), explode(arrays_zip(col("doc_ids"), col("tfs"))).as("h"))
           .select(col("tok"), col("h.doc_ids").as("doc_id"), col("h.tfs").as("tf"))
       )
       .reduce(_.unionByName(_))
-    assemblePostings(occ, Long.MaxValue)
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"))
+    assemblePostings(occ, maxDf)
   }
 
   /** [[invertedIndex]] with BLOCKED posting lists — the 100-TB layout:
@@ -223,17 +304,6 @@ object Retrieval {
       .groupBy(col("tok"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
-  /** CONJUNCTIVE (AND) Boolean retrieval over an [[invertedIndex]] frame:
-    * documents containing EVERY query term, `(doc_id, tf_sum)` with the
-    * summed term frequency as the tie-breakable relevance weight. This is
-    * the operator that justifies materializing the index: the plan reads
-    * |Q| index rows (the `tok` filter pushes into the index scan) and
-    * explodes only THOSE posting lists — corpus text is never touched,
-    * where [[bm25ScoreAgainst]] re-tokenizes every document. The
-    * intersection is one hash aggregate over the exploded postings
-    * (`HAVING count = |Q|`), never a pairwise list walk, so a term's
-    * posting skew bounds task size exactly as in the build.
-    */
   /** POSITIONAL inverted index — `(tok, df, doc_ids, positions)` with
     * `positions[i]` the ascending token positions of `tok` in
     * `doc_ids[i]`: the artifact that serves PHRASE queries without
@@ -374,6 +444,17 @@ object Retrieval {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** CONJUNCTIVE (AND) Boolean retrieval over an [[invertedIndex]] frame:
+    * documents containing EVERY query term, `(doc_id, tf_sum)` with the
+    * summed term frequency as the tie-breakable relevance weight. This is
+    * the operator that justifies materializing the index: the plan reads
+    * |Q| index rows (the `tok` filter pushes into the index scan) and
+    * explodes only THOSE posting lists — corpus text is never touched,
+    * where [[bm25ScoreAgainst]] re-tokenizes every document. The
+    * intersection is one hash aggregate over the exploded postings
+    * (`HAVING count = |Q|`), never a pairwise list walk, so a term's
+    * posting skew bounds task size exactly as in the build.
+    */
   def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
     val distinctTerms = terms.distinct
     require(distinctTerms.nonEmpty, "empty query")
@@ -385,5 +466,74 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hit"), sum(col("tf")).as("tf_sum"))
       .filter(col("n_hit") === distinctTerms.size.toLong)
       .select(col("doc_id"), col("tf_sum"))
+  }
+
+  // ------------------------------------------------------------ proximity
+
+  /** PROXIMITY (NEAR/slop) search — the operator BETWEEN exact phrase
+    * ([[searchPhrase]]) and bag-of-words AND ([[searchAll]]): documents
+    * where `a` and `b` occur within `slop` intervening positions of each
+    * other, in EITHER order (the unordered-window operator, INQUERY's
+    * `#uw`): `(doc_id, min_dist)` with `min_dist` the closest |pos_a −
+    * pos_b| over all occurrence pairs, matched iff `min_dist − 1 <=
+    * slop`. The two boundary laws are spec-pinned:
+    * `slop = 0` ⇔ adjacent ⇔ the doc matches the phrase `a b` or `b a`;
+    * `slop = Long.MaxValue` ⇔ both terms present ⇔ [[searchAll]] on
+    * {a, b}. (Phrased as `min_dist − 1 <= slop` rather than `min_dist
+    * <= slop + 1` so `slop = Long.MaxValue` cannot overflow.)
+    *
+    * Plan shape: the positional explode filters to the TWO terms before
+    * anything shuffles (the q103 discipline), then one equi-join on
+    * `doc_id` pairs each doc's a-occurrences with its b-occurrences —
+    * per-doc work is `tf_a · tf_b`, bounded by per-document term
+    * frequency, never by corpus-wide popularity (a doc that repeats
+    * both terms pathologically is what the repetition filters
+    * ([[Repetition]]) remove upstream) — and one min aggregate.
+    */
+  def searchNear(
+      docs: DataFrame,
+      a: String,
+      b: String,
+      slop: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(a != b, s"NEAR terms must differ (got '$a' twice — that is searchPhrase)")
+    require(slop >= 0, s"need slop >= 0, got $slop")
+    val occ = docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok"))
+      )
+      .filter(col("tok").isin(a, b))
+      .select(col("doc_id"), col("tok"), col("pos").cast("long").as("pos"))
+    nearFrom(occ, a, b, slop)
+  }
+
+  /** [[searchNear]] served from a POSITIONAL index
+    * ([[invertedIndexPositional]]): the two terms' index rows explode
+    * back to occurrences and the same per-doc pairing runs — corpus
+    * text never read, cost bounded by the two posting lists
+    * (spec-pinned equal to the direct path).
+    */
+  def searchNearIndexed(index: DataFrame, a: String, b: String, slop: Long): DataFrame = {
+    require(a != b, s"NEAR terms must differ (got '$a' twice — that is searchPhrase)")
+    require(slop >= 0, s"need slop >= 0, got $slop")
+    val occ = index
+      .filter(col("tok").isin(a, b))
+      .select(col("tok"), explode(arrays_zip(col("doc_ids"), col("positions"))).as("h"))
+      .select(col("tok"), col("h.doc_ids").as("doc_id"), explode(col("h.positions")).as("pos"))
+    nearFrom(occ, a, b, slop)
+  }
+
+  /** The shared NEAR tail over a `(doc_id, tok, pos)` occurrence frame. */
+  private def nearFrom(occ: DataFrame, a: String, b: String, slop: Long): DataFrame = {
+    val pa = occ.filter(col("tok") === lit(a)).select(col("doc_id"), col("pos").as("pa"))
+    val pb = occ.filter(col("tok") === lit(b)).select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .select(col("doc_id"), abs(col("pa") - col("pb")).as("d"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("d")).as("min_dist"))
+      .filter(col("min_dist") - lit(1L) <= lit(slop))
   }
 }

@@ -174,25 +174,6 @@ object Similarity {
       GraftExpressions.lsh_buckets(col("embedding"), LshTables, LshPlanesPerTable, Dim)
     )
 
-  /** IVF ANN with a deterministic k-means quantizer: seed centroids are
-    * every ⌊n/C⌋-th DATA vector, refined by `IvfLloydRounds` fixed Lloyd
-    * iterations (assign to max-cosine cell, recompute each cell's
-    * element-wise mean over quantized components — see [[IvfQuant]]).
-    * Fixed rounds + integer-exact means keep the whole trainer
-    * reproducible in the DuckDB oracle, unlike seeded-random k-means.
-    * Corpus vectors are assigned to their max-cosine cell; queries probe
-    * their `IvfProbes` nearest cells. Assignment and probing both reuse
-    * the bounded top-k aggregate (k=1 / k=nprobe) — no window sorts
-    * anywhere. The candidate join is an equi-join on cell id, so shuffle
-    * volume is bounded by cell occupancy.
-    *
-    * FULLY LAZY: the stride is a 1-row count frame cross-joined into the
-    * seed plan (mirroring the oracle's scalar subquery), so composing the
-    * query triggers zero Spark jobs — round 2's `e.count()` at build time
-    * broke that contract. At 100 TB the trainer runs over the same
-    * distributed plan (a production deployment would train on a sample
-    * and persist the codebook; the assignment/probe shape is unchanged).
-    */
   /** Score every vector of `e` against every centroid — the shared
     * assignment input for [[annIvf]] and [[semDedup]]. Column names reuse
     * the top-k aggregate's (query_id, neighbor_id, cos) contract.
@@ -323,8 +304,113 @@ object Similarity {
   def annIvfWith(emb: DataFrame, cb: Codebook, queryIds: Seq[Long], k: Int): DataFrame =
     ivfSearch(emb.select(col("vec_id"), col("embedding")), cb.centroids, queryIds, k)
 
+  /** IVF ANN with a deterministic k-means quantizer: seed centroids are
+    * every ⌊n/C⌋-th DATA vector, refined by `IvfLloydRounds` fixed Lloyd
+    * iterations (assign to max-cosine cell, recompute each cell's
+    * element-wise mean over quantized components — see [[IvfQuant]]).
+    * Fixed rounds + integer-exact means keep the whole trainer
+    * reproducible in the DuckDB oracle, unlike seeded-random k-means.
+    * Corpus vectors are assigned to their max-cosine cell; queries probe
+    * their `IvfProbes` nearest cells. Assignment and probing both reuse
+    * the bounded top-k aggregate (k=1 / k=nprobe) — no window sorts
+    * anywhere. The candidate join is an equi-join on cell id, so shuffle
+    * volume is bounded by cell occupancy.
+    *
+    * FULLY LAZY: the stride is a 1-row count frame cross-joined into the
+    * seed plan (mirroring the oracle's scalar subquery), so composing the
+    * query triggers zero Spark jobs — round 2's `e.count()` at build time
+    * broke that contract. At 100 TB the trainer runs over the same
+    * distributed plan (a production deployment trains on a sample,
+    * persists codebook + assignments — [[ivfIndex]] — and serves from
+    * the artifact: [[annIvfServe]]).
+    */
   def annIvf(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
     annIvfWith(emb, trainCodebook(emb), queryIds, k)
+
+  // ------------------------------------------------- IVF serve artifacts
+
+  /** The persisted IVF ARTIFACT: every corpus vector tagged with its
+    * argmax-cosine cell — `(vec_id, cell, embedding)`. Write this (and
+    * the codebook's `(cell, c_emb)` frame) to parquet ONCE at ingest and
+    * every query batch is served with ZERO training jobs in-plan
+    * ([[annIvfServe]]) — the q110 `annPqAdcOnCodes` discipline applied
+    * to plain IVF. Cell assignment is the same rank-1 bounded top-k as
+    * the in-plan search path, so serving from the artifact is
+    * bit-identical to [[annIvfWith]] on the same codebook (spec-pinned).
+    * Partition the parquet by `cell` and a probe's candidate read prunes
+    * to its cells' files.
+    */
+  def ivfIndex(emb: DataFrame, cb: Codebook): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val assigned = topK(cellScores(e, cb.centroids), 1)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell"))
+    e.join(assigned, Seq("vec_id")).select(col("vec_id"), col("cell"), col("embedding"))
+  }
+
+  /** The int8 sibling of [[ivfIndex]]: `(vec_id, cell, codes)` — the
+    * quantized candidate artifact [[annIvfQuantizedServe]] scans at a
+    * quarter of the bytes. (The `scale` column is dropped: ranking reads
+    * [[cosineCodes]], which is scale-invariant.)
+    */
+  def ivfIndexQuantized(emb: DataFrame, cb: Codebook): DataFrame =
+    ivfIndex(emb, cb)
+      .join(quantizeInt8(emb.select(col("vec_id"), col("embedding"))), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+
+  /** The PRODUCTION IVF serve path: rank queries against a pre-built
+    * [[ivfIndex]] artifact + its codebook — NO Lloyd chain anywhere in
+    * the plan. `queries` carries full-precision `(vec_id, embedding)`
+    * rows; each probes its `IvfProbes` max-cosine cells against the
+    * (tiny, broadcast) centroid frame, and candidates come from the cell
+    * equi-join against the artifact. Result == [[annIvfWith]] on the
+    * codebook that built the artifact, EXACTLY (spec-pinned law): probe
+    * ranking is per-query-local, so restricting the cell scoring to the
+    * query rows changes nothing.
+    */
+  def annIvfServe(index: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id"), col("embedding"))
+    val probes = topK(cellScores(q, centroids), IvfProbes)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell"))
+    val queryCells = q.join(probes, Seq("vec_id"))
+    val scored = broadcast(queryCells.as("q"))
+      .join(
+        index.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id")
+      )
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("q.embedding"), col("c.embedding")).as("cos")
+      )
+    topK(scored, k)
+  }
+
+  /** [[annIvfServe]] over the [[ivfIndexQuantized]] artifact: queries
+    * quantize in-plan (|Q| rows — free), candidates read codes. Result
+    * == [[annIvfQuantizedWith]] on the artifact's codebook exactly.
+    */
+  def annIvfQuantizedServe(
+      index: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col("vec_id"), col("embedding"))
+    val probes = topK(cellScores(q, centroids), IvfProbes)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell"))
+    val queryCells = quantizeInt8(q).join(probes, Seq("vec_id"))
+    val scored = broadcast(queryCells.as("q"))
+      .join(
+        index.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id")
+      )
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosineCodes(col("q.codes"), col("c.codes")).as("cos")
+      )
+    topK(scored, k)
+  }
 
   /** [[annIvf]] with the codebook fitted on the deterministic 1-in-`every`
     * id sample of the corpus — the PRODUCTION trainer shape: the Lloyd

@@ -96,6 +96,11 @@ object Sketch {
     */
   private def maxRho(p: Int): Int = 32 - p + 1
 
+  /** 2^32 as a double — the hash-space size the large-range correction
+    * is phrased in (the registers hash 32 bits; see [[hllEstimate]]).
+    */
+  private val HllTwoTo32: Double = 4294967296.0
+
   /** The alpha_m bias constant (Flajolet et al. 2007) times m², as ONE
     * Scala double both engines receive as the same literal.
     */
@@ -160,10 +165,22 @@ object Sketch {
 
   /** The HLL ESTIMATE from a register table: `(groupCol, n_regs_set,
     * zeros, est_micro)` — the distinct-count estimate in micro-units,
-    * ALL-deterministic: the harmonic sum folds `2^−rho` terms (exact
-    * powers of two) in register order, the raw estimate is one IEEE
-    * division, and the small-range branch reads the [[hllLut]] literal.
-    * Standard error ≈ `1.04/√m`.
+    * ALL-deterministic in the gated range: the harmonic sum folds
+    * `2^−rho` terms (exact powers of two) in register order, the raw
+    * estimate is one IEEE division, and the small-range branch reads
+    * the [[hllLut]] literal. Standard error ≈ `1.04/√m`.
+    *
+    * Three ranges (Flajolet et al. 2007 §4, for 32-bit hashes):
+    * small (`raw ≤ 2.5m`, zeros present) → linear counting via the LUT;
+    * mid → the raw estimate; large (`raw > 2^32/30`) → the hash-
+    * collision correction `E* = −2^32·ln(1 − E/2^32)`, which un-biases
+    * the saturation as distinct counts approach the 2^32 hash space.
+    * The large branch computes a genuine `ln` (no LUT — its domain is
+    * continuous); it only fires above ~1.4·10^8 distinct keys per
+    * group, far past any oracle fixture, and `Math.log` is
+    * correctly-rounded-to-ulp on every JVM this engine targets. The
+    * argument is clamped one hash below saturation so a register table
+    * driven past 2^32 distincts reports the ceiling instead of NaN.
     */
   def hllEstimate(registers: DataFrame, groupCol: String, p: Int = 4): DataFrame = {
     require(p >= 4 && p <= 14, s"need 4 <= p <= 14, got $p")
@@ -194,6 +211,13 @@ object Sketch {
         when(
           col("__raw") <= lit(2.5 * m) && col("zeros") > 0L,
           element_at(lit(lut), col("zeros").cast("int"))
+        ).when(
+          col("__raw") > lit(HllTwoTo32 / 30.0),
+          floor(
+            -lit(HllTwoTo32) *
+              log(lit(1.0) - least(col("__raw"), lit(HllTwoTo32 - 1.0)) / lit(HllTwoTo32)) *
+              lit(1e6) + lit(0.5)
+          ).cast("long")
         ).otherwise(floor(col("__raw") * lit(1e6) + lit(0.5)).cast("long"))
           .as("est_micro")
       )

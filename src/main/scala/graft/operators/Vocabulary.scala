@@ -270,18 +270,25 @@ object Vocabulary {
     * occurrence stream), two partial-aggregated hash aggregates (pair
     * counts, unigram counts), a broadcast join of the unigram table
     * back onto the pair table (both bounded by vocabulary, not corpus),
-    * and the top-k. Overflow bound: `n_lr · N · 10^6 < 2^63` holds to
-    * N ≈ 3·10^6 tokens at the fixture and, at web scale, the same
-    * ratio runs at `div 10^3` scaling — the knob is the literal.
+    * and the top-k. Overflow: `n_lr · N · liftScale` must stay below
+    * 2^63, so the lift column carries an IN-PLAN guard — any row whose
+    * product would wrap raises instead of silently mis-ranking (with
+    * ANSI off Spark wraps Long multiplication without complaint, and a
+    * wrapped lift is negative garbage that still sorts). `liftScale` is
+    * the knob: 10^6 is safe to N ≈ 3·10^6 tokens even in the worst case
+    * (n_lr == N); web-scale corpora run the same rational at 10^3 or
+    * 10^0 — precision traded for headroom, loudly, never silently.
     */
   def collocations(
       docs: DataFrame,
       k: Int,
       minCount: Long = 5L,
-      textCol: String = "text"
+      textCol: String = "text",
+      liftScale: Long = 1000000L
   ): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    require(liftScale >= 1, s"need liftScale >= 1, got $liftScale")
     // materialize the token array BEFORE the pair transform: a lambda
     // referencing the split() expression re-evaluates it per element
     // (the positionalShingles pitfall, quadratic in document length);
@@ -318,7 +325,17 @@ object Vocabulary {
         col("n_lr"),
         col("n_l"),
         col("n_r"),
-        expr("n_lr * n_total * 1000000 div (n_l * n_r)").as("lift_micro")
+        // overflow guard BEFORE the multiply: n_total*liftScale first
+        // (bounded against Long.MaxValue div liftScale), then n_lr
+        // against the remaining headroom — both checks integer-exact,
+        // so the guarded product can never wrap
+        expr(
+          s"CASE WHEN n_total <= ${Long.MaxValue / liftScale}L" +
+            s" AND n_lr <= ${Long.MaxValue}L div (n_total * ${liftScale}L)" +
+            s" THEN n_lr * n_total * ${liftScale}L div (n_l * n_r)" +
+            " ELSE raise_error(concat('collocations: lift overflow (n_lr=', n_lr," +
+            s" ', n_total=', n_total, ') at liftScale=$liftScale; lower liftScale')) END"
+        ).as("lift_micro")
       )
       .orderBy(col("lift_micro").desc, col("l"), col("r"))
       .limit(k)

@@ -398,6 +398,38 @@ class AnnRecallSpec extends SparkSpec {
     } finally { cl.unpersist(); () }
   }
 
+  test("IVF serve over persisted artifacts == in-plan search, bit-for-bit; serve plan trains nothing") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, Sf001, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val cb = Similarity.persistCodebook(Similarity.trainCodebook(emb))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-serve").toString
+    try {
+      cb.centroids.write.mode("overwrite").parquet(s"$dir/cb")
+      Similarity.ivfIndex(emb, cb).write.mode("overwrite").parquet(s"$dir/idx")
+      Similarity.ivfIndexQuantized(emb, cb).write.mode("overwrite").parquet(s"$dir/idx8")
+      val cent = spark.read.parquet(s"$dir/cb")
+      val queries = emb.filter(col("vec_id").isin(qids: _*))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "rnk", "neighbor_id", "cosine")
+          .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      val serve = Similarity.annIvfServe(spark.read.parquet(s"$dir/idx"), cent, queries, 10)
+      assert(rows(serve) === rows(Similarity.annIvfWith(emb, cb, qids, 10)))
+      val serve8 =
+        Similarity.annIvfQuantizedServe(spark.read.parquet(s"$dir/idx8"), cent, queries, 10)
+      assert(rows(serve8) === rows(Similarity.annIvfQuantizedWith(emb, cb, qids, 10)))
+      // the serve plans contain NO Lloyd chain: the trainer's signature
+      // (integer-quantized mean recompute = array_sort ∘ collect_list
+      // aggregates) is absent; candidates come from parquet scans
+      for (df <- Seq(serve, serve8)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("collect_list"), "serve plan re-trains the codebook")
+        assert(!plan.contains("CartesianProduct"))
+        assert(!plan.contains("SortMergeJoin"))
+      }
+    } finally Similarity.releaseCodebook(cb)
+  }
+
   test("PQ plan: codebooks broadcast in encode/decode; no sort-merge join in the ADC path") {
     val emb = Tables.load(spark, Sf001, "embeddings")
     val plan = Similarity.annPqAdc(emb, Seq(0L, 1L), 5)

@@ -135,6 +135,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("collocations: liftScale is a knob; an overflowing lift raises instead of mis-ranking") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    val text = (Seq.fill(8)("new york") ++ Seq.fill(10)("of the")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    // a coarser scale replays the same rational at div 10^3
+    val coarse = Vocabulary.collocations(docs, k = 1, minCount = 5, liftScale = 1000L).head()
+    val nTotal = 36L
+    assert(coarse.getAs[Long]("lift_micro") === 8L * nTotal * 1000L / (8L * 8L))
+    // a scale big enough that ANY real corpus overflows must raise, not wrap:
+    // maxTotal = Long.MaxValue div liftScale = 4 < the 36 tokens here
+    val boom = intercept[Exception](
+      Vocabulary.collocations(docs, k = 1, minCount = 5, liftScale = Long.MaxValue / 4).collect()
+    )
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(boom).exists(_.contains("lift overflow")), s"got: ${messages(boom)}")
+    intercept[IllegalArgumentException](Vocabulary.collocations(docs, 1, 5, "text", 0L))
+  }
+
   test("wordpieceMerges: likelihood argmax prefers the exclusive rare pair BPE ignores") {
     import spark.implicits._
     import graft.operators.Vocabulary

@@ -112,6 +112,25 @@ class ReportSpec extends SparkSpec {
     )
   }
 
+  test("profileTable: duplicate column names (post-join frames) and map columns profile, not fail") {
+    // duplicate names — binding is positional, both occurrences reported
+    val l = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val r = Seq((1L, "a"), (2L, "a")).toDF("id", "v")
+    val joined = l.join(r, l("id") === r("id")) // columns: id, v, id, v
+    val prof = Report.profileTable(joined).collect()
+    assert(prof.length === 4)
+    assert(prof.map(_.getAs[String]("column")).toSeq.sorted === Seq("id", "id", "v", "v"))
+    val vDistinct = prof.filter(_.getAs[String]("column") == "v").map(_.getAs[Long]("n_distinct"))
+    assert(vDistinct.sorted.toSeq === Seq(1L, 2L)) // each occurrence profiled separately
+    // map columns: null count real, order-dependent stats reported as NULL
+    val m = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2))).toDF("id", "mp")
+    val mp = Report.profileTable(m).collect().map(r2 => r2.getAs[String]("column") -> r2).toMap
+    assert(mp("mp").getAs[Long]("n_nulls") === 0L)
+    assert(mp("mp").isNullAt(mp("mp").fieldIndex("n_distinct")))
+    assert(mp("mp").isNullAt(mp("mp").fieldIndex("min_val")))
+    assert(mp("id").getAs[Long]("n_distinct") === 2L)
+  }
+
   test("plans: card has no corpus window and one scan family; diff is a single equi-join") {
     val card = Report.corpusCard(docs).queryExecution.executedPlan.toString
     assert(!card.contains("Window"))

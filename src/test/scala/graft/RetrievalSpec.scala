@@ -258,6 +258,83 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.searchPhraseIndexed(pidx, Seq.empty))
   }
 
+  test("bm25TopKIndexed over (index, norms) artifacts == bm25TopK direct, bit-for-bit") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val idx = Retrieval.invertedIndex(docs)
+    val dls = Retrieval.docLengths(docs)
+    for (q <- Seq(Seq("dup", "vector", "merge"), Seq("table"), Seq("dup", "dup", "vector"))) {
+      val direct = Retrieval.bm25TopK(docs, "text", q, 10).as[(Long, Long, Long)].collect().toSeq
+      val served = Retrieval.bm25TopKIndexed(idx, dls, q, 10).as[(Long, Long, Long)].collect().toSeq
+      assert(served === direct, s"query $q")
+    }
+    intercept[IllegalArgumentException](Retrieval.bm25TopKIndexed(idx, dls, Seq.empty, 5))
+  }
+
+  test("searchNear: controlled distances; indexed == direct; slop=0 is phrase-union, slop=max is AND") {
+    val docs = corpus(
+      0L -> "a b c", // dist 1 (ordered adjacent)
+      1L -> "a c c b", // dist 3
+      2L -> "b x a", // dist 2 (reversed)
+      3L -> "a a a", // no b — never matches
+      4L -> "b a" // dist 1 (reversed adjacent)
+    )
+    assert(
+      Retrieval.searchNear(docs, "a", "b", 0L).as[(Long, Long)].collect().toMap
+        === Map(0L -> 1L, 4L -> 1L)
+    )
+    assert(
+      Retrieval.searchNear(docs, "a", "b", 2L).as[(Long, Long)].collect().toMap
+        === Map(0L -> 1L, 1L -> 3L, 2L -> 2L, 4L -> 1L)
+    )
+    val pidx = Retrieval.invertedIndexPositional(docs)
+    for (slop <- Seq(0L, 1L, 2L, Long.MaxValue)) {
+      val d = Retrieval.searchNear(docs, "a", "b", slop).as[(Long, Long)].collect().toMap
+      val i = Retrieval.searchNearIndexed(pidx, "a", "b", slop).as[(Long, Long)].collect().toMap
+      assert(i === d, s"slop $slop")
+    }
+    // boundary law 1: slop=0 doc set == phrase "a b" ∪ phrase "b a"
+    val adj = Retrieval.searchNear(docs, "a", "b", 0L).select("doc_id").as[Long].collect().toSet
+    val ph = Retrieval.searchPhrase(docs, Seq("a", "b")).select("doc_id").as[Long].collect().toSet ++
+      Retrieval.searchPhrase(docs, Seq("b", "a")).select("doc_id").as[Long].collect().toSet
+    assert(adj === ph)
+    // boundary law 2: slop=MaxValue doc set == conjunctive AND (both present)
+    val win = Retrieval
+      .searchNear(docs, "a", "b", Long.MaxValue).select("doc_id").as[Long].collect().toSet
+    val and = Retrieval
+      .searchAll(Retrieval.invertedIndex(docs), Seq("a", "b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(win === and)
+    // and the same three laws on the real fixture corpus
+    val real = spark.read.parquet(s"$Sf001/documents.parquet")
+    val realIdx = Retrieval.invertedIndexPositional(real)
+    for (slop <- Seq(0L, 3L, Long.MaxValue)) {
+      val d = Retrieval.searchNear(real, "table", "vector", slop).as[(Long, Long)].collect().toMap
+      val i = Retrieval.searchNearIndexed(realIdx, "table", "vector", slop)
+        .as[(Long, Long)].collect().toMap
+      assert(i === d, s"fixture slop $slop")
+    }
+    intercept[IllegalArgumentException](Retrieval.searchNear(docs, "a", "a", 1L))
+    intercept[IllegalArgumentException](Retrieval.searchNear(docs, "a", "b", -1L))
+  }
+
+  test("mergeIndexes repairs text-partitioned docs (tf sums, df does not inflate); cap re-applies") {
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("tok", "df", "doc_ids", "tfs")
+        .as[(String, Long, Seq[Long], Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 0's text arrives split across two parts: the merged index must
+    // equal indexing the whole text (tf sums per (tok, doc); df = 1)
+    val partA = Retrieval.invertedIndex(corpus(0L -> "x y", 1L -> "x z"))
+    val partB = Retrieval.invertedIndex(corpus(0L -> "x"))
+    val full = Retrieval.invertedIndex(corpus(0L -> "x y x", 1L -> "x z"))
+    assert(flat(Retrieval.mergeIndexes(partA, partB)) === flat(full))
+    // the df cap is an argument of the MERGE, never inherited: x (df 2)
+    // is dropped at maxDf=1, y and z survive
+    val capped = flat(Retrieval.mergeIndexesCapped(1L, partA, partB))
+    assert(capped.keySet === Set("y", "z"))
+    intercept[IllegalArgumentException](Retrieval.mergeIndexesCapped(0L, partA))
+  }
+
   test("physical plan: index build and search are aggregate-only — no window, no cartesian") {
     val docs = spark.read.parquet(s"$Sf001/documents.parquet")
     val build = Retrieval.invertedIndex(docs).queryExecution.executedPlan.toString
@@ -269,5 +346,25 @@ class RetrievalSpec extends SparkSpec {
     assert(!search.contains("Window"))
     assert(!search.contains("CartesianProduct"))
     assert(!search.contains("BroadcastNestedLoopJoin"))
+    // indexed BM25: the postings side broadcasts onto the norms join (the
+    // only corpus-sized frame scans once, shuffle-free before its agg)
+    val bm25 = Retrieval
+      .bm25TopKIndexed(
+        Retrieval.invertedIndex(docs),
+        Retrieval.docLengths(docs),
+        Seq("dup", "merge"),
+        10
+      )
+      .queryExecution.executedPlan.toString
+    assert(bm25.contains("BroadcastHashJoin"))
+    assert(!bm25.contains("SortMergeJoin"))
+    assert(!bm25.contains("CartesianProduct"))
+    // NEAR: per-doc pairing is an equi-join on doc_id — never cartesian
+    val near = Retrieval
+      .searchNearIndexed(Retrieval.invertedIndexPositional(docs), "table", "vector", 3L)
+      .queryExecution.executedPlan.toString
+    assert(!near.contains("CartesianProduct"))
+    assert(!near.contains("BroadcastNestedLoopJoin"))
+    assert(!near.contains("Window"))
   }
 }
