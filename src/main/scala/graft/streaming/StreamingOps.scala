@@ -529,6 +529,134 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING INDEX MAINTENANCE — the always-on face of
+    * [[graft.operators.Retrieval.mergeIndexes]] (the batch daily-crawl
+    * path): each micro-batch is tokenized ONCE into its partial inverted
+    * index, merged with the persisted artifact through the same
+    * posting-row re-aggregation, and the result becomes the new
+    * artifact. The law gated in StreamingSpec: after the stream drains,
+    * the persisted index == rebuilding from every document ever
+    * streamed, EXACTLY — the base corpus is never re-tokenized, so each
+    * batch costs its own tokens plus a posting-row merge.
+    *
+    * Artifact layout: generation directories `gen=<batchId>` under
+    * `indexDir` — read the latest PRIOR generation, write the merged
+    * index as this batch's generation, then retire everything older
+    * than the base just read. The base survives until its successor is
+    * fully written, so a crash between write and checkpoint replays the
+    * batch against the SAME base and overwrites the same generation
+    * with identical content (deterministic merge ⇒ idempotent retry;
+    * the `< batchId` filter keeps a retry from reading its own partial
+    * output). Readers pick `max(gen=)` — always a complete directory.
+    *
+    * Contract mirror of the batch operator: admission upstream must
+    * keep the same text from being indexed twice ([[admitIngest]]);
+    * text SPLIT across batches merges correctly (tf sums, df exact).
+    */
+  def maintainIndex(
+      stream: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        advanceGeneration(indexDir, batchId, batch.sparkSession) { base =>
+          val delta = graft.operators.Retrieval.invertedIndex(batch, textCol, idCol)
+          base.fold(delta)(b => graft.operators.Retrieval.mergeIndexes(b, delta))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** [[maintainIndex]] PLUS the norms table — the complete streaming
+    * retrieval deployment: each micro-batch advances BOTH artifacts
+    * ([[graft.operators.Retrieval.invertedIndex]] postings and
+    * [[graft.operators.Retrieval.docLengths]], dl summing per doc like
+    * tf does), so [[graft.operators.Retrieval.bm25TopKIndexed]] against
+    * the current generations == [[graft.operators.Retrieval.bm25TopK]]
+    * over every document ever streamed, EXACTLY (the law StreamingSpec
+    * pins). Ranked retrieval over a live crawl costs each batch its own
+    * tokens; queries never touch corpus text.
+    */
+  def maintainRetrieval(
+      stream: DataFrame,
+      indexDir: String,
+      normsDir: String,
+      checkpointDir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        advanceGeneration(indexDir, batchId, sp) { base =>
+          val delta = graft.operators.Retrieval.invertedIndex(batch, textCol, idCol)
+          base.fold(delta)(b => graft.operators.Retrieval.mergeIndexes(b, delta))
+        }
+        advanceGeneration(normsDir, batchId, sp) { base =>
+          val delta = graft.operators.Retrieval.docLengths(batch, textCol, idCol)
+          base.fold(delta)(
+            _.unionByName(delta).groupBy(col("doc_id")).agg(sum(col("dl")).as("dl"))
+          )
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One generation step of a [[maintainIndex]]-style artifact: read the
+    * latest PRIOR generation (strictly `< batchId` — a retry must never
+    * read its own partial output), build the successor from it, write it
+    * as `gen=<batchId>`, then retire everything older than the base just
+    * consumed (the base survives until its successor is durable, so a
+    * replayed batch re-merges against the SAME base and idempotently
+    * overwrites the same generation).
+    */
+  private def advanceGeneration(dir: String, batchId: Long, sp: SparkSession)(
+      make: Option[DataFrame] => DataFrame
+  ): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .map(_.getPath.getName)
+          .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+          .filter(_ < batchId)
+      else Array.empty[Long]
+    val base = if (prior.isEmpty) None else Some(sp.read.parquet(s"$dir/gen=${prior.max}"))
+    make(base).write.mode("overwrite").parquet(s"$dir/gen=$batchId")
+    prior.filter(_ < prior.maxOption.getOrElse(Long.MinValue)).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true)
+      ()
+    }
+  }
+
+  /** Read the current generation of a [[maintainRetrieval]] norms
+    * artifact (same layout as the postings).
+    */
+  def currentNorms(spark: SparkSession, normsDir: String): DataFrame =
+    currentIndex(spark, normsDir)
+
+  /** Read the current generation of a [[maintainIndex]] artifact. */
+  def currentIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs
+      .listStatus(root)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+    require(gens.nonEmpty, s"no index generations under $indexDir")
+    spark.read.parquet(s"$indexDir/gen=${gens.max}")
+  }
+
   /** Run a streaming frame to completion against bounded input via the
     * memory sink (used by tests; production would writeStream to parquet/
     * kafka with a real trigger).

@@ -586,4 +586,67 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(got == exp)
   }
+
+  test("streaming index maintenance: persisted artifact == full rebuild after every batch") {
+    import graft.operators.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-stream").toString
+    val idxDir = s"$dir/index"
+    val docs = spark.read
+      .parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("tok", "df", "doc_ids", "tfs")
+        .as[(String, Long, Seq[Long], Seq[Long])]
+        .collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4)))
+        .toMap
+    val stream = MemoryStream[(Long, String)]
+    val normsDir = s"$dir/norms"
+    val q = StreamingOps.maintainRetrieval(
+      stream.toDF().toDF("doc_id", "text"),
+      idxDir,
+      normsDir,
+      s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    // mid-stream: the artifact equals rebuilding everything streamed so far
+    assert(
+      flat(StreamingOps.currentIndex(spark, idxDir))
+        === flat(Retrieval.invertedIndex((b1 ++ b2).toDF("doc_id", "text")))
+    )
+    stream.addData(b3); q.processAllAvailable()
+    q.stop()
+    // drained: streaming-merged == the full-corpus rebuild EXACTLY, and
+    // superseded generations were retired (base + current at most)
+    assert(
+      flat(StreamingOps.currentIndex(spark, idxDir))
+        === flat(Retrieval.invertedIndex(docs.toDF("doc_id", "text")))
+    )
+    for (d <- Seq(idxDir, normsDir)) {
+      val gens = new java.io.File(d).list().count(_.startsWith("gen="))
+      assert(gens <= 2, s"$d accumulated $gens generations")
+    }
+    // ranked retrieval over the live artifacts == batch BM25 over every
+    // document ever streamed — the law the norms generation exists for
+    val served = Retrieval
+      .bm25TopKIndexed(
+        StreamingOps.currentIndex(spark, idxDir),
+        StreamingOps.currentNorms(spark, normsDir),
+        Seq("dup", "vector", "merge"),
+        10
+      )
+      .as[(Long, Long, Long)].collect().toSeq
+    val direct = Retrieval
+      .bm25TopK(docs.toDF("doc_id", "text"), "text", Seq("dup", "vector", "merge"), 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(served === direct)
+  }
 }

@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Mechanized variance-band check: BENCH json vs the BASELINE.md anchors.
+
+Reproduces the verdict's perf table with one command:
+
+    python3 tools/band_check.py BENCH_r08.json [BASELINE.md]
+
+For every query in the bench reading it finds
+  - the ANCHOR: the rightmost recorded dev-column number in the
+    BASELINE.md query table, else the `QueryProbe median of 5 = X`
+    figure from the row's Notes;
+  - the FAMILY BAND: parsed from the "Variance bands" family table
+    (members column), with explicit overrides for queries the prose
+    assigns elsewhere and a shuffle/agg default for unlisted ones;
+and prints one line per query with the ratio and an IN-BAND /
+OUT-OF-BAND / FAST / NO-ANCHOR verdict, then the out-of-band summary.
+
+Per the repo's standing rule (BASELINE.md "Variance bands"): a single
+driver reading outside its band is evidence to RE-PROBE (QueryProbe >= 8
+cache-cleared runs), not a regression verdict by itself.
+"""
+import json
+import re
+import sys
+
+# family -> slow-side multiplier vs anchor (from the BASELINE.md table):
+# ±30% -> 1.3x, ±50% -> 1.5x, ±2x -> 2.0x (single reading)
+BAND_FACTOR = {"scan": 1.3, "shuffle": 1.5, "ann": 1.5, "fileio": 1.5, "cluster": 2.0}
+
+# Queries newer than the last hand-written family-table edit, plus rows
+# the table's prose assigns specially. Everything else resolves from the
+# parsed members lists; unlisted queries default to shuffle (±50%).
+FAMILY_OVERRIDES = {
+    "q97_mix_roundtrip": "cluster",  # the q94 chain runs inside the write
+    "q109_attrition": "cluster",
+    "q110_ann_pq": "ann",
+    "q111_wordpiece_merges": "ann",
+    "q119_ann_projected": "ann",
+    "q120_collocations": "shuffle",
+    "q121_dedup_central": "cluster",
+    "q122_bool_search": "shuffle",
+    "q123_waterfill_budget": "shuffle",
+    "q124_bm25_indexed": "shuffle",
+    "q125_ann_ivf_serve": "ann",  # artifact write inside; serve plan is ANN-shaped
+    "q126_near_search": "shuffle",
+}
+
+FAMILY_KEYS = [
+    ("scan-shaped", "scan"),
+    ("shuffle/agg", "shuffle"),
+    ("ANN / IVF", "ann"),
+    ("file-I/O", "fileio"),
+    ("cluster family", "cluster"),
+]
+
+
+def parse_baseline(path):
+    text = open(path).read()
+    anchors, families = {}, {}
+    for line in text.splitlines():
+        if not line.startswith("| q"):
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        name = cells[0]
+        if not re.match(r"^q\d+_", name):
+            continue
+        anchor = None
+        # rightmost recorded numeric column (Notes is the final cell)
+        for c in reversed(cells[1:-1]):
+            if re.match(r"^\d+(\.\d+)?$", c):
+                anchor = float(c)
+                break
+        if anchor is None:
+            m = re.search(r"median of 5 = (\d+(?:\.\d+)?)", cells[-1])
+            if m:
+                anchor = float(m.group(1))
+        if anchor is not None:
+            anchors[name] = anchor
+    for line in text.splitlines():
+        if not line.startswith("|"):
+            continue
+        for key, fam in FAMILY_KEYS:
+            if line.strip("| ").startswith(key):
+                members = re.findall(r"q\d+(?:–q\d+)?", line.split("|")[2])
+                for mspec in members:
+                    if "–" in mspec:
+                        lo, hi = (int(x[1:]) for x in mspec.split("–"))
+                        for i in range(lo, hi + 1):
+                            families[i] = fam
+                    else:
+                        families[int(mspec[1:])] = fam
+    return anchors, families
+
+
+def load_bench(path):
+    raw = open(path).read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "queries" in d:
+        return d["queries"]
+    # driver wrapper: the JSON line is embedded in a "tail" string
+    hay = d.get("tail", raw) if isinstance(d, dict) else raw
+    m = re.search(r'\{"metric":.*\}', hay)
+    if m:
+        return json.loads(m.group(0))["queries"]
+    # driver tails are sometimes truncated mid-line: scrape the per-query
+    # pairs directly (the qNN_name keys only occur in the queries map)
+    pairs = re.findall(r'"(q\d+_\w+)":(\d+(?:\.\d+)?)', hay)
+    if not pairs:
+        sys.exit(f"no bench JSON line found in {path}")
+    print(f"[band_check] note: {path} truncated — scraped "
+          f"{len(pairs)} per-query readings from the tail\n")
+    return {k: float(v) for k, v in pairs}
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    bench_path = sys.argv[1]
+    baseline_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+    anchors, families = parse_baseline(baseline_path)
+    queries = load_bench(bench_path)
+
+    rows, out_of_band, no_anchor = [], [], []
+    for name in sorted(queries):
+        reading = queries[name]
+        qnum = int(re.match(r"q(\d+)_", name).group(1))
+        fam = FAMILY_OVERRIDES.get(name) or families.get(qnum) or "shuffle"
+        defaulted = name not in FAMILY_OVERRIDES and qnum not in families
+        factor = BAND_FACTOR[fam]
+        anchor = anchors.get(name)
+        if anchor is None:
+            verdict, ratio = "NO-ANCHOR", None
+            no_anchor.append(name)
+        else:
+            ratio = reading / anchor
+            if ratio > factor:
+                verdict = "OUT-OF-BAND"
+                out_of_band.append((name, reading, anchor, ratio, fam, factor))
+            elif ratio < 1.0 / factor:
+                verdict = "FAST"
+            else:
+                verdict = "IN-BAND"
+        rows.append((name, reading, anchor, ratio, fam + ("*" if defaulted else ""), verdict))
+
+    print(f"{'query':34} {'read':>7} {'anchor':>7} {'ratio':>6}  {'family':10} verdict")
+    for name, reading, anchor, ratio, fam, verdict in rows:
+        a = f"{anchor:7.3f}" if anchor is not None else "      —"
+        r = f"{ratio:6.2f}" if ratio is not None else "     —"
+        print(f"{name:34} {reading:7.3f} {a} {r}  {fam:10} {verdict}")
+    print()
+    total = sum(queries.values())
+    anchored = [(n, v) for n, v in queries.items() if n in anchors]
+    asum = sum(anchors[n] for n, _ in anchored)
+    vsum = sum(v for _, v in anchored)
+    print(f"total {total:.1f} s over {len(queries)} queries; "
+          f"vs-anchor sum ratio {vsum / asum:.2f} over {len(anchored)} anchored")
+    if no_anchor:
+        print(f"no anchor ({len(no_anchor)}): {' '.join(no_anchor)}")
+    if out_of_band:
+        print(f"OUT-OF-BAND ({len(out_of_band)}) — re-probe before any verdict "
+              "(BASELINE.md band rule):")
+        for name, reading, anchor, ratio, fam, factor in out_of_band:
+            print(f"  {name}: {reading:.3f} vs {anchor:.3f} = {ratio:.2f}x "
+                  f"(band {factor:.1f}x, {fam})")
+        sys.exit(2)
+    print("all anchored queries in band")
+
+
+if __name__ == "__main__":
+    main()
