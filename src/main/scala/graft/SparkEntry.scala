@@ -687,6 +687,22 @@ object SparkEntry {
       val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
       graft.operators.Vocabulary.bpeProfile(docs, segs).orderBy(col("doc_id"))
     }),
+    // tokenizer serving end-to-end: trained segmentations + the
+    // mass-ranked symbol-id vocabulary -> each document's subword-id
+    // sequence (the artifact a training pipeline actually emits); two
+    // broadcast lookups, order reassembled from (word pos, sym pos),
+    // corpus unshuffled until the per-doc assembly. Gate flattens the
+    // ids array to scalar (doc_id, pos, sym_id) rows for the compare.
+    "q127_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
+      val vocab = graft.operators.Vocabulary.subwordVocab(segs)
+      graft.operators.Vocabulary
+        .encodeSubwords(docs, segs, vocab)
+        .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "sym_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
     // per-source corpus card: one scan into a (source, lang) aggregate,
     // bounded rollup, min_by top-lang tie-break, dup mass over 8-byte
     // content hashes — the datasheet composition table
@@ -881,6 +897,15 @@ object SparkEntry {
       val idx = graft.operators.Retrieval.invertedIndexPositional(t(s, dir, "documents"))
       graft.operators.Retrieval
         .searchNearIndexed(idx, "table", "vector", 3L)
+        .orderBy(col("doc_id"))
+    }),
+    // prefix/wildcard retrieval over the index: the startsWith predicate
+    // pushes into the index scan (StringStartsWith — min/max-prunable on
+    // the sorted dictionary); only the matched terms' postings explode
+    "q128_prefix_search" -> ((s, dir) => {
+      val idx = graft.operators.Retrieval.invertedIndex(t(s, dir, "documents"))
+      graft.operators.Retrieval
+        .searchPrefix(idx, "s")
         .orderBy(col("doc_id"))
     }),
     // Boolean retrieval: must-AND + mustNot as a LEFT ANTI against the
@@ -1916,7 +1941,35 @@ object SparkEntry {
        FROM prof JOIN s$nMerges USING (w)
        GROUP BY 1 ORDER BY doc_id"""
 
+  /** Tokenizer serving replay: the q100 trainer chain, the mass-ranked
+    * symbol vocabulary off its final segmentation table, and the per-doc
+    * ordered flatten — reading-order position via a (wpos, spos) window.
+    * No char-fallback branch: the gate encodes the TRAINING corpus, so
+    * every word is in the table (the fallback law lives in CorpusOpsSpec).
+    */
+  private def bpeEncodeOracle(nMerges: Int): String =
+    s"""${bpeChain(nMerges)}, vocab AS (
+         SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY mass DESC, sym) AS BIGINT) AS sym_id
+         FROM (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS mass FROM (
+           SELECT cnt, unnest(syms) AS sym FROM s$nMerges) tv GROUP BY 1) tm
+       ), wocc AS (
+         SELECT doc_id, wpos, w FROM (
+           SELECT doc_id, unnest(range(0, len(ws))) AS wpos, unnest(ws) AS w
+           FROM (SELECT doc_id, ${tokens("text")} AS ws FROM documents) t00) t01
+         WHERE length(w) > 0
+       ), socc AS (
+         SELECT doc_id, wpos, spos, sym FROM (
+           SELECT doc_id, wpos, unnest(range(0, len(syms))) AS spos, unnest(syms) AS sym
+           FROM wocc JOIN s$nMerges USING (w)) t02
+       )
+       SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
+         vocab.sym_id
+       FROM socc JOIN vocab USING (sym)
+       ORDER BY doc_id, pos"""
+
   def oracleSql: Map[String, String] = Map(
+    "q127_bpe_encode" -> bpeEncodeOracle(8),
     "q100_bpe_merges" -> bpeOracle(8),
     "q101_bpe_profile" -> bpeProfileOracle(8),
     "q111_wordpiece_merges" -> bpeOracle(8, wordpiece = true),
@@ -1989,6 +2042,15 @@ object SparkEntry {
     "q124_bm25_indexed" -> bm25Oracle,
     // IVF served from persisted codebook/assignments == train-in-plan
     "q125_ann_ivf_serve" -> annIvfOracle,
+    // prefix retrieval: LIKE over the (tok, doc) tf frame, distinct-term
+    // coordination + tf mass per doc
+    "q128_prefix_search" ->
+      s"""WITH occ AS (SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents),
+         tf AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM occ WHERE tok LIKE 's%' GROUP BY 1, 2)
+         SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms,
+           CAST(SUM(tf) AS BIGINT) AS tf_sum
+         FROM tf GROUP BY doc_id ORDER BY doc_id""",
     // proximity NEAR/slop: windowed self-join — min |pos_a - pos_b| per
     // doc over the two terms' occurrences, matched iff min - 1 <= slop
     "q126_near_search" ->

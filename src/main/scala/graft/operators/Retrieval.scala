@@ -468,6 +468,27 @@ object Retrieval {
       .select(col("doc_id"), col("tf_sum"))
   }
 
+  /** PREFIX (wildcard `pre*`) retrieval over an [[invertedIndex]] frame:
+    * documents containing ANY term starting with `prefix` — `(doc_id,
+    * n_terms, tf_sum)` with the DISTINCT matched-term count as the
+    * coordination signal. The term dictionary is where a wildcard
+    * belongs: the predicate is `startsWith`, which Spark pushes into the
+    * index's parquet scan as `StringStartsWith` (a min/max-prunable
+    * range — served from the artifact, only the prefix's dictionary
+    * range is even read), where a corpus-side wildcard would regex-scan
+    * every token of every document. Cost after the filter is the
+    * matched terms' posting rows, exactly [[searchAny]].
+    */
+  def searchPrefix(index: DataFrame, prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "empty prefix")
+    index
+      .filter(col("tok").startsWith(prefix))
+      .select(col("tok"), explode(arrays_zip(col("doc_ids"), col("tfs"))).as("h"))
+      .select(col("tok"), col("h.doc_ids").as("doc_id"), col("h.tfs").as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("n_terms"), sum(col("tf")).as("tf_sum"))
+  }
+
   // ------------------------------------------------------------ proximity
 
   /** PROXIMITY (NEAR/slop) search — the operator BETWEEN exact phrase

@@ -186,6 +186,112 @@ object Vocabulary {
     (merges.result().toDF("merge_idx", "left", "right", "pair_count"), words)
   }
 
+  /** The SYMBOL VOCABULARY of a trained segmentation table — `(sym,
+    * mass, sym_id)` with `mass` the weighted corpus occurrence count and
+    * ids 1..V assigned by (mass desc, sym asc): the id table a tokenizer
+    * ships NEXT TO its merge list (merges define the segmentation, this
+    * defines the integers the model actually consumes). Id 0 is RESERVED
+    * for `<unk>` — [[encodeSubwords]] emits it for symbols outside the
+    * table. Deterministic: a pure function of the segmentation table, so
+    * the DuckDB oracle replays it exactly.
+    *
+    * The ranking window has no partition, which is safe for the same
+    * reason as the waterfill sources window: the frame is the SYMBOL
+    * INVENTORY — bounded by the seed character set plus one symbol per
+    * merge round, never by the corpus.
+    */
+  def subwordVocab(segmentations: DataFrame): DataFrame =
+    segmentations
+      .select(col("cnt"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(sum(col("cnt")).as("mass"))
+      .select(
+        col("sym"),
+        col("mass"),
+        row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("mass").desc, col("sym")))
+          .cast("long")
+          .as("sym_id")
+      )
+
+  /** ENCODE a corpus to token-id sequences — the artifact a training
+    * pipeline actually emits: `(idCol, ids, n_ids)` with `ids` each
+    * document's subword ids in reading order. This is the serving
+    * composition the trainer surface exists for: words look up their
+    * trained decomposition ([[bpeSegmentations]] /
+    * [[wordpieceSegmentations]] — a BROADCAST dictionary, never a
+    * per-document merge-loop re-run), symbols look up their
+    * [[subwordVocab]] id (broadcast again), and order is reassembled
+    * from the (word position, symbol position) pair. Unknown words fall
+    * back to their character decomposition (the zero-merge encoding);
+    * characters outside the vocabulary encode as 0 = `<unk>`.
+    *
+    * Scale shape: the symbol→id substitution happens ONCE, inside the
+    * (word-table-bounded) segmentation frame — each word's id array is
+    * precomputed there, so the corpus explodes one row per WORD with
+    * the id array riding along, never one row per subword (~4× fewer
+    * shuffled rows at typical fertility; the first cut exploded
+    * subwords and the 1M-doc smoke measured the difference). The
+    * corpus never shuffles until the per-document assembly aggregate,
+    * both lookup tables are trainer-bounded and broadcast, and the
+    * assembly sort is per-document (array_sort over the collected
+    * struct list — work bounded by document length, no corpus-wide
+    * Window). The char fallback reads a broadcast 1-row
+    * `map<char, id>` built from the vocabulary's single-character
+    * symbols — in-plan and lazy, like every model frame in the engine.
+    * `n_ids` == [[bpeProfile]]'s `n_subwords` by construction
+    * (spec-pinned law).
+    */
+  def encodeSubwords(
+      docs: DataFrame,
+      segmentations: DataFrame,
+      vocab: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val segIds = segmentations
+      .select(col("w"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(vocab.select(col("sym"), col("sym_id")), Seq("sym"), "left")
+      .groupBy(col("w"))
+      .agg(
+        transform(
+          array_sort(
+            collect_list(struct(col("spos"), coalesce(col("sym_id"), lit(0L)).as("id")))
+          ),
+          s => s.getField("id")
+        ).as("wids")
+      )
+    val charMap = vocab
+      .filter(length(col("sym")) === 1)
+      .agg(map_from_entries(collect_list(struct(col("sym"), col("sym_id")))).as("cmap"))
+    docs
+      .select(
+        col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("wpos", "w"))
+      )
+      .filter(length(col("w")) > 0)
+      .join(broadcast(segIds), Seq("w"), "left")
+      .crossJoin(broadcast(charMap))
+      .select(
+        col(idCol),
+        col("wpos"),
+        coalesce(
+          col("wids"),
+          transform(split(col("w"), ""), c => coalesce(element_at(col("cmap"), c), lit(0L)))
+        ).as("wids")
+      )
+      .groupBy(col(idCol))
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("wpos"), col("wids").as("ws")))),
+            s => s.getField("ws")
+          )
+        ).as("ids")
+      )
+      .select(col(idCol), col("ids"), size(col("ids")).cast("long").as("n_ids"))
+  }
+
   /** WORDPIECE merge training (Schuster & Nakajima 2012; the BERT
     * tokenizer's trainer): the same round structure as [[bpeMerges]] —
     * word-frequency table once, one pair aggregate + driver argmax + one

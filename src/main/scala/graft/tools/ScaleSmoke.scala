@@ -995,6 +995,29 @@ object ScaleSmoke {
         f"from the positional artifact (built once in $tPosBuild%.1f s) — query cost is " +
         f"the terms' posting rows, never a corpus scan"
     )
+    // tokenizer serving: train once on the (vocab-bounded) word table,
+    // then encode the WHOLE corpus to id sequences — two broadcast
+    // lookups + the per-doc assembly aggregate
+    import graft.operators.Vocabulary
+    val (segVocab, tTrain) = time("bpe trainer (8 merges; word table is vocab-bounded)") {
+      val sg = Vocabulary.bpeSegmentations(docs, 8).persist()
+      val vc = Vocabulary.subwordVocab(sg).persist()
+      (sg.count(), vc.count())
+      (sg, vc)
+    }
+    val (encStats, tEncode) = time(s"encodeSubwords: $n docs -> id sequences") {
+      Vocabulary
+        .encodeSubwords(docs, segVocab._1, segVocab._2)
+        .agg(sum(col("n_ids")).cast("long"), sum(expr("ids[0]")).cast("long"), count(lit(1)))
+        .as[(Long, Long, Long)]
+        .head()
+    }
+    println(
+      f"[serve] encode: ${encStats._3} docs -> ${encStats._1} subword ids in $tEncode%.1f s " +
+        f"(${encStats._1 / tEncode / 1e6}%.1f M ids/s; trainer $tTrain%.1f s once) — corpus " +
+        f"unshuffled until the per-doc assembly, both lookup tables broadcast"
+    )
+    segVocab._1.unpersist(); segVocab._2.unpersist()
     val supply = docs.select(sum(size(split(col("text"), " "))).cast("long")).as[Long].head()
     val (alloc, tWf) = time(s"waterfillBudgets(T=supply/2) at $n docs x 100 sources") {
       Sampling

@@ -135,6 +135,51 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("subwordVocab + encodeSubwords: dense ids, lossless round-trip, profile law, unk fallback") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet").select("doc_id", "text")
+    val segs = Vocabulary.bpeSegmentations(docs, 4)
+    val vocab = Vocabulary.subwordVocab(segs).collect()
+    // ids are DENSE 1..V in (mass desc, sym) order — 0 stays free for <unk>
+    val byId = vocab.sortBy(_.getAs[Long]("sym_id"))
+    assert(byId.map(_.getAs[Long]("sym_id")).toSeq === (1L to vocab.length.toLong))
+    assert(
+      byId.map(r => (-r.getAs[Long]("mass"), r.getAs[String]("sym"))).toSeq
+        === byId.map(r => (-r.getAs[Long]("mass"), r.getAs[String]("sym"))).toSeq.sorted
+    )
+    val encoded = Vocabulary.encodeSubwords(docs, segs, Vocabulary.subwordVocab(segs))
+    // n_ids == bpeProfile's n_subwords, document for document
+    val nIds = encoded.select("doc_id", "n_ids").as[(Long, Long)].collect().toMap
+    val nSub = Vocabulary
+      .bpeProfile(docs, segs)
+      .select("doc_id", "n_subwords").as[(Long, Long)].collect().toMap
+    assert(nIds === nSub)
+    // LOSSLESS on the training corpus: ids -> symbols concatenated per
+    // doc == the doc's words concatenated (reading order preserved)
+    val idToSym = vocab.map(r => r.getAs[Long]("sym_id") -> r.getAs[String]("sym")).toMap
+    val words = docs
+      .select(
+        col("doc_id"),
+        concat_ws("", org.apache.spark.sql.functions.filter(
+          graft.functions.TextFunctions.tokens(col("text")), w => length(w) > 0)).as("joined")
+      )
+      .as[(Long, String)].collect().toMap
+    encoded.select("doc_id", "ids").as[(Long, Seq[Long])].collect().foreach { case (d, ids) =>
+      assert(ids.map(idToSym).mkString("") === words(d), s"doc $d")
+      assert(!ids.contains(0L), s"doc $d emitted <unk> on its own training corpus")
+    }
+    // fallback: an unseen word encodes at character level; characters
+    // the vocabulary lacks encode as 0 = <unk>
+    val strange = Seq((999L, "zq the")).toDF("doc_id", "text")
+    val got = Vocabulary
+      .encodeSubwords(strange, segs, Vocabulary.subwordVocab(segs))
+      .select("ids").as[Seq[Long]].head()
+    val zq = Seq("z", "q").map(c => vocab.find(_.getAs[String]("sym") == c)
+      .map(_.getAs[Long]("sym_id")).getOrElse(0L))
+    assert(got.take(2) === zq) // char decomposition of the unseen word
+  }
+
   test("collocations: liftScale is a knob; an overflowing lift raises instead of mis-ranking") {
     import spark.implicits._
     import graft.operators.Vocabulary

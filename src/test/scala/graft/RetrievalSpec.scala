@@ -317,6 +317,36 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.searchNear(docs, "a", "b", -1L))
   }
 
+  test("searchPrefix: == searchAny over the matched dictionary range; pushdown serves the artifact") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val idx = Retrieval.invertedIndex(docs)
+    val matched = idx
+      .filter(col("tok").startsWith("s"))
+      .select("tok").as[String].collect().toSeq.sorted
+    assert(matched.nonEmpty && matched.forall(_.startsWith("s")))
+    // coordination + mass == searchAny restricted to exactly those terms
+    def keyed(rows: Array[(Long, Long, Long)]) = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    val viaAny = keyed(
+      Retrieval.searchAny(idx, matched)
+        .select("doc_id", "n_hit", "tf_sum").as[(Long, Long, Long)].collect()
+    )
+    val viaPrefix = keyed(
+      Retrieval.searchPrefix(idx, "s")
+        .select("doc_id", "n_terms", "tf_sum").as[(Long, Long, Long)].collect()
+    )
+    assert(viaPrefix === viaAny)
+    // served from a parquet artifact the predicate reaches the SCAN:
+    // StartsWith appears in the pushed filters, so only the prefix's
+    // dictionary range is read
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-prefix").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val plan = Retrieval
+      .searchPrefix(spark.read.parquet(dir), "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith"), s"prefix not pushed:\n${plan.take(1500)}")
+    intercept[IllegalArgumentException](Retrieval.searchPrefix(idx, ""))
+  }
+
   test("mergeIndexes repairs text-partitioned docs (tf sums, df does not inflate); cap re-applies") {
     def flat(df: org.apache.spark.sql.DataFrame) =
       df.select("tok", "df", "doc_ids", "tfs")

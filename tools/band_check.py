@@ -43,6 +43,8 @@ FAMILY_OVERRIDES = {
     "q124_bm25_indexed": "shuffle",
     "q125_ann_ivf_serve": "ann",  # artifact write inside; serve plan is ANN-shaped
     "q126_near_search": "shuffle",
+    "q127_bpe_encode": "ann",  # 8-round driver-iterated trainer inside (q100's family)
+    "q128_prefix_search": "shuffle",
 }
 
 FAMILY_KEYS = [
