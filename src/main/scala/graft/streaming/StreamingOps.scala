@@ -552,6 +552,13 @@ object StreamingOps {
     * Contract mirror of the batch operator: admission upstream must
     * keep the same text from being indexed twice ([[admitIngest]]);
     * text SPLIT across batches merges correctly (tf sums, df exact).
+    *
+    * COST SHAPE: each batch rewrites the merged base — O(corpus-so-far)
+    * per batch. Right when the index is small and read constantly
+    * (queries pay zero merge); past the point where the base dwarfs
+    * the deltas, use [[maintainIndexPartials]] (O(delta) writes,
+    * merge-on-read, explicit [[compactIndex]]) — the LSM trade, both
+    * ends law-gated equal to the full rebuild.
     */
   def maintainIndex(
       stream: DataFrame,
@@ -637,6 +644,89 @@ object StreamingOps {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true)
       ()
     }
+  }
+
+  /** APPEND-ONLY index maintenance — the LSM shape, and the one that
+    * holds on a GROWING corpus: each micro-batch writes ONLY its own
+    * partial index as `part=<batchId>` (O(batch) work per batch; a
+    * retry overwrites the same directory with identical content, so
+    * at-least-once replay is idempotent) and queries merge-on-read via
+    * [[currentIndexMerged]]. Contrast [[maintainIndex]], which folds
+    * every batch into one merged base — O(corpus-so-far) REWRITTEN per
+    * batch: right for a small hot index read constantly (reads pay
+    * nothing), wrong past the point where the base dwarfs the deltas.
+    * The crossover is the classic LSM trade, and [[compactIndex]] is
+    * the knob between them: an explicit maintenance pass (run it
+    * quiesced — the single-maintainer contract of every compaction,
+    * [[graft.sources.Layouts.compact]] included) folding accumulated
+    * partials into one, so read cost stays bounded by the parts-since-
+    * last-compaction count while write cost stays O(delta).
+    */
+  def maintainIndexPartials(
+      stream: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Retrieval
+          .invertedIndex(batch, textCol, idCol)
+          .write.mode("overwrite").parquet(s"$indexDir/part=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The merged view of a [[maintainIndexPartials]] artifact: all
+    * partials re-aggregated through the q115 merge — == rebuilding from
+    * every document ever streamed (spec-pinned). Read cost grows with
+    * the partial count; [[compactIndex]] resets it.
+    */
+  def currentIndexMerged(spark: SparkSession, indexDir: String): DataFrame = {
+    val parts = listParts(spark, indexDir)
+    require(parts.nonEmpty, s"no index partials under $indexDir")
+    graft.operators.Retrieval.mergeIndexes(
+      parts.map(p => spark.read.parquet(s"$indexDir/part=$p")).toSeq: _*
+    )
+  }
+
+  /** Fold all partials into one (named for the highest batch folded).
+    * Run QUIESCED — with the maintaining stream stopped — like every
+    * compaction; the merge is the spec-pinned q115 re-aggregation, so
+    * [[currentIndexMerged]] is identical before and after.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val parts = listParts(spark, indexDir)
+    require(parts.nonEmpty, s"no index partials under $indexDir")
+    val merged = currentIndexMerged(spark, indexDir)
+    val tmp = s"$indexDir/.compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    parts.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/part=$p"), true)
+      ()
+    }
+    fs.rename(
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$indexDir/part=${parts.max}")
+    )
+    ()
+  }
+
+  private def listParts(spark: SparkSession, indexDir: String): Array[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Array.empty[Long]
+    else
+      fs.listStatus(root)
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("part=") => s.stripPrefix("part=").toLong }
   }
 
   /** Read the current generation of a [[maintainRetrieval]] norms

@@ -649,4 +649,63 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(served === direct)
   }
+
+  test("LSM index maintenance: append-only partials, merge-on-read == rebuild, compaction preserves") {
+    import graft.operators.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-lsm").toString
+    val idxDir = s"$dir/index"
+    val docs = spark.read
+      .parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("tok", "df", "doc_ids", "tfs")
+        .as[(String, Long, Seq[Long], Seq[Long])]
+        .collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4)))
+        .toMap
+    def partCount = new java.io.File(idxDir).list().count(_.startsWith("part="))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.maintainIndexPartials(
+      stream.toDF().toDF("doc_id", "text"),
+      idxDir,
+      s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    // each batch wrote ONLY its own partial; the merged view == rebuild
+    assert(partCount === 2)
+    assert(
+      flat(StreamingOps.currentIndexMerged(spark, idxDir))
+        === flat(Retrieval.invertedIndex((b1 ++ b2).toDF("doc_id", "text")))
+    )
+    // compaction (quiesced) folds partials into one and changes nothing
+    StreamingOps.compactIndex(spark, idxDir)
+    assert(partCount === 1)
+    assert(
+      flat(StreamingOps.currentIndexMerged(spark, idxDir))
+        === flat(Retrieval.invertedIndex((b1 ++ b2).toDF("doc_id", "text")))
+    )
+    // maintenance resumes on top of the compacted part
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.maintainIndexPartials(
+      stream2.toDF().toDF("doc_id", "text"),
+      idxDir,
+      s"$dir/ckpt2",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    stream2.addData(b3); q2.processAllAvailable()
+    q2.stop()
+    assert(
+      flat(StreamingOps.currentIndexMerged(spark, idxDir))
+        === flat(Retrieval.invertedIndex(docs.toDF("doc_id", "text")))
+    )
+  }
 }
