@@ -703,6 +703,78 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym_id"))
         .orderBy(col("doc_id"), col("pos"))
     }),
+    // the final hop of text -> model input: encoded id sequences split
+    // into fixed-length (64) training windows, document-nested, partial
+    // tail kept — row-local slice arithmetic, no shuffle beyond encode;
+    // gate flattens to (doc_id, chunk_idx, pos, sym_id)
+    "q130_pack_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
+      val enc = graft.operators.Vocabulary
+        .encodeSubwords(docs, segs, graft.operators.Vocabulary.subwordVocab(segs))
+      graft.operators.SequencePack
+        .chunkIds(enc, 64)
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          posexplode(col("ids")).as(Seq("pos", "sym_id"))
+        )
+        .select(col("doc_id"), col("chunk_idx"), col("pos").cast("long").as("pos"), col("sym_id"))
+        .orderBy(col("doc_id"), col("chunk_idx"), col("pos"))
+    }),
+    // the GPT-style pretraining layout: encoded docs + EOS sentinel
+    // concatenated into one global stream, split into fixed-64 windows
+    // CROSSING document boundaries — offsets via the bucketed prefix
+    // sum (no corpus-wide sort), windows reassembled from row-local
+    // pieces by one chunk_idx shuffle; gate flattens the windows
+    "q131_pack_across" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
+      val enc = graft.operators.Vocabulary
+        .encodeSubwords(docs, segs, graft.operators.Vocabulary.subwordVocab(segs))
+      graft.operators.SequencePack
+        .chunkIdsAcross(enc, 64, Some(-1L), buckets = 32)
+        .select(
+          col("chunk_idx"),
+          posexplode(col("ids")).as(Seq("pos", "sym_id"))
+        )
+        .select(col("chunk_idx"), col("pos").cast("long").as("pos"), col("sym_id"))
+        .orderBy(col("chunk_idx"), col("pos"))
+    }),
+    // Count-Min sketch: the depth×width counter grid built in one pass
+    // (partial aggregation collapses partitions to ≤ grid cells before
+    // the shuffle), then a point estimate — min over the key's depth
+    // counters — for every distinct key; est >= exact always, the grid
+    // bounds every exchange, and the minhash-family row hashes make each
+    // counter DuckDB-pinnable. Keys are positional BIGRAMS (~900 on the
+    // fixture) against width 256, so the sketch genuinely collides and
+    // the gate pins the collision arithmetic, not just clean counters
+    "q132_cms_counts" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(
+          explode(graft.functions.TextFunctions.positionalShingles(col("text"), 2)).as("tok")
+        )
+      val sketch = graft.operators.Sketch.cmsSketch(grams, "tok", depth = 4, width = 256)
+      graft.operators.Sketch
+        .cmsEstimate(sketch, grams.select("tok").distinct(), "tok", depth = 4, width = 256)
+        .orderBy(col("tok"))
+    }),
+    // ranking-quality metrics: LSH ANN evaluated against the exact
+    // brute-force truth — recall@10 per query as integer fixed-point
+    // (prec/rec milli, RR/AP micro), the evaluation operator every
+    // ranked tier shares; all frames co-keyed on query_id, windows
+    // bounded by k
+    "q133_rank_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      graft.operators.Retrieval
+        .rankMetrics(
+          Similarity.annLsh(emb, qids, 10),
+          Similarity.bruteForceTopK(emb, qids, 10),
+          10
+        )
+        .orderBy(col("query_id"))
+    }),
     // per-source corpus card: one scan into a (source, lang) aggregate,
     // bounded rollup, min_by top-lang tie-break, dup mass over 8-byte
     // content hashes — the datasheet composition table
@@ -898,6 +970,22 @@ object SparkEntry {
       graft.operators.Retrieval
         .searchNearIndexed(idx, "table", "vector", 3L)
         .orderBy(col("doc_id"))
+    }),
+    // LSH served from the persisted bucket artifact (the q125 discipline
+    // on the LSH tier): corpus bucket rows written to parquet once —
+    // data-independent hyperplanes, so the artifact never retrains and a
+    // growing corpus APPENDS — then queries probe the read-back table
+    "q129_ann_lsh_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = dumpPath("lsh_q129_index", dir)
+      Similarity.lshIndex(emb).write.mode("overwrite").parquet(idxDir)
+      Similarity
+        .annLshServe(
+          s.read.parquet(idxDir),
+          emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L)),
+          10
+        )
+        .orderBy(col("query_id"), col("rnk"))
     }),
     // prefix/wildcard retrieval over the index: the startsWith predicate
     // pushes into the index scan (StringStartsWith — min/max-prunable on
@@ -1794,6 +1882,38 @@ object SparkEntry {
          doc_id, score
        FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
 
+  /** The multi-probe LSH replay — the oracle for BOTH q31 (buckets
+    * in-plan) and q129 (served from the persisted bucket artifact,
+    * which must be bit-identical: the signature is row-local).
+    */
+  private lazy val annLshOracle: String = {
+    val L = Similarity.LshTables
+    val w = Similarity.LshPlanesPerTable
+    val buckets = lshBucketsList("embedding", L, w, Similarity.Dim)
+    val masks = Similarity.probeMasks(w).mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, embedding, $buckets AS buckets FROM embeddings),
+       bt AS (
+         SELECT vec_id, embedding, t, buckets[t+1] AS bucket
+         FROM b, unnest(range(0, $L)) AS tt(t)
+       ), qp AS (
+         SELECT vec_id, embedding, t, xor(bucket, m) AS probe
+         FROM bt, unnest($masks) AS mm(m)
+         WHERE vec_id < 5
+       ), cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ${cosine("q.embedding", "c.embedding")} AS cos
+         FROM qp q JOIN bt c
+           ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id
+       ), ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         FROM cand
+       )
+       SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
+
   /** The IVF trainer + search replay — the oracle for BOTH q37 (train
     * in-plan) and q125 (served from the persisted codebook/assignment
     * artifacts, which must be bit-identical).
@@ -1947,7 +2067,7 @@ object SparkEntry {
     * No char-fallback branch: the gate encodes the TRAINING corpus, so
     * every word is in the table (the fallback law lives in CorpusOpsSpec).
     */
-  private def bpeEncodeOracle(nMerges: Int): String =
+  private def bpeEncodeCtes(nMerges: Int): String =
     s"""${bpeChain(nMerges)}, vocab AS (
          SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY mass DESC, sym) AS BIGINT) AS sym_id
          FROM (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS mass FROM (
@@ -1961,15 +2081,140 @@ object SparkEntry {
          SELECT doc_id, wpos, spos, sym FROM (
            SELECT doc_id, wpos, unnest(range(0, len(syms))) AS spos, unnest(syms) AS sym
            FROM wocc JOIN s$nMerges USING (w)) t02
+       ), enc AS (
+         SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
+           vocab.sym_id
+         FROM socc JOIN vocab USING (sym)
+       )"""
+
+  private def bpeEncodeOracle(nMerges: Int): String =
+    s"""${bpeEncodeCtes(nMerges)}
+       SELECT doc_id, pos, sym_id FROM enc ORDER BY doc_id, pos"""
+
+  /** The flattened view of [[graft.operators.SequencePack.chunkIds]] is
+    * pure position arithmetic over the encoded stream.
+    */
+  private def packIdsOracle(nMerges: Int, seqLen: Int): String =
+    s"""${bpeEncodeCtes(nMerges)}
+       SELECT doc_id, pos // $seqLen AS chunk_idx, pos % $seqLen AS pos, sym_id
+       FROM enc ORDER BY doc_id, chunk_idx, pos"""
+
+  /** Count-Min replay: the counter grid is a pure function of the token
+    * multiset through the minhash affine row-hash family, so DuckDB
+    * rebuilds every cell and reads the same minima.
+    */
+  private def cmsOracle(depth: Int, width: Int): String = {
+    val P = graft.functions.Kernels.HashPrime
+    def cellOf(h: String): String =
+      s"((($h)*(2*r+1) + (r*r*31+7) % $P) % $P) % $width"
+    s"""WITH occ AS (
+         SELECT t.tok
+         FROM documents, unnest(${OracleFragments.positionalShingles("text", 2)}) AS t(tok)
+       ), hh AS (SELECT tok, ${OracleFragments.polyHash("tok")} AS h FROM occ),
+       cells AS (
+         SELECT r, ${cellOf("h")} AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM hh, unnest(range(0, $depth)) AS rr(r)
+         GROUP BY 1, 2
+       ), keys AS (SELECT DISTINCT tok, h FROM hh),
+       probes AS (
+         SELECT k.tok, r, ${cellOf("k.h")} AS c
+         FROM keys k, unnest(range(0, $depth)) AS rr(r)
        )
-       SELECT doc_id,
-         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
-         vocab.sym_id
-       FROM socc JOIN vocab USING (sym)
-       ORDER BY doc_id, pos"""
+       SELECT p.tok, min(cells.cnt) AS est
+       FROM probes p JOIN cells ON cells.r = p.r AND cells.c = p.c
+       GROUP BY p.tok ORDER BY p.tok"""
+  }
+
+  /** Metrics replay: the LSH run (q31's chain) joined against the
+    * brute-force truth (q30's chain), then the integer fixed-point
+    * metric arithmetic — DuckDB `//` is floored division on the
+    * non-negative operands exactly like Spark's `div`.
+    */
+  private lazy val rankMetricsOracle: String = {
+    val L = Similarity.LshTables
+    val w = Similarity.LshPlanesPerTable
+    val buckets = lshBucketsList("embedding", L, w, Similarity.Dim)
+    val masks = Similarity.probeMasks(w).mkString("[", ", ", "]")
+    s"""WITH lb AS (SELECT vec_id, embedding, $buckets AS buckets FROM embeddings),
+       lbt AS (
+         SELECT vec_id, embedding, t, buckets[t+1] AS bucket
+         FROM lb, unnest(range(0, $L)) AS tt(t)
+       ), lqp AS (
+         SELECT vec_id, embedding, t, xor(bucket, m) AS probe
+         FROM lbt, unnest($masks) AS mm(m)
+         WHERE vec_id < 5
+       ), lcand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ${cosine("q.embedding", "c.embedding")} AS cos
+         FROM lqp q JOIN lbt c
+           ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id
+       ), lrun AS (
+         SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         FROM lcand
+       ), run AS (SELECT query_id, neighbor_id, rnk FROM lrun WHERE rnk <= 10),
+       bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       bscored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ${cosine("q.embedding", "c.embedding")} AS cos
+         FROM bq q JOIN embeddings c ON q.vec_id <> c.vec_id
+       ), brun AS (
+         SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         FROM bscored
+       ), truth AS (SELECT query_id, neighbor_id FROM brun WHERE rnk <= 10),
+       hits AS (
+         SELECT r.query_id, r.rnk,
+           CAST(ROW_NUMBER() OVER (PARTITION BY r.query_id ORDER BY r.rnk) AS BIGINT)
+             AS hits_upto
+         FROM run r JOIN truth t2
+           ON r.query_id = t2.query_id AND r.neighbor_id = t2.neighbor_id
+       ), per AS (
+         SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits, MIN(rnk) AS first_hit,
+           CAST(SUM(hits_upto * 1000000 // rnk) AS BIGINT) AS ap_num
+         FROM hits GROUP BY query_id
+       ),
+       nret AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ret FROM run GROUP BY query_id),
+       nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM truth GROUP BY query_id)
+       SELECT nret.query_id, n_ret,
+         COALESCE(n_rel, CAST(0 AS BIGINT)) AS n_rel,
+         COALESCE(hits, CAST(0 AS BIGINT)) AS hits,
+         CAST(COALESCE(hits, 0) * 1000 // least(10, n_ret) AS BIGINT) AS prec_milli,
+         CAST(COALESCE(hits, 0) * 1000 // greatest(COALESCE(n_rel, 0), 1) AS BIGINT)
+           AS rec_milli,
+         CAST(CASE WHEN first_hit IS NULL THEN 0 ELSE 1000000 // first_hit END AS BIGINT)
+           AS rr_micro,
+         CAST(COALESCE(ap_num, 0) // greatest(COALESCE(n_rel, 0), 1) AS BIGINT) AS ap_micro
+       FROM nret LEFT JOIN nrel USING (query_id) LEFT JOIN per USING (query_id)
+       ORDER BY query_id"""
+  }
+
+  /** The cross-document replay is the same arithmetic over the GLOBAL
+    * stream position: each doc's ids then its EOS sentinel, in doc_id
+    * order, numbered once — `(gpos div L, gpos mod L)`.
+    */
+  private def packAcrossOracle(nMerges: Int, seqLen: Int, eosId: Long): String =
+    s"""${bpeEncodeCtes(nMerges)}, stream AS (
+         SELECT doc_id, pos, sym_id FROM enc
+         UNION ALL
+         SELECT doc_id, 1 + max(pos) AS pos, CAST($eosId AS BIGINT) AS sym_id
+         FROM enc GROUP BY doc_id
+       ), g AS (
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id, pos) - 1 AS BIGINT) AS gpos, sym_id
+         FROM stream
+       )
+       SELECT gpos // $seqLen AS chunk_idx, gpos % $seqLen AS pos, sym_id
+       FROM g ORDER BY chunk_idx, pos"""
 
   def oracleSql: Map[String, String] = Map(
     "q127_bpe_encode" -> bpeEncodeOracle(8),
+    "q130_pack_ids" -> packIdsOracle(8, 64),
+    "q131_pack_across" -> packAcrossOracle(8, 64, -1L),
+    "q132_cms_counts" -> cmsOracle(4, 256),
+    "q133_rank_metrics" -> rankMetricsOracle,
     "q100_bpe_merges" -> bpeOracle(8),
     "q101_bpe_profile" -> bpeProfileOracle(8),
     "q111_wordpiece_merges" -> bpeOracle(8, wordpiece = true),
@@ -3533,33 +3778,9 @@ object SparkEntry {
          SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
          FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
     },
-    "q31_ann_lsh" -> {
-      val L = Similarity.LshTables
-      val w = Similarity.LshPlanesPerTable
-      val buckets = lshBucketsList("embedding", L, w, Similarity.Dim)
-      val masks = Similarity.probeMasks(w).mkString("[", ", ", "]")
-      s"""WITH b AS (SELECT vec_id, embedding, $buckets AS buckets FROM embeddings),
-         bt AS (
-           SELECT vec_id, embedding, t, buckets[t+1] AS bucket
-           FROM b, unnest(range(0, $L)) AS tt(t)
-         ), qp AS (
-           SELECT vec_id, embedding, t, xor(bucket, m) AS probe
-           FROM bt, unnest($masks) AS mm(m)
-           WHERE vec_id < 5
-         ), cand AS (
-           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ${cosine("q.embedding", "c.embedding")} AS cos
-           FROM qp q JOIN bt c
-             ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id
-         ), ranked AS (
-           SELECT query_id, neighbor_id, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-           FROM cand
-         )
-         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
-         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
-    },
+    "q31_ann_lsh" -> annLshOracle,
+    // LSH served from the persisted bucket artifact == in-plan search
+    "q129_ann_lsh_serve" -> annLshOracle,
     // q37 with the trainer running over the 1-in-2 id sample (re-indexed
     // dense so the stride seed sees the structure it assumes); the cell
     // count is the SAMPLE-derived annCells — not compensated, preserving

@@ -547,6 +547,72 @@ object Retrieval {
     nearFrom(occ, a, b, slop)
   }
 
+  /** Ranking-quality metrics — the EVALUATION side of every ranked
+    * operator in this file and the ANN tier: score a retrieval `run`
+    * (`(query_id, neighbor_id, rnk)`, rnk 1-based) against a `truth`
+    * relevance set (`(query_id, neighbor_id)`, extra columns ignored,
+    * duplicates collapsed) at cutoff `k`. One row per query IN THE RUN:
+    *
+    *   - `n_ret` / `n_rel` — retrieved (≤ k) and relevant counts
+    *   - `hits` — |run@k ∩ truth|
+    *   - `prec_milli`  = hits·1000 div min(k, n_ret)
+    *   - `rec_milli`   = hits·1000 div n_rel       (recall@k)
+    *   - `rr_micro`    = 10^6 div rank-of-first-hit (0 if no hit) — the
+    *     reciprocal-rank summand of MRR
+    *   - `ap_micro`    = (Σ_{hit at rank r} hits_upto_r·10^6 div r)
+    *     div n_rel — average precision, uninterpolated
+    *
+    * All metrics are integer fixed-point (the q34 salience rule): no
+    * floating division, so a DuckDB oracle pins every value and means
+    * across engines agree bit-for-bit. nDCG is deliberately absent — its
+    * log2 discounts are irrational, so it cannot join the exact-replay
+    * discipline; AP ranks systems the same way in practice.
+    *
+    * Scale shape: everything is co-keyed on `query_id` — the semi-join
+    * marks hits, one window orders ≤ k rows per query (never more: the
+    * run is cut at `k` first), and three query-count-sized aggregates
+    * join back. A million-query evaluation batch is three partial-agg
+    * shuffles on a uniform key; no operator ever sees more than one
+    * query's k rows together.
+    */
+  def rankMetrics(run: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val r = run
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))
+    val t = truth.select(col("query_id"), col("neighbor_id")).distinct()
+    val hs = r
+      .join(t, Seq("query_id", "neighbor_id"), "left_semi")
+      .withColumn(
+        "hits_upto",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("rnk"))).cast("long")
+      )
+    val per = hs
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("hits"),
+        min(col("rnk")).as("first_hit"),
+        sum(expr("hits_upto * 1000000 div rnk")).as("ap_num")
+      )
+    val nret = r.groupBy(col("query_id")).agg(count(lit(1)).as("n_ret"))
+    val nrel = t.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    nret
+      .join(nrel, Seq("query_id"), "left")
+      .join(per, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("n_ret"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, 0L) * 1000 div least(${k.toLong}L, n_ret)").as("prec_milli"),
+        expr("coalesce(hits, 0L) * 1000 div greatest(coalesce(n_rel, 0L), 1L)").as("rec_milli"),
+        expr("CASE WHEN first_hit IS NULL THEN 0L ELSE 1000000 div first_hit END")
+          .as("rr_micro"),
+        expr("coalesce(ap_num, 0L) div greatest(coalesce(n_rel, 0L), 1L)").as("ap_micro")
+      )
+  }
+
   /** The shared NEAR tail over a `(doc_id, tok, pos)` occurrence frame. */
   private def nearFrom(occ: DataFrame, a: String, b: String, slop: Long): DataFrame = {
     val pa = occ.filter(col("tok") === lit(a)).select(col("doc_id"), col("pos").as("pa"))

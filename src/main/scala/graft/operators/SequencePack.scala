@@ -57,6 +57,181 @@ object SequencePack {
           size(split(col("chunk"), " ")).cast("long").as("n_tok"): _*
       )
 
+  /** Split each document's ENCODED id array
+    * ([[Vocabulary.encodeSubwords]]'s output) into fixed-length training
+    * windows — `(idCol, chunk_idx, ids, n_ids)` with every chunk exactly
+    * `seqLen` ids except the last (the partial tail is KEPT; padding
+    * policy is the trainer's, not the data layer's). This is the final
+    * hop of the text→model-input chain: raw text → subword ids (q127) →
+    * the fixed-shape sequences a training loader consumes. Document
+    * boundaries are preserved (no cross-document concatenation — the
+    * windows nest inside documents exactly like [[chunkFrame]]'s text
+    * windows, and [[pack]]/[[packAcross]] remain the operators that
+    * group whole chunks into token-budget batches).
+    *
+    * Scale shape: one `slice` transform per document row — no explode of
+    * individual ids, no shuffle at all (the chunk arithmetic is
+    * row-local); a doc's cost is its own length. Flattened, the output
+    * is literally `(pos div seqLen, pos mod seqLen)` over the encoded
+    * stream, which is how the oracle replays it.
+    */
+  def chunkIds(encoded: DataFrame, seqLen: Int, idCol: String = "doc_id"): DataFrame = {
+    require(seqLen >= 1, s"need seqLen >= 1, got $seqLen")
+    encoded
+      .select(
+        col(idCol),
+        posexplode(
+          when(
+            size(col("ids")) > 0,
+            transform(
+              sequence(lit(0), expr(s"(size(ids) - 1) div $seqLen").cast("int")),
+              i => slice(col("ids"), i * lit(seqLen) + lit(1), lit(seqLen))
+            )
+          ).otherwise(array().cast("array<array<bigint>>"))
+        ).as(Seq("chunk_idx", "ids"))
+      )
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("ids"),
+        size(col("ids")).cast("long").as("n_ids")
+      )
+  }
+
+  /** CROSS-document concat-and-chunk over ENCODED id sequences — the
+    * GPT-style pretraining layout: every document's ids (each followed by
+    * `eosId` when given — pass the tokenizer's real EOS; the gate uses a
+    * sentinel) concatenated in `idCol` order into ONE global stream, then
+    * split into exactly-`seqLen` windows that CROSS document boundaries.
+    * Output `(chunk_idx, ids, n_ids)`: every window exactly `seqLen`
+    * except the single global tail. Documents with empty `ids` are
+    * dropped (they contribute no tokens, and a lone separator for an
+    * empty document is noise, not signal).
+    *
+    * Where [[chunkIds]] nests windows INSIDE documents (attention masks
+    * per document), this is the zero-padding-waste layout; the two are
+    * the industry's standard packing pair.
+    *
+    * Scale shape — the operator needs two passes over the arrays
+    * (measure every length before any window can be emitted, then emit),
+    * so the base is materialized ONCE (eager localCheckpoint — a caller
+    * piping the trainer+encode chain in-plan pays the chain once, the
+    * probe-measured 2× of the recompute shape). A global stream position
+    * looks inherently sequential, but it is exactly the
+    * [[Sampling.bucketedRunningTotal]] problem in `idCol` order, and all
+    * of it runs on the SLIM `(id, n)` projection (16 bytes/doc — the
+    * arrays never enter a window): documents land in `buckets` contiguous
+    * id-range buckets, per-bucket token sums (one partial-aggregated row
+    * each) take an exclusive prefix over the ≤`buckets`-row frame and
+    * broadcast back, and each bucket computes only its own within-bucket
+    * running sum in parallel — the id ARRAYS never ride a window shuffle
+    * and a whole-corpus sort never happens; the result is
+    * bucket-count-INVARIANT (spec-pinned). The doc-count-sized offset
+    * table joins back to the arrays on `idCol` (one co-keyed exchange),
+    * each document emits its overlapped windows row-locally (`explode`
+    * over `≤ n/seqLen + 2` window indexes, `slice` per piece), and one
+    * shuffle on `chunk_idx` reassembles windows from their pieces — at
+    * most `seqLen` pieces per window (a piece carries ≥ 1 id), so no key
+    * can skew. Total piece rows ≈ n_docs + n_windows, never individual
+    * ids.
+    */
+  def chunkIdsAcross(
+      encoded: DataFrame,
+      seqLen: Int,
+      eosId: Option[Long] = None,
+      buckets: Int = 256,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(seqLen >= 1, s"need seqLen >= 1, got $seqLen")
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val withEos = eosId match {
+      case Some(e) => concat(col("ids"), array(lit(e)))
+      case None    => col("ids")
+    }
+    // the operator inherently needs two passes over the arrays (measure
+    // every n before any window can be emitted, then emit) — materialize
+    // the base ONCE (eager localCheckpoint) so a caller piping the
+    // trainer+encode chain in-plan pays it once, not per pass; for a
+    // parquet-read caller the checkpoint costs one extra sequential copy
+    // bounded by the corpus, the same I/O the second scan would have been
+    val base = encoded
+      .filter(size(col("ids")) > 0)
+      .select(col(idCol), withEos.as("ids"))
+      .localCheckpoint(true)
+    // the offset arithmetic never needs the arrays — it runs on the slim
+    // (id, n) projection of the checkpointed base
+    val slim = base.select(col(idCol), size(col("ids")).cast("long").as("n"))
+    // id-range buckets: monotone in idCol, so (bucket, idCol) order IS
+    // idCol order; the id span comes from a broadcast 1-row aggregate
+    // (no driver action), width rounded up so bucket < `buckets`
+    val span = slim.agg(
+      min(col(idCol)).as("__lo"),
+      (max(col(idCol)) - min(col(idCol)) + 1L).as("__m")
+    )
+    val bucketed = slim
+      .crossJoin(broadcast(span))
+      .withColumn("__b", (col(idCol) - col("__lo")) / expr(s"(__m + ${buckets - 1}) div $buckets"))
+      .withColumn("__b", col("__b").cast("long"))
+      .drop("__lo", "__m")
+    val prefixes = bucketed
+      .groupBy(col("__b"))
+      .agg(sum(col("n")).as("__bsum"))
+      .select(
+        col("__b").as("__pb"),
+        coalesce(
+          sum(col("__bsum")).over(
+            Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        ).as("__prefix")
+      )
+    val inBucket = Window
+      .partitionBy(col("__b"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offs = bucketed
+      .join(broadcast(prefixes), col("__b") === col("__pb"))
+      .select(
+        col(idCol),
+        (col("__prefix") + sum(col("n")).over(inBucket) - col("n")).as("off"),
+        col("n")
+      )
+    val offsets = base.join(offs, Seq(idCol))
+    // row-local window emission: this doc overlaps global windows
+    // [off div L, (off + n - 1) div L]; its piece of window c is the
+    // intersection [max(cL, off), min((c+1)L, off+n)) sliced from ids
+    val pieces = offsets
+      .select(
+        col("ids"),
+        col("off"),
+        col("n"),
+        explode(
+          sequence(expr(s"off div $seqLen"), expr(s"(off + n - 1) div $seqLen"))
+        ).as("chunk_idx")
+      )
+      .select(
+        col("chunk_idx"),
+        greatest(col("chunk_idx") * seqLen, col("off")).as("pstart"),
+        slice(
+          col("ids"),
+          (greatest(col("chunk_idx") * seqLen, col("off")) - col("off") + 1L).cast("int"),
+          (least((col("chunk_idx") + 1L) * seqLen, col("off") + col("n")) -
+            greatest(col("chunk_idx") * seqLen, col("off"))).cast("int")
+        ).as("piece")
+      )
+    pieces
+      .groupBy(col("chunk_idx"))
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("pstart"), col("piece")))),
+            s => s.getField("piece")
+          )
+        ).as("ids")
+      )
+      .select(col("chunk_idx"), col("ids"), size(col("ids")).cast("long").as("n_ids"))
+  }
+
   /** Chunk→sequence assignment for every chunk: adds `seq_id` (the training
     * sequence the chunk belongs to) to [[chunkFrame]]'s output. Exposed
     * separately so a writer can partition the physical layout by

@@ -475,13 +475,41 @@ object Similarity {
     * Hamming ≤ 2 per table. Candidates are deduped before ranking so a
     * neighbor found by several tables is scored once.
     */
-  def annLsh(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val e = withBuckets(emb).select(col("vec_id"), col("embedding"), col("buckets"))
-    val corpus = e
+  def annLsh(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    annLshServe(
+      lshIndex(emb),
+      emb.select(col("vec_id"), col("embedding")).filter(col("vec_id").isin(queryIds: _*)),
+      k
+    )
+
+  /** The persisted LSH ARTIFACT: the corpus exploded to one row per
+    * (table, bucket) membership — `(vec_id, embedding, table, bucket)`,
+    * L rows per vector. Write it to parquet once at ingest (partition
+    * by `table`, sort by `bucket`, and a probe's candidate read prunes
+    * to its bucket ranges) and every query batch is served by
+    * [[annLshServe]] with zero signature computation over the corpus —
+    * the [[ivfIndex]] discipline applied to the LSH tier. The bucket
+    * bits are data-independent (deterministic hyperplanes), so the
+    * artifact never retrains; a growing corpus APPENDS its new rows,
+    * which is the maintenance property IVF's trained codebook can't
+    * offer (its cells drift with the distribution — re-fit on a sample,
+    * re-assign; see [[trainCodebook]]).
+    */
+  def lshIndex(emb: DataFrame): DataFrame =
+    withBuckets(emb.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+
+  /** Multi-probe LSH search against a pre-built [[lshIndex]] artifact:
+    * the query rows (full-precision `(vec_id, embedding)`) compute their
+    * OWN buckets in-plan (|Q| rows — free), probe every bucket within
+    * Hamming ≤ 2 per table, and candidates come from the (table, bucket)
+    * equi-join against the artifact. Result == [[annLsh]] EXACTLY
+    * (spec-pinned): the signature expression is row-local, so computing
+    * it corpus-side at build time or serve time is indistinguishable.
+    */
+  def annLshServe(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val masks = probeMasks(LshPlanesPerTable).toArray
-    val queries = e
-      .filter(col("vec_id").isin(queryIds: _*))
+    val q = withBuckets(queries.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("table", "bucket")))
       .select(
         col("vec_id"),
@@ -489,9 +517,9 @@ object Similarity {
         col("table"),
         explode(transform(lit(masks), m => col("bucket").bitwiseXOR(m))).as("probe")
       )
-    val scored = broadcast(queries.as("q"))
+    val scored = broadcast(q.as("q"))
       .join(
-        corpus.as("c"),
+        index.as("c"),
         col("q.table") === col("c.table") && col("q.probe") === col("c.bucket") &&
           col("q.vec_id") =!= col("c.vec_id")
       )

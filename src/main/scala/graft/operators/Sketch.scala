@@ -304,4 +304,103 @@ object Sketch {
         s"(n_both * (${estOf("u")})) div greatest(u_kept, 1L) AS est_intersect"
       )
   }
+
+  // ------------------------------------------------------- Count-Min sketch
+
+  /** Count-Min FREQUENCY sketch (Cormode & Muthukrishnan, J. Algorithms
+    * 2005): a `depth × width` counter grid where occurrence of key `x`
+    * increments counter `(r, h_r(x) mod width)` in every row `r`, and a
+    * point estimate reads the MINIMUM of `x`'s `depth` counters — always
+    * `≥` the true count (counters only ever absorb EXTRA mass from
+    * colliding keys), within `ε·N` of it with probability `1 − δ` at
+    * `width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉`. The one-pass mergeable answer to
+    * "how often does each of these tokens appear" when the key domain is
+    * too wide to count exactly — the frequency-side complement of
+    * [[kmvDistinct]]/[[hllRegisters]] (cardinality) and of
+    * [[HeavyHitters]] (which finds the heavy KEYS but needs its second
+    * pass for counts, and cannot answer point queries for keys outside
+    * the top-k).
+    *
+    * The row-hash family is the engine's minhash affine family over
+    * `poly_hash` — `h_r(x) = (H(x)·(2r+1) + (r²·31+7) mod P) mod P` —
+    * deterministic and DuckDB-replayable, so the gate pins every counter
+    * exactly (`approx_count_distinct`-style opacity would make the sketch
+    * untestable against an oracle).
+    *
+    * Scale shape: one scan; the explode is `depth` (2–5) rows per
+    * occurrence, partial aggregation collapses every partition to
+    * `≤ depth·width` counter cells before the shuffle, and the sketch at
+    * rest is `depth·width` rows — broadcastable by construction. No key
+    * ever shuffles at its own cardinality, which is the point: the
+    * counter GRID, not the key domain, bounds every exchange.
+    */
+  def cmsSketch(
+      items: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      weightCol: Option[String] = None
+  ): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth, width >= 1, got $depth, $width")
+    val P = graft.functions.Kernels.HashPrime
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    items
+      .select(GraftExpressions.poly_hash(col(keyCol)).as("h"), w.as("w"))
+      .select(
+        explode(sequence(lit(0), lit(depth - 1))).as("row"),
+        col("h"),
+        col("w")
+      )
+      .withColumn(
+        "cms_col",
+        expr(s"((h * (2*row + 1) + (row*row*31 + 7) % $P) % $P) % $width")
+      )
+      .groupBy(col("row").cast("long").as("row"), col("cms_col"))
+      .agg(sum(col("w")).as("cnt"))
+  }
+
+  /** Point estimates for `keys` against a built [[cmsSketch]]: `(keyCol,
+    * est)` with `est = min_r counters[r][h_r(key)]` (0 when every counter
+    * is empty — a key the stream never touched). The sketch frame is
+    * `depth·width` rows and broadcasts; the query side is |keys| rows
+    * exploded `depth`-fold — neither side is corpus-sized, which is what
+    * makes this the SERVING operator (persist the sketch once, answer
+    * point queries forever, exactly the [[Similarity.lshIndex]] artifact
+    * discipline on the counting tier).
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth, width >= 1, got $depth, $width")
+    val P = graft.functions.Kernels.HashPrime
+    keys
+      .select(col(keyCol), GraftExpressions.poly_hash(col(keyCol)).as("h"))
+      .select(col(keyCol), explode(sequence(lit(0), lit(depth - 1))).as("row"), col("h"))
+      .withColumn(
+        "cms_col",
+        expr(s"((h * (2*row + 1) + (row*row*31 + 7) % $P) % $P) % $width")
+      )
+      .join(broadcast(sketch), Seq("row", "cms_col"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Counter-wise sum of sketches built with the SAME (depth, width) —
+    * the property that makes CMS the distributed counter: per-shard (or
+    * per-day) sketches built independently merge into exactly the sketch
+    * of the concatenated stream (spec-pinned), so a 1000-executor build
+    * is `union → one `depth·width`-bounded aggregate`, and incremental
+    * maintenance is append-a-sketch, never rebuild.
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches
+      .reduce(_.unionByName(_))
+      .groupBy(col("row"), col("cms_col"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
 }

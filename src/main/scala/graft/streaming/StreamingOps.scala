@@ -719,6 +719,51 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming maintenance of the [[graft.operators.Similarity.lshIndex]]
+    * ANN artifact — the degenerate-and-therefore-ideal case of the index
+    * LSM: the hyperplanes are DATA-INDEPENDENT, so a new vector's bucket
+    * rows are final the moment they are computed. No merge, no
+    * re-aggregation, no compaction pressure: each micro-batch writes its
+    * OWN `part=<batchId>` of bucket rows (O(batch) work,
+    * retry-idempotent overwrite like [[maintainIndexPartials]]) and the
+    * union of parts IS the index — [[currentLshIndex]] == a from-scratch
+    * [[graft.operators.Similarity.lshIndex]] over everything ever
+    * streamed, EXACTLY (spec-pinned), with no read-side work growing in
+    * the part count beyond file listing. Contrast [[maintainIndex]]
+    * (postings must re-aggregate) and the IVF tier (a trained codebook
+    * drifts with the distribution and must re-fit + re-assign — see
+    * [[graft.operators.Similarity.trainCodebook]]); this is why LSH is
+    * the ANN tier you can maintain with a dumb appender.
+    */
+  def maintainLshIndex(
+      stream: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .lshIndex(batch)
+          .write.mode("overwrite").parquet(s"$indexDir/part=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The live view of a [[maintainLshIndex]] artifact: the parts read
+    * back and unioned — nothing else, because bucket rows are per-vector
+    * independent. Feed straight to
+    * [[graft.operators.Similarity.annLshServe]].
+    */
+  def currentLshIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val parts = listParts(spark, indexDir)
+    require(parts.nonEmpty, s"no LSH index parts under $indexDir")
+    parts.map(p => spark.read.parquet(s"$indexDir/part=$p")).reduce(_.unionByName(_))
+  }
+
   private def listParts(spark: SparkSession, indexDir: String): Array[Long] = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -430,6 +430,30 @@ class AnnRecallSpec extends SparkSpec {
     } finally Similarity.releaseCodebook(cb)
   }
 
+  test("LSH serve over the persisted bucket artifact == in-plan search, bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, Sf001, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-serve").toString
+    Similarity.lshIndex(emb).write.mode("overwrite").parquet(dir)
+    val queries = emb.select(col("vec_id"), col("embedding")).filter(col("vec_id").isin(qids: _*))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rnk", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val serve = Similarity.annLshServe(spark.read.parquet(dir), queries, 10)
+    assert(rows(serve) === rows(Similarity.annLsh(emb, qids, 10)))
+    // the artifact never retrains: a grown corpus's index is the old
+    // index plus the new rows' buckets, verbatim (append maintenance)
+    val grown = emb.limit(0).unionByName(emb) // same frame, fresh plan
+    val appended = Similarity
+      .lshIndex(grown.filter(col("vec_id") >= 100L))
+      .unionByName(Similarity.lshIndex(grown.filter(col("vec_id") < 100L)))
+    assert(rows(Similarity.annLshServe(appended, queries, 10)) === rows(serve))
+    val plan = serve.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("PQ plan: codebooks broadcast in encode/decode; no sort-merge join in the ADC path") {
     val emb = Tables.load(spark, Sf001, "embeddings")
     val plan = Similarity.annPqAdc(emb, Seq(0L, 1L), 5)

@@ -1182,4 +1182,73 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"thresholds must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for assignment:\n$plan")
   }
+
+  // ----------------------------------------------------- Count-Min sketch
+
+  private lazy val tokenStream = docs
+    .select(explode(split(col("text"), " ")).as("tok"))
+    .filter(length(col("tok")) > 0)
+
+  test("cms: estimate >= exact for every key; exact at generous width") {
+    val exact = tokenStream
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // narrow grid: collisions certain, but the CMS guarantee (est >= true)
+    // must hold for EVERY key
+    val narrow = Sketch.cmsSketch(tokenStream, "tok", depth = 4, width = 64)
+    val keys = tokenStream.select("tok").distinct()
+    val estNarrow = Sketch
+      .cmsEstimate(narrow, keys, "tok", depth = 4, width = 64)
+      .as[(String, Long)]
+      .collect()
+    estNarrow.foreach { case (t, e) => assert(e >= exact(t), s"under-estimate for '$t'") }
+    // generous grid vs the fixture's distinct-token count: depth 4 rows
+    // give 4 chances to dodge every collision — expect exact-for-most;
+    // assert exact for at least 99% and >= for all
+    val wideW = 1 << 16
+    val wide = Sketch.cmsSketch(tokenStream, "tok", depth = 4, width = wideW)
+    val estWide =
+      Sketch.cmsEstimate(wide, keys, "tok", depth = 4, width = wideW).as[(String, Long)].collect()
+    estWide.foreach { case (t, e) => assert(e >= exact(t)) }
+    val exactHits = estWide.count { case (t, e) => e == exact(t) }
+    assert(exactHits.toDouble / estWide.length >= 0.99, s"$exactHits/${estWide.length} exact")
+    // unseen keys estimate small (narrow grid absorbs mass) and 0 wide
+    val unseen = Seq("zzqx_never_a_token").toDF("tok")
+    assert(
+      Sketch.cmsEstimate(wide, unseen, "tok", depth = 4, width = wideW).as[(String, Long)].head()._2
+        === 0L
+    )
+  }
+
+  test("cms: shard-built sketches merge into exactly the whole-stream sketch") {
+    val shardA = tokenStream.filter(GraftExpressions.poly_hash(col("tok")) % 2 === 0)
+    val shardB = tokenStream.filter(GraftExpressions.poly_hash(col("tok")) % 2 === 1)
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsSketch(shardA, "tok", depth = 3, width = 256),
+      Sketch.cmsSketch(shardB, "tok", depth = 3, width = 256)
+    )
+    val whole = Sketch.cmsSketch(tokenStream, "tok", depth = 3, width = 256)
+    assert(merged.except(whole).count() === 0L && whole.except(merged).count() === 0L)
+    // determinism under repartitioning (the counter grid is a pure
+    // function of the stream's multiset)
+    val re = Sketch.cmsSketch(tokenStream.repartition(17), "tok", depth = 3, width = 256)
+    assert(re.except(whole).count() === 0L && whole.except(re).count() === 0L)
+  }
+
+  test("cms: weighted build == repeated-occurrence build; sketch is grid-bounded") {
+    val weighted = tokenStream
+      .groupBy("tok")
+      .agg(count(lit(1)).as("w"))
+    val fromWeights =
+      Sketch.cmsSketch(weighted, "tok", depth = 3, width = 128, weightCol = Some("w"))
+    val fromStream = Sketch.cmsSketch(tokenStream, "tok", depth = 3, width = 128)
+    assert(fromWeights.except(fromStream).count() === 0L)
+    assert(fromStream.except(fromWeights).count() === 0L)
+    // at-rest bound: depth*width cells max
+    assert(fromStream.count() <= 3L * 128L)
+    intercept[IllegalArgumentException](Sketch.cmsSketch(tokenStream, "tok", 0, 10))
+  }
 }

@@ -397,4 +397,46 @@ class RetrievalSpec extends SparkSpec {
     assert(!near.contains("BroadcastNestedLoopJoin"))
     assert(!near.contains("Window"))
   }
+
+  test("rankMetrics: hand-checked values, perfect-run law, no-hit zeros") {
+    // q1: hits at ranks 1,3 of 5 returned; truth = {10,11,12,13} (4 rel)
+    //   prec@5 = 2*1000 div 5 = 400; rec = 2*1000 div 4 = 500
+    //   rr = 1e6 div 1 = 1000000
+    //   ap = (1*1e6 div 1 + 2*1e6 div 3) div 4 = (1000000 + 666666) div 4 = 416666
+    // q2: zero hits; q3: only in truth (excluded — run defines the set)
+    val run = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L), (1L, 98L, 4L), (1L, 97L, 5L),
+      (2L, 50L, 1L), (2L, 51L, 2L)
+    ).toDF("query_id", "neighbor_id", "rnk")
+    val truth = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 60L),
+      (3L, 70L)
+    ).toDF("query_id", "neighbor_id")
+    val got = Retrieval
+      .rankMetrics(run, truth, 5)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(got === Seq(
+      (1L, 5L, 4L, 2L, 400L, 500L, 1000000L, 416666L),
+      (2L, 2L, 1L, 0L, 0L, 0L, 0L, 0L)
+    ))
+    // perfect-run law: any run scored against itself at its own k is
+    // perfect — prec == rec == 1000, rr == ap == 1e6
+    val self = Retrieval
+      .rankMetrics(run.filter(col("query_id") === 1L), run.filter(col("query_id") === 1L), 5)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    assert(self === ((1L, 5L, 5L, 5L, 1000L, 1000L, 1000000L, 1000000L)))
+    // k cuts the run before anything is counted: at k=1 only rank 1 plays
+    val cut = Retrieval
+      .rankMetrics(run, truth, 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(cut.head === ((1L, 1L, 4L, 1L, 1000L, 250L, 1000000L, 250000L)))
+    intercept[IllegalArgumentException](Retrieval.rankMetrics(run, truth, 0))
+  }
 }

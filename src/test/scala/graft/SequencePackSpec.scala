@@ -113,6 +113,110 @@ class SequencePackSpec extends SparkSpec {
     } finally auto.unpersist()
   }
 
+  test("chunkIds: flatten == encoded stream, exact window sizes, dense indexes, edge cases") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, (1L to 130L).toArray.toSeq), // 130 ids at L=64 -> 64, 64, 2
+      (2L, (1L to 64L).toArray.toSeq), // exactly one full window
+      (3L, Seq(7L)), // single id
+      (4L, Seq.empty[Long]) // empty -> no chunks
+    ).toDF("doc_id", "ids").withColumn("n_ids", size(col("ids")).cast("long"))
+    val got = SequencePack
+      .chunkIds(crafted, 64)
+      .as[(Long, Long, Seq[Long], Long)]
+      .collect()
+      .toSeq
+      .sortBy(r => (r._1, r._2))
+    // flatten reproduces each doc's stream; sizes exact; indexes dense
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).map(_._2) === Seq(0L, 1L, 2L))
+    assert(byDoc(1L).flatMap(_._3) === (1L to 130L).toSeq)
+    assert(byDoc(1L).map(_._4) === Seq(64L, 64L, 2L))
+    assert(byDoc(2L).map(_._4) === Seq(64L))
+    assert(byDoc(3L).map(_._4) === Seq(1L))
+    assert(!byDoc.contains(4L))
+    // every non-final window is exactly L on the real encoded fixture
+    val enc = {
+      import graft.operators.Vocabulary
+      val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+      val segs = Vocabulary.bpeSegmentations(d, 4)
+      Vocabulary.encodeSubwords(d, segs, Vocabulary.subwordVocab(segs))
+    }
+    val real = SequencePack.chunkIds(enc, 64)
+    val tails = real
+      .groupBy(col("doc_id"))
+      .agg(max(col("chunk_idx")).as("last"), sum(col("n_ids")).as("tot"))
+    val joined = real
+      .join(tails, Seq("doc_id"))
+      .as[(Long, Long, Seq[Long], Long, Long, Long)]
+      .collect()
+    joined.foreach { case (d, idx, _, n, last, _) =>
+      if (idx < last) assert(n === 64L, s"doc $d chunk $idx")
+      else assert(n >= 1L && n <= 64L, s"doc $d tail")
+    }
+    // conservation vs the encode frame
+    val tot = enc.agg(sum(col("n_ids"))).as[Long].head()
+    assert(real.agg(sum(col("n_ids"))).as[Long].head() === tot)
+    intercept[IllegalArgumentException](SequencePack.chunkIds(crafted, 0))
+  }
+
+  test("chunkIdsAcross: flatten == concatenated stream, exact sizes, bucket invariance") {
+    import spark.implicits._
+    // offsets crafted to straddle window boundaries at L=8: doc 1 fills
+    // 0..4, doc 2 (with EOS) spans windows 0..1, doc 5 gap in ids is fine
+    val crafted = Seq(
+      (1L, Seq(10L, 11L, 12L, 13L)), // + EOS -> global 0..4
+      (2L, (20L to 28L).map(identity)), // 9 ids + EOS -> global 5..14 (straddles)
+      (5L, Seq(30L)), // + EOS -> 15..16
+      (7L, Seq.empty[Long]) // dropped
+    ).toDF("doc_id", "ids").withColumn("n_ids", size(col("ids")).cast("long"))
+    val eos = Some(-1L)
+    val got = SequencePack
+      .chunkIdsAcross(crafted, 8, eos, buckets = 3)
+      .as[(Long, Seq[Long], Long)]
+      .collect()
+      .sortBy(_._1)
+    val stream =
+      Seq(10L, 11L, 12L, 13L, -1L) ++ (20L to 28L) ++ Seq(-1L, 30L, -1L)
+    assert(got.flatMap(_._2).toSeq === stream)
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got.map(_._3).toSeq === Seq(8L, 8L, 1L))
+    // bucket-count invariance: the running total is a property of the
+    // stream, not of how we parallelized it
+    val alt = SequencePack
+      .chunkIdsAcross(crafted, 8, eos, buckets = 1)
+      .as[(Long, Seq[Long], Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(alt.toSeq === got.toSeq)
+    // no-EOS variant is the pure concatenation
+    val plain = SequencePack
+      .chunkIdsAcross(crafted, 8, None, buckets = 2)
+      .as[(Long, Seq[Long], Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(plain.flatMap(_._2).toSeq === (Seq(10L, 11L, 12L, 13L) ++ (20L to 28L) :+ 30L))
+    // real encoded fixture: every non-final window exactly L, conservation
+    val enc = {
+      import graft.operators.Vocabulary
+      val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+      val segs = Vocabulary.bpeSegmentations(d, 4)
+      Vocabulary.encodeSubwords(d, segs, Vocabulary.subwordVocab(segs))
+    }
+    val real = SequencePack.chunkIdsAcross(enc, 64, Some(-1L)).cache()
+    try {
+      val maxIdx = real.agg(max(col("chunk_idx"))).as[Long].head()
+      val bad = real.filter(col("chunk_idx") < maxIdx && col("n_ids") =!= 64L).count()
+      assert(bad === 0L)
+      val nDocs = enc.filter(size(col("ids")) > 0).count()
+      val tot = enc.agg(sum(col("n_ids"))).as[Long].head()
+      assert(real.agg(sum(col("n_ids"))).as[Long].head() === tot + nDocs)
+      // dense window indexes 0..maxIdx
+      assert(real.count() === maxIdx + 1)
+    } finally real.unpersist()
+    intercept[IllegalArgumentException](SequencePack.chunkIdsAcross(crafted, 0))
+  }
+
   test("hand-checked packing on a crafted document") {
     import spark.implicits._
     // 130 tokens, chunkSize 10, overlap 0, budget 25:

@@ -650,6 +650,43 @@ class StreamingSpec extends SparkSpec {
     assert(served === direct)
   }
 
+  test("streaming LSH maintenance: union of parts == from-scratch index; serve == batch ANN") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-stream").toString
+    val vecs = spark.read
+      .parquet(s"$Sf001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.maintainLshIndex(
+      stream.toDF().toDF("vec_id", "embedding"),
+      s"$dir/index",
+      s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    // the union of parts IS the index — no merge arithmetic exists to get wrong
+    val live = StreamingOps.currentLshIndex(spark, s"$dir/index")
+    val batch = Similarity.lshIndex(vecs.toDF("vec_id", "embedding"))
+    assert(live.except(batch).count() === 0L && batch.except(live).count() === 0L)
+    // and serving from the streamed artifact == the batch ANN, bit-for-bit
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rnk", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(
+      rows(Similarity.annLshServe(live, queries, 10))
+        === rows(Similarity.annLsh(emb, Seq(0L, 1L, 2L), 10))
+    )
+  }
+
   test("LSM index maintenance: append-only partials, merge-on-read == rebuild, compaction preserves") {
     import graft.operators.Retrieval
     implicit val sqlCtx = spark.sqlContext

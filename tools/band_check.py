@@ -45,6 +45,11 @@ FAMILY_OVERRIDES = {
     "q126_near_search": "shuffle",
     "q127_bpe_encode": "ann",  # 8-round driver-iterated trainer inside (q100's family)
     "q128_prefix_search": "shuffle",
+    "q129_ann_lsh_serve": "ann",
+    "q130_pack_ids": "ann",  # q127's trainer+encode runs inside
+    "q131_pack_across": "ann",  # q127's trainer+encode runs inside
+    "q132_cms_counts": "shuffle",
+    "q133_rank_metrics": "ann",  # the q31 LSH chain + brute-force truth run inside
 }
 
 FAMILY_KEYS = [
