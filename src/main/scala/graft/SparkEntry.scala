@@ -775,6 +775,21 @@ object SparkEntry {
         )
         .orderBy(col("query_id"))
     }),
+    // the WordPiece RUNTIME: greedy longest-match segmentation against
+    // the trainer's symbol inventory (BERT's serving algorithm — ships
+    // the inventory, not the merges), composed through the same encode
+    // layer as q127; word-table-bounded steps + driver-iterated walk
+    "q134_wp_greedy_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Vocabulary
+        .subwordVocab(graft.operators.Vocabulary.wordpieceSegmentations(docs, 8))
+      val greedy = graft.operators.Vocabulary.greedySegmentations(docs, vocab, 16)
+      graft.operators.Vocabulary
+        .encodeSubwords(docs, greedy, vocab)
+        .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "sym_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
     // per-source corpus card: one scan into a (source, lang) aggregate,
     // bounded rollup, min_by top-lang tie-break, dup mass over 8-byte
     // content hashes — the datasheet composition table
@@ -2100,6 +2115,52 @@ object SparkEntry {
        SELECT doc_id, pos // $seqLen AS chunk_idx, pos % $seqLen AS pos, sym_id
        FROM enc ORDER BY doc_id, chunk_idx, pos"""
 
+  /** WordPiece-runtime replay: the trainer chain (wordpiece scoring)
+    * yields the symbol inventory; the greedy longest-match walk is a
+    * LINEAR recursion — the step at each (word, position) is unique
+    * (the max-length match), so the recursive CTE follows one path per
+    * word with strictly-increasing positions.
+    */
+  private def greedyEncodeOracle(nMerges: Int, maxPieceLen: Int): String = {
+    val chain = bpeChain(nMerges, wordpiece = true).replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$chain, vocab AS (
+         SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY mass DESC, sym) AS BIGINT) AS sym_id
+         FROM (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS mass FROM (
+           SELECT cnt, unnest(syms) AS sym FROM s$nMerges) tv GROUP BY 1) tm
+       ), steps AS (
+         SELECT t.w, t.p, MAX(length(v.sym)) AS step
+         FROM (SELECT w, unnest(range(0, length(w))) AS p FROM s$nMerges) t
+         JOIN vocab v ON length(v.sym) <= $maxPieceLen
+           AND substr(t.w, CAST(t.p + 1 AS INTEGER), CAST(length(v.sym) AS INTEGER)) = v.sym
+         GROUP BY t.w, t.p
+       ), walk(w, pos, k) AS (
+         SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM s$nMerges
+         UNION ALL
+         SELECT wk.w, wk.pos + st.step, wk.k + 1
+         FROM walk wk JOIN steps st ON st.w = wk.w AND st.p = wk.pos
+         WHERE wk.pos < length(wk.w)
+       ), gseg AS (
+         SELECT wk.w, wk.k AS spos,
+           substr(wk.w, CAST(wk.pos + 1 AS INTEGER), CAST(st.step AS INTEGER)) AS sym
+         FROM walk wk JOIN steps st ON st.w = wk.w AND st.p = wk.pos
+         WHERE wk.pos < length(wk.w)
+       ), wocc AS (
+         SELECT doc_id, wpos, w FROM (
+           SELECT doc_id, unnest(range(0, len(ws))) AS wpos, unnest(ws) AS w
+           FROM (SELECT doc_id, ${tokens("text")} AS ws FROM documents) t00) t01
+         WHERE length(w) > 0
+       ), socc AS (
+         SELECT doc_id, wpos, spos, sym FROM wocc JOIN gseg USING (w)
+       ), genc AS (
+         SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS BIGINT)
+             AS pos,
+           vocab.sym_id
+         FROM socc JOIN vocab USING (sym)
+       )
+       SELECT doc_id, pos, sym_id FROM genc ORDER BY doc_id, pos"""
+  }
+
   /** Count-Min replay: the counter grid is a pure function of the token
     * multiset through the minhash affine row-hash family, so DuckDB
     * rebuilds every cell and reads the same minima.
@@ -2215,6 +2276,7 @@ object SparkEntry {
     "q131_pack_across" -> packAcrossOracle(8, 64, -1L),
     "q132_cms_counts" -> cmsOracle(4, 256),
     "q133_rank_metrics" -> rankMetricsOracle,
+    "q134_wp_greedy_encode" -> greedyEncodeOracle(8, 16),
     "q100_bpe_merges" -> bpeOracle(8),
     "q101_bpe_profile" -> bpeProfileOracle(8),
     "q111_wordpiece_merges" -> bpeOracle(8, wordpiece = true),

@@ -292,6 +292,98 @@ object Vocabulary {
       .select(col(idCol), col("ids"), size(col("ids")).cast("long").as("n_ids"))
   }
 
+  /** WordPiece RUNTIME segmentation — greedy longest-match-first (the
+    * BERT tokenizer's serving algorithm, Devlin et al. 2019 §4 /
+    * Schuster & Nakajima 2012): at each position take the LONGEST
+    * vocabulary symbol that matches, advance, repeat. This is the
+    * missing half of the [[wordpieceMerges]] trainer — production
+    * WordPiece does NOT replay merges at serve time (that is BPE's
+    * runtime, [[bpeSegmentations]]); it ships only the symbol INVENTORY
+    * and re-derives each word's pieces greedily. The two runtimes can
+    * disagree on a word, which is exactly why both must exist.
+    *
+    * Returns `(w, syms, cnt)` — the same segmentation-table contract as
+    * the trainers, so [[encodeSubwords]] composes unchanged. A word the
+    * greedy cannot cover (no symbol matches at some position — possible
+    * only when serving text whose characters the vocabulary has never
+    * seen) falls back WHOLE to its character decomposition, mirroring
+    * the encode layer's unknown-word law (spec-pinned).
+    *
+    * Scale shape: everything is WORD-TABLE-bounded — the corpus is
+    * touched once for the distinct-word table. The longest-match table
+    * enumerates (position, length ≤ `maxPieceLen`) candidate substrings
+    * per distinct word and equi-joins the broadcast inventory (a
+    * BroadcastHashJoin on the substring — no theta-join, no per-document
+    * work), and the walk advances a `(w, pos)` frontier one piece per
+    * driver round (≤ longest-word rounds, each a broadcast join between
+    * word-bounded checkpointed frames — the [[bpeMerges]] round
+    * discipline applied to serving).
+    */
+  def greedySegmentations(
+      docs: DataFrame,
+      vocab: DataFrame,
+      maxPieceLen: Int = 16,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(maxPieceLen >= 1, s"need maxPieceLen >= 1, got $maxPieceLen")
+    val words = wordTable(docs, textCol).select(col("w"), col("cnt"))
+    val inv = vocab
+      .select(col("sym").as("piece"))
+      .filter(length(col("piece")).between(1, maxPieceLen))
+    // longest inventory match at every (word, position): candidate
+    // substrings by explicit length, broadcast equi-join, max length
+    val steps = words
+      .select(col("w"), explode(sequence(lit(0), length(col("w")) - 1)).as("p"))
+      .select(
+        col("w"),
+        col("p"),
+        explode(sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - col("p")))).as("l")
+      )
+      .withColumn("piece", expr("substring(w, p + 1, l)"))
+      .join(broadcast(inv), Seq("piece"))
+      .groupBy(col("w"), col("p"))
+      .agg(max(col("l")).as("step"))
+      .localCheckpoint(true)
+    var frontier = words
+      .select(col("w"), lit(0).as("pos"), lit(0).as("k"))
+      .localCheckpoint(true)
+    var pieces: DataFrame = null
+    var failed: DataFrame = null
+    while (!frontier.isEmpty) {
+      val j = frontier
+        .join(steps.withColumnRenamed("p", "pos"), Seq("w", "pos"), "left")
+        .localCheckpoint(true)
+      val matched = j
+        .filter(col("step").isNotNull)
+        .select(
+          col("w"),
+          col("k"),
+          expr("substring(w, pos + 1, step)").as("piece"),
+          (col("pos") + col("step")).as("pos2")
+        )
+      val newFailed = j.filter(col("step").isNull).select(col("w"))
+      failed = if (failed == null) newFailed else failed.unionByName(newFailed)
+      val stepPieces = matched.select(col("w"), col("k"), col("piece"))
+      pieces = if (pieces == null) stepPieces else pieces.unionByName(stepPieces)
+      frontier = matched
+        .filter(col("pos2") < length(col("w")))
+        .select(col("w"), col("pos2").as("pos"), (col("k") + 1).as("k"))
+        .localCheckpoint(true)
+    }
+    val failedWords = failed.distinct().localCheckpoint(true)
+    val ok = pieces
+      .join(failedWords, Seq("w"), "left_anti")
+      .groupBy(col("w"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("k"), col("piece")))),
+          s => s.getField("piece")
+        ).as("syms")
+      )
+    val fallback = failedWords.select(col("w"), split(col("w"), "").as("syms"))
+    ok.unionByName(fallback).join(words, Seq("w")).select(col("w"), col("syms"), col("cnt"))
+  }
+
   /** WORDPIECE merge training (Schuster & Nakajima 2012; the BERT
     * tokenizer's trainer): the same round structure as [[bpeMerges]] —
     * word-frequency table once, one pair aggregate + driver argmax + one

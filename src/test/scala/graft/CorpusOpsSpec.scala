@@ -180,6 +180,62 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.take(2) === zq) // char decomposition of the unseen word
   }
 
+  test("greedySegmentations: longest-match-first, lossless, fallback, == BERT runtime by hand") {
+    import spark.implicits._
+    import graft.operators.Vocabulary
+    // hand-checked greedy on a crafted inventory: longest match wins at
+    // every position, NOT the segmentation a merge replay would give
+    val inv = Seq("a", "b", "c", "ab", "abc", "ca").toDF("sym")
+    val docs = Seq((1L, "abcab cab abca")).toDF("doc_id", "text")
+    val got = Vocabulary
+      .greedySegmentations(docs, inv, maxPieceLen = 16)
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(got("abcab") === Seq("abc", "ab")) // abc beats ab at pos 0
+    assert(got("cab") === Seq("ca", "b")) // ca beats c at pos 0
+    assert(got("abca") === Seq("abc", "a"))
+    // a word with a character outside the inventory falls back WHOLE to
+    // its character decomposition (the encode layer's unknown-word law)
+    val fb = Vocabulary
+      .greedySegmentations(Seq((2L, "abzb")).toDF("doc_id", "text"), inv, 16)
+      .select("syms").as[Seq[String]].head()
+    assert(fb === Seq("a", "b", "z", "b"))
+    // on the real corpus with the real WordPiece inventory: lossless
+    // (concatenation == word) and every piece is in the inventory
+    val real = spark.read.parquet(s"$Sf001/documents.parquet").select("doc_id", "text")
+    val vocab = Vocabulary.subwordVocab(Vocabulary.wordpieceSegmentations(real, 4))
+    val greedy = Vocabulary.greedySegmentations(real, vocab, 16).cache()
+    try {
+      val syms = vocab.select("sym").as[String].collect().toSet
+      greedy.select("w", "syms").as[(String, Seq[String])].collect().foreach { case (w, ps) =>
+        assert(ps.mkString("") === w, s"lossy on '$w'")
+        assert(ps.forall(syms), s"out-of-inventory piece on '$w'")
+      }
+      // the greedy-longest property itself: no piece can be extended —
+      // for every piece at its position, the next-longer substring is
+      // NOT in the inventory (unless the piece already ends the word)
+      greedy.select("w", "syms").as[(String, Seq[String])].collect().foreach { case (w, ps) =>
+        var pos = 0
+        ps.foreach { p =>
+          val longer = (p.length + 1) to math.min(16, w.length - pos)
+          longer.foreach { l =>
+            assert(!syms(w.substring(pos, pos + l)), s"'$w' piece '$p' at $pos not longest")
+          }
+          pos += p.length
+        }
+      }
+      // composition through the shared encode layer conserves counts
+      val enc = Vocabulary.encodeSubwords(real, greedy, vocab)
+      val nPieces = greedy
+        .join(
+          real.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w")),
+          Seq("w")
+        )
+        .agg(sum(size(col("syms")))).head().getLong(0)
+      assert(enc.agg(sum(col("n_ids"))).head().getLong(0) === nPieces)
+    } finally greedy.unpersist()
+    intercept[IllegalArgumentException](Vocabulary.greedySegmentations(docs, inv, 0))
+  }
+
   test("collocations: liftScale is a knob; an overflowing lift raises instead of mis-ranking") {
     import spark.implicits._
     import graft.operators.Vocabulary

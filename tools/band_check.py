@@ -50,6 +50,7 @@ FAMILY_OVERRIDES = {
     "q131_pack_across": "ann",  # q127's trainer+encode runs inside
     "q132_cms_counts": "shuffle",
     "q133_rank_metrics": "ann",  # the q31 LSH chain + brute-force truth run inside
+    "q134_wp_greedy_encode": "ann",  # wordpiece trainer + driver-iterated greedy walk inside
 }
 
 FAMILY_KEYS = [
