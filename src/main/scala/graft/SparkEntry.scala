@@ -447,6 +447,20 @@ object SparkEntry {
         .overlapReport(docs.filter(bucket < 8), docs.filter(bucket >= 8), k = 4)
         .orderBy(col("doc_id"))
     }),
+    // Bloom-filter decontamination: the benchmark's gram set folded into
+    // a FIXED bits/32-word array (footprint independent of benchmark
+    // size — the 100-TB broadcast shape), corpus grams probe 3 affine
+    // bits each; one-sided error so n_maybe superset-bounds q66's exact
+    // counts, every bit DuckDB-pinned
+    "q135_bloom_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = GraftExpressions.poly_hash(col("text")) % 10
+      val bloom = graft.operators.Decontaminate
+        .bloomIndex(docs.filter(bucket >= 8), bits = 32768L, nHashes = 3, k = 4)
+      graft.operators.Decontaminate
+        .bloomReport(docs.filter(bucket < 8), bloom, bits = 32768L, nHashes = 3, k = 4)
+        .orderBy(col("doc_id"))
+    }),
     // Gopher-style within-document repetition: duplicate-2-gram and
     // top-2-gram occupancy fractions — the degenerate-text signals the
     // length/stopword quality score cannot see
@@ -3272,6 +3286,43 @@ object SparkEntry {
          ORDER BY adm.doc_id""",
     // decontamination: same content-hash split, distinct 4-gram hashes per
     // side, shared-gram count per corpus doc
+    // every Bloom bit replayed: benchmark probes OR into 32-bit words of
+    // BIGINTs, corpus probes read them back; LEFT JOIN miss = bit unset
+    "q135_bloom_decon" -> {
+      val P = graft.functions.Kernels.HashPrime
+      def affine(src: String) = s"($src * (2*i + 1) + (i*i*31 + 7) % $P) % $P"
+      s"""WITH split AS (
+           SELECT doc_id, text, (${polyHash("text")} % 10) AS b FROM documents
+         ), bgh AS (
+           SELECT DISTINCT unnest(${shingleHashesDistinct("text", 4)}) AS gh
+           FROM split WHERE b >= 8
+         ), bp0 AS (
+           SELECT ${affine("gh")} AS h0 FROM bgh, unnest(range(0, 3)) AS u(i)
+         ), bpos AS (
+           SELECT ${remix32("h0")} % 32768 AS pos FROM bp0
+         ), bloom AS (
+           SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+           FROM bpos GROUP BY 1
+         ), cg AS (
+           SELECT doc_id, unnest(${shingleHashesDistinct("text", 4)}) AS gh
+           FROM split WHERE b < 8
+         ), cp0 AS (
+           SELECT doc_id, gh, ${affine("gh")} AS h0
+           FROM cg, unnest(range(0, 3)) AS u(i)
+         ), cp AS (
+           SELECT doc_id, gh, ${remix32("h0")} % 32768 AS pos FROM cp0
+         ), hits AS (
+           SELECT doc_id, gh,
+             SUM(CASE WHEN (word >> CAST(pos % 32 AS INTEGER)) & 1 = 1
+               THEN 1 ELSE 0 END) AS nbit
+           FROM cp LEFT JOIN bloom ON bloom.word_idx = pos // 32
+           GROUP BY doc_id, gh
+         )
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN nbit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+         FROM hits GROUP BY doc_id ORDER BY doc_id"""
+    },
     "q66_decontaminate" ->
       s"""WITH split AS (
            SELECT doc_id, text, (${polyHash("text")} % 10) AS b FROM documents

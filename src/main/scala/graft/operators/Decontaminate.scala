@@ -173,4 +173,107 @@ object Decontaminate {
       idCol
     )
   }
+
+  // ------------------------------------------------------ Bloom-filter tier
+
+  /** Bloom-filter form of the benchmark index — the 100-TB shape of
+    * decontamination when even the distinct-gram-hash index outgrows a
+    * comfortable broadcast (a 10B-gram benchmark suite is ~80 GB of raw
+    * hashes but a ~9 GB Bloom at 10 bits/gram): `nHashes` probes per
+    * gram — the minhash affine family REMIXED through `remix32` (raw
+    * affine probes stay correlated across grams whose `poly_hash`es are
+    * arithmetically related, exactly the banding that broke raw-hash
+    * KMV, and a Bloom FP needs only one such coincidence per probe; the
+    * measured fixture FP mass dropped 21 → 0 when the avalanche went
+    * in — every bit still DuckDB-pinnable) OR-ed into a `bits`-bit
+    * array stored as
+    * `bits/32`-word rows `(word_idx, word)` with 32 set-bits per BIGINT
+    * word (shift ≤ 31, so no engine's shift semantics at bit 63 is in
+    * play). The frame at rest is `bits/32` rows REGARDLESS of benchmark
+    * size — that fixed footprint is the whole point.
+    *
+    * One-sided error, the direction a removal filter wants: a gram the
+    * benchmark contains ALWAYS probes present (no missed contamination —
+    * [[bloomReport]]'s `n_maybe ⊇` [[overlapReport]]'s exact counts,
+    * spec-pinned); a clean gram false-positives at ~`(1-e^{-hn/bits})^h`.
+    * Size `bits ≈ 10·grams` for ~1% FP and re-check flagged documents
+    * with the exact [[overlapReport]] if the application can't eat it.
+    *
+    * Mergeable exactly: [[bloomMerge]] ORs word-wise ==
+    * [[bloomIndex]] over the unioned benchmarks (spec-pinned) — so
+    * per-benchmark-suite filters build independently and compose.
+    */
+  def bloomIndex(
+      benchmark: DataFrame,
+      bits: Long,
+      nHashes: Int = 3,
+      k: Int = DefaultK,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(bits >= 32 && bits % 32 == 0, s"need bits >= 32 and divisible by 32, got $bits")
+    require(nHashes >= 1 && nHashes <= 16, s"need 1 <= nHashes <= 16, got $nHashes")
+    val P = graft.functions.Kernels.HashPrime
+    benchmarkIndex(benchmark, k, textCol)
+      .select(col("gh"), explode(sequence(lit(0), lit(nHashes - 1))).as("i"))
+      .select(
+        (graft.functions.GraftExpressions
+          .remix32(expr(s"(gh * (2*i + 1) + (i*i*31 + 7) % $P) % $P")) % bits).as("pos")
+      )
+      .groupBy(expr("pos div 32").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))").as("word"))
+  }
+
+  /** Word-wise OR of Bloom filters built with the SAME (bits, nHashes,
+    * k) — == [[bloomIndex]] over the concatenated benchmarks, exactly.
+    */
+  def bloomMerge(blooms: DataFrame*): DataFrame = {
+    require(blooms.nonEmpty, "need at least one bloom")
+    blooms
+      .reduce(_.unionByName(_))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(word)").as("word"))
+  }
+
+  /** Per-document contamination report against a (broadcast)
+    * [[bloomIndex]]: `(idCol, n_grams, n_maybe)` for every document with
+    * at least one k-gram — `n_maybe` the count of distinct gram hashes
+    * whose every probe bit is set. The corpus side is the
+    * [[overlapReport]] scan shape with the gram join replaced by a
+    * `bits/32`-row broadcast lookup: no shuffle before the per-document
+    * aggregate, and the broadcast no longer grows with the benchmark.
+    */
+  def bloomReport(
+      corpus: DataFrame,
+      bloom: DataFrame,
+      bits: Long,
+      nHashes: Int = 3,
+      k: Int = DefaultK,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(bits >= 32 && bits % 32 == 0, s"need bits >= 32 and divisible by 32, got $bits")
+    require(nHashes >= 1 && nHashes <= 16, s"need 1 <= nHashes <= 16, got $nHashes")
+    val P = graft.functions.Kernels.HashPrime
+    corpus
+      .select(col(idCol), explode(TextFunctions.shingleHashes(col(textCol), k)).as("gh"))
+      .select(col(idCol), col("gh"), explode(sequence(lit(0), lit(nHashes - 1))).as("i"))
+      .withColumn(
+        "pos",
+        graft.functions.GraftExpressions
+          .remix32(expr(s"(gh * (2*i + 1) + (i*i*31 + 7) % $P) % $P")) % bits
+      )
+      .withColumn("word_idx", expr("pos div 32"))
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .withColumn(
+        "hit",
+        coalesce(expr("(shiftright(word, CAST(pos % 32 AS INT)) & 1) = 1"), lit(false))
+      )
+      .groupBy(col(idCol), col("gh"))
+      .agg((sum(when(col("hit"), 1L).otherwise(0L)) === nHashes.toLong).as("maybe"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe")
+      )
+  }
 }

@@ -1239,6 +1239,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for assignment:\n$plan")
   }
 
+  // ------------------------------------------------- Bloom decontamination
+
+  test("bloom decon: one-sided error (n_maybe >= exact), merge law, fixed footprint") {
+    val bits = 32768L
+    val bloom = Decontaminate.bloomIndex(benchmark, bits, nHashes = 3, k = 4)
+    val rep = Decontaminate
+      .bloomReport(corpus, bloom, bits, nHashes = 3, k = 4)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> r._3)
+      .toMap
+    val exact = Decontaminate
+      .overlapReport(corpus, benchmark, k = 4)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    // a gram the benchmark contains ALWAYS probes present — no exact
+    // contamination can be missed, per document
+    exact.foreach { case (d, nShared) =>
+      assert(rep(d) >= nShared, s"doc $d: bloom missed contamination")
+    }
+    // at a generous width the false-positive MASS is zero (deterministic
+    // — pinned so a probe-hashing regression is loud: the pre-remix
+    // affine probes left 21 FP grams here, the avalanche leaves none)
+    val wide = Decontaminate.bloomIndex(benchmark, 1L << 20, 3, 4)
+    val wideRep = Decontaminate
+      .bloomReport(corpus, wide, 1L << 20, 3, 4)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> r._3)
+      .toMap
+    val fpMass = wideRep.map { case (d, m) => m - exact.getOrElse(d, 0L) }.sum
+    wideRep.foreach { case (d, m) => assert(m >= exact.getOrElse(d, 0L), s"doc $d missed") }
+    assert(fpMass === 0L, s"FP mass at 2^20 moved: $fpMass")
+    // merge law: per-suite blooms OR into exactly the union's bloom
+    val bucketB = GraftExpressions.poly_hash(col("text")) % 2
+    val merged = Decontaminate.bloomMerge(
+      Decontaminate.bloomIndex(benchmark.filter(bucketB === 0), bits, 3, 4),
+      Decontaminate.bloomIndex(benchmark.filter(bucketB === 1), bits, 3, 4)
+    )
+    assert(
+      merged.except(bloom).count() === 0L && bloom.except(merged).count() === 0L
+    )
+    // footprint: bits/32 words max, regardless of benchmark size
+    assert(bloom.count() <= bits / 32)
+    intercept[IllegalArgumentException](Decontaminate.bloomIndex(benchmark, 33L, 3, 4))
+    intercept[IllegalArgumentException](Decontaminate.bloomReport(corpus, bloom, bits, 0, 4))
+  }
+
   // ----------------------------------------------------- Count-Min sketch
 
   private lazy val tokenStream = docs

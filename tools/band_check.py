@@ -51,6 +51,7 @@ FAMILY_OVERRIDES = {
     "q132_cms_counts": "shuffle",
     "q133_rank_metrics": "ann",  # the q31 LSH chain + brute-force truth run inside
     "q134_wp_greedy_encode": "ann",  # wordpiece trainer + driver-iterated greedy walk inside
+    "q135_bloom_decon": "shuffle",
 }
 
 FAMILY_KEYS = [
