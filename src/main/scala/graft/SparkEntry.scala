@@ -1016,6 +1016,25 @@ object SparkEntry {
         )
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // the live shape of a maintained IVF deployment between refits:
+    // artifact candidates over the indexed 90% union an EXHAUSTIVE scan
+    // of the un-indexed tail — a vector is searchable the batch it
+    // arrives, full recall on the fresh slice, cells restored at refit
+    "q136_ann_ivf_fresh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val indexed = emb.filter(col("vec_id") % 10 =!= 9)
+      val tail = emb.filter(col("vec_id") % 10 === 9)
+      val cb = Similarity.trainCodebook(indexed)
+      Similarity
+        .annIvfServeFresh(
+          Similarity.ivfIndex(indexed, cb),
+          cb.centroids,
+          tail,
+          emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L)),
+          10
+        )
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // prefix/wildcard retrieval over the index: the startsWith predicate
     // pushes into the index scan (StringStartsWith — min/max-prunable on
     // the sorted dictionary); only the matched terms' postings explode
@@ -1977,6 +1996,56 @@ object SparkEntry {
        FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
   }
 
+  /** The fresh-tail IVF serve replay: the trainer chain runs over the
+    * INDEXED 90% (`half` CTE — the oracle's src knob), candidates are
+    * the probed-cell set over that half UNION an exhaustive scan of the
+    * un-indexed tail, ranked once.
+    */
+  private lazy val annIvfFreshOracle: String = {
+    val p = Similarity.IvfProbes
+    s"""WITH half AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
+       ${ivfTrainerCtes(annCellsSql, src = "half")}, scores AS (
+         SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+         FROM half e CROSS JOIN $ivfFinalCent ct
+       ), qscores AS (
+         SELECT e.vec_id, ct.cell, ${cosine("e.embedding", "ct.c_emb")} AS cos
+         FROM embeddings e CROSS JOIN $ivfFinalCent ct WHERE e.vec_id < 5
+       ), ranked_cells AS (
+         SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+         FROM scores
+       ), assign1 AS (
+         SELECT vec_id, cell FROM ranked_cells WHERE r = 1
+       ), probes AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+           FROM qscores) t WHERE r <= $p
+       ), icand AS (
+         SELECT DISTINCT pr.vec_id AS query_id, a.vec_id AS neighbor_id,
+           ${cosine("qe.embedding", "ce.embedding")} AS cos
+         FROM probes pr
+         JOIN assign1 a ON pr.cell = a.cell AND pr.vec_id <> a.vec_id
+         JOIN embeddings qe ON qe.vec_id = pr.vec_id
+         JOIN embeddings ce ON ce.vec_id = a.vec_id
+       ), fcand AS (
+         SELECT q.vec_id AS query_id, te.vec_id AS neighbor_id,
+           ${cosine("q.embedding", "te.embedding")} AS cos
+         FROM embeddings q
+         JOIN embeddings te ON te.vec_id % 10 = 9 AND q.vec_id <> te.vec_id
+         WHERE q.vec_id < 5
+       ), cand AS (
+         SELECT * FROM icand UNION ALL SELECT * FROM fcand
+       ), ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         FROM cand
+       )
+       SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  }
+
   /** The full-corpus inverted index as flattened posting rows — the gate
     * for BOTH q107 (direct build) and q115 (merge of two disjoint-half
     * indexes, which must equal the rebuild exactly).
@@ -2363,6 +2432,7 @@ object SparkEntry {
     "q124_bm25_indexed" -> bm25Oracle,
     // IVF served from persisted codebook/assignments == train-in-plan
     "q125_ann_ivf_serve" -> annIvfOracle,
+    "q136_ann_ivf_fresh" -> annIvfFreshOracle,
     // prefix retrieval: LIKE over the (tok, doc) tf frame, distinct-term
     // coordination + tf mass per doc
     "q128_prefix_search" ->

@@ -367,12 +367,23 @@ object Similarity {
     * ranking is per-query-local, so restricting the cell scoring to the
     * query rows changes nothing.
     */
-  def annIvfServe(index: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def annIvfServe(index: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topK(ivfServeScored(index, centroids, queries), k)
+
+  /** The raw scored candidates of [[annIvfServe]] (cosines unrounded —
+    * [[annIvfServeFresh]] must merge them with tail scores BEFORE the
+    * top-k rounds for display, or 1e-6 ties could re-order).
+    */
+  private def ivfServeScored(
+      index: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame
+  ): DataFrame = {
     val q = queries.select(col("vec_id"), col("embedding"))
     val probes = topK(cellScores(q, centroids), IvfProbes)
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("cell"))
     val queryCells = q.join(probes, Seq("vec_id"))
-    val scored = broadcast(queryCells.as("q"))
+    broadcast(queryCells.as("q"))
       .join(
         index.as("c"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id")
@@ -382,7 +393,38 @@ object Similarity {
         col("c.vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("q.embedding"), col("c.embedding")).as("cos")
       )
-    topK(scored, k)
+  }
+
+  /** Serve from an [[ivfIndex]] artifact PLUS a fresh un-indexed TAIL —
+    * the live shape of a maintained deployment between codebook refits
+    * ([[graft.streaming.StreamingOps.maintainIvf]]): vectors streamed
+    * since the last refit aren't in any cell yet, so the artifact's
+    * candidates union an EXHAUSTIVE scan of the tail (exact — a query
+    * whose true neighbor just arrived finds it at full recall; the tail
+    * is refit-interval-bounded, so the scan is |Q|·tail cosines against
+    * a broadcast query frame, the q30 constant-side BNLJ shape). With an
+    * empty tail this IS [[annIvfServe]]; both candidate sets merge raw
+    * and round once in the final top-k.
+    */
+  def annIvfServeFresh(
+      index: DataFrame,
+      centroids: DataFrame,
+      tail: DataFrame,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col("vec_id"), col("embedding"))
+    val fresh = broadcast(q.as("q"))
+      .join(
+        tail.select(col("vec_id"), col("embedding")).as("c"),
+        col("q.vec_id") =!= col("c.vec_id")
+      )
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("q.embedding"), col("c.embedding")).as("cos")
+      )
+    topK(ivfServeScored(index, centroids, q).unionByName(fresh), k)
   }
 
   /** [[annIvfServe]] over the [[ivfIndexQuantized]] artifact: queries

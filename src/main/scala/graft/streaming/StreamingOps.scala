@@ -764,6 +764,155 @@ object StreamingOps {
     parts.map(p => spark.read.parquet(s"$indexDir/part=$p")).reduce(_.unionByName(_))
   }
 
+  /** Streaming maintenance of the IVF serve artifact — the third ANN
+    * maintenance mode, and the one with real re-training pressure: a
+    * trained codebook DRIFTS as the vector distribution grows (contrast
+    * [[maintainLshIndex]]'s data-independent hyperplanes and
+    * [[maintainIndex]]'s mergeable postings), so maintenance is
+    * (a) append each micro-batch's raw vectors as `vectors/part=<id>`
+    * (O(batch), retry-idempotent) and (b) every `refitEvery`-th batch
+    * REFIT the codebook on everything so far (optionally on the 1-in-
+    * `sampleEvery` sample — the production trainer shape) and rewrite
+    * the `gen=<id>/{centroids,index}` pair, retiring older generations
+    * once durable. Between refits the artifact lags the stream — that
+    * is not a bug to hide but the design point
+    * [[graft.operators.Similarity.annIvfServeFresh]] exists for: serve
+    * = artifact candidates ∪ exhaustive scan of the un-indexed tail
+    * parts, so a vector is searchable the batch it arrives and cell
+    * quality is restored at the next refit. Replay is idempotent: the
+    * trainer is deterministic on the same vector set, so a retried
+    * refit rewrites an identical generation.
+    */
+  def maintainIvf(
+      stream: DataFrame,
+      dir: String,
+      checkpointDir: String,
+      refitEvery: Int = 4,
+      sampleEvery: Int = 1,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(refitEvery >= 1, s"need refitEvery >= 1, got $refitEvery")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        batch
+          .select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$dir/vectors/part=$batchId")
+        if ((batchId + 1) % refitEvery == 0) {
+          val all = listParts(sp, s"$dir/vectors")
+            .map(p => sp.read.parquet(s"$dir/vectors/part=$p"))
+            .reduce(_.unionByName(_))
+          val cb = graft.operators.Similarity
+            .persistCodebook(graft.operators.Similarity.trainCodebook(all, sampleEvery))
+          try {
+            graft.operators.Similarity
+              .ivfIndex(all, cb)
+              .write.mode("overwrite").parquet(s"$dir/gen=$batchId/index")
+            // centroids last: a generation without them is not current
+            cb.centroids.write.mode("overwrite").parquet(s"$dir/gen=$batchId/centroids")
+          } finally graft.operators.Similarity.releaseCodebook(cb)
+          val root = new org.apache.hadoop.fs.Path(dir)
+          val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          fs.listStatus(root)
+            .map(_.getPath.getName)
+            .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+            .filter(_ < batchId)
+            .foreach { g =>
+              fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true)
+              ()
+            }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The live view of a [[maintainIvf]] deployment: the latest
+    * generation's artifact pair plus the un-indexed tail (vector parts
+    * newer than the generation; `None` right after a refit).
+    */
+  final case class IvfView(
+      centroids: DataFrame,
+      index: DataFrame,
+      tail: Option[DataFrame]
+  )
+
+  def currentIvf(spark: SparkSession, dir: String): IvfView = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs
+      .listStatus(root)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+    require(gens.nonEmpty, s"no IVF generations under $dir (has a refit batch run?)")
+    val g = gens.max
+    val tailParts = listParts(spark, s"$dir/vectors").filter(_ > g)
+    IvfView(
+      spark.read.parquet(s"$dir/gen=$g/centroids"),
+      spark.read.parquet(s"$dir/gen=$g/index"),
+      if (tailParts.isEmpty) None
+      else Some(tailParts.map(p => spark.read.parquet(s"$dir/vectors/part=$p")).reduce(_.unionByName(_)))
+    )
+  }
+
+  /** Search a [[maintainIvf]] deployment as it stands: artifact serve
+    * with the exhaustive fresh-tail union when a tail exists.
+    */
+  def searchIvfLive(spark: SparkSession, dir: String, queries: DataFrame, k: Int): DataFrame = {
+    val v = currentIvf(spark, dir)
+    v.tail match {
+      case None =>
+        graft.operators.Similarity.annIvfServe(v.index, v.centroids, queries, k)
+      case Some(t) =>
+        graft.operators.Similarity.annIvfServeFresh(v.index, v.centroids, t, queries, k)
+    }
+  }
+
+  /** Streaming maintenance of a [[graft.operators.Sketch.cmsSketch]] —
+    * the counting tier's LSM: each micro-batch writes its OWN
+    * `part=<batchId>` grid (O(batch) + one grid-bounded aggregate;
+    * retry-idempotent overwrite), and because counter-wise merge is
+    * EXACT ([[graft.operators.Sketch.cmsMerge]] == whole-stream build,
+    * spec-pinned), [[currentCms]]'s merge-on-read equals the sketch of
+    * everything ever streamed — no generation rewrites, no drift, no
+    * compaction pressure beyond part count (fold parts with an explicit
+    * quiesced `currentCms(...).write` when listing cost matters).
+    */
+  def maintainCms(
+      stream: DataFrame,
+      dir: String,
+      checkpointDir: String,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketch
+          .cmsSketch(batch, keyCol, depth, width)
+          .write.mode("overwrite").parquet(s"$dir/part=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read view of a [[maintainCms]] artifact — == the one-pass
+    * sketch of the concatenated stream, exactly.
+    */
+  def currentCms(spark: SparkSession, dir: String): DataFrame = {
+    val parts = listParts(spark, dir)
+    require(parts.nonEmpty, s"no CMS parts under $dir")
+    graft.operators.Sketch.cmsMerge(
+      parts.map(p => spark.read.parquet(s"$dir/part=$p")).toSeq: _*
+    )
+  }
+
   private def listParts(spark: SparkSession, indexDir: String): Array[Long] = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -687,6 +687,85 @@ class StreamingSpec extends SparkSpec {
     )
   }
 
+  test("streaming IVF maintenance: refit generations, fresh tail searchable, boundary == batch") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val vecs = spark.read
+      .parquet(s"$Sf001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.maintainIvf(
+      stream.toDF().toDF("vec_id", "embedding"),
+      s"$dir/ivf",
+      s"$dir/ckpt",
+      refitEvery = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    val batches = vecs.grouped((vecs.length + 2) / 3).toSeq // 3 batches
+    stream.addData(batches(0)); q.processAllAvailable()
+    stream.addData(batches(1)); q.processAllAvailable() // batch 1 -> refit, gen=1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rnk", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    // refit boundary, no tail: live serve == the batch train+search over
+    // everything streamed (the trainer is deterministic on the set)
+    val streamed2 = (batches(0) ++ batches(1)).toDF("vec_id", "embedding")
+    val queries2 = streamed2.filter(col("vec_id").isin(0L, 1L, 2L))
+    val view2 = StreamingOps.currentIvf(spark, s"$dir/ivf")
+    assert(view2.tail.isEmpty, "no tail right after a refit")
+    assert(
+      rows(StreamingOps.searchIvfLive(spark, s"$dir/ivf", queries2, 5))
+        === rows(Similarity.annIvfWith(streamed2, Similarity.trainCodebook(streamed2), Seq(0L, 1L, 2L), 5))
+    )
+    // mid-interval: plant a near-duplicate of query 0 in the tail batch —
+    // it must be found at rank 1 despite not being in any cell yet
+    val q0 = vecs.find(_._1 == 0L).get._2
+    val planted = 900000L -> q0.map(x => x * 0.999f + 0.0001f)
+    stream.addData(batches(2) :+ planted); q.processAllAvailable()
+    q.stop()
+    val view3 = StreamingOps.currentIvf(spark, s"$dir/ivf")
+    assert(view3.tail.isDefined, "tail exists between refits")
+    val live = StreamingOps
+      .searchIvfLive(spark, s"$dir/ivf", queries2.filter(col("vec_id") === 0L), 5)
+      .select("rnk", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(live(1L) === 900000L, s"planted tail near-dup not at rank 1: $live")
+  }
+
+  test("streaming CMS maintenance: merge-on-read == one-pass sketch of everything streamed") {
+    import graft.operators.Sketch
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream").toString
+    val docs = spark.read
+      .parquet(s"$Sf001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .as[String]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[String]
+    val q = StreamingOps.maintainCms(
+      stream.toDF().toDF("tok"),
+      s"$dir/cms",
+      s"$dir/ckpt",
+      "tok",
+      depth = 3,
+      width = 256,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    docs.grouped((docs.length + 2) / 3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val merged = StreamingOps.currentCms(spark, s"$dir/cms")
+    val whole = Sketch.cmsSketch(docs.toDF("tok"), "tok", depth = 3, width = 256)
+    assert(merged.except(whole).count() === 0L && whole.except(merged).count() === 0L)
+  }
+
   test("LSM index maintenance: append-only partials, merge-on-read == rebuild, compaction preserves") {
     import graft.operators.Retrieval
     implicit val sqlCtx = spark.sqlContext

@@ -52,6 +52,7 @@ FAMILY_OVERRIDES = {
     "q133_rank_metrics": "ann",  # the q31 LSH chain + brute-force truth run inside
     "q134_wp_greedy_encode": "ann",  # wordpiece trainer + driver-iterated greedy walk inside
     "q135_bloom_decon": "shuffle",
+    "q136_ann_ivf_fresh": "ann",  # the half-corpus Lloyd chain runs inside
 }
 
 FAMILY_KEYS = [
