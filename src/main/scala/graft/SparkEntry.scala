@@ -1350,6 +1350,15 @@ object SparkEntry {
         .bruteForceTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // diversity-aware retrieval: maximal marginal relevance over the
+    // brute-force pool — k driver-iterated selection rounds, each an
+    // argmax of lambda*rel - (1-lambda)*max-sim-to-selected over the
+    // bounded pool; the "k nearest but not near-duplicate" selector
+    "q137_mmr_topk" -> ((s, dir) => {
+      Similarity
+        .mmrTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 5, 20, 700)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "q31_ann_lsh" -> ((s, dir) => {
       Similarity
         .annLsh(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
@@ -1996,6 +2005,68 @@ object SparkEntry {
        FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
   }
 
+  /** MMR replay: the brute pool then `k` UNROLLED selection rounds —
+    * candidate = pool minus selected, penalty = max candidate-selected
+    * cosine, all scores quantized to integer micro-units
+    * (`floor(x·10⁶ + 0.5)` on identical IEEE doubles) so the argmax is
+    * bit-determined; the combined score stays the UNDIVIDED nano-unit
+    * integer (the first cut ranked raw doubles and a sub-1e-6 tie
+    * flipped a round-3 pick between engines).
+    */
+  private def mmrOracle(k: Int, poolK: Int, lambdaMilli: Int): String = {
+    val om = 1000 - lambdaMilli
+    def q(x: String) = s"CAST(floor(($x) * 1000000 + 0.5) AS BIGINT)"
+    def round(r: Int): String = {
+      val prev = s"sel${r - 1}"
+      val mmr = s"$lambdaMilli * c.rel_u - $om * COALESCE(p.pen_u, CAST(0 AS BIGINT))"
+      s""", cand$r AS (
+           SELECT p.query_id, p.neighbor_id, p.rel_u FROM pool p
+           WHERE NOT EXISTS (SELECT 1 FROM $prev s
+             WHERE s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id)
+         ), pen$r AS (
+           SELECT c.query_id, c.neighbor_id,
+             MAX(${q(cosine("ce.embedding", "se.embedding"))}) AS pen_u
+           FROM cand$r c
+           JOIN $prev s ON s.query_id = c.query_id
+           JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+           JOIN embeddings se ON se.vec_id = s.neighbor_id
+           GROUP BY 1, 2
+         ), pick$r AS (
+           SELECT query_id, CAST($r AS BIGINT) AS rnk, neighbor_id, mmr_nano FROM (
+             SELECT c.query_id, c.neighbor_id,
+               CAST($mmr AS BIGINT) AS mmr_nano,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY ($mmr) DESC, c.neighbor_id) AS rr
+             FROM cand$r c LEFT JOIN pen$r p
+               ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id) t
+           WHERE rr = 1
+         ), sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$r)"""
+    }
+    s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       bscored AS (
+         SELECT bq.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ${cosine("bq.embedding", "c.embedding")} AS cos
+         FROM bq JOIN embeddings c ON bq.vec_id <> c.vec_id
+       ), branked AS (
+         SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM bscored
+       ), pool AS (
+         SELECT query_id, neighbor_id, ${q("round(cos, 6)")} AS rel_u
+         FROM branked WHERE rnk <= $poolK
+       ), sel1 AS (
+         SELECT query_id, CAST(1 AS BIGINT) AS rnk, neighbor_id, mmr_nano FROM (
+           SELECT query_id, neighbor_id,
+             CAST($lambdaMilli * rel_u AS BIGINT) AS mmr_nano,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ($lambdaMilli * rel_u) DESC, neighbor_id) AS rr
+           FROM pool) t WHERE rr = 1
+       )${(2 to k).map(round).mkString}
+       SELECT query_id, rnk, neighbor_id, mmr_nano
+       FROM sel$k ORDER BY query_id, rnk"""
+  }
+
   /** The fresh-tail IVF serve replay: the trainer chain runs over the
     * INDEXED 90% (`half` CTE — the oracle's src knob), candidates are
     * the probed-cell set over that half UNION an exhaustive scan of the
@@ -2433,6 +2504,7 @@ object SparkEntry {
     // IVF served from persisted codebook/assignments == train-in-plan
     "q125_ann_ivf_serve" -> annIvfOracle,
     "q136_ann_ivf_fresh" -> annIvfFreshOracle,
+    "q137_mmr_topk" -> mmrOracle(5, 20, 700),
     // prefix retrieval: LIKE over the (tok, doc) tf frame, distinct-term
     // coordination + tf mass per doc
     "q128_prefix_search" ->

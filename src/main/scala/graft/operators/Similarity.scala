@@ -454,6 +454,104 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** DIVERSITY-aware top-k — maximal marginal relevance (Carbonell &
+    * Goldstein, SIGIR 1998): select `k` results one at a time, each
+    * round picking the candidate maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
+    * against redundancy with what's already chosen. THE selection rule
+    * for "k nearest but not near-duplicate" uses: few-shot example
+    * retrieval that shouldn't return five copies of the same boilerplate,
+    * hard-negative pools that should span failure modes, eval-set
+    * sampling that shouldn't cluster. Plain top-k is the λ=1 corner.
+    *
+    * Determinism — the q34 salience rule, learned here the hard way:
+    * the first cut combined double cosines as `λ·rel − (1−λ)·pen` and a
+    * sub-1e-6 argmax tie flipped a round-3 pick between engines. The
+    * scoring is therefore integer micro-units end to end: cosines
+    * quantize once via `floor(x·10⁶ + 0.5)` (identical IEEE inputs →
+    * identical integers — the IvfQuant discipline) and
+    * `mmr_nano = λₘ·rel_u − (1000−λₘ)·pen_u` (milli·micro = nano units,
+    * deliberately UNDIVIDED — integral division of a negative score is
+    * where engine semantics diverge, and the order is the same) with
+    * (score desc, id asc) argmax ties is bit-determined everywhere.
+    * Empty-set penalty is 0.
+    *
+    * Scale shape: the pool is `|Q|·poolK` rows (bounded by construction
+    * — the expensive part is the pool retrieval, which is any ANN tier's
+    * job; brute here for exactness at gate scale), and the `k` selection
+    * rounds are driver-iterated joins over that bounded frame
+    * (≤ poolK·k pairwise cosines per query, checkpoint-scoped like every
+    * iterative loop in the engine). Selection cost is independent of
+    * corpus size.
+    */
+  def mmrTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      poolK: Int = 20,
+      lambdaMilli: Int = 700
+  ): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK, got k=$k poolK=$poolK")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000, s"need lambdaMilli in [0,1000], got $lambdaMilli")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val pool = bruteForceTopK(e, queryIds, poolK)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        expr("CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)").as("rel_u")
+      )
+      .join(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+        Seq("neighbor_id")
+      )
+      .select(col("query_id"), col("neighbor_id"), col("rel_u"), col("c_emb"))
+      .localCheckpoint(true)
+    var selected = pool
+      .filter(lit(false))
+      .select(col("query_id"), lit(0L).as("rnk"), col("neighbor_id"), lit(0L).as("mmr_nano"), col("c_emb"))
+    for (r <- 1 to k) {
+      val cand = pool.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"),
+        "left_anti"
+      )
+      val pens = cand
+        .select(col("query_id"), col("neighbor_id"), col("c_emb"))
+        .join(selected.select(col("query_id"), col("c_emb").as("s_emb")), Seq("query_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          VectorFunctions.cosine(col("c_emb"), col("s_emb")).as("sim")
+        )
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(expr("CAST(floor(sim * 1000000 + 0.5) AS BIGINT)")).as("pen_u"))
+      val scored = cand
+        .join(pens, Seq("query_id", "neighbor_id"), "left")
+        .withColumn(
+          "mmr_u",
+          expr(s"$lambdaMilli * rel_u - ${1000 - lambdaMilli} * coalesce(pen_u, 0L)")
+        )
+      val pick = scored
+        .groupBy(col("query_id"))
+        .agg(
+          GraftExpressions
+            .top_k_neighbors(col("mmr_u").cast("double"), col("neighbor_id"), 1)
+            .as("nn")
+        )
+        .select(col("query_id"), explode(col("nn")).as("n"))
+        .select(
+          col("query_id"),
+          lit(r.toLong).as("rnk"),
+          col("n.neighbor_id").as("neighbor_id"),
+          col("n.cos").cast("long").as("mmr_nano")
+        )
+        .join(pool.select(col("query_id"), col("neighbor_id"), col("c_emb")), Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("mmr_nano"), col("c_emb"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("rnk"), col("neighbor_id"), col("mmr_nano"))
+  }
+
   /** [[annIvf]] with the codebook fitted on the deterministic 1-in-`every`
     * id sample of the corpus — the PRODUCTION trainer shape: the Lloyd
     * chain costs (n/every)·C cosines per round instead of n·C, while the

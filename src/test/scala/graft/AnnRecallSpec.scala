@@ -454,6 +454,48 @@ class AnnRecallSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("mmrTopK: lambda=1 is plain top-k; diversity beats a planted near-duplicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // crafted: a and b are near-identical top candidates, c is diverse
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), // query
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)), // a: best rel
+      (2L, Seq(0.9f, 0.11f, 0f, 0f)), // b: near-dup of a
+      (3L, Seq(0.5f, 0f, 0.5f, 0f)) // c: diverse, lower rel
+    ).toDF("vec_id", "embedding")
+    def picks(lambdaMilli: Int) = Similarity
+      .mmrTopK(emb, Seq(0L), 3, poolK = 3, lambdaMilli = lambdaMilli)
+      .orderBy(col("rnk"))
+      .select("neighbor_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    // the lambda=1 corner IS relevance order
+    assert(picks(1000) === Seq(1L, 2L, 3L))
+    val rel = Similarity
+      .bruteForceTopK(emb, Seq(0L), 3)
+      .orderBy(col("rnk"))
+      .select("neighbor_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    assert(picks(1000) === rel)
+    // at lambda=0.5 the near-duplicate's redundancy penalty demotes it
+    // below the diverse candidate
+    assert(picks(500) === Seq(1L, 3L, 2L))
+    // dense ranks, no repeats, on the real fixture
+    val real = Tables.load(spark, Sf001, "embeddings")
+    val m = Similarity.mmrTopK(real, Seq(0L, 1L), 5, 20, 700)
+    val byQ = m.as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to 5L))
+      assert(rows.map(_._3).distinct.length === 5)
+    }
+    intercept[IllegalArgumentException](Similarity.mmrTopK(emb, Seq(0L), 5, 3))
+    intercept[IllegalArgumentException](Similarity.mmrTopK(emb, Seq(0L), 2, 3, 1001))
+  }
+
   test("PQ plan: codebooks broadcast in encode/decode; no sort-merge join in the ADC path") {
     val emb = Tables.load(spark, Sf001, "embeddings")
     val plan = Similarity.annPqAdc(emb, Seq(0L, 1L), 5)

@@ -53,6 +53,7 @@ FAMILY_OVERRIDES = {
     "q134_wp_greedy_encode": "ann",  # wordpiece trainer + driver-iterated greedy walk inside
     "q135_bloom_decon": "shuffle",
     "q136_ann_ivf_fresh": "ann",  # the half-corpus Lloyd chain runs inside
+    "q137_mmr_topk": "ann",  # brute pool + k driver-iterated selection rounds
 }
 
 FAMILY_KEYS = [
