@@ -1350,6 +1350,16 @@ object SparkEntry {
         .bruteForceTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // spectral embedding hygiene: the top principal component by
+    // integer power iteration (12 offset-normalized rounds over the
+    // exact decimal second-moment matrix), then every vector's PC1
+    // projection — the "all-but-the-top" direction, bit-replayable
+    "q138_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Spectral
+        .projectPrincipal(emb, graft.operators.Spectral.principalComponent(emb, 12))
+        .orderBy(col("vec_id"))
+    }),
     // diversity-aware retrieval: maximal marginal relevance over the
     // brute-force pool — k driver-iterated selection rounds, each an
     // argmax of lambda*rel - (1-lambda)*max-sim-to-selected over the
@@ -2005,6 +2015,49 @@ object SparkEntry {
        FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
   }
 
+  /** PCA replay: micro-quantize, offset-trick centering, the exact
+    * HUGEINT second-moment matrix, then `iters` UNROLLED power rounds —
+    * each a matvec + the offset normalization (every division's
+    * numerator kept non-negative so floored and truncating division
+    * agree) — and the centered projection.
+    */
+  private def pcaOracle(iters: Int): String = {
+    val S = graft.operators.Spectral.Scale
+    // MATERIALIZED throughout: DuckDB inlines plain CTEs, and 12 rounds
+    // each referencing cov→cen→xu would expand to 3^12 file scans (the
+    // bpeChain lesson — this oracle actually hit EMFILE without it)
+    def round(t: Int): String =
+      s""", w$t AS MATERIALIZED (
+           SELECT c.j, SUM(c.s * v.v) AS w FROM cov c
+           JOIN v${t - 1} v ON v.j = c.k GROUP BY 1
+         ), s$t AS MATERIALIZED (SELECT MAX(abs(w)) AS smax FROM w$t),
+         v$t AS MATERIALIZED (
+           SELECT j, CAST((w + smax) * $S // (2 * greatest(smax, 1)) - ${S / 2} AS BIGINT) AS v
+           FROM w$t, s$t
+         )"""
+    s"""WITH xu AS MATERIALIZED (
+         SELECT vec_id, CAST(j AS BIGINT) AS j,
+           CAST(floor(CAST(x AS DOUBLE) * $S + 0.5) AS BIGINT) AS xu
+         FROM (SELECT vec_id, unnest(embedding) AS x,
+                 unnest(range(len(embedding))) AS j
+               FROM embeddings) t0
+       ), means AS MATERIALIZED (
+         SELECT j, CAST(sum(xu + $S) // count(*) - $S AS BIGINT) AS m
+         FROM xu GROUP BY j
+       ), cen AS MATERIALIZED (
+         SELECT vec_id, xu.j, xu - m AS c FROM xu JOIN means USING (j)
+       ), cov AS MATERIALIZED (
+         SELECT a.j AS j, b.j AS k, SUM(CAST(a.c * b.c AS HUGEINT)) AS s
+         FROM cen a JOIN cen b USING (vec_id) GROUP BY 1, 2
+       ), v0 AS MATERIALIZED (
+         SELECT j, (${remix32("j")} % 2001 - 1000) AS v
+         FROM (SELECT DISTINCT j FROM cov) tj
+       )${(1 to iters).map(round).mkString}
+       SELECT cen.vec_id, CAST(SUM(c * v) AS BIGINT) AS proj
+       FROM cen JOIN v$iters vv ON vv.j = cen.j
+       GROUP BY cen.vec_id ORDER BY cen.vec_id"""
+  }
+
   /** MMR replay: the brute pool then `k` UNROLLED selection rounds —
     * candidate = pool minus selected, penalty = max candidate-selected
     * cosine, all scores quantized to integer micro-units
@@ -2505,6 +2558,7 @@ object SparkEntry {
     "q125_ann_ivf_serve" -> annIvfOracle,
     "q136_ann_ivf_fresh" -> annIvfFreshOracle,
     "q137_mmr_topk" -> mmrOracle(5, 20, 700),
+    "q138_pca_project" -> pcaOracle(12),
     // prefix retrieval: LIKE over the (tok, doc) tf frame, distinct-term
     // coordination + tf mass per doc
     "q128_prefix_search" ->

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExpressions
+
+/** Spectral structure of an embedding table — the top PRINCIPAL
+  * COMPONENT by power iteration, in the engine's exact-replay integer
+  * discipline. The dominant direction of an embedding corpus is the
+  * workhorse of embedding hygiene: mean-centering + removing-the-top-PC
+  * is the classic post-processing that improves similarity search (the
+  * "all-but-the-top" observation — embedding sets share a large common
+  * component that drowns cosine contrast), PC1 projections make a
+  * drift/diversity axis for corpus reports, and the same machinery is
+  * the first step of whitening for SemDeDup-style clustering.
+  *
+  * Everything is integer (the q34 salience rule, which the MMR operator
+  * just re-proved on a 1e-6 argmax tie): embeddings quantize once via
+  * `floor(x·10⁶ + 0.5)` (identical IEEE inputs → identical integers),
+  * the mean uses the offset trick (`(Σ(x+10⁶)) div n − 10⁶` — the sum
+  * is kept non-negative, so floored and truncating division agree
+  * across engines; signed integral division is exactly where they
+  * part ways), the d×d second-moment matrix accumulates exact
+  * `decimal(38,0)` products (DuckDB HUGEINT), and each power-iteration
+  * round renormalizes through the same offset trick:
+  * `v' = ((w + max|w|)·10⁶) div (2·max|w|) − 5·10⁵` — an affine map of
+  * the matvec with deterministic rounding, so the iterate (and its
+  * sign) is bit-identical everywhere. No eigensolver library, no
+  * floating accumulation, no non-determinism to adjudicate.
+  *
+  * Scale shape: quantize+center is one scan; the d×d matrix is ONE
+  * self-join on `vec_id` exploded to d² products per vector (d² rows
+  * per vector — at production dimensions fit it on the engine's
+  * standard 1-in-`every` sample like the IVF trainer, the `every`
+  * parameter here), partially aggregated to the 4096-cell matrix
+  * before any exchange; the `iters` power rounds are driver-iterated
+  * joins over d-row frames (micro-work — the matrix broadcast never
+  * leaves memory); the projection pass is one scan against the
+  * broadcast component.
+  */
+object Spectral {
+
+  /** Quantization scale (micro-units) — the IvfQuant discipline. */
+  val Scale = 1000000L
+
+  /** `(vec_id, j, c)` — per-component CENTERED micro-quantized values.
+    * Exposed for [[projectPrincipal]] and the covariance build, one
+    * source of truth for the quantize+center arithmetic.
+    */
+  def centeredMicro(emb: DataFrame): DataFrame = {
+    val xu = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(
+        col("vec_id"),
+        col("j").cast("long").as("j"),
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * $Scale + 0.5) AS BIGINT)").as("xu")
+      )
+    val means = xu
+      .groupBy(col("j"))
+      .agg(expr(s"CAST(sum(xu + $Scale) div count(1) - $Scale AS BIGINT)").as("m"))
+    xu
+      .join(broadcast(means), Seq("j"))
+      .select(col("vec_id"), col("j"), (col("xu") - col("m")).as("c"))
+  }
+
+  /** The exact integer second-moment matrix `S[j,k] = Σ_i c_i[j]·c_i[k]`
+    * over the (optionally 1-in-`every` sampled) centered corpus —
+    * `(j, k, s)` with `s` decimal(38,0). Unnormalized: the eigenvector
+    * is scale-free, and dividing by n would reintroduce signed
+    * division.
+    */
+  def secondMoment(emb: DataFrame, every: Int = 1): DataFrame = {
+    require(every >= 1, s"need every >= 1, got $every")
+    val src =
+      if (every == 1) emb else emb.filter(col("vec_id") % lit(every.toLong) === 0)
+    val cen = centeredMicro(src)
+    cen
+      .select(col("vec_id"), col("j"), col("c"))
+      .join(
+        cen.select(col("vec_id"), col("j").as("k"), col("c").as("ck")),
+        Seq("vec_id")
+      )
+      .groupBy(col("j"), col("k"))
+      .agg(sum((col("c") * col("ck")).cast("decimal(38,0)")).as("s"))
+  }
+
+  /** The top principal direction as a 64-row integer frame `(j, v)` —
+    * `iters` rounds of power iteration over [[secondMoment]], each round
+    * one matvec + the offset-normalization above. Deterministic seed
+    * `v0[j] = remix32(j) % 2001 − 1000` (avalanche-spread, no axis
+    * alignment with structured data). The result is the direction up to
+    * the deterministic sign the seed and rounding produce — consumers
+    * needing a convention can flip on `sign(v[argmin j where v≠0])`.
+    */
+  def principalComponent(emb: DataFrame, iters: Int = 12, every: Int = 1): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val cov = secondMoment(emb, every).localCheckpoint(true)
+    var v = cov
+      .select(col("j"))
+      .distinct()
+      .select(
+        col("j"),
+        (GraftExpressions.remix32(col("j")) % 2001L - 1000L).as("v")
+      )
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = cov
+        .join(broadcast(v.select(col("j").as("k"), col("v"))), Seq("k"))
+        .groupBy(col("j"))
+        .agg(sum(col("s") * col("v")).as("w"))
+      val smax = w.agg(max(abs(col("w"))).as("smax"))
+      v = w
+        .crossJoin(broadcast(smax))
+        .select(
+          col("j"),
+          expr(s"CAST((w + smax) * $Scale div (2 * greatest(smax, 1)) - ${Scale / 2} AS BIGINT)")
+            .as("v")
+        )
+        .localCheckpoint(true)
+    }
+    v
+  }
+
+  /** Per-vector PC1 projection `(vec_id, proj)` — the integer dot of the
+    * centered micro values with the (broadcast) component. One scan;
+    * `|proj| ≤ d · 2·10⁶ · 5·10⁵` fits comfortably in BIGINT.
+    */
+  def projectPrincipal(emb: DataFrame, component: DataFrame): DataFrame =
+    centeredMicro(emb)
+      .join(broadcast(component), Seq("j"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("c") * col("v")).as("proj"))
+}

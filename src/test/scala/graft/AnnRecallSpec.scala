@@ -496,6 +496,68 @@ class AnnRecallSpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.mmrTopK(emb, Seq(0L), 2, 3, 1001))
   }
 
+  test("principalComponent: recovers a planted direction; symmetric moments; deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Spectral
+    // planted: x_i = t_i * u + small deterministic noise, u fixed
+    val d = 16
+    val u = Array.tabulate(d)(j => if (j % 2 == 0) 0.6 else -0.3)
+    val un = math.sqrt(u.map(x => x * x).sum)
+    def h(x: Long): Long = { var v = x * 2654435761L % 4294967296L; v ^= v >> 16; v * 48271 % 4294967296L }
+    val vecs = (0L until 400L).map { i =>
+      val t = (h(i) % 2000L - 1000L) / 500.0 // spread in [-2, 2]
+      (i, Array.tabulate(d)(j => (t * u(j) + (h(i * 31 + j) % 100L - 50L) / 2000.0).toFloat).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val pc = Spectral
+      .principalComponent(emb, iters = 12)
+      .orderBy(col("j"))
+      .as[(Long, Long)]
+      .collect()
+      .map(_._2.toDouble)
+    val pcn = math.sqrt(pc.map(x => x * x).sum)
+    val cosU = math.abs(pc.zip(u).map { case (a, b) => a * b }.sum / (pcn * un))
+    assert(cosU >= 0.99, s"component misaligned with planted direction: cos=$cosU")
+    // second-moment matrix is exactly symmetric
+    val s = Spectral.secondMoment(emb).as[(Long, Long, java.math.BigDecimal)].collect()
+    val m = s.map { case (j, k, v) => (j, k) -> v }.toMap
+    m.foreach { case ((j, k), v) => assert(v === m((k, j)), s"asymmetry at ($j,$k)") }
+    // deterministic under repartitioning, and the sampled trainer (the
+    // 100-TB shape) still finds the planted direction
+    val pc2 = Spectral
+      .principalComponent(emb.repartition(13), iters = 12)
+      .orderBy(col("j"))
+      .as[(Long, Long)]
+      .collect()
+      .map(_._2.toDouble)
+    assert(pc2.toSeq === pc.toSeq)
+    val pcS = Spectral
+      .principalComponent(emb, iters = 12, every = 2)
+      .orderBy(col("j"))
+      .as[(Long, Long)]
+      .collect()
+      .map(_._2.toDouble)
+    val cosS = math.abs(
+      pcS.zip(u).map { case (a, b) => a * b }.sum /
+        (math.sqrt(pcS.map(x => x * x).sum) * un)
+    )
+    assert(cosS >= 0.98, s"sampled component misaligned: cos=$cosS")
+    // projections correlate with the planted coordinate t
+    val proj = Spectral
+      .projectPrincipal(emb, Spectral.principalComponent(emb, 12))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val ts = vecs.map { case (i, _) => i -> ((h(i) % 2000L - 1000L) / 500.0) }.toMap
+    val xs = proj.keys.toSeq.sorted.map(i => (proj(i).toDouble, ts(i)))
+    val (mx, my) = (xs.map(_._1).sum / xs.size, xs.map(_._2).sum / xs.size)
+    val corr = xs.map { case (a, b) => (a - mx) * (b - my) }.sum /
+      math.sqrt(xs.map(x => (x._1 - mx) * (x._1 - mx)).sum * xs.map(x => (x._2 - my) * (x._2 - my)).sum)
+    assert(math.abs(corr) >= 0.99, s"projection decorrelated from planted t: corr=$corr")
+    intercept[IllegalArgumentException](Spectral.principalComponent(emb, 0))
+  }
+
   test("PQ plan: codebooks broadcast in encode/decode; no sort-merge join in the ADC path") {
     val emb = Tables.load(spark, Sf001, "embeddings")
     val plan = Similarity.annPqAdc(emb, Seq(0L, 1L), 5)

@@ -54,6 +54,7 @@ FAMILY_OVERRIDES = {
     "q135_bloom_decon": "shuffle",
     "q136_ann_ivf_fresh": "ann",  # the half-corpus Lloyd chain runs inside
     "q137_mmr_topk": "ann",  # brute pool + k driver-iterated selection rounds
+    "q138_pca_project": "ann",  # 12 driver-iterated power rounds inside
 }
 
 FAMILY_KEYS = [
