@@ -1360,6 +1360,15 @@ object SparkEntry {
         .projectPrincipal(emb, graft.operators.Spectral.principalComponent(emb, 12))
         .orderBy(col("vec_id"))
     }),
+    // all-but-the-top: every vector's component along the trained top
+    // direction removed — exact-integer inputs, the one necessary
+    // division in fixed-order double (the cosine-oracle discipline)
+    "q139_pca_remove" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Spectral
+        .removePrincipal(emb, graft.operators.Spectral.principalComponent(emb, 12))
+        .orderBy(col("vec_id"), col("j"))
+    }),
     // diversity-aware retrieval: maximal marginal relevance over the
     // brute-force pool — k driver-iterated selection rounds, each an
     // argmax of lambda*rel - (1-lambda)*max-sim-to-selected over the
@@ -2021,7 +2030,30 @@ object SparkEntry {
     * numerator kept non-negative so floored and truncating division
     * agree) — and the centered projection.
     */
-  private def pcaOracle(iters: Int): String = {
+  private def pcaOracle(iters: Int): String =
+    s"""${pcaCtes(iters)}
+       SELECT cen.vec_id, CAST(SUM(c * v) AS BIGINT) AS proj
+       FROM cen JOIN v$iters vv ON vv.j = cen.j
+       GROUP BY cen.vec_id ORDER BY cen.vec_id"""
+
+  /** All-but-the-top replay: the same chain, then the fixed-order
+    * double correction `c − proj·v/vv` per (vector, component).
+    */
+  private def pcaRemoveOracle(iters: Int): String =
+    s"""${pcaCtes(iters)}, vvn AS (SELECT SUM(v * v) AS vv FROM v$iters),
+       pr AS (
+         SELECT cen.vec_id, CAST(SUM(c * v) AS BIGINT) AS proj
+         FROM cen JOIN v$iters vt ON vt.j = cen.j GROUP BY 1
+       )
+       SELECT cen.vec_id, cen.j,
+         round(CAST(c AS DOUBLE)
+           - CAST(proj AS DOUBLE) * CAST(v AS DOUBLE) / CAST(vv AS DOUBLE), 6) AS resid
+       FROM cen
+       JOIN v$iters vt ON vt.j = cen.j
+       JOIN pr ON pr.vec_id = cen.vec_id, vvn
+       ORDER BY cen.vec_id, cen.j"""
+
+  private def pcaCtes(iters: Int): String = {
     val S = graft.operators.Spectral.Scale
     // MATERIALIZED throughout: DuckDB inlines plain CTEs, and 12 rounds
     // each referencing cov→cen→xu would expand to 3^12 file scans (the
@@ -2052,10 +2084,7 @@ object SparkEntry {
        ), v0 AS MATERIALIZED (
          SELECT j, (${remix32("j")} % 2001 - 1000) AS v
          FROM (SELECT DISTINCT j FROM cov) tj
-       )${(1 to iters).map(round).mkString}
-       SELECT cen.vec_id, CAST(SUM(c * v) AS BIGINT) AS proj
-       FROM cen JOIN v$iters vv ON vv.j = cen.j
-       GROUP BY cen.vec_id ORDER BY cen.vec_id"""
+       )${(1 to iters).map(round).mkString}"""
   }
 
   /** MMR replay: the brute pool then `k` UNROLLED selection rounds —
@@ -2559,6 +2588,7 @@ object SparkEntry {
     "q136_ann_ivf_fresh" -> annIvfFreshOracle,
     "q137_mmr_topk" -> mmrOracle(5, 20, 700),
     "q138_pca_project" -> pcaOracle(12),
+    "q139_pca_remove" -> pcaRemoveOracle(12),
     // prefix retrieval: LIKE over the (tok, doc) tf frame, distinct-term
     // coordination + tf mass per doc
     "q128_prefix_search" ->

@@ -131,4 +131,33 @@ object Spectral {
       .join(broadcast(component), Seq("j"))
       .groupBy(col("vec_id"))
       .agg(sum(col("c") * col("v")).as("proj"))
+
+  /** "All-but-the-top" correction (Mu & Viswanath, ICLR 2018): subtract
+    * each vector's component along the (broadcast) top direction —
+    * `c' = c − (c·v / v·v) v` — returning `(vec_id, j, resid)` in
+    * micro units. The inputs are all EXACT integers (centered values,
+    * the projection dot, `v·v`), so the one step that must leave the
+    * integers — the division by `v·v` — runs in double with a FIXED
+    * operation order (`c − proj·v/vv`, exactly-representable operands,
+    * IEEE multiply/divide/subtract) and is bit-identical across
+    * engines, the cosine-oracle discipline. Scale shape: the centered
+    * frame is built twice (once inside the projection, once here) and
+    * re-joined on `vec_id` — two scans plus one co-keyed exchange; the
+    * component and its norm broadcast.
+    */
+  def removePrincipal(emb: DataFrame, component: DataFrame): DataFrame = {
+    val vv = component.agg(sum(col("v") * col("v")).as("vv"))
+    centeredMicro(emb)
+      .join(broadcast(component), Seq("j"))
+      .join(projectPrincipal(emb, component), Seq("vec_id"))
+      .crossJoin(broadcast(vv))
+      .select(
+        col("vec_id"),
+        col("j"),
+        round(
+          expr("CAST(c AS DOUBLE) - CAST(proj AS DOUBLE) * CAST(v AS DOUBLE) / CAST(vv AS DOUBLE)"),
+          6
+        ).as("resid")
+      )
+  }
 }

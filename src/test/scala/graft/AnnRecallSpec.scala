@@ -555,6 +555,20 @@ class AnnRecallSpec extends SparkSpec {
     val corr = xs.map { case (a, b) => (a - mx) * (b - my) }.sum /
       math.sqrt(xs.map(x => (x._1 - mx) * (x._1 - mx)).sum * xs.map(x => (x._2 - my) * (x._2 - my)).sum)
     assert(math.abs(corr) >= 0.99, s"projection decorrelated from planted t: corr=$corr")
+    // all-but-the-top: after removal, the residual carries ~zero
+    // component along the removed direction
+    val comp = Spectral.principalComponent(emb, 12)
+    val compMap = comp.as[(Long, Long)].collect().toMap
+    val resid = Spectral
+      .removePrincipal(emb, comp)
+      .as[(Long, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+    val maxProj = proj.values.map(p => math.abs(p.toDouble)).max
+    resid.foreach { case (i, rows) =>
+      val along = rows.map { case (_, j, r) => r * compMap(j) }.sum
+      assert(math.abs(along) <= maxProj * 1e-3, s"vec $i residual projection $along")
+    }
     intercept[IllegalArgumentException](Spectral.principalComponent(emb, 0))
   }
 

@@ -55,6 +55,7 @@ FAMILY_OVERRIDES = {
     "q136_ann_ivf_fresh": "ann",  # the half-corpus Lloyd chain runs inside
     "q137_mmr_topk": "ann",  # brute pool + k driver-iterated selection rounds
     "q138_pca_project": "ann",  # 12 driver-iterated power rounds inside
+    "q139_pca_remove": "ann",  # the q138 chain + the correction scan
 }
 
 FAMILY_KEYS = [
