@@ -70,6 +70,25 @@ object Bench {
       )
     graft.operators.Similarity.annIvf(warmEmb, Seq(0L, 1L), 5).count()
     graft.operators.Similarity.annIvfQuantized(warmEmb, Seq(0L, 1L), 5).count()
+    // r09 additions with their own one-shot codegen: the decimal
+    // second-moment + power-round arithmetic (q138/q139 — probe run-1
+    // read 1.8x median, enough to breach the ±50% band on a loaded
+    // host) and the greedy-walk frontier joins (q134). Tiny frames
+    // drive both chains end to end.
+    graft.operators.Spectral
+      .projectPrincipal(warmEmb, graft.operators.Spectral.principalComponent(warmEmb, 2))
+      .count()
+    locally {
+      import spark.implicits._
+      val warmDocs2 = spark
+        .range(60L)
+        .map(i => (i, s"alpha beta${i % 7} gamma alphabet"))
+        .toDF("doc_id", "text")
+      val wv = graft.operators.Vocabulary
+        .subwordVocab(graft.operators.Vocabulary.wordpieceSegmentations(warmDocs2, 2))
+      graft.operators.Vocabulary.greedySegmentations(warmDocs2, wv, 8).count()
+      ()
+    }
     spark.catalog.clearCache()
 
     // A failed query must NEVER record a (near-zero) time — that would
