@@ -85,17 +85,95 @@ object Spectral {
       .agg(sum((col("c") * col("ck")).cast("decimal(38,0)")).as("s"))
   }
 
-  /** The top principal direction as a 64-row integer frame `(j, v)` —
-    * `iters` rounds of power iteration over [[secondMoment]], each round
-    * one matvec + the offset-normalization above. Deterministic seed
-    * `v0[j] = remix32(j) % 2001 − 1000` (avalanche-spread, no axis
-    * alignment with structured data). The result is the direction up to
-    * the deterministic sign the seed and rounding produce — consumers
-    * needing a convention can flip on `sign(v[argmin j where v≠0])`.
+  /** The MERGEABLE moment sketch — the quantities that compose by plain
+    * addition across shards or micro-batches, from which the centered
+    * second-moment matrix reconstructs EXACTLY: raw micro sums
+    * `Σxu_j`, raw products `Σxu_j·xu_k`, and the count, packed as one
+    * `(j, k, v)` frame (`k = -1` rows carry `Σxu_j`; the `(-1, -1)` row
+    * carries n; everything decimal(38,0)). Centering does NOT commute
+    * with sharding — each shard sees a different mean — which is
+    * exactly why the sketch stores the RAW sums and the reader centers
+    * once, globally, via the algebraic identity
+    * `Σ(x_j−m_j)(x_k−m_k) = Σx_jx_k − m_jΣx_k − m_kΣx_j + n·m_j·m_k`
+    * (exact in integers for the floored `m` the reader derives from the
+    * merged sums). [[mergeMoments]] + [[secondMomentFromSketch]] ==
+    * [[secondMoment]] of the concatenated corpus, bit for bit
+    * (spec-pinned); the streaming face is
+    * [[graft.streaming.StreamingOps.maintainMoments]].
     */
-  def principalComponent(emb: DataFrame, iters: Int = 12, every: Int = 1): DataFrame = {
+  def momentSketch(emb: DataFrame): DataFrame = {
+    val xu = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(
+        col("vec_id"),
+        col("j").cast("long").as("j"),
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * $Scale + 0.5) AS BIGINT)").as("xu")
+      )
+    val sxx = xu
+      .join(xu.select(col("vec_id"), col("j").as("k"), col("xu").as("xk")), Seq("vec_id"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum((col("xu") * col("xk")).cast("decimal(38,0)")).as("v"))
+    val sx = xu
+      .groupBy(col("j"))
+      .agg(sum(col("xu").cast("decimal(38,0)")).as("v"))
+      .select(col("j"), lit(-1L).as("k"), col("v"))
+    val n = xu
+      .select(col("vec_id"))
+      .distinct()
+      .agg(count(lit(1)).cast("decimal(38,0)").as("v"))
+      .select(lit(-1L).as("j"), lit(-1L).as("k"), col("v"))
+    sxx.select(col("j"), col("k"), col("v")).unionByName(sx).unionByName(n)
+  }
+
+  /** Cell-wise sum of [[momentSketch]]es over disjoint corpora — == the
+    * sketch of the concatenated corpus, exactly.
+    */
+  def mergeMoments(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches
+      .reduce(_.unionByName(_))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("v")).as("v"))
+  }
+
+  /** Reconstruct the CENTERED second-moment matrix from a (merged)
+    * [[momentSketch]] — `(j, k, s)` bit-identical to [[secondMoment]]
+    * over the same rows. Means use the same offset-trick floor as
+    * [[centeredMicro]] (`(Σxu + n·10⁶) div n − 10⁶`, numerator
+    * non-negative), so the identity holds in exact integers.
+    */
+  def secondMomentFromSketch(sketch: DataFrame): DataFrame = {
+    val n = sketch.filter(col("j") === -1L && col("k") === -1L).select(col("v").as("n"))
+    val means = sketch
+      .filter(col("k") === -1L && col("j") >= 0L)
+      .crossJoin(broadcast(n))
+      .select(
+        col("j"),
+        expr(s"CAST((v + n * $Scale) div n - $Scale AS BIGINT)").as("m"),
+        col("v").as("sx")
+      )
+    sketch
+      .filter(col("j") >= 0L && col("k") >= 0L)
+      .join(broadcast(means.select(col("j"), col("m").as("mj"), col("sx").as("sxj"))), Seq("j"))
+      .join(
+        broadcast(means.select(col("j").as("k"), col("m").as("mk"), col("sx").as("sxk"))),
+        Seq("k")
+      )
+      .crossJoin(broadcast(n))
+      .select(
+        col("j"),
+        col("k"),
+        (col("v") - col("mj") * col("sxk") - col("mk") * col("sxj") +
+          col("n") * col("mj") * col("mk")).cast("decimal(38,0)").as("s")
+      )
+  }
+
+  /** Power iteration over any `(j, k, s)` moment frame — the shared tail
+    * of [[principalComponent]] and the sketch-served path.
+    */
+  def powerIterate(moment: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val cov = secondMoment(emb, every).localCheckpoint(true)
+    val cov = moment.localCheckpoint(true)
     var v = cov
       .select(col("j"))
       .distinct()
@@ -121,6 +199,17 @@ object Spectral {
     }
     v
   }
+
+  /** The top principal direction as a 64-row integer frame `(j, v)` —
+    * `iters` rounds of power iteration over [[secondMoment]], each round
+    * one matvec + the offset-normalization above. Deterministic seed
+    * `v0[j] = remix32(j) % 2001 − 1000` (avalanche-spread, no axis
+    * alignment with structured data). The result is the direction up to
+    * the deterministic sign the seed and rounding produce — consumers
+    * needing a convention can flip on `sign(v[argmin j where v≠0])`.
+    */
+  def principalComponent(emb: DataFrame, iters: Int = 12, every: Int = 1): DataFrame =
+    powerIterate(secondMoment(emb, every), iters)
 
   /** Per-vector PC1 projection `(vec_id, proj)` — the integer dot of the
     * centered micro values with the (broadcast) component. One scan;

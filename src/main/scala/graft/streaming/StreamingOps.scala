@@ -913,6 +913,46 @@ object StreamingOps {
     )
   }
 
+  /** Streaming maintenance of the spectral [[graft.operators.Spectral
+    * .momentSketch]] — the subtle one in the exact-merge family:
+    * CENTERING does not commute with sharding (each batch sees its own
+    * mean), so the artifact stores the RAW moment sums — which add
+    * cell-wise exactly — and the reader centers once, globally, through
+    * the integer identity in [[graft.operators.Spectral
+    * .secondMomentFromSketch]]. Each micro-batch writes its own
+    * `part=<batchId>` sketch (O(batch·d²) work, retry-idempotent);
+    * merge-on-read == the sketch of everything ever streamed, so the
+    * STREAMED principal component equals the batch-trained one bit for
+    * bit (spec-pinned) — live embedding-drift monitoring with no
+    * retraining pipeline.
+    */
+  def maintainMoments(
+      stream: DataFrame,
+      dir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Spectral
+          .momentSketch(batch)
+          .write.mode("overwrite").parquet(s"$dir/part=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read view of a [[maintainMoments]] artifact. */
+  def currentMoments(spark: SparkSession, dir: String): DataFrame = {
+    val parts = listParts(spark, dir)
+    require(parts.nonEmpty, s"no moment-sketch parts under $dir")
+    graft.operators.Spectral.mergeMoments(
+      parts.map(p => spark.read.parquet(s"$dir/part=$p")).toSeq: _*
+    )
+  }
+
   private def listParts(spark: SparkSession, indexDir: String): Array[Long] = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -738,6 +738,48 @@ class StreamingSpec extends SparkSpec {
     assert(live(1L) === 900000L, s"planted tail near-dup not at rank 1: $live")
   }
 
+  test("streaming moment maintenance: centered matrix and PC == batch, bit for bit") {
+    import graft.operators.Spectral
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-moments-stream").toString
+    val vecs = spark.read
+      .parquet(s"$Sf001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.maintainMoments(
+      stream.toDF().toDF("vec_id", "embedding"),
+      s"$dir/moments",
+      s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    vecs.grouped((vecs.length + 2) / 3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val all = vecs.toDF("vec_id", "embedding")
+    val fromSketch = Spectral
+      .secondMomentFromSketch(StreamingOps.currentMoments(spark, s"$dir/moments"))
+    val batch = Spectral.secondMoment(all)
+    // centering does not commute with sharding — the raw-sums identity
+    // must reconstruct the batch-centered matrix EXACTLY
+    assert(fromSketch.except(batch).count() === 0L && batch.except(fromSketch).count() === 0L)
+    // and therefore the streamed principal component IS the batch one
+    val pcStream = Spectral
+      .powerIterate(fromSketch, 12)
+      .orderBy(col("j"))
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    val pcBatch = Spectral
+      .principalComponent(all, 12)
+      .orderBy(col("j"))
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    assert(pcStream === pcBatch)
+  }
+
   test("streaming CMS maintenance: merge-on-read == one-pass sketch of everything streamed") {
     import graft.operators.Sketch
     implicit val sqlCtx = spark.sqlContext
