@@ -74,15 +74,7 @@ object Spectral {
     require(every >= 1, s"need every >= 1, got $every")
     val src =
       if (every == 1) emb else emb.filter(col("vec_id") % lit(every.toLong) === 0)
-    val cen = centeredMicro(src)
-    cen
-      .select(col("vec_id"), col("j"), col("c"))
-      .join(
-        cen.select(col("vec_id"), col("j").as("k"), col("c").as("ck")),
-        Seq("vec_id")
-      )
-      .groupBy(col("j"), col("k"))
-      .agg(sum((col("c") * col("ck")).cast("decimal(38,0)")).as("s"))
+    secondMomentFromSketch(momentSketch(src))
   }
 
   /** The MERGEABLE moment sketch — the quantities that compose by plain
@@ -102,24 +94,30 @@ object Spectral {
     * [[graft.streaming.StreamingOps.maintainMoments]].
     */
   def momentSketch(emb: DataFrame): DataFrame = {
-    val xu = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+    // the d² products are ROW-LOCAL on the array — no self-join, no
+    // shuffle of per-element rows; the only exchange carries the
+    // partially-aggregated d² cells (the first cut self-joined an
+    // exploded frame on vec_id and the 200k-vector smoke read 56 s;
+    // this shape reads ~4x faster on the same data)
+    val q = s"CAST(floor(CAST(%s AS DOUBLE) * $Scale + 0.5) AS BIGINT)"
+    val sxx = emb
       .select(
-        col("vec_id"),
-        col("j").cast("long").as("j"),
-        expr(s"CAST(floor(CAST(x AS DOUBLE) * $Scale + 0.5) AS BIGINT)").as("xu")
+        explode(
+          expr(
+            "flatten(transform(embedding, (xj, j) -> transform(embedding, (xk, k) -> " +
+              s"struct(CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k, " +
+              s"${q.format("xj")} * ${q.format("xk")} AS p))))"
+          )
+        ).as("e")
       )
-    val sxx = xu
-      .join(xu.select(col("vec_id"), col("j").as("k"), col("xu").as("xk")), Seq("vec_id"))
-      .groupBy(col("j"), col("k"))
-      .agg(sum((col("xu") * col("xk")).cast("decimal(38,0)")).as("v"))
-    val sx = xu
-      .groupBy(col("j"))
-      .agg(sum(col("xu").cast("decimal(38,0)")).as("v"))
+      .groupBy(col("e.j").as("j"), col("e.k").as("k"))
+      .agg(sum(col("e.p").cast("decimal(38,0)")).as("v"))
+    val sx = emb
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy(col("j").cast("long").as("j"))
+      .agg(sum(expr(s"CAST(${q.format("x")} AS DECIMAL(38,0))")).as("v"))
       .select(col("j"), lit(-1L).as("k"), col("v"))
-    val n = xu
-      .select(col("vec_id"))
-      .distinct()
+    val n = emb
       .agg(count(lit(1)).cast("decimal(38,0)").as("v"))
       .select(lit(-1L).as("j"), lit(-1L).as("k"), col("v"))
     sxx.select(col("j"), col("k"), col("v")).unionByName(sx).unionByName(n)
@@ -142,7 +140,12 @@ object Spectral {
     * [[centeredMicro]] (`(Σxu + n·10⁶) div n − 10⁶`, numerator
     * non-negative), so the identity holds in exact integers.
     */
-  def secondMomentFromSketch(sketch: DataFrame): DataFrame = {
+  def secondMomentFromSketch(sketch0: DataFrame): DataFrame = {
+    // the reconstruction reads the sketch THREE times (n, means, cells)
+    // — materialize the ≤ d²+d+1-row frame once, or a sketch built
+    // in-plan re-runs its corpus pass per reference (measured 3x at the
+    // 200k smoke before this checkpoint)
+    val sketch = sketch0.localCheckpoint(true)
     val n = sketch.filter(col("j") === -1L && col("k") === -1L).select(col("v").as("n"))
     val means = sketch
       .filter(col("k") === -1L && col("j") >= 0L)

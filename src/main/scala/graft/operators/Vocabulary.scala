@@ -347,8 +347,11 @@ object Vocabulary {
     var frontier = words
       .select(col("w"), lit(0).as("pos"), lit(0).as("k"))
       .localCheckpoint(true)
-    var pieces: DataFrame = null
-    var failed: DataFrame = null
+    // empty-frame seeds (an empty CORPUS must yield an empty result,
+    // not an uninitialized accumulator — EdgeCaseSpec)
+    var pieces: DataFrame =
+      words.filter(lit(false)).select(col("w"), lit(0).as("k"), col("w").as("piece"))
+    var failed: DataFrame = words.filter(lit(false)).select(col("w"))
     while (!frontier.isEmpty) {
       val j = frontier
         .join(steps.withColumnRenamed("p", "pos"), Seq("w", "pos"), "left")
@@ -361,10 +364,8 @@ object Vocabulary {
           expr("substring(w, pos + 1, step)").as("piece"),
           (col("pos") + col("step")).as("pos2")
         )
-      val newFailed = j.filter(col("step").isNull).select(col("w"))
-      failed = if (failed == null) newFailed else failed.unionByName(newFailed)
-      val stepPieces = matched.select(col("w"), col("k"), col("piece"))
-      pieces = if (pieces == null) stepPieces else pieces.unionByName(stepPieces)
+      failed = failed.unionByName(j.filter(col("step").isNull).select(col("w")))
+      pieces = pieces.unionByName(matched.select(col("w"), col("k"), col("piece")))
       frontier = matched
         .filter(col("pos2") < length(col("w")))
         .select(col("w"), col("pos2").as("pos"), (col("k") + 1).as("k"))

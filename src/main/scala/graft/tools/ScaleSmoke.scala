@@ -1234,6 +1234,63 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Spectral tier at scale: the d² moment self-join, power iteration,
+    * all-but-the-top, and MMR selection over 200k 64-dim vectors.
+    */
+  private def spectralMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 200000L
+    val spark = GraftSession.local("scale-smoke-spectral", 32)
+    import spark.implicits._
+    def time[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[spectral] $name%-44s $t%8.2f s")
+      (r, t)
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val emb = spark
+      .range(n)
+      .map { id =>
+        (id, Array.tabulate(64)(j => ((mix(id * 64L + j) % 1000L).toFloat / 500f) - 1f))
+      }
+      .toDF("vec_id", "embedding")
+      .persist()
+    println(s"[spectral] vectors: ${emb.count()} x 64")
+    // the moment sketch is the expensive pass: n * d^2 = 12.8e9 products
+    // per 200k vectors... measured as the real materialization
+    val (_, tSketch) = time("momentSketch (n*d^2 products, noop)")(
+      noop(graft.operators.Spectral.momentSketch(emb))
+    )
+    val (_, tSampled) = time("momentSketch on 1-in-8 sample (noop)")(
+      noop(graft.operators.Spectral.momentSketch(emb.filter(col("vec_id") % 8 === 0)))
+    )
+    val (_, tPc) = time("principalComponent end-to-end (12 rounds)")(
+      noop(graft.operators.Spectral.principalComponent(emb, 12))
+    )
+    val comp = graft.operators.Spectral.principalComponent(emb, 12).localCheckpoint(true)
+    val (_, tProj) = time("projectPrincipal (one scan)")(
+      noop(graft.operators.Spectral.projectPrincipal(emb, comp))
+    )
+    val (_, tRm) = time("removePrincipal (two scans + co-keyed join)")(
+      noop(graft.operators.Spectral.removePrincipal(emb, comp))
+    )
+    println(
+      f"[spectral] sketch full $tSketch%.1f s vs sampled(8) $tSampled%.1f s — the row-local " +
+        f"d^2 product explode is the whole cost and the 1-in-every trainer shape caps it; " +
+        f"PC e2e $tPc%.1f s, project $tProj%.1f s, remove $tRm%.1f s"
+    )
+    val (_, tMmr) = time("mmrTopK 5 queries k=10 pool=100")(
+      noop(graft.operators.Similarity.mmrTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10, 100, 700))
+    )
+    println(
+      f"[spectral] mmr $tMmr%.1f s over $n vectors — the brute pool dominates; " +
+        "the 10 selection rounds are pool-bounded micro-joins"
+    )
+    spark.stop()
+  }
+
   private def lsmMain(args: Array[String]): Unit = {
     val nBatches = if (args.length > 1) args(1).toInt else 10
     val batchDocs = if (args.length > 2) args(2).toLong else 100000L
@@ -1318,6 +1375,7 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pack")) { packMain(args); return }
+    if (args.headOption.contains("spectral")) { spectralMain(args); return }
     if (args.headOption.contains("lsm")) { lsmMain(args); return }
     if (args.headOption.contains("serve")) { serveMain(args); return }
     if (args.headOption.contains("skew")) { skewMain(args); return }

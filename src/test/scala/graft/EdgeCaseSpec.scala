@@ -163,6 +163,56 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Pipeline.mixCorpus(empty, one, 100L, 4).count() === 0L)
   }
 
+  test("round-9 ops on empty / degenerate inputs: empty results, never a throw") {
+    import graft.operators.{Decontaminate, Retrieval, Sketch, Spectral, SequencePack, Vocabulary}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noEnc = Seq.empty[(Long, Seq[Long], Long)].toDF("doc_id", "ids", "n_ids")
+    val noEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    // packers: empty corpora pack to zero windows
+    assert(SequencePack.chunkIds(noEnc, 64).count() === 0L)
+    assert(SequencePack.chunkIdsAcross(noEnc, 64, Some(-1L)).count() === 0L)
+    // one-doc stream: the tail IS the stream
+    val one = Seq((7L, Seq(1L, 2L, 3L))).toDF("doc_id", "ids")
+      .withColumn("n_ids", size(col("ids")).cast("long"))
+    val oneOut = SequencePack.chunkIdsAcross(one, 64, None).collect()
+    assert(oneOut.length === 1 && oneOut.head.getSeq[Long](1) === Seq(1L, 2L, 3L))
+    // CMS: empty stream -> empty grid; estimates over it read 0
+    val emptyCms = Sketch.cmsSketch(noDocs.select(col("text").as("tok")), "tok", 3, 64)
+    assert(emptyCms.count() === 0L)
+    assert(
+      Sketch
+        .cmsEstimate(emptyCms, Seq("x").toDF("tok"), "tok", 3, 64)
+        .as[(String, Long)].head()._2 === 0L
+    )
+    // bloom: empty benchmark -> empty filter -> nothing flagged
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val emptyBloom = Decontaminate.bloomIndex(noDocs, 1024L, 3, 2)
+    assert(emptyBloom.count() === 0L)
+    val rep = Decontaminate.bloomReport(docs, emptyBloom, 1024L, 3, 2).collect()
+    assert(rep.length === 1 && rep.head.getAs[Long]("n_maybe") === 0L)
+    // rankMetrics: empty run -> empty report; empty truth -> zero recall
+    val run = Seq((1L, 10L, 1L)).toDF("query_id", "neighbor_id", "rnk")
+    val noPairs = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+    assert(Retrieval.rankMetrics(noPairs.withColumn("rnk", lit(1L)), run, 5).count() === 0L)
+    val zeroRel = Retrieval.rankMetrics(run, noPairs, 5).collect().head
+    assert(zeroRel.getAs[Long]("n_rel") === 0L && zeroRel.getAs[Long]("rec_milli") === 0L)
+    // greedy segmentation: empty corpus and empty inventory
+    assert(Vocabulary.greedySegmentations(noDocs, Seq("a").toDF("sym"), 8).count() === 0L)
+    val noInv = Vocabulary
+      .greedySegmentations(docs, Seq.empty[String].toDF("sym"), 8)
+      .select("syms").as[Seq[String]].collect()
+    assert(noInv.forall(ss => ss.forall(_.length == 1))) // all char fallback
+    // spectral: single vector centers to zero -> zero moments, proj 0
+    val oneVec = Seq((0L, Seq(0.5f, -0.5f, 0.25f, 0f))).toDF("vec_id", "embedding")
+    val pc1 = Spectral.principalComponent(oneVec, 3)
+    assert(Spectral.projectPrincipal(oneVec, pc1).as[(Long, Long)].head()._2 === 0L)
+    // MMR: corpus smaller than k still returns what exists
+    val tiny = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.mmrTopK(tiny, Seq(0L), 2, 2, 700).count() === 2L)
+  }
+
   test("sharded write of an empty frame round-trips as zero rows") {
     val dir = s"$testOut/empty_dump"
     ShardedParquetSink.write(emptyDocs, dir, ParquetLayout(maxRecordsPerFile = 100L))
