@@ -96,22 +96,27 @@ object Spectral {
   def momentSketch(emb: DataFrame): DataFrame = {
     // the d² products are ROW-LOCAL on the array — no self-join, no
     // shuffle of per-element rows; the only exchange carries the
-    // partially-aggregated d² cells (the first cut self-joined an
-    // exploded frame on vec_id and the 200k-vector smoke read 56 s;
-    // this shape reads ~4x faster on the same data)
+    // partially-aggregated d² cells. TWO CHAINED posexplodes, not a
+    // nested-transform HOF: higher-order lambdas evaluate outside
+    // whole-stage codegen and measured 1.5x slower at fixture scale,
+    // while Generate + the product projection stay fully generated
+    // (the original vec_id self-join read 56 s at the 200k smoke; this
+    // shape ~20 s)
     val q = s"CAST(floor(CAST(%s AS DOUBLE) * $Scale + 0.5) AS BIGINT)"
     val sxx = emb
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("j", "xj")))
       .select(
-        explode(
-          expr(
-            "flatten(transform(embedding, (xj, j) -> transform(embedding, (xk, k) -> " +
-              s"struct(CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k, " +
-              s"${q.format("xj")} * ${q.format("xk")} AS p))))"
-          )
-        ).as("e")
+        col("j").cast("long").as("j"),
+        expr(q.format("xj")).as("uj"),
+        posexplode(col("embedding")).as(Seq("k", "xk"))
       )
-      .groupBy(col("e.j").as("j"), col("e.k").as("k"))
-      .agg(sum(col("e.p").cast("decimal(38,0)")).as("v"))
+      .select(
+        col("j"),
+        col("k").cast("long").as("k"),
+        (col("uj") * expr(q.format("xk"))).as("p")
+      )
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("v"))
     val sx = emb
       .select(posexplode(col("embedding")).as(Seq("j", "x")))
       .groupBy(col("j").cast("long").as("j"))
