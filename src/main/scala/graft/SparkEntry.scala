@@ -1280,6 +1280,14 @@ object SparkEntry {
     // pure function of (id, seed) — a reproducible global shuffle whose
     // physical plan IS the writer's (one exchange on shard, per-shard
     // sort); no RNG, no global sort, no driver state
+    // the release manifest over q89's plan: per-shard counts, token and
+    // char totals, and the content/order XOR digest pair — the table a
+    // dataset release ships next to its shards; nShards rows at rest
+    "q140_manifest" -> ((s, dir) => {
+      graft.operators.Sampling
+        .shardManifest(t(s, dir, "documents"), 8, 42L)
+        .orderBy(col("shard"))
+    }),
     "q89_shuffle_plan" -> ((s, dir) => {
       graft.operators.Sampling
         .shufflePlan(t(s, dir, "documents"), nShards = 8, seed = 42L)
@@ -3977,6 +3985,40 @@ object SparkEntry {
     // shard plan: content-hash shard + within-shard rank of the same
     // hash (id tie-break) — both engines hash the identical "id:seed"
     // string, so the materialized order is bit-identical
+    // the manifest replay: q89's plan chain + per-row digests + the
+    // nShards-row aggregate (bit_xor is order-free in both engines)
+    "q140_manifest" -> {
+      val rowKey = s"(CAST(doc_id AS VARCHAR) || ':' || CAST(${polyHash("text")} AS VARCHAR))"
+      s"""WITH h0 AS (
+           SELECT doc_id, text,
+             ${polyHash("(CAST(doc_id AS VARCHAR) || ':42')")} AS h0
+           FROM documents
+         ), plan AS (
+           SELECT doc_id, text, ${remix32("h0")} AS h FROM h0
+         ), pos AS (
+           SELECT doc_id, text, CAST(h % 8 AS BIGINT) AS shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT)
+               AS position
+           FROM plan
+         ), digests AS (
+           SELECT shard, position,
+             CAST(len(${tokens("text")}) AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             ${polyHash(rowKey)} AS ch0,
+             ${polyHash(s"(CAST(position AS VARCHAR) || ':' || $rowKey)")} AS och0
+           FROM pos
+         ), hashed AS (
+           SELECT shard, n_tok, n_chars, position,
+             ${remix32("ch0")} AS ch, ${remix32("och0")} AS och
+           FROM digests
+         )
+         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(position) AS max_position,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           bit_xor(ch) AS content_xor, bit_xor(och) AS order_xor
+         FROM hashed GROUP BY shard ORDER BY shard"""
+    },
     "q89_shuffle_plan" ->
       s"""WITH h0 AS (
            SELECT doc_id,

@@ -198,6 +198,55 @@ object Sampling {
       .select(col(idCol), col("shard"), col("position"))
   }
 
+  /** The RELEASE MANIFEST of a [[shufflePlan]] layout — the `nShards`-row
+    * table a dataset release ships next to its shards so any consumer
+    * can verify what they downloaded without re-deriving the plan:
+    * per shard, the row count (completeness), token/char totals (the
+    * numbers a datasheet quotes), and two one-word digests —
+    * `content_xor` (order-free XOR of per-row content hashes: changes
+    * iff some row's CONTENT changed or a row is missing/extra) and
+    * `order_xor` (the same hash with the row's position mixed in:
+    * additionally changes iff rows were REORDERED). The pair separates
+    * the two failure modes a shard copy has; XOR makes both exactly
+    * mergeable and partition-order-free, and every hash is the engine's
+    * replayable polyHash/remix32 chain, so the manifest itself is
+    * oracle-pinned. Scale shape: the plan, one co-keyed join back to
+    * the text, one `nShards`-bounded aggregate.
+    */
+  def shardManifest(
+      docs: DataFrame,
+      nShards: Int,
+      seed: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val hText = GraftExpressions.poly_hash(col(textCol))
+    val rowKey = concat_ws(":", col(idCol).cast("string"), hText.cast("string"))
+    val ch = GraftExpressions.remix32(GraftExpressions.poly_hash(rowKey))
+    val och = GraftExpressions.remix32(
+      GraftExpressions.poly_hash(concat_ws(":", col("position").cast("string"), rowKey))
+    )
+    shufflePlan(docs, nShards, seed, idCol)
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(
+        col("shard"),
+        col("position"),
+        size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n_tok"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        ch.as("ch"),
+        och.as("och")
+      )
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("position")).as("max_position"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(ch)").as("content_xor"),
+        expr("bit_xor(och)").as("order_xor")
+      )
+  }
+
   /** CURRICULUM shard plan — [[shufflePlan]] with the within-shard order
     * handed to a DIFFICULTY score instead of the hash: every document
     * still lands on `shard = remix32(poly_hash(id ":" seed)) mod

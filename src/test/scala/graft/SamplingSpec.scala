@@ -356,4 +356,35 @@ class SamplingSpec extends SparkSpec {
     val plain = Sampling.capTokenBudget(one, 800L).select("doc_id").as[Long].collect().toSet
     assert(fair === plain)
   }
+
+  test("shardManifest: completeness, density, digest semantics, determinism") {
+    val docs = sources.Tables.load(spark, Sf001, "documents").select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("shard")
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect()
+        .toSeq
+    val m = rows(Sampling.shardManifest(docs, 8, 42L))
+    // completeness: shard counts sum to the corpus; density: positions
+    // are exactly 1..n_rows per shard
+    assert(m.map(_._2).sum === docs.count())
+    m.foreach { case (s, n, maxPos, _, _, _, _) => assert(maxPos === n, s"shard $s not dense") }
+    // deterministic under repartitioning
+    assert(rows(Sampling.shardManifest(docs.repartition(17), 8, 42L)) === m)
+    // a single changed document flips BOTH digests of exactly its shard
+    // and leaves every other shard's manifest row identical
+    val tweaked = docs.withColumn(
+      "text",
+      when(col("doc_id") === 3L, concat(col("text"), lit(" tampered"))).otherwise(col("text"))
+    )
+    val mt = rows(Sampling.shardManifest(tweaked, 8, 42L))
+    val changed = m.zip(mt).filter { case (a, b) => a != b }
+    assert(changed.size === 1, s"expected exactly one shard to differ, got ${changed.size}")
+    val (orig, tamp) = changed.head
+    assert(orig._6 !== tamp._6) // content digest moved
+    assert(orig._7 !== tamp._7) // order digest moved
+    assert(orig._2 === tamp._2) // same row count — counts alone can't see it
+    // a different seed reshuffles: the manifest differs
+    assert(rows(Sampling.shardManifest(docs, 8, 43L)) !== m)
+  }
 }

@@ -56,6 +56,7 @@ FAMILY_OVERRIDES = {
     "q137_mmr_topk": "ann",  # brute pool + k driver-iterated selection rounds
     "q138_pca_project": "ann",  # 12 driver-iterated power rounds inside
     "q139_pca_remove": "ann",  # the q138 chain + the correction scan
+    "q140_manifest": "shuffle",
 }
 
 FAMILY_KEYS = [
