@@ -972,6 +972,53 @@ object SparkEntry {
     // the returned plan exists), then queries served from the read-back
     // artifacts — the returned plan contains parquet scans and the cell
     // equi-join, NO Lloyd chain (PlanSpec-pinned); result == q37 exactly
+    // TF-IDF (ltn) from the index artifact alone — the second classic
+    // weighting family; the norms table contributes only the 1-row n
+    "q141_tfidf_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Retrieval
+        .tfidfTopKIndexed(
+          graft.operators.Retrieval.invertedIndex(docs),
+          graft.operators.Retrieval.docLengths(docs),
+          Seq("dup", "vector", "merge"),
+          10
+        )
+        .orderBy(col("rnk"))
+    }),
+    // BATCH serving: a query TABLE scored against the artifacts in one
+    // pass — shared terms' postings expand once, per-query top-k is the
+    // bounded heap aggregate; query 3 == q124's single-query result
+    "q142_bm25_batch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = s
+        .createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(1L, Seq("dup", "vector")),
+            org.apache.spark.sql.Row(2L, Seq("merge")),
+            org.apache.spark.sql.Row(3L, Seq("dup", "vector", "merge"))
+          ),
+          org.apache.spark.sql.types.StructType(
+            Seq(
+              org.apache.spark.sql.types.StructField(
+                "query_id",
+                org.apache.spark.sql.types.LongType
+              ),
+              org.apache.spark.sql.types.StructField(
+                "terms",
+                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+              )
+            )
+          )
+        )
+      graft.operators.Retrieval
+        .bm25TopKIndexedBatch(
+          graft.operators.Retrieval.invertedIndex(docs),
+          graft.operators.Retrieval.docLengths(docs),
+          queries,
+          10
+        )
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "q125_ann_ivf_serve" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cbDir = dumpPath("ivf_q125_codebook", dir)
@@ -1965,6 +2012,59 @@ object SparkEntry {
        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
          doc_id, score
        FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
+
+  /** TF-IDF ltn replay: the BM25 chain's tf/df/n machinery with the
+    * dampening dropped — `score = Σ tf·idf_u`.
+    */
+  private lazy val tfidfOracle: String =
+    s"""WITH d AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+       st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+       tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+              WHERE tok IN ('dup', 'vector', 'merge') GROUP BY 1, 2),
+       df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       agg AS (
+         SELECT tf.doc_id,
+           CAST(SUM(tf.tf * ((st.n - df.df) * 1000000 // (df.df + 1))) AS BIGINT) AS score
+         FROM tf JOIN df USING (tok) CROSS JOIN st GROUP BY tf.doc_id)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+         doc_id, score
+       FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
+
+  /** Batch-BM25 replay: a queries CTE unnested to (query_id, tok), the
+    * q103 scoring arithmetic per (query, doc), per-query top-k.
+    */
+  private lazy val bm25BatchOracle: String =
+    s"""WITH queries AS (
+         SELECT 1 AS query_id, ['dup', 'vector'] AS terms
+         UNION ALL SELECT 2, ['merge']
+         UNION ALL SELECT 3, ['dup', 'vector', 'merge']
+       ), qt AS (
+         SELECT CAST(query_id AS BIGINT) AS query_id, unnest(list_distinct(terms)) AS tok
+         FROM queries
+       ), d AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+       st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(len(toks)) AS BIGINT) AS tot FROM d),
+       stats AS (SELECT n, tot * 1000 // n AS avgdl_m FROM st),
+       tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok,
+                CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d)
+              WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1, 2, 3),
+       df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       scored AS (
+         SELECT qt.query_id, tf.doc_id,
+           CAST(SUM((((stats.n - df.df) * 1000000 // (df.df + 1)) * (tf.tf * 2200))
+             // (tf.tf * 1000 + (300 + (900 * tf.dl * 1000) // stats.avgdl_m)))
+             AS BIGINT) AS score
+         FROM tf JOIN df USING (tok) JOIN qt USING (tok) CROSS JOIN stats
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT query_id, doc_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         FROM scored)
+       SELECT query_id, rnk, doc_id, score
+       FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
 
   /** The multi-probe LSH replay — the oracle for BOTH q31 (buckets
     * in-plan) and q129 (served from the persisted bucket artifact,
@@ -3987,6 +4087,8 @@ object SparkEntry {
     // string, so the materialized order is bit-identical
     // the manifest replay: q89's plan chain + per-row digests + the
     // nShards-row aggregate (bit_xor is order-free in both engines)
+    "q141_tfidf_indexed" -> tfidfOracle,
+    "q142_bm25_batch" -> bm25BatchOracle,
     "q140_manifest" -> {
       val rowKey = s"(CAST(doc_id AS VARCHAR) || ':' || CAST(${polyHash("text")} AS VARCHAR))"
       s"""WITH h0 AS (

@@ -187,6 +187,97 @@ object Retrieval {
     rankTop(scored, k)
   }
 
+  /** TF-IDF (ltn) ranked retrieval served from the index artifact — the
+    * second classic weighting family next to BM25, and the one that
+    * needs NOTHING but the index: `score = Σ_t tf·idf_u` with the
+    * engine's integer idf core `idf_u = (n − df)·10⁶ div (df + 1)`
+    * (ranking-equivalent to the log form per term, exactly
+    * representable — the [[bm25Model]] discipline). No document-length
+    * normalization, so the norms table contributes only the 1-row
+    * document count: where BM25 dampens long documents, ltn TF-IDF is
+    * the raw-salience ranking an exploratory query wants. Cost is |Q|
+    * posting rows; all intermediates < 2⁶³ for corpora to ~10⁹ docs at
+    * tf ≤ 10⁴ (tf·idf_u ≤ 10¹⁰·n/(df+1)).
+    */
+  def tfidfTopKIndexed(
+      index: DataFrame,
+      docLens: DataFrame,
+      queryTerms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    val distinctTerms = queryTerms.distinct
+    require(distinctTerms.nonEmpty, "empty query")
+    val n = docLens.agg(count(lit(1)).as("n"))
+    val scored = index
+      .filter(col("tok").isin(distinctTerms: _*))
+      .select(col("df"), explode(arrays_zip(col("doc_ids"), col("tfs"))).as("h"))
+      .select(col("df"), col("h.doc_ids").as("doc_id"), col("h.tfs").as("tf"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), expr("tf * ((n - df) * 1000000 div (df + 1))").as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ts")).as("score"))
+    rankTop(scored, k)
+  }
+
+  /** BATCH ranked retrieval — the production serving shape: a whole
+    * QUERY TABLE `(query_id, terms array<string>)` scored against the
+    * index + norms artifacts in ONE pass, `(query_id, rnk, doc_id,
+    * score)` per query. The per-query scoring arithmetic is EXACTLY
+    * [[bm25TopKIndexed]]'s (spec-pinned equal query by query); what
+    * changes is the shape: query terms explode once, the DISTINCT
+    * matched tokens' postings explode once (a term shared by many
+    * queries is expanded once and joined, not re-expanded per query),
+    * candidates group on `(query_id, doc_id)`, and the final top-k is
+    * the bounded per-query heap aggregate — never a global sort, never
+    * a window over more than one query's candidates. A million-query
+    * evaluation batch against a static index is exactly this plan.
+    */
+  def bm25TopKIndexedBatch(
+      index: DataFrame,
+      docLens: DataFrame,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    import graft.functions.GraftExpressions
+    val stats = docLens
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+      .select(col("n"), expr("tot * 1000 div n").as("avgdl_m"))
+    val qterms = queries
+      .select(col("query_id"), explode(array_distinct(col("terms"))).as("tok"))
+    val postings = index
+      .join(qterms.select(col("tok")).distinct(), Seq("tok"), "left_semi")
+      .select(col("tok"), col("df"), explode(arrays_zip(col("doc_ids"), col("tfs"))).as("h"))
+      .select(col("tok"), col("df"), col("h.doc_ids").as("doc_id"), col("h.tfs").as("tf"))
+      .crossJoin(broadcast(stats))
+    val scored = docLens
+      .join(broadcast(postings), Seq("doc_id"))
+      .join(broadcast(qterms), Seq("tok"))
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        expr(
+          "((n - df) * 1000000 div (df + 1)) * (tf * 2200)" +
+            " div (tf * 1000 + (300 + (900 * dl * 1000) div avgdl_m))"
+        ).as("term_score")
+      )
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(
+        GraftExpressions
+          .top_k_neighbors(col("score").cast("double"), col("doc_id"), k)
+          .as("nn")
+      )
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "h")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("h.neighbor_id").as("doc_id"),
+        col("h.cos").cast("long").as("score")
+      )
+  }
+
   // ------------------------------------------------------------ inverted index
 
   /** INVERTED INDEX construction — the materialized retrieval artifact

@@ -398,6 +398,57 @@ class RetrievalSpec extends SparkSpec {
     assert(!near.contains("Window"))
   }
 
+  test("batch BM25 == single-query bm25TopKIndexed, query by query; tfidf hand-check") {
+    val docs = sources.Tables.load(spark, Sf001, "documents").select("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs)
+    val dls = Retrieval.docLengths(docs)
+    val queries = Seq(
+      (1L, Seq("dup", "vector")),
+      (2L, Seq("merge")),
+      (3L, Seq("dup", "vector", "merge")),
+      (4L, Seq("zzz_nothing_matches"))
+    ).toDF("query_id", "terms")
+    val batch = Retrieval
+      .bm25TopKIndexedBatch(idx, dls, queries, 10)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .groupBy(_._1)
+    // the batch shape changes the PLAN, not the arithmetic
+    Seq(1L -> Seq("dup", "vector"), 2L -> Seq("merge"), 3L -> Seq("dup", "vector", "merge"))
+      .foreach { case (qid, terms) =>
+        val single = Retrieval
+          .bm25TopKIndexed(idx, dls, terms, 10)
+          .select(col("rnk"), col("doc_id"), col("score"))
+          .as[(Long, Long, Long)]
+          .collect()
+          .toSeq
+          .sortBy(_._1)
+        assert(batch(qid).map(r => (r._2, r._3, r._4)).toSeq.sortBy(_._1) === single, s"q$qid")
+      }
+    // a query matching nothing produces no rows, not an error
+    assert(!batch.contains(4L))
+    // tfidf hand-check on a crafted corpus: equal-idf single term ranks
+    // by raw tf (ltn has no length dampening), score == tf * idf_u
+    val crafted = Seq(
+      (1L, "apple apple apple filler"),
+      (2L, "apple pear filler words here"),
+      (3L, "pear pear filler")
+    ).toDF("doc_id", "text")
+    val got = Retrieval
+      .tfidfTopKIndexed(
+        Retrieval.invertedIndex(crafted),
+        Retrieval.docLengths(crafted),
+        Seq("apple"),
+        10
+      )
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+      .sortBy(_._1)
+    val idf = (3L - 2L) * 1000000L / (2L + 1L) // n=3, df=2
+    assert(got === Seq((1L, 1L, 3L * idf), (2L, 2L, 1L * idf)))
+  }
+
   test("rankMetrics: hand-checked values, perfect-run law, no-hit zeros") {
     // q1: hits at ranks 1,3 of 5 returned; truth = {10,11,12,13} (4 rel)
     //   prec@5 = 2*1000 div 5 = 400; rec = 2*1000 div 4 = 500

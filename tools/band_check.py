@@ -57,6 +57,8 @@ FAMILY_OVERRIDES = {
     "q138_pca_project": "ann",  # 12 driver-iterated power rounds inside
     "q139_pca_remove": "ann",  # the q138 chain + the correction scan
     "q140_manifest": "shuffle",
+    "q141_tfidf_indexed": "shuffle",
+    "q142_bm25_batch": "shuffle",
 }
 
 FAMILY_KEYS = [
