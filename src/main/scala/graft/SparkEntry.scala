@@ -804,6 +804,14 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym_id"))
         .orderBy(col("doc_id"), col("pos"))
     }),
+    // cross-source duplication matrix on the 4-token prefix fingerprint:
+    // which sources share openings — per-hash pairing bounded by the
+    // SOURCE count, duplicates within one source collapse before pairing
+    "q143_source_overlap" -> ((s, dir) => {
+      graft.operators.Report
+        .sourceOverlap(t(s, dir, "documents"), prefixTokens = 4)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
     // per-source corpus card: one scan into a (source, lang) aggregate,
     // bounded rollup, min_by top-lang tie-break, dup mass over 8-byte
     // content hashes — the datasheet composition table
@@ -4087,6 +4095,27 @@ object SparkEntry {
     // string, so the materialized order is bit-identical
     // the manifest replay: q89's plan chain + per-row digests + the
     // nShards-row aggregate (bit_xor is order-free in both engines)
+    // the duplication-matrix replay: distinct (prefix-hash, source),
+    // per-hash self-pairing, totals joined back for containment milli
+    "q143_source_overlap" -> {
+      val key = "array_to_string((string_split(text, ' '))[1:4], ' ')"
+      s"""WITH hs AS (
+           SELECT DISTINCT ${polyHash(key)} AS h, source FROM documents
+         ), totals AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM hs GROUP BY 1
+         ), pairs AS (
+           SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2
+         )
+         SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+           n_shared * 1000 // ta.n AS contain_a_milli,
+           n_shared * 1000 // tb.n AS contain_b_milli
+         FROM pairs
+         JOIN totals ta ON ta.source = src_a
+         JOIN totals tb ON tb.source = src_b
+         ORDER BY src_a, src_b"""
+    },
     "q141_tfidf_indexed" -> tfidfOracle,
     "q142_bm25_batch" -> bm25BatchOracle,
     "q140_manifest" -> {

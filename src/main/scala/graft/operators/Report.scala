@@ -200,4 +200,66 @@ object Report {
     snapshotDiff(oldSnap, newSnap, textCol, idCol)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** CROSS-SOURCE duplication matrix — which sources copy from which:
+    * for every ordered source pair `(src_a < src_b)`, the count of
+    * DISTINCT content hashes both contain, with each side's distinct
+    * total and the containment ratios in milli
+    * (`n_shared·1000 div n_a` — "how much of a's distinct content also
+    * lives in b"). This is the datasheet table that catches a scraped
+    * mirror (one source ~contained in another), shared boilerplate
+    * (many small symmetric overlaps), and the per-pair dedup pressure
+    * the corpus card's single `dup mass` number cannot attribute.
+    *
+    * Scale shape: one scan to the distinct `(hash, source)` frame (one
+    * partial-aggregated shuffle on the uniform hash), then the per-hash
+    * source list pairs with itself — per-hash work bounded by the
+    * SOURCE COUNT (tens), never by how many documents share the hash:
+    * duplicates within one source collapse before any pairing. The
+    * matrix at rest is ≤ sources² rows.
+    *
+    * `prefixTokens = 0` keys on the WHOLE text (exact-duplicate
+    * attribution); `> 0` keys on the first-k-token PREFIX fingerprint —
+    * the standard cheap near-dup attribution key (scraped mirrors and
+    * templated boilerplate share openings long before they share whole
+    * documents), and the knob the gate exercises since the fixture has
+    * no exact cross-source copies.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      prefixTokens: Int = 0
+  ): DataFrame = {
+    require(prefixTokens >= 0, s"need prefixTokens >= 0, got $prefixTokens")
+    val key =
+      if (prefixTokens == 0) col(textCol)
+      else
+        concat_ws(
+          " ",
+          slice(graft.functions.TextFunctions.tokens(col(textCol)), 1, prefixTokens)
+        )
+    val hs = docs
+      .select(GraftExpressions.poly_hash(key).as("h"), col(sourceCol).as("source"))
+      .distinct()
+      .localCheckpoint(true)
+    val totals = hs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    hs
+      .select(col("h"), col("source").as("src_a"))
+      .join(hs.select(col("h"), col("source").as("src_b")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("n_shared"),
+        col("n_a"),
+        col("n_b"),
+        expr("n_shared * 1000 div n_a").as("contain_a_milli"),
+        expr("n_shared * 1000 div n_b").as("contain_b_milli")
+      )
+  }
 }

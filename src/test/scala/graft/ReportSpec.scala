@@ -141,4 +141,39 @@ class ReportSpec extends SparkSpec {
     assert(!diff.contains("CartesianProduct"))
     assert(!diff.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("sourceOverlap: hand-checked matrix, within-source dups collapse, prefix knob") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "shared text one", "A"),
+      (2L, "shared text one", "B"), // exact cross-source copy
+      (3L, "shared text one", "A"), // within-source dup — must NOT inflate
+      (4L, "only in a", "A"),
+      (5L, "only in b", "B"),
+      (6L, "prefix match here tail-x", "A"),
+      (7L, "prefix match here tail-y", "C") // same 3-token opening, different tail
+    ).toDF("doc_id", "text", "source")
+    val exact = Report
+      .sourceOverlap(crafted)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    // exactly one pair row; A has 3 distinct texts, B has 2; containment
+    // 1000/3 and 1000/2 floored
+    assert(exact === Seq(("A", "B", 1L, 3L, 2L, 333L, 500L)))
+    // the prefix knob surfaces the shared opening the exact key missed
+    val pre = Report
+      .sourceOverlap(crafted, prefixTokens = 3)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(pre.map(r => (r._1, r._2, r._3)) === Seq(("A", "B", 1L), ("A", "C", 1L)))
+    // deterministic under repartitioning on the fixture
+    val docs = sources.Tables.load(spark, Sf001, "documents")
+    val a = Report.sourceOverlap(docs, prefixTokens = 4).collect().toSet
+    val b = Report.sourceOverlap(docs.repartition(17), prefixTokens = 4).collect().toSet
+    assert(a === b)
+    intercept[IllegalArgumentException](Report.sourceOverlap(crafted, prefixTokens = -1))
+  }
 }

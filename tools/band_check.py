@@ -59,6 +59,7 @@ FAMILY_OVERRIDES = {
     "q140_manifest": "shuffle",
     "q141_tfidf_indexed": "shuffle",
     "q142_bm25_batch": "shuffle",
+    "q143_source_overlap": "shuffle",
 }
 
 FAMILY_KEYS = [
