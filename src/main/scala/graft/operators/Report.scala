@@ -201,6 +201,48 @@ object Report {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Per-group PERCENTILE calibration of an integer score — the step
+    * before any cross-source quality threshold: raw quality scores are
+    * not comparable across sources (a news corpus and a forum dump have
+    * different score distributions), so a global cutoff silently
+    * over-prunes one and under-prunes the other; ranking each document
+    * WITHIN its source (`pct_micro = #strictly-lower·10⁶ div
+    * max(n−1, 1)` — the percent_rank convention, integer-exact) makes
+    * "keep the top 30% of every source" a single comparison. Returns
+    * the input columns plus `pct_micro`.
+    *
+    * Scale shape — the q86 value-histogram discipline: the window runs
+    * over DISTINCT (group, score) histogram rows ordered by score (its
+    * partition is a group's distinct VALUE count, never its document
+    * count — a 10⁹-doc source with a formula-granular score has
+    * thousands of distinct values), and documents get their rank back
+    * through one co-keyed join on `(group, score)`. No corpus-sized
+    * sort exists in the plan.
+    */
+  def percentileRanks(
+      docs: DataFrame,
+      scoreCol: String,
+      groupCol: String = "source"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranks = hist
+      .withColumn("__n_less", sum(col("__cnt")).over(w) - col("__cnt"))
+      .drop("__cnt")
+    val totals = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    docs
+      .join(ranks, Seq(groupCol, scoreCol))
+      .join(broadcast(totals), Seq(groupCol))
+      .withColumn("pct_micro", expr("__n_less * 1000000 div greatest(__n - 1, 1)"))
+      .drop("__n_less", "__n")
+  }
+
   /** CROSS-SOURCE duplication matrix — which sources copy from which:
     * for every ordered source pair `(src_a < src_b)`, the count of
     * DISTINCT content hashes both contain, with each side's distinct

@@ -142,6 +142,35 @@ class ReportSpec extends SparkSpec {
     assert(!diff.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("percentileRanks: hand-checked percent_rank, ties share, per-group independence") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 20L), (4L, "A", 30L),
+      (5L, "B", 999L), // single-row group -> pct 0 (denominator floor)
+      (6L, "C", 10L), (7L, "C", 30L) // C's 10 ranks 0 regardless of A's
+    ).toDF("doc_id", "source", "score_micro")
+    val got = Report
+      .percentileRanks(crafted, "score_micro")
+      .select("doc_id", "pct_micro")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got(1L) === 0L && got(2L) === 0L) // ties share the rank
+    assert(got(3L) === 2L * 1000000L / 3L) // 2 strictly lower of n-1=3
+    assert(got(4L) === 1000000L) // the max is always 10^6 (n > 1)
+    assert(got(5L) === 0L)
+    assert(got(6L) === 0L && got(7L) === 1000000L)
+    // determinism under repartitioning on the fixture scoring
+    val base = sources.Tables.load(spark, Sf001, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.qualityScoreFused(col("text")).as("q"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(floor(q * 1000000 + 0.5) AS BIGINT)").as("score_micro"))
+    val a = Report.percentileRanks(base, "score_micro").collect().toSet
+    val b = Report.percentileRanks(base.repartition(17), "score_micro").collect().toSet
+    assert(a === b)
+  }
+
   test("sourceOverlap: hand-checked matrix, within-source dups collapse, prefix knob") {
     import spark.implicits._
     val crafted = Seq(

@@ -60,6 +60,7 @@ FAMILY_OVERRIDES = {
     "q141_tfidf_indexed": "shuffle",
     "q142_bm25_batch": "shuffle",
     "q143_source_overlap": "shuffle",
+    "q144_quality_pct": "shuffle",
 }
 
 FAMILY_KEYS = [
