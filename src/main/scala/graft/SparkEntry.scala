@@ -804,6 +804,14 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym_id"))
         .orderBy(col("doc_id"), col("pos"))
     }),
+    // the calibrated filter: top 30% of EVERY source by fused quality —
+    // no source wiped out or waved through by a global threshold
+    "q145_keep_top_quality" -> ((s, dir) => {
+      graft.operators.Report
+        .keepTopQuality(t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")), 300L)
+        .select(col("doc_id"), col("source"), col("score_micro"), col("pct_micro"))
+        .orderBy(col("doc_id"))
+    }),
     // per-source percentile calibration of the quality score: the step
     // before any cross-source threshold — the histogram window orders
     // distinct VALUES per source, documents rank back via one co-keyed
@@ -2093,6 +2101,43 @@ object SparkEntry {
          FROM scored)
        SELECT query_id, rnk, doc_id, score
        FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** The per-source quality percent_rank chain — q144 reads all of
+    * `pct`, q145 is the same chain + one threshold.
+    */
+  private lazy val qualityPctCtes: String = {
+    val tok = tokens("text")
+    val nTok = s"len($tok)"
+    val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
+    val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
+    val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
+    val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
+    val stopScore = s"least(1.0, $stopRatio * 5.0)"
+    val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
+    val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
+    val quality = s"round(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore, 6)"
+    s"""WITH scored AS (
+         SELECT doc_id, source,
+           CAST(floor($quality * 1000000 + 0.5) AS BIGINT) AS score_micro
+         FROM documents
+       ), hist AS (
+         SELECT source, score_micro, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM scored GROUP BY 1, 2
+       ), ranks AS (
+         SELECT source, score_micro,
+           CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score_micro) - cnt AS BIGINT)
+             AS n_less
+         FROM hist
+       ), totals AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY 1
+       ), pct AS (
+         SELECT s.doc_id, s.source, s.score_micro,
+           CAST(n_less * 1000000 // greatest(n - 1, 1) AS BIGINT) AS pct_micro
+         FROM scored s
+         JOIN ranks r ON r.source = s.source AND r.score_micro = s.score_micro
+         JOIN totals t ON t.source = s.source
+       )"""
+  }
 
   /** The multi-probe LSH replay — the oracle for BOTH q31 (buckets
     * in-plan) and q129 (served from the persisted bucket artifact,
@@ -4117,39 +4162,15 @@ object SparkEntry {
     // nShards-row aggregate (bit_xor is order-free in both engines)
     // percentile replay: the q22 quality formula, micro-quantized, then
     // per-source percent_rank over distinct values
-    "q144_quality_pct" -> {
-      val tok = tokens("text")
-      val nTok = s"len($tok)"
-      val nPunct = s"len(regexp_extract_all(text, '${TextFunctions.PunctRegex}'))"
-      val hitsEn = stopwordHits("text", TextFunctions.StopwordsEn)
-      val stopRatio = s"(CAST($hitsEn AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE))"
-      val lenScore = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0)"
-      val stopScore = s"least(1.0, $stopRatio * 5.0)"
-      val punctRatio = s"(CAST($nPunct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))"
-      val punctScore = s"(1.0 - least(1.0, $punctRatio * 10.0))"
-      val quality = s"round(0.5 * $lenScore + 0.3 * $stopScore + 0.2 * $punctScore, 6)"
-      s"""WITH scored AS (
-           SELECT doc_id, source,
-             CAST(floor($quality * 1000000 + 0.5) AS BIGINT) AS score_micro
-           FROM documents
-         ), hist AS (
-           SELECT source, score_micro, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM scored GROUP BY 1, 2
-         ), ranks AS (
-           SELECT source, score_micro,
-             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score_micro) - cnt AS BIGINT)
-               AS n_less
-           FROM hist
-         ), totals AS (
-           SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY 1
-         )
-         SELECT s.doc_id, s.source, s.score_micro,
-           CAST(n_less * 1000000 // greatest(n - 1, 1) AS BIGINT) AS pct_micro
-         FROM scored s
-         JOIN ranks r ON r.source = s.source AND r.score_micro = s.score_micro
-         JOIN totals t ON t.source = s.source
-         ORDER BY s.doc_id"""
-    },
+    "q144_quality_pct" ->
+      s"""$qualityPctCtes
+         SELECT doc_id, source, score_micro, pct_micro
+         FROM pct ORDER BY doc_id""",
+    // the calibrated filter is the same chain + one threshold
+    "q145_keep_top_quality" ->
+      s"""$qualityPctCtes
+         SELECT doc_id, source, score_micro, pct_micro
+         FROM pct WHERE pct_micro >= 700000 ORDER BY doc_id""",
     // the duplication-matrix replay: distinct (prefix-hash, source),
     // per-hash self-pairing, totals joined back for containment milli
     "q143_source_overlap" -> {

@@ -243,6 +243,32 @@ object Report {
       .drop("__n_less", "__n")
   }
 
+  /** The calibrated quality FILTER [[percentileRanks]] exists for:
+    * keep the top `keepMilli`/1000 of EVERY source by fused quality
+    * score — each source is pruned against its own distribution, so no
+    * source is silently wiped out or waved through by a global
+    * threshold. Returns the kept rows with `score_micro` and
+    * `pct_micro` riding (the audit columns a pipeline report wants).
+    * The threshold property is exact: within a source, every kept
+    * document scores ≥ every dropped one (ties at the cut are kept
+    * together — percentile ties share a rank, so the realized keep
+    * fraction can exceed `keepMilli` by at most the tied mass).
+    */
+  def keepTopQuality(
+      docs: DataFrame,
+      keepMilli: Long,
+      textCol: String = "text",
+      groupCol: String = "source"
+  ): DataFrame = {
+    require(keepMilli >= 1 && keepMilli <= 1000, s"need keepMilli in [1,1000], got $keepMilli")
+    val scored = docs
+      .withColumn("__q", graft.functions.TextFunctions.qualityScoreFused(col(textCol)))
+      .withColumn("score_micro", expr("CAST(floor(__q * 1000000 + 0.5) AS BIGINT)"))
+      .drop("__q")
+    percentileRanks(scored, "score_micro", groupCol)
+      .filter(col("pct_micro") >= lit((1000L - keepMilli) * 1000L))
+  }
+
   /** CROSS-SOURCE duplication matrix — which sources copy from which:
     * for every ordered source pair `(src_a < src_b)`, the count of
     * DISTINCT content hashes both contain, with each side's distinct

@@ -171,6 +171,41 @@ class ReportSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("keepTopQuality: threshold property exact per source, keep fraction calibrated") {
+    import spark.implicits._
+    val docs = sources.Tables.load(spark, Sf001, "documents")
+      .select("doc_id", "source", "text")
+    val kept = Report.keepTopQuality(docs, 300L)
+      .select("doc_id", "source", "score_micro")
+      .as[(Long, String, Long)].collect()
+    val all = Report
+      .percentileRanks(
+        docs
+          .withColumn("q", graft.functions.TextFunctions.qualityScoreFused(col("text")))
+          .select(col("doc_id"), col("source"),
+            expr("CAST(floor(q * 1000000 + 0.5) AS BIGINT)").as("score_micro")),
+        "score_micro"
+      )
+      .select("doc_id", "source", "score_micro")
+      .as[(Long, String, Long)].collect()
+    val keptIds = kept.map(_._1).toSet
+    // threshold property: within a source, every kept doc scores >= every
+    // dropped one
+    all.groupBy(_._2).foreach { case (src, rows) =>
+      val (k, d) = rows.partition(r => keptIds(r._1))
+      if (k.nonEmpty && d.nonEmpty)
+        assert(k.map(_._3).min >= d.map(_._3).max, s"source $src violates the cut")
+    }
+    // calibration: every source keeps at least its 30% (ties can only
+    // ADD mass), and no source is wiped out
+    val bySrc = all.groupBy(_._2).map { case (s, r) => s -> r.length }
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length * 1000 >= bySrc(src) * 300 - 1000, s"source $src under-kept")
+    }
+    assert(kept.map(_._2).toSet === all.map(_._2).toSet, "a source was wiped out")
+    intercept[IllegalArgumentException](Report.keepTopQuality(docs, 0L))
+  }
+
   test("sourceOverlap: hand-checked matrix, within-source dups collapse, prefix knob") {
     import spark.implicits._
     val crafted = Seq(

@@ -61,6 +61,7 @@ FAMILY_OVERRIDES = {
     "q142_bm25_batch": "shuffle",
     "q143_source_overlap": "shuffle",
     "q144_quality_pct": "shuffle",
+    "q145_keep_top_quality": "shuffle",
 }
 
 FAMILY_KEYS = [
