@@ -447,6 +447,19 @@ object SparkEntry {
         .overlapReport(docs.filter(bucket < 8), docs.filter(bucket >= 8), k = 4)
         .orderBy(col("doc_id"))
     }),
+    // semantic decontamination: max cosine of every corpus vector
+    // against the broadcast benchmark slice — the embedding-space tier
+    // that catches paraphrases n-grams can't; flag at cos >= 0.8
+    "q146_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Decontaminate
+        .semanticOverlap(
+          emb.filter(col("vec_id") % 10 =!= 9),
+          emb.filter(col("vec_id") % 10 === 9),
+          800000L
+        )
+        .orderBy(col("vec_id"))
+    }),
     // Bloom-filter decontamination: the benchmark's gram set folded into
     // a FIXED bits/32-word array (footprint independent of benchmark
     // size — the 100-TB broadcast shape), corpus grams probe 3 affine
@@ -3693,6 +3706,23 @@ object SparkEntry {
          ORDER BY adm.doc_id""",
     // decontamination: same content-hash split, distinct 4-gram hashes per
     // side, shared-gram count per corpus doc
+    // semantic-decon replay: cross join corpus x bench slices, max
+    // cosine per corpus vector, quantize AFTER the (order-free) max
+    "q146_semantic_decon" ->
+      s"""WITH corp AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9
+         ), bench AS (
+           SELECT embedding AS b_emb FROM embeddings WHERE vec_id % 10 = 9
+         ), scored AS (
+           SELECT c.vec_id, ${cosine("c.embedding", "b.b_emb")} AS cos
+           FROM corp c CROSS JOIN bench b
+         ), agg AS (
+           SELECT vec_id,
+             CAST(floor(MAX(cos) * 1000000 + 0.5) AS BIGINT) AS max_cos_micro
+           FROM scored GROUP BY vec_id
+         )
+         SELECT vec_id, max_cos_micro, max_cos_micro >= 800000 AS flagged
+         FROM agg ORDER BY vec_id""",
     // every Bloom bit replayed: benchmark probes OR into 32-bit words of
     // BIGINTs, corpus probes read them back; LEFT JOIN miss = bit unset
     "q135_bloom_decon" -> {

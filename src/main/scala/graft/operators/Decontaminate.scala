@@ -174,6 +174,43 @@ object Decontaminate {
     )
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram tiers: an eval item paraphrased, translated, or reformatted
+    * shares no 13-gram with its source, but its embedding stays close.
+    * Every corpus vector is scored by its MAX cosine against the
+    * benchmark's embeddings and flagged at `tauMicro` — `(vec_id,
+    * max_cos_micro, flagged)`, the audit frame (drop flagged ids, or
+    * route them to the exact n-gram check: the two tiers compose into
+    * the standard semantic-recall / lexical-precision cascade).
+    *
+    * Scale shape mirrors [[benchmarkIndex]]'s argument: benchmarks are
+    * SMALL by nature, so the bench embeddings broadcast and the corpus
+    * side is one scan (the q30 constant-side BNLJ pattern — |corpus|·|B|
+    * cosines, embarrassingly parallel, no shuffle before the per-vector
+    * max, whose key is the corpus's own id). Determinism: `max` over
+    * doubles is order-free exactly, quantized once AFTER the max.
+    */
+  def semanticOverlap(
+      corpusEmb: DataFrame,
+      benchEmb: DataFrame,
+      tauMicro: Long
+  ): DataFrame = {
+    require(tauMicro >= -1000000L && tauMicro <= 1000000L, s"need tauMicro in ±10⁶, got $tauMicro")
+    corpusEmb
+      .select(col("vec_id"), col("embedding"))
+      .join(
+        broadcast(benchEmb.select(col("embedding").as("b_emb"))),
+        col("vec_id").isNotNull
+      )
+      .select(
+        col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("b_emb")).as("cos")
+      )
+      .groupBy(col("vec_id"))
+      .agg(expr("CAST(floor(max(cos) * 1000000 + 0.5) AS BIGINT)").as("max_cos_micro"))
+      .withColumn("flagged", col("max_cos_micro") >= tauMicro)
+  }
+
   // ------------------------------------------------------ Bloom-filter tier
 
   /** Bloom-filter form of the benchmark index — the 100-TB shape of

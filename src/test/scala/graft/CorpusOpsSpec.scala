@@ -1239,6 +1239,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for assignment:\n$plan")
   }
 
+  test("semanticOverlap: planted paraphrase flagged, orthogonal not, inclusive threshold") {
+    import spark.implicits._
+    val bench = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corp = Seq(
+      (1L, Seq(0.95f, 0.3f, 0f, 0f)), // near bench 100 — the "paraphrase"
+      (2L, Seq(0f, 0f, 1f, 0f)), // orthogonal to both
+      (3L, Seq(0f, 1f, 0f, 0f)) // exact copy of bench 101 -> cos 1.0
+    ).toDF("vec_id", "embedding")
+    val got = Decontaminate
+      .semanticOverlap(corp, bench, 800000L)
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L)._2 && got(3L)._2 && !got(2L)._2)
+    assert(got(3L)._1 === 1000000L)
+    assert(got(2L)._1 === 0L)
+    // inclusive threshold: tau == the exact max flags it
+    val atTau = Decontaminate
+      .semanticOverlap(corp, bench, got(1L)._1)
+      .as[(Long, Long, Boolean)].collect().find(_._1 == 1L).get
+    assert(atTau._3, "threshold must be inclusive")
+    // determinism under repartitioning on the fixture split
+    val emb = spark.read.parquet(s"$Sf001/embeddings.parquet")
+    val c = emb.filter(col("vec_id") % 10 =!= 9)
+    val b = emb.filter(col("vec_id") % 10 === 9)
+    val x = Decontaminate.semanticOverlap(c, b, 800000L).collect().toSet
+    val y = Decontaminate.semanticOverlap(c.repartition(13), b, 800000L).collect().toSet
+    assert(x === y)
+    intercept[IllegalArgumentException](Decontaminate.semanticOverlap(corp, bench, 2000000L))
+  }
+
   // ------------------------------------------------- Bloom decontamination
 
   test("bloom decon: one-sided error (n_maybe >= exact), merge law, fixed footprint") {

@@ -62,6 +62,7 @@ FAMILY_OVERRIDES = {
     "q143_source_overlap": "shuffle",
     "q144_quality_pct": "shuffle",
     "q145_keep_top_quality": "shuffle",
+    "q146_semantic_decon": "ann",
 }
 
 FAMILY_KEYS = [
