@@ -366,6 +366,42 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.Retrieval.matchedTerms(stream, model, textCol)
 
+  /** Streaming SEMANTIC decontamination — the stateless twin of
+    * [[graft.operators.Decontaminate.semanticOverlap]]: a vector
+    * arrives WHOLE in its row, so its max cosine against the (1-row
+    * broadcast) benchmark ARRAY is a row-local fold — no explode-join,
+    * no aggregate, no StateStore; an append-mode projection a live
+    * ingest runs per micro-batch at full rate. The fold's `greatest` is
+    * order-free exactly, so the arbitrary `collect_list` order of the
+    * benchmark array cannot move the result, and the quantize-after-max
+    * arithmetic is the batch operator's — streaming == batch per vector
+    * (spec-pinned).
+    */
+  def scoreSemanticAgainst(
+      benchEmb: DataFrame,
+      stream: DataFrame,
+      tauMicro: Long
+  ): DataFrame = {
+    val benchArr = benchEmb.agg(collect_list(col("embedding")).as("__bs"))
+    stream
+      .crossJoin(broadcast(benchArr))
+      .withColumn(
+        "__max_cos",
+        aggregate(
+          col("__bs"),
+          lit(-2.0),
+          (acc, b) =>
+            greatest(acc, graft.functions.VectorFunctions.cosineHof(col("embedding"), b))
+        )
+      )
+      .withColumn(
+        "max_cos_micro",
+        expr("CAST(floor(__max_cos * 1000000 + 0.5) AS BIGINT)")
+      )
+      .withColumn("flagged", col("max_cos_micro") >= tauMicro)
+      .drop("__bs", "__max_cos")
+  }
+
   /** LIVE CORPUS CARD — the streaming face of
     * [[graft.operators.Report.corpusCard]]: per (event-time window,
     * source) document/token counts over an ingest stream, the datasheet

@@ -738,6 +738,30 @@ class StreamingSpec extends SparkSpec {
     assert(live(1L) === 900000L, s"planted tail near-dup not at rank 1: $live")
   }
 
+  test("streaming semantic decon == batch semanticOverlap, per vector, stateless") {
+    import graft.operators.Decontaminate
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$Sf001/embeddings.parquet").select("vec_id", "embedding")
+    val corp = emb.filter(col("vec_id") % 10 =!= 9)
+    val bench = emb.filter(col("vec_id") % 10 === 9)
+    val vecs = corp.as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val scored = StreamingOps.scoreSemanticAgainst(
+      bench,
+      stream.toDF().toDF("vec_id", "embedding"),
+      800000L
+    )
+    vecs.grouped((vecs.length + 1) / 2).foreach(stream.addData(_))
+    val got = StreamingOps
+      .runToMemory(spark, scored, "sem_decon_live")
+      .select("vec_id", "max_cos_micro", "flagged")
+      .as[(Long, Long, Boolean)].collect().map { case (i, m, f) => i -> ((m, f)) }.toMap
+    val batch = Decontaminate.semanticOverlap(corp, bench, 800000L)
+      .as[(Long, Long, Boolean)].collect().map { case (i, m, f) => i -> ((m, f)) }.toMap
+    assert(got.size === batch.size)
+    batch.foreach { case (i, v) => assert(got(i) === v, s"vec $i diverges") }
+  }
+
   test("streaming moment maintenance: centered matrix and PC == batch, bit for bit") {
     import graft.operators.Spectral
     implicit val sqlCtx = spark.sqlContext
