@@ -460,6 +460,19 @@ object SparkEntry {
         )
         .orderBy(col("vec_id"))
     }),
+    // banded semantic decon for corpus-sized benchmarks: candidates from
+    // the LSH bucket equi-join (both sides corpus-sized, no broadcast),
+    // one-sided the OTHER way — can miss, never false-flag
+    "q147_semantic_decon_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Decontaminate
+        .semanticOverlapLsh(
+          emb.filter(col("vec_id") % 10 =!= 9),
+          emb.filter(col("vec_id") % 10 === 9),
+          800000L
+        )
+        .orderBy(col("vec_id"))
+    }),
     // Bloom-filter decontamination: the benchmark's gram set folded into
     // a FIXED bits/32-word array (footprint independent of benchmark
     // size — the 100-TB broadcast shape), corpus grams probe 3 affine
@@ -3723,6 +3736,39 @@ object SparkEntry {
          )
          SELECT vec_id, max_cos_micro, max_cos_micro >= 800000 AS flagged
          FROM agg ORDER BY vec_id""",
+    // banded-semantic replay: both slices' bucket lists unnested, the
+    // (table, bucket) equi-join, max per corpus vector, LEFT JOIN keeps
+    // candidate-less vectors with NULL
+    "q147_semantic_decon_lsh" -> {
+      val L = Similarity.LshTables
+      val w = Similarity.LshPlanesPerTable
+      val buckets = lshBucketsList("embedding", L, w, Similarity.Dim)
+      s"""WITH corp AS (
+           SELECT vec_id, embedding, $buckets AS buckets
+           FROM embeddings WHERE vec_id % 10 <> 9
+         ), cbt AS (
+           SELECT vec_id, embedding, t, buckets[t+1] AS bucket
+           FROM corp, unnest(range(0, $L)) AS tt(t)
+         ), ben AS (
+           SELECT embedding AS b_emb, $buckets AS buckets
+           FROM embeddings WHERE vec_id % 10 = 9
+         ), bbt AS (
+           SELECT b_emb, t, buckets[t+1] AS bucket
+           FROM ben, unnest(range(0, $L)) AS tt(t)
+         ), scored AS (
+           SELECT c.vec_id, ${cosine("c.embedding", "b.b_emb")} AS cos
+           FROM cbt c JOIN bbt b ON c.t = b.t AND c.bucket = b.bucket
+         ), agg AS (
+           SELECT vec_id,
+             CAST(floor(MAX(cos) * 1000000 + 0.5) AS BIGINT) AS max_cos_micro
+           FROM scored GROUP BY 1
+         )
+         SELECT c0.vec_id, agg.max_cos_micro,
+           COALESCE(agg.max_cos_micro >= 800000, false) AS flagged
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 9) c0
+         LEFT JOIN agg USING (vec_id)
+         ORDER BY c0.vec_id"""
+    },
     // every Bloom bit replayed: benchmark probes OR into 32-bit words of
     // BIGINTs, corpus probes read them back; LEFT JOIN miss = bit unset
     "q135_bloom_decon" -> {

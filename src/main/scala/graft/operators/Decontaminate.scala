@@ -211,6 +211,48 @@ object Decontaminate {
       .withColumn("flagged", col("max_cos_micro") >= tauMicro)
   }
 
+  /** [[semanticOverlap]] for a benchmark that is NOT small — corpus-vs-
+    * corpus semantic contamination (held-out split vs training split,
+    * yesterday's crawl vs today's), where broadcasting the bench side
+    * stops being an option. Candidates come from the
+    * [[Similarity.lshIndex]] bucket equi-join (both sides explode to
+    * their L bucket rows; a pair is scored iff it shares a (table,
+    * bucket) — the q25 banding argument applied to cosine): the join is
+    * shuffle-on-bucket with BOTH sides corpus-sized, and no pair of
+    * dissimilar vectors is ever scored. Error is ONE-SIDED in the
+    * direction banding implies: `flagged ⊆` the exact operator's flags
+    * (a missed bucket collision can only MISS contamination, never
+    * false-flag — spec-pinned subset law, recall measured on the
+    * fixture), the mirror image of the Bloom tier's one-sidedness.
+    * Every corpus vector appears in the output; those with no candidate
+    * carry a NULL `max_cos_micro` and `flagged = false`.
+    */
+  def semanticOverlapLsh(
+      corpusEmb: DataFrame,
+      benchEmb: DataFrame,
+      tauMicro: Long
+  ): DataFrame = {
+    require(tauMicro >= -1000000L && tauMicro <= 1000000L, s"need tauMicro in ±10⁶, got $tauMicro")
+    val c = Similarity
+      .lshIndex(corpusEmb)
+      .select(col("vec_id"), col("embedding"), col("table"), col("bucket"))
+    val b = Similarity
+      .lshIndex(benchEmb)
+      .select(col("embedding").as("b_emb"), col("table"), col("bucket"))
+    val scored = c
+      .join(b, Seq("table", "bucket"))
+      .select(
+        col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("b_emb")).as("cos")
+      )
+      .groupBy(col("vec_id"))
+      .agg(expr("CAST(floor(max(cos) * 1000000 + 0.5) AS BIGINT)").as("max_cos_micro"))
+    corpusEmb
+      .select(col("vec_id"))
+      .join(scored, Seq("vec_id"), "left")
+      .withColumn("flagged", coalesce(col("max_cos_micro") >= tauMicro, lit(false)))
+  }
+
   // ------------------------------------------------------ Bloom-filter tier
 
   /** Bloom-filter form of the benchmark index — the 100-TB shape of

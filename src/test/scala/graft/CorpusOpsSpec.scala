@@ -1272,6 +1272,50 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Decontaminate.semanticOverlap(corp, bench, 2000000L))
   }
 
+  test("semanticOverlapLsh: flags subset of exact, recall measured, all vectors present") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf001/embeddings.parquet").select("vec_id", "embedding")
+    val c = emb.filter(col("vec_id") % 10 =!= 9)
+    val b = emb.filter(col("vec_id") % 10 === 9)
+    val banded = Decontaminate
+      .semanticOverlapLsh(c, b, 500000L)
+      .as[(Long, Option[Long], Boolean)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val exact = Decontaminate
+      .semanticOverlap(c, b, 500000L)
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // every corpus vector present; banded max never exceeds the exact max
+    assert(banded.keySet === exact.keySet)
+    banded.foreach { case (i, (m, f)) =>
+      m.foreach(mv => assert(mv <= exact(i)._1, s"vec $i banded max exceeds exact"))
+      if (f) assert(exact(i)._2, s"vec $i false-flagged — banding must be one-sided")
+    }
+    // the one-sidedness has teeth only if the banding finds what it
+    // targets — the NEAR-DUPLICATE regime (cos ≥ ~0.95), not the random
+    // mid-similarity pairs LSH is designed to skip (the fixture's one
+    // exact hit at τ=0.5 sits at cos ≈ 0.5, where an 8-table 10-bit
+    // banding collides ~13% of the time BY DESIGN). Plant perturbed
+    // copies and require FULL recall on them:
+    val src = emb.filter(col("vec_id") < 20L).as[(Long, Seq[Float])].collect()
+    val plantedBench = src
+      .map { case (i, v) => (900L + i, v.map(x => x * 0.999f + 0.0001f)) }
+      .toSeq
+      .toDF("vec_id", "embedding")
+    val found = Decontaminate
+      .semanticOverlapLsh(emb.filter(col("vec_id") < 20L), plantedBench, 950000L)
+      .filter(col("flagged"))
+      .select("vec_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(found === (0L until 20L).toSet, s"planted near-dups missed: ${found.size}/20")
+  }
+
   // ------------------------------------------------- Bloom decontamination
 
   test("bloom decon: one-sided error (n_maybe >= exact), merge law, fixed footprint") {

@@ -63,6 +63,7 @@ FAMILY_OVERRIDES = {
     "q144_quality_pct": "shuffle",
     "q145_keep_top_quality": "shuffle",
     "q146_semantic_decon": "ann",
+    "q147_semantic_decon_lsh": "ann",
 }
 
 FAMILY_KEYS = [
