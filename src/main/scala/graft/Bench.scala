@@ -98,7 +98,14 @@ object Bench {
     // execution pays one-shot codegen compilation and cache warming, which
     // at fixture scale rivals the query itself and made run-to-run totals
     // swing ±25%. Best-of-2 is the steady-state number a cluster would see.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // cheap-first (QueryCost anchors): the run order is also the JSON dict
+    // order, so the driver's 2 KB TAIL-truncated artifact always retains the
+    // expensive families' readings (VERDICT r09 #8 — lexicographic order put
+    // q100+ in the truncated half); total/errors/n_failed/recall still land
+    // last on the line, where the tail keeps them.
+    val ordered = QueryCost.orderedCheapFirst(SparkEntry.queries.keys)
+    val queryFns = SparkEntry.queries
+    val results = ordered.map(name => (name, queryFns(name))).map { case (name, fn) =>
       // per-query honesty: drop cache entries leaked by EARLIER queries
       // (CacheManager dedups identical persisted plans, so without this the
       // later dedup-family queries silently ride caches the earlier ones

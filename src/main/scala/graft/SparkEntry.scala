@@ -2152,12 +2152,14 @@ object SparkEntry {
        ), ranks AS (
          SELECT source, score_micro,
            CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score_micro) - cnt AS BIGINT)
-             AS n_less
+             AS n_less,
+           CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score_micro) AS BIGINT)
+             AS n_le
          FROM hist
        ), totals AS (
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY 1
        ), pct AS (
-         SELECT s.doc_id, s.source, s.score_micro,
+         SELECT s.doc_id, s.source, s.score_micro, n_le, n,
            CAST(n_less * 1000000 // greatest(n - 1, 1) AS BIGINT) AS pct_micro
          FROM scored s
          JOIN ranks r ON r.source = s.source AND r.score_micro = s.score_micro
@@ -2678,7 +2680,8 @@ object SparkEntry {
            ON r.query_id = t2.query_id AND r.neighbor_id = t2.neighbor_id
        ), per AS (
          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits, MIN(rnk) AS first_hit,
-           CAST(SUM(hits_upto * 1000000 // rnk) AS BIGINT) AS ap_num
+           CAST(SUM(hits_upto * 1000000 // rnk) AS BIGINT) AS ap_num,
+           CAST(SUM(($ndcgGains)[rnk]) AS BIGINT) AS dcg_num
          FROM hits GROUP BY query_id
        ),
        nret AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ret FROM run GROUP BY query_id),
@@ -2691,10 +2694,22 @@ object SparkEntry {
            AS rec_milli,
          CAST(CASE WHEN first_hit IS NULL THEN 0 ELSE 1000000 // first_hit END AS BIGINT)
            AS rr_micro,
-         CAST(COALESCE(ap_num, 0) // greatest(COALESCE(n_rel, 0), 1) AS BIGINT) AS ap_micro
+         CAST(COALESCE(ap_num, 0) // greatest(COALESCE(n_rel, 0), 1) AS BIGINT) AS ap_micro,
+         CAST(CASE WHEN COALESCE(n_rel, 0) = 0 OR dcg_num IS NULL THEN 0
+           ELSE dcg_num * 1000000 // ($ndcgIdcgs)[least(n_rel, 10)] END AS BIGINT)
+           AS ndcg_micro
        FROM nret LEFT JOIN nrel USING (query_id) LEFT JOIN per USING (query_id)
        ORDER BY query_id"""
   }
+
+  /** The q133 nDCG literal tables — the SAME `Retrieval.ndcgGainLut`
+    * numbers the Spark plan embeds, as DuckDB list literals (1-indexed
+    * by rank).
+    */
+  private lazy val ndcgGains: String =
+    graft.operators.Retrieval.ndcgGainLut(10).mkString("[", ", ", "]")
+  private lazy val ndcgIdcgs: String =
+    graft.operators.Retrieval.ndcgIdcgLut(10).mkString("[", ", ", "]")
 
   /** The cross-document replay is the same arithmetic over the GLOBAL
     * stream position: each doc's ids then its EOS sentinel, in doc_id
@@ -4242,11 +4257,14 @@ object SparkEntry {
       s"""$qualityPctCtes
          SELECT doc_id, source, score_micro, pct_micro
          FROM pct ORDER BY doc_id""",
-    // the calibrated filter is the same chain + one threshold
+    // the calibrated filter is the same chain + one threshold, ranked
+    // FROM ABOVE (ADVICE r10: strictly-greater count under the keep
+    // budget — a uniform-score source keeps everything instead of being
+    // silently wiped out by pct_micro = 0)
     "q145_keep_top_quality" ->
       s"""$qualityPctCtes
          SELECT doc_id, source, score_micro, pct_micro
-         FROM pct WHERE pct_micro >= 700000 ORDER BY doc_id""",
+         FROM pct WHERE (n - n_le) * 1000 < 300 * n ORDER BY doc_id""",
     // the duplication-matrix replay: distinct (prefix-hash, source),
     // per-hash self-pairing, totals joined back for containment milli
     "q143_source_overlap" -> {

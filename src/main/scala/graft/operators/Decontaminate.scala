@@ -196,7 +196,7 @@ object Decontaminate {
       tauMicro: Long
   ): DataFrame = {
     require(tauMicro >= -1000000L && tauMicro <= 1000000L, s"need tauMicro in ±10⁶, got $tauMicro")
-    corpusEmb
+    val scored = corpusEmb
       .select(col("vec_id"), col("embedding"))
       .join(
         broadcast(benchEmb.select(col("embedding").as("b_emb"))),
@@ -208,7 +208,17 @@ object Decontaminate {
       )
       .groupBy(col("vec_id"))
       .agg(expr("CAST(floor(max(cos) * 1000000 + 0.5) AS BIGINT)").as("max_cos_micro"))
-      .withColumn("flagged", col("max_cos_micro") >= tauMicro)
+    // LEFT join back onto the corpus ids (ADVICE r10): with a non-empty
+    // benchmark every vector scores against every bench row and the join
+    // is an identity; with an EMPTY benchmark the inner aggregate is
+    // empty and the old plan dropped every corpus vector — contradicting
+    // "every corpus vector is scored" and diverging from both
+    // [[semanticOverlapLsh]] (candidate-less rows ride with NULL +
+    // flagged=false) and the streaming twin. Same convention here.
+    corpusEmb
+      .select(col("vec_id"))
+      .join(scored, Seq("vec_id"), "left")
+      .withColumn("flagged", coalesce(col("max_cos_micro") >= tauMicro, lit(false)))
   }
 
   /** [[semanticOverlap]] for a benchmark that is NOT small — corpus-vs-

@@ -223,6 +223,20 @@ object Report {
       docs: DataFrame,
       scoreCol: String,
       groupCol: String = "source"
+  ): DataFrame =
+    rankCounts(docs, scoreCol, groupCol)
+      .withColumn("pct_micro", expr("__n_less * 1000000 div greatest(__n - 1, 1)"))
+      .drop("__n_less", "__n_le", "__n")
+
+  /** Shared rank machinery for [[percentileRanks]] and [[keepTopQuality]]:
+    * the input plus `__n_less` (docs in the group scoring strictly below),
+    * `__n_le` (scoring ≤ — so `__n − __n_le` is the strictly-ABOVE count)
+    * and `__n` (group size), all via the distinct-value histogram window.
+    */
+  private def rankCounts(
+      docs: DataFrame,
+      scoreCol: String,
+      groupCol: String
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = docs
@@ -233,14 +247,13 @@ object Report {
       .orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val ranks = hist
-      .withColumn("__n_less", sum(col("__cnt")).over(w) - col("__cnt"))
+      .withColumn("__n_le", sum(col("__cnt")).over(w))
+      .withColumn("__n_less", col("__n_le") - col("__cnt"))
       .drop("__cnt")
     val totals = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     docs
       .join(ranks, Seq(groupCol, scoreCol))
       .join(broadcast(totals), Seq(groupCol))
-      .withColumn("pct_micro", expr("__n_less * 1000000 div greatest(__n - 1, 1)"))
-      .drop("__n_less", "__n")
   }
 
   /** The calibrated quality FILTER [[percentileRanks]] exists for:
@@ -250,9 +263,19 @@ object Report {
     * threshold. Returns the kept rows with `score_micro` and
     * `pct_micro` riding (the audit columns a pipeline report wants).
     * The threshold property is exact: within a source, every kept
-    * document scores ≥ every dropped one (ties at the cut are kept
-    * together — percentile ties share a rank, so the realized keep
-    * fraction can exceed `keepMilli` by at most the tied mass).
+    * document scores ≥ every dropped one, and the realized keep
+    * fraction is ≥ `keepMilli` (ties at the cut add mass, never
+    * subtract it).
+    *
+    * The keep rule ranks FROM ABOVE: a document survives iff its
+    * group's strictly-GREATER count is under the keep budget
+    * (`n_greater·1000 < keepMilli·n`). Ranking from below
+    * (`pct_micro ≥ cut`) looks equivalent but silently WIPES OUT any
+    * source whose documents all share one score (uniform/templated
+    * sources, singletons): every row there has pct_micro = 0 and fails
+    * any cut < 1000. From above, a uniform source has n_greater = 0
+    * everywhere and keeps everything — the documented "no source is
+    * silently wiped out" guarantee made real (ADVICE r09).
     */
   def keepTopQuality(
       docs: DataFrame,
@@ -265,8 +288,10 @@ object Report {
       .withColumn("__q", graft.functions.TextFunctions.qualityScoreFused(col(textCol)))
       .withColumn("score_micro", expr("CAST(floor(__q * 1000000 + 0.5) AS BIGINT)"))
       .drop("__q")
-    percentileRanks(scored, "score_micro", groupCol)
-      .filter(col("pct_micro") >= lit((1000L - keepMilli) * 1000L))
+    rankCounts(scored, "score_micro", groupCol)
+      .filter(expr(s"(__n - __n_le) * 1000 < $keepMilli * __n"))
+      .withColumn("pct_micro", expr("__n_less * 1000000 div greatest(__n - 1, 1)"))
+      .drop("__n_less", "__n_le", "__n")
   }
 
   /** CROSS-SOURCE duplication matrix — which sources copy from which:

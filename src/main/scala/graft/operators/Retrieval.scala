@@ -652,12 +652,18 @@ object Retrieval {
     *     reciprocal-rank summand of MRR
     *   - `ap_micro`    = (Σ_{hit at rank r} hits_upto_r·10^6 div r)
     *     div n_rel — average precision, uninterpolated
+    *   - `ndcg_micro`  = DCG·10^6 div IDCG with binary gains: DCG =
+    *     Σ_{hit at rank r} [[ndcgGainLut]](r), IDCG = the LUT's prefix
+    *     sum at min(n_rel, k); 0 when n_rel = 0
     *
     * All metrics are integer fixed-point (the q34 salience rule): no
     * floating division, so a DuckDB oracle pins every value and means
-    * across engines agree bit-for-bit. nDCG is deliberately absent — its
-    * log2 discounts are irrational, so it cannot join the exact-replay
-    * discipline; AP ranks systems the same way in practice.
+    * across engines agree bit-for-bit. nDCG's log2 discounts are
+    * irrational — they join the discipline through a PRECOMPUTED
+    * micro-unit literal table (the q118 `hllLut` trick): `round(10⁶ /
+    * log2(r+1))` for r = 1..k is computed ONCE here and embedded as the
+    * same k literals in both engines, so every division downstream is
+    * integer-exact.
     *
     * Scale shape: everything is co-keyed on `query_id` — the semi-join
     * marks hits, one window orders ≤ k rows per query (never more: the
@@ -669,6 +675,8 @@ object Retrieval {
   def rankMetrics(run: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
+    val gains = ndcgGainLut(k).mkString("array(", "L, ", "L)")
+    val idcgs = ndcgIdcgLut(k).mkString("array(", "L, ", "L)")
     val r = run
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))
@@ -684,7 +692,8 @@ object Retrieval {
       .agg(
         count(lit(1)).as("hits"),
         min(col("rnk")).as("first_hit"),
-        sum(expr("hits_upto * 1000000 div rnk")).as("ap_num")
+        sum(expr("hits_upto * 1000000 div rnk")).as("ap_num"),
+        sum(expr(s"element_at($gains, cast(rnk AS int))")).as("dcg_num")
       )
     val nret = r.groupBy(col("query_id")).agg(count(lit(1)).as("n_ret"))
     val nrel = t.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
@@ -700,9 +709,30 @@ object Retrieval {
         expr("coalesce(hits, 0L) * 1000 div greatest(coalesce(n_rel, 0L), 1L)").as("rec_milli"),
         expr("CASE WHEN first_hit IS NULL THEN 0L ELSE 1000000 div first_hit END")
           .as("rr_micro"),
-        expr("coalesce(ap_num, 0L) div greatest(coalesce(n_rel, 0L), 1L)").as("ap_micro")
+        expr("coalesce(ap_num, 0L) div greatest(coalesce(n_rel, 0L), 1L)").as("ap_micro"),
+        // IDCG indexes the prefix-sum LUT at min(n_rel, k) — well-defined
+        // in the non-zero branch since n_rel ≥ 1 there
+        expr(
+          s"CASE WHEN coalesce(n_rel, 0L) = 0L OR dcg_num IS NULL THEN 0L" +
+            s" ELSE dcg_num * 1000000 div" +
+            s" element_at($idcgs, cast(least(n_rel, ${k.toLong}L) AS int)) END"
+        ).as("ndcg_micro")
       )
   }
+
+  /** Micro-unit binary-nDCG discount table: `round(10⁶ / log2(r+1))` for
+    * ranks r = 1..k — computed once here, embedded as the SAME literals
+    * in the Spark plan and the DuckDB oracle (the q118 `hllLut`
+    * precomputed-irrational trick), so nDCG replays integer-exactly
+    * across engines.
+    */
+  def ndcgGainLut(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1000000.0 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Prefix sums of [[ndcgGainLut]] — `IDCG·10⁶` for an all-relevant
+    * prefix of each length 1..k.
+    */
+  def ndcgIdcgLut(k: Int): Seq[Long] = ndcgGainLut(k).scanLeft(0L)(_ + _).tail
 
   /** The shared NEAR tail over a `(doc_id, tok, pos)` occurrence frame. */
   private def nearFrom(occ: DataFrame, a: String, b: String, slop: Long): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -524,21 +524,36 @@ object Vocabulary {
         col("n_lr"),
         col("n_l"),
         col("n_r"),
-        // overflow guard BEFORE the multiply: n_total*liftScale first
-        // (bounded against Long.MaxValue div liftScale), then n_lr
-        // against the remaining headroom — both checks integer-exact,
-        // so the guarded product can never wrap
-        expr(
-          s"CASE WHEN n_total <= ${Long.MaxValue / liftScale}L" +
-            s" AND n_lr <= ${Long.MaxValue}L div (n_total * ${liftScale}L)" +
-            s" THEN n_lr * n_total * ${liftScale}L div (n_l * n_r)" +
-            " ELSE raise_error(concat('collocations: lift overflow (n_lr=', n_lr," +
-            s" ', n_total=', n_total, ') at liftScale=$liftScale; lower liftScale')) END"
-        ).as("lift_micro")
+        liftGuarded(liftScale).as("lift_micro")
       )
       .orderBy(col("lift_micro").desc, col("l"), col("r"))
       .limit(k)
   }
+
+  /** The guarded integer lift `n_lr·n_total·liftScale div (n_l·n_r)`
+    * over columns of those names. Overflow guards BEFORE every multiply,
+    * on BOTH sides of the division: numerator n_total·liftScale first
+    * (bounded against Long.MaxValue div liftScale), then n_lr against
+    * the remaining headroom, then the DENOMINATOR n_l·n_r (ADVICE r10 —
+    * at the web scales the liftScale knob targets, two ~10⁹ unigram
+    * counts wrap the unguarded Long product into exactly the negative
+    * garbage-that-still-sorts this guard documents itself as
+    * preventing). All checks integer-exact; n_r ≥ 1 always (it is a
+    * count), so the guard's own div is safe. Exposed package-private:
+    * the denominator branch needs counts ~3·10⁹ no fixture can generate
+    * by real counting, so its spec drives this expression on a literal
+    * frame.
+    */
+  private[graft] def liftGuarded(liftScale: Long): Column =
+    expr(
+      s"CASE WHEN n_total <= ${Long.MaxValue / liftScale}L" +
+        s" AND n_lr <= ${Long.MaxValue}L div (n_total * ${liftScale}L)" +
+        s" AND n_l <= ${Long.MaxValue}L div n_r" +
+        s" THEN n_lr * n_total * ${liftScale}L div (n_l * n_r)" +
+        " ELSE raise_error(concat('collocations: lift overflow (n_lr=', n_lr," +
+        s" ', n_total=', n_total, ', n_l=', n_l, ', n_r=', n_r," +
+        s" ') at liftScale=$liftScale; lower liftScale')) END"
+    )
 
   /** Per-document SUBWORD profile under a trained segmentation table —
     * the serving side of [[bpeMerges]]: `(idCol, n_words, n_subwords)`,

@@ -719,39 +719,104 @@ object StreamingOps {
       .start()
 
   /** The merged view of a [[maintainIndexPartials]] artifact: all
-    * partials re-aggregated through the q115 merge — == rebuilding from
-    * every document ever streamed (spec-pinned). Read cost grows with
-    * the partial count; [[compactIndex]] resets it.
+    * LIVE partials re-aggregated through the q115 merge — == rebuilding
+    * from every document ever streamed (spec-pinned). Read cost grows
+    * with the partial count; [[compactIndex]] resets it. "Live" honors
+    * an in-flight compaction's marker, so the view is complete at EVERY
+    * crash point of [[compactIndex]].
     */
   def currentIndexMerged(spark: SparkSession, indexDir: String): DataFrame = {
+    val frames = livePartFrames(spark, indexDir)
+    require(frames.nonEmpty, s"no index partials under $indexDir")
+    graft.operators.Retrieval.mergeIndexes(frames: _*)
+  }
+
+  /** The live part frames of an LSM dir under the [[compactIndex]]
+    * marker protocol: with no marker, the `part=<n>` dirs; with a
+    * marker naming fold boundary `hi` and the staged
+    * `part=<hi>.compacted` dir still present, that dir is authoritative
+    * for every part ≤ hi (they are mid-delete) plus the parts > hi; a
+    * marker whose staged dir is GONE means the rename already landed —
+    * plain parts again.
+    */
+  private def livePartFrames(spark: SparkSession, indexDir: String): Seq[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = listParts(spark, indexDir)
-    require(parts.nonEmpty, s"no index partials under $indexDir")
-    graft.operators.Retrieval.mergeIndexes(
-      parts.map(p => spark.read.parquet(s"$indexDir/part=$p")).toSeq: _*
-    )
+    readCompactMarker(fs, indexDir) match {
+      case Some(hi) if fs.exists(new org.apache.hadoop.fs.Path(compactedStaging(indexDir, hi))) =>
+        spark.read.parquet(compactedStaging(indexDir, hi)) +:
+          parts.filter(_ > hi).toSeq.map(p => spark.read.parquet(s"$indexDir/part=$p"))
+      case _ =>
+        parts.toSeq.map(p => spark.read.parquet(s"$indexDir/part=$p"))
+    }
+  }
+
+  private def compactedStaging(indexDir: String, hi: Long): String =
+    s"$indexDir/part=$hi.compacted"
+
+  private def compactMarkerPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_compacting")
+
+  private def readCompactMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String
+  ): Option[Long] = {
+    val p = compactMarkerPath(indexDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
   }
 
   /** Fold all partials into one (named for the highest batch folded).
     * Run QUIESCED — with the maintaining stream stopped — like every
     * compaction; the merge is the spec-pinned q115 re-aggregation, so
     * [[currentIndexMerged]] is identical before and after.
+    *
+    * Crash-safe at every point (ADVICE r10 — the old form deleted every
+    * part BEFORE renaming the staged fold into place, so a crash in the
+    * window stranded the only copy in a hidden dir):
+    *  1. stage the fold as `part=<hi>.compacted` (invisible to
+    *     [[listParts]] — a crash here leaves the old parts untouched);
+    *  2. COMMIT by writing the `_compacting` marker naming `hi` —
+    *     readers now treat the staged dir as authoritative for parts
+    *     ≤ hi ([[livePartFrames]]), so the deletes that follow never
+    *     make data unreachable;
+    *  3. delete the superseded parts, atomically rename the staged dir
+    *     to `part=<hi>`, drop the marker.
+    * A crashed compaction RESUMES: re-invoking with the marker present
+    * skips the merge and finishes steps 3 (all idempotent).
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    val parts = listParts(spark, indexDir)
-    require(parts.nonEmpty, s"no index partials under $indexDir")
-    val merged = currentIndexMerged(spark, indexDir)
-    val tmp = s"$indexDir/.compacting"
-    merged.write.mode("overwrite").parquet(tmp)
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    parts.foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/part=$p"), true)
-      ()
+    val hi = readCompactMarker(fs, indexDir) match {
+      case Some(prev) => prev // resume a crashed run — its fold is committed
+      case None =>
+        val parts = listParts(spark, indexDir)
+        require(parts.nonEmpty, s"no index partials under $indexDir")
+        val boundary = parts.max
+        currentIndexMerged(spark, indexDir)
+          .write.mode("overwrite").parquet(compactedStaging(indexDir, boundary))
+        val out = fs.create(compactMarkerPath(indexDir), true)
+        try out.write(boundary.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        boundary
     }
-    fs.rename(
-      new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$indexDir/part=${parts.max}")
-    )
+    val staged = new org.apache.hadoop.fs.Path(compactedStaging(indexDir, hi))
+    if (fs.exists(staged)) {
+      // superseded parts (≤ hi) are all contained in the staged fold
+      listParts(spark, indexDir).filter(_ <= hi).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/part=$p"), true)
+        ()
+      }
+      fs.rename(staged, new org.apache.hadoop.fs.Path(s"$indexDir/part=$hi"))
+    }
+    // staged gone ⇒ the rename landed on a previous attempt; just uncommit
+    fs.delete(compactMarkerPath(indexDir), false)
     ()
   }
 
@@ -883,8 +948,27 @@ object StreamingOps {
       .listStatus(root)
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
-    require(gens.nonEmpty, s"no IVF generations under $dir (has a refit batch run?)")
-    val g = gens.max
+    // a generation is CURRENT only once its centroids are durable
+    // (ADVICE r10): [[maintainIvf]] writes index THEN centroids, so a
+    // reader arriving between the two writes — or after a crash
+    // mid-refit, before the streaming retry — must resolve the previous
+    // complete generation, not a gen= dir whose centroids parquet does
+    // not exist yet. The committer's _SUCCESS on the LAST-written
+    // artifact is the commit marker (it also rules out a half-written
+    // centroids dir from a crashed attempt); fall back to bare
+    // directory existence if the committer was configured markerless.
+    def complete(g: Long): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/gen=$g/centroids/_SUCCESS")) ||
+        (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/gen=$g/centroids")) &&
+          gens.forall(h =>
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/gen=$h/centroids/_SUCCESS"))
+          ))
+    val eligible = gens.filter(complete)
+    require(
+      eligible.nonEmpty,
+      s"no COMPLETE IVF generation under $dir (has a refit batch finished?)"
+    )
+    val g = eligible.max
     val tailParts = listParts(spark, s"$dir/vectors").filter(_ > g)
     IvfView(
       spark.read.parquet(s"$dir/gen=$g/centroids"),
@@ -996,7 +1080,13 @@ object StreamingOps {
     else
       fs.listStatus(root)
         .map(_.getPath.getName)
-        .collect { case s if s.startsWith("part=") => s.stripPrefix("part=").toLong }
+        // parse ONLY pure-numeric part ids: a crash-stranded
+        // `part=<n>.compacted` staging dir (see [[compactIndex]]) must
+        // never be listed as live — and must not crash the listing
+        .collect {
+          case s if s.startsWith("part=") && s.stripPrefix("part=").forall(_.isDigit) =>
+            s.stripPrefix("part=").toLong
+        }
   }
 
   /** Read the current generation of a [[maintainRetrieval]] norms

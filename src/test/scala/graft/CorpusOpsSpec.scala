@@ -254,6 +254,22 @@ class CorpusOpsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(boom).exists(_.contains("lift overflow")), s"got: ${messages(boom)}")
     intercept[IllegalArgumentException](Vocabulary.collocations(docs, 1, 5, "text", 0L))
+    // DENOMINATOR overflow (ADVICE r10): two ~3·10⁹ unigram counts wrap
+    // n_l*n_r past Long.MaxValue — the guard must raise on that branch
+    // too, not emit negative garbage that still sorts. No fixture can
+    // generate such counts by real counting, so drive the guarded
+    // expression on a literal frame (the same expression collocations
+    // plans).
+    val big = 4000000000L // 4e9; big*big = 1.6e19 > Long.MaxValue
+    val wide = Seq((10L, big, big, 100L)).toDF("n_lr", "n_l", "n_r", "n_total")
+    val boomDen = intercept[Exception](
+      wide.select(Vocabulary.liftGuarded(1000000L).as("lift_micro")).collect()
+    )
+    assert(messages(boomDen).exists(_.contains("lift overflow")), s"got: ${messages(boomDen)}")
+    // and a wide-but-safe denominator still computes exactly
+    val safe = Seq((10L, 3000000L, 3000000L, 100L)).toDF("n_lr", "n_l", "n_r", "n_total")
+    val got = safe.select(Vocabulary.liftGuarded(1000000L).as("lift_micro")).head().getLong(0)
+    assert(got === 10L * 100L * 1000000L / (3000000L * 3000000L))
   }
 
   test("wordpieceMerges: likelihood argmax prefers the exclusive rare pair BPE ignores") {
@@ -1270,6 +1286,15 @@ class CorpusOpsSpec extends SparkSpec {
     val y = Decontaminate.semanticOverlap(c.repartition(13), b, 800000L).collect().toSet
     assert(x === y)
     intercept[IllegalArgumentException](Decontaminate.semanticOverlap(corp, bench, 2000000L))
+    // EMPTY benchmark (ADVICE r10): every corpus vector must still ride
+    // the output — candidate-less rows carry NULL max_cos_micro and
+    // flagged=false, the semanticOverlapLsh / streaming-twin convention
+    // (the old inner-join plan silently dropped all of them)
+    val none = Decontaminate
+      .semanticOverlap(corp, bench.filter(lit(false)), 800000L)
+      .collect()
+    assert(none.length === 3, "empty benchmark must keep every corpus vector")
+    assert(none.forall(r => r.isNullAt(1) && !r.getBoolean(2)))
   }
 
   test("semanticOverlapLsh: flags subset of exact, recall measured, all vectors present") {

@@ -196,14 +196,41 @@ class ReportSpec extends SparkSpec {
       if (k.nonEmpty && d.nonEmpty)
         assert(k.map(_._3).min >= d.map(_._3).max, s"source $src violates the cut")
     }
-    // calibration: every source keeps at least its 30% (ties can only
+    // calibration: every source keeps at least its 30% EXACTLY (the
+    // from-above rule keeps the whole top-⌈0.3n⌉ prefix; ties can only
     // ADD mass), and no source is wiped out
     val bySrc = all.groupBy(_._2).map { case (s, r) => s -> r.length }
     kept.groupBy(_._2).foreach { case (src, rows) =>
-      assert(rows.length * 1000 >= bySrc(src) * 300 - 1000, s"source $src under-kept")
+      assert(rows.length * 1000 >= bySrc(src) * 300, s"source $src under-kept")
     }
     assert(kept.map(_._2).toSet === all.map(_._2).toSet, "a source was wiped out")
     intercept[IllegalArgumentException](Report.keepTopQuality(docs, 0L))
+  }
+
+  test("keepTopQuality: uniform-score and singleton sources survive in full (ADVICE r10)") {
+    import spark.implicits._
+    // source U: every doc is the SAME text (one score value — the
+    // templated-source shape the from-below pct rule wiped out: every
+    // row had pct_micro = 0 < any cut). Source S: a singleton (n = 1,
+    // pct_micro = 0 by the greatest(n-1,1) convention). Source M: a
+    // graded spread so the cut still bites somewhere.
+    val docs = (
+      (1L to 10L).map(i => (i, "U", "identical template text that repeats verbatim")) ++
+        Seq((11L, "S", "the only document of its source")) ++
+        (12L to 21L).map(i =>
+          (i, "M", ("quality words and " * (i - 11).toInt) + "tail with, punctuation!!"))
+    ).toDF("doc_id", "source", "text")
+    val kept = Report.keepTopQuality(docs, 300L)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bysrc = kept.groupBy(_._2).map { case (s, r) => s -> r.length }
+    assert(bysrc.getOrElse("U", 0) === 10, "uniform source must keep everything")
+    assert(bysrc.getOrElse("S", 0) === 1, "singleton source must keep its doc")
+    val m = bysrc.getOrElse("M", 0)
+    assert(m >= 3 && m < 10, s"graded source must be pruned but calibrated, kept $m")
+    // ties at the top keep together: every kept M doc scores >= every dropped one
+    val scoredM = Report.keepTopQuality(docs.filter(col("source") === "M"), 300L)
+      .select("score_micro").as[Long].collect()
+    assert(scoredM.length === m)
   }
 
   test("sourceOverlap: hand-checked matrix, within-source dups collapse, prefix knob") {

@@ -454,6 +454,8 @@ class RetrievalSpec extends SparkSpec {
     //   prec@5 = 2*1000 div 5 = 400; rec = 2*1000 div 4 = 500
     //   rr = 1e6 div 1 = 1000000
     //   ap = (1*1e6 div 1 + 2*1e6 div 3) div 4 = (1000000 + 666666) div 4 = 416666
+    //   ndcg: dcg = lut(1)+lut(3) = 1000000+500000; idcg = prefix(4) =
+    //   2561607; 1500000*1e6 div 2561607 = 585569
     // q2: zero hits; q3: only in truth (excluded — run defines the set)
     val run = Seq(
       (1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L), (1L, 98L, 4L), (1L, 97L, 5L),
@@ -466,28 +468,33 @@ class RetrievalSpec extends SparkSpec {
     ).toDF("query_id", "neighbor_id")
     val got = Retrieval
       .rankMetrics(run, truth, 5)
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect()
       .sortBy(_._1)
       .toSeq
     assert(got === Seq(
-      (1L, 5L, 4L, 2L, 400L, 500L, 1000000L, 416666L),
-      (2L, 2L, 1L, 0L, 0L, 0L, 0L, 0L)
+      (1L, 5L, 4L, 2L, 400L, 500L, 1000000L, 416666L, 585569L),
+      (2L, 2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)
     ))
+    // the LUT itself: round(1e6/log2(r+1)), exactly these literals
+    assert(Retrieval.ndcgGainLut(5) === Seq(1000000L, 630930L, 500000L, 430677L, 386853L))
+    assert(Retrieval.ndcgIdcgLut(4).last === 2561607L)
     // perfect-run law: any run scored against itself at its own k is
-    // perfect — prec == rec == 1000, rr == ap == 1e6
+    // perfect — prec == rec == 1000, rr == ap == ndcg == 1e6 (dcg ==
+    // idcg cancels the LUT entirely)
     val self = Retrieval
       .rankMetrics(run.filter(col("query_id") === 1L), run.filter(col("query_id") === 1L), 5)
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .head()
-    assert(self === ((1L, 5L, 5L, 5L, 1000L, 1000L, 1000000L, 1000000L)))
+    assert(self === ((1L, 5L, 5L, 5L, 1000L, 1000L, 1000000L, 1000000L, 1000000L)))
     // k cuts the run before anything is counted: at k=1 only rank 1 plays
+    // (ndcg: dcg = lut(1), idcg = prefix(least(4,1)) = lut(1) -> 1e6)
     val cut = Retrieval
       .rankMetrics(run, truth, 1)
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect()
       .sortBy(_._1)
-    assert(cut.head === ((1L, 1L, 4L, 1L, 1000L, 250L, 1000000L, 250000L)))
+    assert(cut.head === ((1L, 1L, 4L, 1L, 1000L, 250L, 1000000L, 250000L, 1000000L)))
     intercept[IllegalArgumentException](Retrieval.rankMetrics(run, truth, 0))
   }
 }

@@ -890,4 +890,87 @@ class StreamingSpec extends SparkSpec {
         === flat(Retrieval.invertedIndex(docs.toDF("doc_id", "text")))
     )
   }
+
+  test("compactIndex crash points: every interruption leaves a complete readable index (ADVICE r10)") {
+    import graft.operators.Retrieval
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-crash").toString
+    val idxDir = s"$dir/index"
+    val docs = spark.read
+      .parquet(s"$Sf001/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("tok", "df", "doc_ids", "tfs")
+        .as[(String, Long, Seq[Long], Seq[Long])]
+        .collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4)))
+        .toMap
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    Retrieval.invertedIndex(b1.toDF("doc_id", "text")).write.parquet(s"$idxDir/part=0")
+    Retrieval.invertedIndex(b2.toDF("doc_id", "text")).write.parquet(s"$idxDir/part=1")
+    val want = flat(Retrieval.invertedIndex(docs.toDF("doc_id", "text")))
+    // crash state A — staged fold written, marker NOT yet committed:
+    // readers must see the plain parts (the staged dir is invisible)
+    StreamingOps.currentIndexMerged(spark, idxDir)
+      .write.parquet(s"$idxDir/part=1.compacted")
+    assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
+    // crash state B — marker committed, superseded parts mid-delete:
+    // the staged dir is authoritative, the view still complete
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$idxDir/_compacting"), "1")
+    assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$idxDir/part=0"))
+    assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
+    // resume from B: finishes deletes + rename + uncommit, nothing lost
+    StreamingOps.compactIndex(spark, idxDir)
+    val names = new java.io.File(idxDir).list().toSet
+    assert(names.contains("part=1") && !names.contains("_compacting"), s"got $names")
+    assert(!names.exists(_.endsWith(".compacted")), s"staged dir must be renamed away: $names")
+    assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
+    // crash state C — rename landed but the marker survived: the view is
+    // the plain parts, and a resume only uncommits
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$idxDir/_compacting"), "1")
+    assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
+    StreamingOps.compactIndex(spark, idxDir)
+    assert(!new java.io.File(s"$idxDir/_compacting").exists())
+    assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
+  }
+
+  test("currentIvf skips a generation whose centroids are not durable yet (ADVICE r10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-gen").toString
+    val vecs = spark.read
+      .parquet(s"$Sf001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.maintainIvf(
+      stream.toDF().toDF("vec_id", "embedding"),
+      s"$dir/ivf",
+      s"$dir/ckpt",
+      refitEvery = 1,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    stream.addData(vecs); q.processAllAvailable()
+    q.stop()
+    val complete = StreamingOps.currentIvf(spark, s"$dir/ivf")
+    val completeIdx = complete.index.count()
+    // simulate the mid-refit window: a NEWER gen= dir exists with its
+    // index written but its centroids not durable yet — the reader must
+    // resolve the previous complete generation, not die on the torn one
+    complete.index.write.parquet(s"$dir/ivf/gen=99/index")
+    val view = StreamingOps.currentIvf(spark, s"$dir/ivf")
+    assert(view.index.count() === completeIdx)
+    assert(view.centroids.count() > 0)
+    // a centroids dir WITHOUT the committer's _SUCCESS is still torn
+    complete.centroids.write.parquet(s"$dir/ivf/gen=99/centroids")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ivf/gen=99/centroids/_SUCCESS")
+    )
+    val view2 = StreamingOps.currentIvf(spark, s"$dir/ivf")
+    assert(view2.index.count() === completeIdx)
+  }
 }
