@@ -55,6 +55,14 @@ object OracleFragments {
   def positionalShingleHashes(col: String, k: Int): String =
     s"list_transform(${positionalShingles(col, k)}, s -> ${polyHash("s")})"
 
+  /** Mirror of LangId.charGramsExpr: positional character-n-gram
+    * polyHashes, windows 1..len−n+1 with the whole-text clamp for
+    * shorter texts. `substring` is codepoint-based in both engines.
+    */
+  def charGramHashes(col: String, n: Int): String =
+    s"list_transform(range(1, greatest(length($col) - ${n - 1}, 1) + 1), " +
+      s"i -> ${polyHash(s"substring($col, i, $n)")})"
+
   /** Mirror of the winnowing window-minimum step over a precomputed
     * positional-hash list column `hs`: distinct sliding-window minima,
     * short documents yielding the minimum of what they have (DuckDB's

@@ -473,6 +473,24 @@ object SparkEntry {
         )
         .orderBy(col("vec_id"))
     }),
+    // language identification: per-language char-trigram rarity profiles
+    // trained on the labeled even-id slice, odd-id docs assigned argmin
+    // mean rarity — alphabet-bounded broadcast models, min(struct) argmin
+    "q148_lang_id" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.LangId.train(docs.filter(col("doc_id") % 2 === 0))
+      graft.operators.LangId
+        .assign(docs.filter(col("doc_id") % 2 === 1), model)
+        .orderBy(col("doc_id"))
+    }),
+    // the composition langid exists for: the corpus card over a DERIVED
+    // lang column — predictions replace the assumed label, the card's
+    // single-scan rollup rides unchanged
+    "q149_lang_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.LangId.train(docs.filter(col("doc_id") % 2 === 0))
+      graft.operators.LangId.corpusCardDerived(docs, model).orderBy(col("source"))
+    }),
     // Bloom-filter decontamination: the benchmark's gram set folded into
     // a FIXED bits/32-word array (footprint independent of benchmark
     // size — the 100-TB broadcast shape), corpus grams probe 3 affine
@@ -2167,6 +2185,53 @@ object SparkEntry {
        )"""
   }
 
+  /** The language-ID replay chain (q148/q149): per-language conditional
+    * char-trigram counts trained on the even-id slice, candidates
+    * (filtered by `candWhere`) scored by integer rarity per language and
+    * assigned by (rarity_avg, lang) argmin. Ends at
+    * `pick (doc_id, lang_pred, rarity_avg)`.
+    */
+  private def langIdCtes(candWhere: String): String = {
+    val cg1 = charGramHashes("text", 1)
+    val cg2 = charGramHashes("text", 2)
+    val cg3 = charGramHashes("text", 3)
+    s"""WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 0),
+       tb AS (SELECT lang, $cg2 AS g2, $cg3 AS g3 FROM tr),
+       tp AS (SELECT lang, g2[i] AS p, g3[i] AS g
+              FROM tb, unnest(range(1, len(g3) + 1)) AS u(i)),
+       grams AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c FROM tp GROUP BY 1, 2),
+       prefixes AS (SELECT lang, p, CAST(COUNT(*) AS BIGINT) AS cp FROM tp GROUP BY 1, 2),
+       vocab AS (
+         SELECT lang, CAST(COUNT(DISTINCT u1) AS BIGINT) AS v
+         FROM (SELECT lang, unnest($cg1) AS u1 FROM tr) q0 GROUP BY 1
+       ),
+       cand AS (SELECT doc_id, text FROM documents WHERE $candWhere),
+       cb AS (SELECT doc_id, $cg2 AS g2, $cg3 AS g3 FROM cand),
+       cpair AS (SELECT doc_id, g2[i] AS p, g3[i] AS g
+                 FROM cb, unnest(range(1, len(g3) + 1)) AS u(i)),
+       sc AS (
+         SELECT doc_id, v.lang,
+           ((COALESCE(pf.cp, 0) + v.v) * 1000000)
+             // (COALESCE(gm.c, 0) + 1) AS rarity
+         FROM cpair
+         CROSS JOIN vocab v
+         LEFT JOIN grams gm ON gm.lang = v.lang AND gm.g = cpair.g
+         LEFT JOIN prefixes pf ON pf.lang = v.lang AND pf.p = cpair.p
+       ),
+       per AS (
+         SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS rarity_avg
+         FROM sc GROUP BY 1, 2
+       ),
+       pick AS (
+         SELECT doc_id, lang AS lang_pred, rarity_avg FROM (
+           SELECT doc_id, lang, rarity_avg,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rarity_avg, lang) AS rn
+           FROM per) t0
+         WHERE rn = 1
+       )"""
+  }
+
   /** The multi-probe LSH replay — the oracle for BOTH q31 (buckets
     * in-plan) and q129 (served from the persisted bucket artifact,
     * which must be bit-identical: the signature is row-local).
@@ -3784,6 +3849,42 @@ object SparkEntry {
          LEFT JOIN agg USING (vec_id)
          ORDER BY c0.vec_id"""
     },
+    // language-ID replay: per-language conditional char-trigram counts
+    // off the even-id slice, odd-id docs scored by integer rarity under
+    // every language, (rarity_avg, lang) argmin picks the prediction
+    "q148_lang_id" ->
+      s"""${langIdCtes("doc_id % 2 = 1")}
+         SELECT doc_id, lang_pred, rarity_avg FROM pick ORDER BY doc_id""",
+    // the derived-lang corpus card: the q112 rollup with the assumed
+    // label replaced by the langid prediction over ALL documents
+    "q149_lang_card" ->
+      s"""${langIdCtes("1 = 1")},
+         joined AS (
+           SELECT d.source, p.lang_pred AS lang, d.text
+           FROM documents d JOIN pick p USING (doc_id)
+         ), pl AS (
+           SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(${tokens("text")})) AS BIGINT) AS n_tokens,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT ${polyHash("text")}) AS BIGINT) AS n_distinct
+           FROM joined GROUP BY 1, 2
+         ), agg AS (
+           SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(n_distinct) AS BIGINT) AS nd
+           FROM pl GROUP BY 1
+         ), top AS (
+           SELECT source, lang AS top_lang FROM (
+             SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_docs DESC, lang) AS r
+             FROM pl) t WHERE r = 1
+         )
+         SELECT agg.source, n_docs, n_tokens, n_chars, n_langs, top_lang,
+           n_tokens * 1000 // n_docs AS mean_tok_milli,
+           (n_docs - nd) * 1000 // n_docs AS dup_permille
+         FROM agg JOIN top USING (source) ORDER BY source""",
     // every Bloom bit replayed: benchmark probes OR into 32-bit words of
     // BIGINTs, corpus probes read them back; LEFT JOIN miss = bit unset
     "q135_bloom_decon" -> {

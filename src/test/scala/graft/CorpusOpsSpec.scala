@@ -1458,4 +1458,93 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fromStream.count() <= 3L * 128L)
     intercept[IllegalArgumentException](Sketch.cmsSketch(tokenStream, "tok", 0, 10))
   }
+
+  // three crafted "languages" with genuinely different character
+  // statistics (the fixture's lang labels all share one synthetic
+  // vocabulary, so REAL discrimination is proven here): English-like,
+  // German-like (umlauts, sch/ch clusters), Spanish-like (accents, ñ)
+  private def langTrain = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog while the rain falls on the green hills"),
+    (2L, "en", "she sells sea shells by the shore and the wind whispers through the old oak trees"),
+    (3L, "en", "a journey of a thousand miles begins with a single step along the winding path"),
+    (4L, "de", "der schnelle braune fuchs springt über den faulen hund während der regen fällt"),
+    (5L, "de", "sie verkauft muscheln am ufer und der wind flüstert durch die alten eichen im schönen wald"),
+    (6L, "de", "eine reise von tausend meilen beginnt mit einem einzigen schritt über die brücke"),
+    (7L, "es", "el rápido zorro marrón salta sobre el perro perezoso mientras cae la lluvia en las colinas"),
+    (8L, "es", "ella vende conchas junto a la orilla y el viento susurra entre los árboles viejos del bosque"),
+    (9L, "es", "un viaje de mil millas comienza con un solo paso por el camino que serpentea la montaña")
+  ).toDF("doc_id", "lang", "text")
+
+  private def langHeldOut = Seq(
+    (101L, "en", "the old dog sleeps by the fire while the children play in the garden behind the house"),
+    (102L, "de", "der alte hund schläft am feuer während die kinder im garten hinter dem schönen haus spielen"),
+    (103L, "es", "el perro viejo duerme junto al fuego mientras los niños juegan en el jardín de la casa")
+  ).toDF("doc_id", "lang", "text")
+
+  test("langId: held-out documents of crafted languages assign correctly; determinism") {
+    import graft.operators.LangId
+    val model = LangId.train(langTrain)
+    val got = LangId
+      .assign(langHeldOut, model)
+      .select("doc_id", "lang_pred")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(got === Map(101L -> "en", 102L -> "de", 103L -> "es"))
+    // the training slice itself recovers its own labels (in-distribution)
+    val self = LangId
+      .assign(langTrain.select(col("doc_id"), col("text")), model)
+      .select("doc_id", "lang_pred")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    val want = langTrain.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(self === want)
+    // scoreByLang exposes the full margin frame: every (doc, lang) pair
+    val byLang = LangId.scoreByLang(langHeldOut, model)
+    assert(byLang.count() === 3L * 3L)
+    // determinism under repartitioning
+    val a = LangId.assign(langHeldOut, model).collect().toSet
+    val b = LangId.assign(langHeldOut.repartition(7), model).collect().toSet
+    assert(a === b)
+    // broadcastModel=false plans shuffled joins but computes identically
+    val c = LangId.assign(langHeldOut, model, broadcastModel = false).collect().toSet
+    assert(c === a)
+  }
+
+  test("langId: deterministic tie-break, model bounds, derived-card composition, plan gate") {
+    import graft.operators.{LangId, Report}
+    // a candidate with grams unseen by EVERY language scores each lang at
+    // its smoothing floor — the argmin then ties and must break to the
+    // lexically smallest lang; craft symmetric two-lang training so both
+    // langs have equal v and equal (empty) overlap with the candidate
+    val sym = Seq(
+      (1L, "bb", "abab"),
+      (2L, "aa", "baba")
+    ).toDF("doc_id", "lang", "text")
+    val symModel = LangId.train(sym)
+    val tied = LangId
+      .assign(Seq((9L, "zzzz")).toDF("doc_id", "text"), symModel)
+      .select("lang_pred")
+      .as[String]
+      .head()
+    assert(tied === "aa", "full tie must break to the lexically smaller lang")
+    // model frames are alphabet-bounded: distinct trigram/bigram/char counts
+    val model = LangId.train(langTrain)
+    val nTri = model.grams.count()
+    val nDocsChars = langTrain.agg(sum(length(col("text")))).head().getLong(0)
+    assert(nTri <= nDocsChars, "gram model bounded by training char mass (distinct windows)")
+    assert(model.vocab.count() === 3L)
+    // composition: corpusCardDerived == corpusCard over manually-joined preds
+    val docs = langHeldOut.withColumn("source", lit("crafted")).drop("lang")
+    val pred = LangId.assign(docs, model).select(col("doc_id"), col("lang_pred").as("lang"))
+    val direct = Report.corpusCard(docs.join(pred, Seq("doc_id"))).collect().toSet
+    val composed = LangId.corpusCardDerived(docs, model).collect().toSet
+    assert(composed === direct)
+    // plan gate: with broadcastModel=true the candidate side never
+    // sort-merge-joins — model lookups broadcast
+    val plan = LangId.assign(langHeldOut, model).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model lookups must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for lookups:\n$plan")
+  }
 }
