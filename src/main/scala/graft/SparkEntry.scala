@@ -491,6 +491,33 @@ object SparkEntry {
       val model = graft.operators.LangId.train(docs.filter(col("doc_id") % 2 === 0))
       graft.operators.LangId.corpusCardDerived(docs, model).orderBy(col("source"))
     }),
+    // learned quality classifier: NB count-ratio weights over hashed
+    // unigram features trained on labeled mod-3 slices (pos=0, neg=1),
+    // the held-out remainder scored by mean bucket weight — the model is
+    // exactly numBuckets rows, complete and broadcast
+    "q150_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Classifier.train(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1)
+      )
+      graft.operators.Classifier
+        .score(docs.filter(col("doc_id") % 3 === 2), model)
+        .orderBy(col("doc_id"))
+    }),
+    // the calibrated filter the classifier feeds: keep the top 30% of
+    // every source by LEARNED score through the q145 from-above rule
+    "q151_keep_top_learned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Classifier.train(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1)
+      )
+      graft.operators.Classifier
+        .keepTopLearned(docs, model, 300L)
+        .select(col("doc_id"), col("source"), col("q_micro"), col("pct_micro"))
+        .orderBy(col("doc_id"))
+    }),
     // Bloom-filter decontamination: the benchmark's gram set folded into
     // a FIXED bits/32-word array (footprint independent of benchmark
     // size — the 100-TB broadcast shape), corpus grams probe 3 affine
@@ -2185,6 +2212,34 @@ object SparkEntry {
        )"""
   }
 
+  /** The classifier replay chain (q150/q151): labeled feature buckets,
+    * class totals, and the COMPLETE numBuckets-row normalized-ratio
+    * weight table. HUGEINT products mirror the engine's decimal(38,0).
+    */
+  private lazy val classifierCtes: String = {
+    val b = graft.operators.Importance.DefaultBuckets
+    s"""WITH fb AS (
+         SELECT doc_id, doc_id % 3 AS cls,
+           unnest(${positionalShingleHashes("text", 1)}) % $b AS b
+         FROM documents
+       ),
+       pcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS pc FROM fb WHERE cls = 0 GROUP BY 1),
+       ncnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nc FROM fb WHERE cls = 1 GROUP BY 1),
+       tot AS (
+         SELECT CAST((SELECT COALESCE(SUM(pc), 0) FROM pcnt) AS BIGINT) AS np,
+           CAST((SELECT COALESCE(SUM(nc), 0) FROM ncnt) AS BIGINT) AS nn
+       ),
+       w AS (
+         SELECT r.b,
+           CAST((CAST(COALESCE(pc, 0) + 1 AS HUGEINT) * (nn + $b) * 1000000)
+             // (CAST(COALESCE(nc, 0) + 1 AS HUGEINT) * (np + $b)) AS BIGINT) AS w
+         FROM range(0, $b) AS r(b)
+         LEFT JOIN pcnt ON pcnt.b = r.b
+         LEFT JOIN ncnt ON ncnt.b = r.b
+         CROSS JOIN tot
+       )"""
+  }
+
   /** The language-ID replay chain (q148/q149): per-language conditional
     * char-trigram counts trained on the even-id slice, candidates
     * (filtered by `candWhere`) scored by integer rarity per language and
@@ -3849,6 +3904,47 @@ object SparkEntry {
          LEFT JOIN agg USING (vec_id)
          ORDER BY c0.vec_id"""
     },
+    // classifier replay: per-bucket class counts off the labeled mod-3
+    // slices, complete numBuckets-row weight table (HUGEINT products
+    // mirror the decimal(38,0) side), held-out docs scored by mean w
+    "q150_quality_classifier" ->
+      s"""$classifierCtes,
+         sc AS (SELECT doc_id, w.w AS w FROM fb JOIN w USING (b) WHERE cls = 2)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(w) // COUNT(*) AS BIGINT) AS q_micro
+         FROM sc GROUP BY 1 ORDER BY doc_id""",
+    // the learned calibrated keep: the q145 from-above rule over the
+    // classifier score instead of the formula score
+    "q151_keep_top_learned" ->
+      s"""$classifierCtes,
+         sc AS (SELECT doc_id, w.w AS w FROM fb JOIN w USING (b)),
+         per AS (
+           SELECT doc_id, CAST(SUM(w) // COUNT(*) AS BIGINT) AS q_micro
+           FROM sc GROUP BY 1
+         ),
+         scored AS (
+           SELECT d.doc_id, d.source, p.q_micro
+           FROM documents d JOIN per p USING (doc_id)
+         ),
+         hist AS (
+           SELECT source, q_micro, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM scored GROUP BY 1, 2
+         ),
+         ranks AS (
+           SELECT source, q_micro,
+             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY q_micro) - cnt AS BIGINT)
+               AS n_less,
+             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY q_micro) AS BIGINT) AS n_le
+           FROM hist
+         ),
+         totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY 1)
+         SELECT s.doc_id, s.source, s.q_micro,
+           CAST(n_less * 1000000 // greatest(n - 1, 1) AS BIGINT) AS pct_micro
+         FROM scored s
+         JOIN ranks r ON r.source = s.source AND r.q_micro = s.q_micro
+         JOIN totals t ON t.source = s.source
+         WHERE (n - n_le) * 1000 < 300 * n
+         ORDER BY s.doc_id""",
     // language-ID replay: per-language conditional char-trigram counts
     // off the even-id slice, odd-id docs scored by integer rarity under
     // every language, (rarity_avg, lang) argmin picks the prediction

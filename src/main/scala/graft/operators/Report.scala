@@ -283,12 +283,28 @@ object Report {
       textCol: String = "text",
       groupCol: String = "source"
   ): DataFrame = {
-    require(keepMilli >= 1 && keepMilli <= 1000, s"need keepMilli in [1,1000], got $keepMilli")
     val scored = docs
       .withColumn("__q", graft.functions.TextFunctions.qualityScoreFused(col(textCol)))
       .withColumn("score_micro", expr("CAST(floor(__q * 1000000 + 0.5) AS BIGINT)"))
       .drop("__q")
-    rankCounts(scored, "score_micro", groupCol)
+    keepTopBy(scored, "score_micro", keepMilli, groupCol)
+  }
+
+  /** The generic calibrated keep: top `keepMilli`/1000 of every group by
+    * an ALREADY-COMPUTED integer score column — [[keepTopQuality]] is
+    * this over the fused formula score; any learned or derived score
+    * ([[graft.operators.Classifier]]'s, LM rarity negated, DSIR
+    * importance) composes through the same from-above rule and inherits
+    * the no-source-wiped-out guarantee.
+    */
+  def keepTopBy(
+      scored: DataFrame,
+      scoreCol: String,
+      keepMilli: Long,
+      groupCol: String = "source"
+  ): DataFrame = {
+    require(keepMilli >= 1 && keepMilli <= 1000, s"need keepMilli in [1,1000], got $keepMilli")
+    rankCounts(scored, scoreCol, groupCol)
       .filter(expr(s"(__n - __n_le) * 1000 < $keepMilli * __n"))
       .withColumn("pct_micro", expr("__n_less * 1000000 div greatest(__n - 1, 1)"))
       .drop("__n_less", "__n_le", "__n")
