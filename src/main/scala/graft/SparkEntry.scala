@@ -505,6 +505,24 @@ object SparkEntry {
         .score(docs.filter(col("doc_id") % 3 === 2), model)
         .orderBy(col("doc_id"))
     }),
+    // unigram-LM (SentencePiece-style) tokenizer trainer: seed-substring
+    // inventory -> Viterbi segmentation under double-product scores in
+    // fixed fold order -> count re-estimation + prune -> final piece
+    // table; the third trainer next to BPE (q100) and WordPiece (q111)
+    "q152_unigram_pieces" -> ((s, dir) => {
+      graft.operators.Vocabulary
+        .unigramPieces(t(s, dir, "documents"), seedSize = 48, targetSize = 24, maxPieceLen = 4, wordLenCap = 12)
+        .orderBy(col("piece"))
+    }),
+    // the unigram serving profile: per-doc word/subword counts through
+    // the SAME broadcast-lookup layer as BPE serving (q101) — the
+    // segmentation table is the artifact, encoding never re-runs Viterbi
+    "q153_unigram_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val segs = graft.operators.Vocabulary
+        .unigramSegmentations(docs, seedSize = 48, targetSize = 24, maxPieceLen = 4, wordLenCap = 12)
+      graft.operators.Vocabulary.bpeProfile(docs, segs).orderBy(col("doc_id"))
+    }),
     // the calibrated filter the classifier feeds: keep the top 30% of
     // every source by LEARNED score through the q145 from-above rule
     "q151_keep_top_learned" -> ((s, dir) => {
@@ -2212,6 +2230,86 @@ object SparkEntry {
        )"""
   }
 
+  /** The unigram-LM tokenizer replay (q152/q153): seed-substring
+    * inventory, one Viterbi pass per model (positions UNROLLED to
+    * `cap` MATERIALIZED CTEs — each position references its predecessor
+    * twice, so plain CTEs would inline 2^cap scans: the q138/q111
+    * lesson), count re-estimation + prune, and the final segmentation.
+    * The DP score is the double product `best[j−L] · num/N` in the SAME
+    * operation order as the Spark trainer (divide, then multiply), ties
+    * to the longer piece — the argmax at every (word, position) is
+    * unique, so `ROW_NUMBER` here and `max(struct)` there pick the same
+    * row.
+    */
+  private def unigramChain(seedSize: Int, targetSize: Int, maxPieceLen: Int, cap: Int): String = {
+    val sep = "chr(31)"
+    def dp(tag: String, piecesCte: String, nCte: String): String = {
+      def pos(t: Int): String = {
+        val lMax = math.min(maxPieceLen, t)
+        s""", $tag$t AS MATERIALIZED (
+             SELECT * FROM $tag${t - 1}
+             UNION ALL
+             SELECT w, $t AS j, score, seg FROM (
+               SELECT c.w,
+                 prev.score * (CAST(p.num AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS score,
+                 prev.seg || $sep || c.piece AS seg,
+                 ROW_NUMBER() OVER (PARTITION BY c.w
+                   ORDER BY prev.score * (CAST(p.num AS DOUBLE) / CAST(nn.n AS DOUBLE)) DESC,
+                     c.L DESC) AS rn
+               FROM (
+                 SELECT w, L, substring(w, $t - L + 1, CAST(L AS INTEGER)) AS piece,
+                   $t - L AS jprev
+                 FROM words, unnest(range(1, $lMax + 1)) AS ul(L)
+                 WHERE length(w) >= $t
+               ) c
+               JOIN $piecesCte p ON p.s = c.piece
+               JOIN $tag${t - 1} prev ON prev.w = c.w AND prev.j = c.jprev
+               CROSS JOIN $nCte nn
+             ) st$tag$t WHERE rn = 1
+           )"""
+      }
+      s""", ${tag}0 AS (SELECT w, CAST(0 AS BIGINT) AS j, CAST(1.0 AS DOUBLE) AS score, '' AS seg FROM words)""" +
+        (1 to cap).map(pos).mkString
+    }
+    s"""WITH words AS (
+         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           SELECT unnest(${tokens("text")}) AS w FROM documents) t0
+         WHERE length(w) > 0 GROUP BY w
+       ), sub AS (
+         SELECT s, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+           SELECT cnt, substring(w, CAST(i AS INTEGER), CAST(L AS INTEGER)) AS s
+           FROM words,
+             unnest(range(1, length(w) + 1)) AS ui(i),
+             unnest(range(1, $maxPieceLen + 1)) AS ul(L)
+           WHERE i + L - 1 <= length(w)) ts GROUP BY 1
+       ), p0 AS (
+         SELECT s, freq AS num FROM sub WHERE length(s) = 1
+         UNION ALL
+         SELECT s, freq AS num FROM (
+           SELECT s, freq FROM sub WHERE length(s) >= 2
+           ORDER BY freq DESC, s LIMIT $seedSize) tm
+       ), n0 AS (SELECT CAST(SUM(num) AS BIGINT) AS n FROM p0)${dp("a", "p0", "n0")},
+       segA AS (
+         SELECT a.w, words.cnt, string_split(substr(a.seg, 2), $sep) AS syms
+         FROM a$cap a JOIN words ON words.w = a.w AND a.j = length(a.w)
+       ), cnts AS (
+         SELECT s, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+           SELECT cnt, unnest(syms) AS s FROM segA) tc GROUP BY 1
+       ), p1 AS (
+         SELECT s0.s, CAST(COALESCE(c.c, 0) + 1 AS BIGINT) AS num
+         FROM (SELECT s FROM sub WHERE length(s) = 1) s0
+         LEFT JOIN cnts c ON c.s = s0.s
+         UNION ALL
+         SELECT s, CAST(c + 1 AS BIGINT) AS num FROM (
+           SELECT s, c FROM cnts WHERE length(s) >= 2
+           ORDER BY c DESC, s LIMIT $targetSize) tm1
+       ), n1 AS (SELECT CAST(SUM(num) AS BIGINT) AS n FROM p1)${dp("b", "p1", "n1")},
+       segB AS (
+         SELECT b.w, words.cnt, string_split(substr(b.seg, 2), $sep) AS syms
+         FROM b$cap b JOIN words ON words.w = b.w AND b.j = length(b.w)
+       )"""
+  }
+
   /** The classifier replay chain (q150/q151): labeled feature buckets,
     * class totals, and the COMPLETE numBuckets-row normalized-ratio
     * weight table. HUGEINT products mirror the engine's decimal(38,0).
@@ -3904,6 +4002,23 @@ object SparkEntry {
          LEFT JOIN agg USING (vec_id)
          ORDER BY c0.vec_id"""
     },
+    // unigram-LM replay: seed inventory + two unrolled Viterbi chains
+    // (12 materialized positions each) + count/prune — the final piece
+    // table and the per-doc profile off the segB artifact
+    "q152_unigram_pieces" ->
+      s"""${unigramChain(48, 24, 4, 12)}
+         SELECT s AS piece, num FROM p1 ORDER BY piece""",
+    "q153_unigram_profile" ->
+      s"""${unigramChain(48, 24, 4, 12)},
+         dw AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(${tokens("text")}) AS w FROM documents) t9
+           WHERE length(w) > 0
+         )
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(sg.syms)) AS BIGINT) AS n_subwords
+         FROM dw JOIN segB sg ON sg.w = dw.w
+         GROUP BY 1 ORDER BY doc_id""",
     // classifier replay: per-bucket class counts off the labeled mod-3
     // slices, complete numBuckets-row weight table (HUGEINT products
     // mirror the decimal(38,0) side), held-out docs scored by mean w

@@ -186,6 +186,201 @@ object Vocabulary {
     (merges.result().toDF("merge_idx", "left", "right", "pair_count"), words)
   }
 
+  /** UNIGRAM-LM TOKENIZER TRAINING (the SentencePiece model family —
+    * Kudo 2018: treat tokenization as inference under a unigram language
+    * model over subword pieces) — the third trainer of the tokenizer
+    * tier, completing BPE (q100: merge-frequency greedy) and WordPiece
+    * (q111: likelihood-ratio greedy). Unlike both merge trainers, the
+    * unigram model starts from a LARGE seed inventory and PRUNES: seed
+    * with the corpus's frequent substrings, Viterbi-segment every word
+    * under the current piece probabilities, re-estimate piece counts
+    * from the segmentations (hard/Viterbi EM — the deterministic member
+    * of the EM family: soft EM's forward-backward posteriors are
+    * unordered float sums, engine-divergent by construction), prune to
+    * the target inventory, and segment once more under the final model.
+    *
+    * Determinism discipline: piece probabilities are the exact rational
+    * `num/N` evaluated as ONE IEEE double division, and a segmentation's
+    * score is the product of those doubles in position order — the DP
+    * recurrence `best[j] = max over L of best[j−L] · p(piece)` fixes the
+    * operation order, so scores are bit-identical across engines (the
+    * q111 fixed-division-order argument, extended from one division to
+    * a fold of them). Ties break to the LONGER last piece; with that,
+    * the argmax at every (word, position) is unique, the whole
+    * segmentation replays in the oracle's unrolled per-position CTEs,
+    * and no `log` ever runs. Smoothing is add-one on the surviving
+    * inventory (every seed character survives pruning, so the DP is
+    * total — any word segments, worst-case char-by-char).
+    *
+    * Scale shape — the trainer discipline shared with BPE/Lloyd: the
+    * corpus is read ONCE into the word-frequency table; everything
+    * after (seed substring aggregate, per-position DP joins, count
+    * re-estimation, pruning) runs on word-table-bounded frames with the
+    * piece table broadcast, driver-iterated `wordLenCap` positions per
+    * Viterbi pass with a localCheckpoint per position. Returns
+    * segmentations in the SAME `(w, syms, cnt)` contract as
+    * [[bpeSegmentations]]/[[wordpieceSegmentations]], so
+    * [[subwordVocab]], [[encodeSubwords]] and [[bpeProfile]] compose
+    * unchanged.
+    *
+    * @param seedSize   multi-char seed pieces kept (by occurrence mass
+    *                   desc, piece asc); all single chars always seed
+    * @param targetSize multi-char pieces surviving the prune (by
+    *                   Viterbi-usage count desc, piece asc)
+    * @param maxPieceLen longest piece considered (SentencePiece's
+    *                   max_sentencepiece_length, default 4 here)
+    * @param wordLenCap DP unroll bound — words longer than this fail
+    *                   fast (the oracle unrolls exactly this many
+    *                   positions; raise it for real corpora)
+    */
+  def unigramTrain(
+      docs: DataFrame,
+      seedSize: Int,
+      targetSize: Int,
+      maxPieceLen: Int = 4,
+      wordLenCap: Int = 16,
+      textCol: String = "text"
+  ): (DataFrame, DataFrame) = {
+    require(seedSize > 0, s"need seedSize > 0, got $seedSize")
+    require(targetSize > 0, s"need targetSize > 0, got $targetSize")
+    require(maxPieceLen >= 2, s"need maxPieceLen >= 2, got $maxPieceLen")
+    require(wordLenCap >= maxPieceLen, s"need wordLenCap >= maxPieceLen, got $wordLenCap")
+    val words = wordTable(docs, textCol).drop("syms")
+    val maxWordLen = words
+      .agg(coalesce(max(length(col("w"))), lit(0)))
+      .head()
+      .getInt(0)
+    require(maxWordLen > 0, "unigramTrain: empty corpus")
+    require(
+      maxWordLen <= wordLenCap,
+      s"unigramTrain: a corpus word has length $maxWordLen > wordLenCap=$wordLenCap"
+    )
+    // seed inventory: every substring occurrence (all positions, not
+    // distinct) weighted by word frequency — one word-table-bounded
+    // explode + aggregate
+    val subs = words
+      .select(
+        col("cnt"),
+        explode(
+          expr(
+            s"flatten(transform(sequence(1, length(w)), i ->" +
+              s" transform(sequence(1, least($maxPieceLen, length(w) - i + 1))," +
+              s" L -> substring(w, i, L))))"
+          )
+        ).as("s")
+      )
+      .groupBy(col("s"))
+      .agg(sum(col("cnt")).as("freq"))
+      .localCheckpoint(true)
+    val singles0 = subs.filter(length(col("s")) === 1)
+    val pieces0 = singles0
+      .select(col("s"), col("freq").as("num"))
+      .unionByName(
+        subs
+          .filter(length(col("s")) >= 2)
+          .orderBy(col("freq").desc, col("s"))
+          .limit(seedSize)
+          .select(col("s"), col("freq").as("num"))
+      )
+      .localCheckpoint(true)
+    // E-step under the seed model, M-step counts, prune, final E-step
+    val segA = viterbiSegment(words, pieces0, maxPieceLen, maxWordLen)
+    val counts = segA
+      .select(col("cnt"), explode(col("syms")).as("s"))
+      .groupBy(col("s"))
+      .agg(sum(col("cnt")).as("c"))
+      .localCheckpoint(true)
+    val pieces1 = singles0
+      .select(col("s"))
+      .join(counts, Seq("s"), "left")
+      .select(col("s"), (coalesce(col("c"), lit(0L)) + 1L).as("num"))
+      .unionByName(
+        counts
+          .filter(length(col("s")) >= 2)
+          .orderBy(col("c").desc, col("s"))
+          .limit(targetSize)
+          .select(col("s"), (col("c") + 1L).as("num"))
+      )
+      .localCheckpoint(true)
+    (pieces1.select(col("s").as("piece"), col("num")), viterbiSegment(words, pieces1, maxPieceLen, maxWordLen))
+  }
+
+  /** The trained unigram piece table `(piece, num)` — `num` the add-one
+    * Viterbi-usage numerator the final model scores with.
+    */
+  def unigramPieces(
+      docs: DataFrame,
+      seedSize: Int,
+      targetSize: Int,
+      maxPieceLen: Int = 4,
+      wordLenCap: Int = 16,
+      textCol: String = "text"
+  ): DataFrame = unigramTrain(docs, seedSize, targetSize, maxPieceLen, wordLenCap, textCol)._1
+
+  /** The unigram-LM segmentation table `(w, syms, cnt)` — same serving
+    * contract as [[bpeSegmentations]]: encoding a corpus is a broadcast
+    * lookup, never a per-document Viterbi re-run.
+    */
+  def unigramSegmentations(
+      docs: DataFrame,
+      seedSize: Int,
+      targetSize: Int,
+      maxPieceLen: Int = 4,
+      wordLenCap: Int = 16,
+      textCol: String = "text"
+  ): DataFrame = unigramTrain(docs, seedSize, targetSize, maxPieceLen, wordLenCap, textCol)._2
+
+  /** Viterbi segmentation of the word table under a `(s, num)` piece
+    * model: `best[j] = max over L ≤ maxPieceLen of best[j−L] · num/N`
+    * (double product in position order, ties to longer L — unique
+    * argmax), driver-iterated one position per round over word-bounded
+    * frames, the piece table broadcast. Total as long as every word's
+    * characters are in the model (guaranteed: singles always survive).
+    */
+  private def viterbiSegment(
+      words: DataFrame,
+      pieces: DataFrame,
+      maxPieceLen: Int,
+      maxWordLen: Int
+  ): DataFrame = {
+    val total = pieces.agg(sum(col("num")).as("__n"))
+    val pb = broadcast(pieces.select(col("s").as("piece"), col("num")))
+    var best = words
+      .select(col("w").as("bw"), lit(0).as("j"), lit(1.0).as("score"), lit("").as("seg"))
+      .localCheckpoint(true)
+    for (t <- 1 to maxWordLen) {
+      val cand = words
+        .filter(length(col("w")) >= t)
+        .select(col("w"), explode(expr(s"sequence(1, least($maxPieceLen, $t))")).as("L"))
+        .select(
+          col("w"),
+          col("L"),
+          expr(s"substring(w, $t - L + 1, L)").as("piece"),
+          (lit(t) - col("L")).as("jprev")
+        )
+        .join(pb, Seq("piece"))
+        .crossJoin(broadcast(total))
+        .join(best, col("w") === col("bw") && col("jprev") === col("j"))
+      val stepped = cand
+        .select(
+          col("w"),
+          struct(
+            (col("score") * (col("num").cast("double") / col("__n").cast("double")))
+              .as("score"),
+            col("L"),
+            concat(col("seg"), lit(BpeSep), col("piece")).as("seg")
+          ).as("c")
+        )
+        .groupBy(col("w"))
+        .agg(max(col("c")).as("m"))
+        .select(col("w").as("bw"), lit(t).as("j"), col("m.score").as("score"), col("m.seg").as("seg"))
+      best = best.unionByName(stepped).localCheckpoint(true)
+    }
+    words
+      .join(best, col("w") === col("bw") && col("j") === length(col("w")))
+      .select(col("w"), split(expr("substr(seg, 2)"), BpeSep).as("syms"), col("cnt"))
+  }
+
   /** The SYMBOL VOCABULARY of a trained segmentation table — `(sym,
     * mass, sym_id)` with `mass` the weighted corpus occurrence count and
     * ids 1..V assigned by (mass desc, sym asc): the id table a tokenizer
