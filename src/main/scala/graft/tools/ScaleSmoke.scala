@@ -1373,7 +1373,132 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Semantic-decontamination smoke (`ScaleSmoke semdecon [nCorpus]
+    * [nBench]`): the q146/q147 tier at corpus-vs-corpus scale — the
+    * fixture gates pin correctness at 450 vectors; this measures the
+    * LSH-banded operator's COST SHAPE where it is designed to live
+    * (default 1M corpus × 200k benchmark = 2·10¹¹ exact pairs, far past
+    * any broadcast). Clustered geometry (10k centers, members at
+    * cos ≈ 0.85 of their center — random-uniform vectors have no
+    * near-dups to find and collide only by chance) with 1000 PLANTED
+    * paraphrases (perturbed copies of benchmark vectors at cos ≈ 0.999).
+    * Reported: per-(table, bucket) occupancy skew on both sides, the
+    * candidate-pair mass Σ|C_b|·|B_b| the equi-join actually scores
+    * (vs the 2·10¹¹ exact ceiling), wall time, flagged mass, planted
+    * recall at tau=0.95, and the subset law vs the exact tier on a
+    * corpus slice.
+    */
+  private def semdeconMain(args: Array[String]): Unit = {
+    val nC = if (args.length > 1) args(1).toLong else 1000000L
+    val nB = if (args.length > 2) args(2).toLong else 200000L
+    val nClusters = 10000L
+    val nPlanted = 1000L
+    val spark = GraftSession.local("scale-smoke-semdecon", 32)
+    import spark.implicits._
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // member = cluster center + 0.4-relative noise (cos ≈ 0.85 within a
+    // cluster); benchmark vector b(i) and corpus vector c(i) share
+    // generation so the planted copies can re-derive b(i) exactly
+    def member(cluster: Long, salt: Long): Array[Float] =
+      Array.tabulate(64) { j =>
+        val c = ((mix(cluster * 64L + j) % 1000L).toFloat / 500f) - 1f
+        val nz = ((mix(salt * 64L + j + 7L) % 1000L).toFloat / 500f) - 1f
+        c + 0.4f * nz
+      }
+    def benchVec(id: Long): Array[Float] = member(id % nClusters, 1000000000L + id)
+    val bench = spark
+      .range(nB)
+      .map(id => (id, benchVec(id)))
+      .toDF("vec_id", "embedding")
+      .persist()
+    val corpus = spark
+      .range(nC)
+      .map { id =>
+        val v =
+          if (id < nPlanted) benchVec(id).map(x => x * 0.999f + 0.0003f) // planted paraphrase
+          else member(id % nClusters, id)
+        (id, v)
+      }
+      .toDF("vec_id", "embedding")
+      .persist()
+    println(s"[scale] corpus=${corpus.count()} bench=${bench.count()} " +
+      s"exact ceiling=${nC * nB} pairs")
+    // bucket-occupancy skew + the candidate mass the equi-join scores
+    val cIdx = graft.operators.Similarity
+      .lshIndex(corpus)
+      .groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("cn"))
+      .persist()
+    val bIdx = graft.operators.Similarity
+      .lshIndex(bench)
+      .groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .persist()
+    val (cMax, cBuckets) = time("corpus bucket histogram") {
+      val r = cIdx.agg(max(col("cn")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (bMax, bBuckets) = {
+      val r = bIdx.agg(max(col("bn")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val candMass = time("candidate mass") {
+      cIdx
+        .join(bIdx, Seq("table", "bucket"))
+        .agg(sum(col("cn") * col("bn")))
+        .head()
+        .getLong(0)
+    }
+    println(
+      s"[scale] corpus buckets=$cBuckets max-occupancy=$cMax; " +
+        s"bench buckets=$bBuckets max=$bMax; " +
+        f"candidate mass=$candMass (${candMass * 100.0 / (nC * nB)}%.4f%% of exact)"
+    )
+    val flags = time("semanticOverlapLsh (full)") {
+      val f = graft.operators.Decontaminate
+        .semanticOverlapLsh(corpus, bench, 950000L)
+        .persist()
+      f.count() // materialize inside the timer
+      f
+    }
+    val nFlagged = flags.filter(col("flagged")).count()
+    val plantedHit = flags.filter(col("flagged") && col("vec_id") < nPlanted).count()
+    println(
+      s"[scale] flagged=$nFlagged of $nC; planted recall=$plantedHit/$nPlanted " +
+        f"(${plantedHit * 100.0 / nPlanted}%.1f%%)"
+    )
+    // subset law at scale: on a corpus slice, banded flags ⊆ exact flags
+    val slice = corpus.filter(col("vec_id") < 20000L)
+    val exactFlags = time("exact tier (20k slice)") {
+      graft.operators.Decontaminate
+        .semanticOverlap(slice, bench, 950000L)
+        .filter(col("flagged"))
+        .select("vec_id")
+        .as[Long]
+        .collect()
+        .toSet
+    }
+    val bandedSlice = flags
+      .filter(col("flagged") && col("vec_id") < 20000L)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+      .toSet
+    println(
+      s"[scale] slice: banded=${bandedSlice.size} exact=${exactFlags.size} " +
+        s"subset=${bandedSlice.subsetOf(exactFlags)} " +
+        f"recall=${if (exactFlags.isEmpty) 1.0 else bandedSlice.size.toDouble / exactFlags.size}%.3f"
+    )
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("semdecon")) { semdeconMain(args); return }
     if (args.headOption.contains("pack")) { packMain(args); return }
     if (args.headOption.contains("spectral")) { spectralMain(args); return }
     if (args.headOption.contains("lsm")) { lsmMain(args); return }
