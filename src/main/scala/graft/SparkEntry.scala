@@ -536,6 +536,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("q_micro"), col("pct_micro"))
         .orderBy(col("doc_id"))
     }),
+    // memorization-length audit: per corpus doc, the longest contiguous
+    // token span whose every 4-gram appears in the benchmark set — the
+    // number extraction curves are plotted against (ten scattered grams
+    // vs one verbatim quote read the same in q66, differently here);
+    // broadcast gram index + per-doc gaps-and-islands window
+    "q154_memorization" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = GraftExpressions.poly_hash(col("text")) % 10
+      graft.operators.Decontaminate
+        .memorizationProfile(docs.filter(bucket < 8), docs.filter(bucket >= 8), k = 4)
+        .orderBy(col("doc_id"))
+    }),
     // Bloom-filter decontamination: the benchmark's gram set folded into
     // a FIXED bits/32-word array (footprint independent of benchmark
     // size — the 100-TB broadcast shape), corpus grams probe 3 affine
@@ -4096,6 +4108,38 @@ object SparkEntry {
            n_tokens * 1000 // n_docs AS mean_tok_milli,
            (n_docs - nd) * 1000 // n_docs AS dup_permille
          FROM agg JOIN top USING (source) ORDER BY source""",
+    // memorization replay: positional 4-gram hits against the distinct
+    // benchmark index, runs via the gaps-and-islands i - ROW_NUMBER
+    // window per doc, LEFT JOIN keeps clean docs at 0/0
+    "q154_memorization" ->
+      s"""WITH split AS (
+           SELECT doc_id, text, (${polyHash("text")} % 10) AS b FROM documents
+         ), bench AS (
+           SELECT DISTINCT unnest(${shingleHashesDistinct("text", 4)}) AS gh
+           FROM split WHERE b >= 8
+         ), corp AS (
+           SELECT doc_id, i, hs[i] AS gh
+           FROM (SELECT doc_id, ${positionalShingleHashes("text", 4)} AS hs
+                 FROM split WHERE b < 8) c0,
+             unnest(range(1, len(hs) + 1)) AS u(i)
+         ), hit AS (
+           SELECT doc_id, i FROM corp JOIN bench USING (gh)
+         ), runs AS (
+           SELECT doc_id, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           FROM hit
+         ), rl AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run FROM runs GROUP BY doc_id, grp
+         ), agg AS (
+           SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_hit_windows,
+             CAST(MAX(run) + 3 AS BIGINT) AS max_span_tokens
+           FROM rl GROUP BY doc_id
+         )
+         SELECT s.doc_id,
+           CAST(COALESCE(n_hit_windows, 0) AS BIGINT) AS n_hit_windows,
+           CAST(COALESCE(max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+         FROM (SELECT doc_id FROM split WHERE b < 8) s
+         LEFT JOIN agg USING (doc_id)
+         ORDER BY s.doc_id""",
     // every Bloom bit replayed: benchmark probes OR into 32-bit words of
     // BIGINTs, corpus probes read them back; LEFT JOIN miss = bit unset
     "q135_bloom_decon" -> {

@@ -174,6 +174,70 @@ object Decontaminate {
     )
   }
 
+  /** MEMORIZATION-LENGTH profile — the audit behind the span cutters
+    * (Lee et al. 2021's duplicated-substring analysis; Carlini et al.'s
+    * extraction curves are plotted against exactly this number): for
+    * every corpus document, how LONG is its longest contiguous token
+    * span whose every k-gram appears in the benchmark/reference set?
+    * `overlapReport` (q66) counts shared grams — ten scattered 4-grams
+    * and one verbatim 13-token quote count the same there, but mean
+    * something completely different for memorization risk; this
+    * separates them. One row per corpus doc:
+    * `(idCol, n_hit_windows, max_span_tokens)` — hit-window count and
+    * `longest_run + k − 1` tokens (0/0 for clean docs, every corpus
+    * doc present — the semanticOverlap LEFT-join convention).
+    *
+    * Span semantics match [[redactOverlaps]]'s cut rule: a span counts
+    * when all its k-windows are in the benchmark's gram SET (windows
+    * may come from different benchmark items — the standard stitched
+    * upper bound, documented rather than hidden; exact per-item
+    * attribution is [[benchmarkExposure]]'s axis).
+    *
+    * Scale shape: the broadcast distinct-gram index again (corpus never
+    * shuffles on a gram key); runs are found by the gaps-and-islands
+    * window `i − row_number()` PARTITIONED BY DOC (work bounded by a
+    * document's own hit count, never corpus-wide), then two per-doc
+    * aggregates.
+    */
+  def memorizationProfile(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = DefaultK,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastIndex: Boolean = true
+  ): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val idx = benchmarkIndex(benchmark, k, textCol)
+    val hits = corpus
+      .select(
+        col(idCol),
+        posexplode(TextFunctions.positionalShingleHashes(col(textCol), k)).as(Seq("i", "gh"))
+      )
+      .join(if (broadcastIndex) broadcast(idx) else idx, Seq("gh"))
+    val runs = hits
+      .withColumn(
+        "__grp",
+        col("i") - row_number().over(Window.partitionBy(col(idCol)).orderBy(col("i")))
+      )
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__run")).as("n_hit_windows"),
+        (max(col("__run")) + lit(k.toLong - 1L)).as("max_span_tokens")
+      )
+    corpus
+      .select(col(idCol))
+      .join(runs, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_hit_windows"), lit(0L)).as("n_hit_windows"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens")
+      )
+  }
+
   /** SEMANTIC decontamination — the embedding-space complement of the
     * n-gram tiers: an eval item paraphrased, translated, or reformatted
     * shares no 13-gram with its source, but its embedding stays close.

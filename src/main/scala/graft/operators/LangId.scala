@@ -118,7 +118,14 @@ object LangId {
     * audit/debug frame behind [[assign]] (margins between the top two
     * languages are the standard langid confidence signal).
     */
-  def scoreByLang(
+  /** The STATELESS half of scoring (the [[NgramLM.scoredGrams]] split,
+    * for the streaming twin): one row per (char-trigram occurrence,
+    * language) — `(idCol, lang, rarity)` after the broadcast model
+    * lookups, no aggregation. On a stream this plans as a pure
+    * projection (explode + broadcast joins, zero streaming state); the
+    * per-(doc, lang) mean and the argmin belong in `foreachBatch`.
+    */
+  def scoredPairs(
       docs: DataFrame,
       model: Model,
       textCol: String = "text",
@@ -135,6 +142,16 @@ object LangId {
         col("lang"),
         expr(s"((coalesce(cp, 0L) + v) * ${Scale}L) div (coalesce(c, 0L) + 1L)").as("rarity")
       )
+  }
+
+  def scoreByLang(
+      docs: DataFrame,
+      model: Model,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastModel: Boolean = true
+  ): DataFrame =
+    scoredPairs(docs, model, textCol, idCol, broadcastModel)
       .groupBy(col(idCol), col("lang"))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -143,7 +160,6 @@ object LangId {
         sum(col("rarity").cast("decimal(38,0)")).as("__rs")
       )
       .select(col(idCol), col("lang"), col("n_grams"), expr("__rs div n_grams").as("rarity_avg"))
-  }
 
   /** Assign each document its predicted language: `(idCol, lang_pred,
     * rarity_avg)` — argmin mean rarity over the trained languages, ties

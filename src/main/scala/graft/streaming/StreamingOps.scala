@@ -366,6 +366,43 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.Retrieval.matchedTerms(stream, model, textCol)
 
+  /** Streaming LEARNED-quality scoring — the in-flight form of the
+    * q150 classifier: each arriving page's hashed features looked up
+    * against the STATIC trained weight table
+    * ([[graft.operators.Classifier.train]] off labeled batch slices;
+    * exactly `numBuckets` rows, always broadcast, caller-owned
+    * lifecycle). The stream side is the stateless
+    * [[graft.operators.Classifier.scoredFeatures]] projection —
+    * `(doc_id, w)` per feature occurrence, zero streaming state; the
+    * per-doc mean (and any keep decision) belongs in `foreachBatch`,
+    * where `Classifier.score` on the batch frame is micro-batch-exact
+    * (a document's features arrive with the document).
+    */
+  def scoreQualityAgainst(
+      model: DataFrame,
+      stream: DataFrame,
+      numBuckets: Int = graft.operators.Importance.DefaultBuckets,
+      k: Int = 1
+  ): DataFrame =
+    graft.operators.Classifier.scoredFeatures(stream, model, numBuckets, k)
+
+  /** Streaming LANGUAGE identification — the in-flight form of q148:
+    * each arriving document's char-trigram stream scored against every
+    * language of the STATIC trained profile
+    * ([[graft.operators.LangId.train]] off a labeled batch slice;
+    * alphabet-bounded, always broadcast). The stream side is the
+    * stateless [[graft.operators.LangId.scoredPairs]] projection —
+    * `(doc_id, lang, rarity)` per (occurrence, language), zero
+    * streaming state; the per-(doc, lang) mean and the argmin belong in
+    * `foreachBatch`, where `LangId.assign` on the batch frame is
+    * micro-batch-exact.
+    */
+  def assignLangAgainst(
+      model: graft.operators.LangId.Model,
+      stream: DataFrame
+  ): DataFrame =
+    graft.operators.LangId.scoredPairs(stream, model)
+
   /** Streaming SEMANTIC decontamination — the stateless twin of
     * [[graft.operators.Decontaminate.semanticOverlap]]: a vector
     * arrives WHOLE in its row, so its max cosine against the (1-row

@@ -1255,6 +1255,62 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for assignment:\n$plan")
   }
 
+  test("memorizationProfile: verbatim quote length exact, scattered grams read k, clean 0/0") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    // benchmark item: a 10-token passage
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes tokens b3..b9 verbatim: 7 tokens -> 4 windows of k=4, span 7
+      (1L, "own opening words b3 b4 b5 b6 b7 b8 b9 and an own tail here"),
+      // two SCATTERED shared 4-grams (b1..b4 and b7..b10), separated by
+      // own tokens: two runs of 1 window each -> max span = k = 4
+      (2L, "b1 b2 b3 b4 gap gap gap gap b7 b8 b9 b10 gap2 gap3 gap4"),
+      // clean
+      (3L, "nothing shared with the benchmark at all in any window")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate
+      .memorizationProfile(corpus, bench, k = 4)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) === ((4L, 7L)), s"verbatim quote: got ${got(1L)}")
+    assert(got(2L) === ((2L, 4L)), s"scattered grams: got ${got(2L)}")
+    assert(got(3L) === ((0L, 0L)), "clean doc must ride at 0/0")
+    // stitched-span semantics (documented upper bound): adjacent windows
+    // from DIFFERENT benchmark items still stitch into one span
+    val bench2 = Seq((100L, "s1 s2 s3 s4 s5"), (101L, "s3 s4 s5 s6 s7")).toDF("doc_id", "text")
+    val stitched = Decontaminate
+      .memorizationProfile(Seq((9L, "s1 s2 s3 s4 s5 s6 s7")).toDF("doc_id", "text"), bench2, 4)
+      .as[(Long, Long, Long)]
+      .head()
+    assert(stitched === ((9L, 4L, 7L)), s"got $stitched")
+    // doc-set contrast law: exactly the overlapReport docs carry hits
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val bucket = graft.functions.GraftExpressions.poly_hash(col("text")) % 10
+    val corp = docs.filter(bucket < 8)
+    val bm = docs.filter(bucket >= 8)
+    val prof = Decontaminate.memorizationProfile(corp, bm, 4)
+    val hitDocs = prof.filter(col("n_hit_windows") > 0).select("doc_id").as[Long].collect().toSet
+    val reported = Decontaminate.overlapReport(corp, bm, 4).select("doc_id").as[Long].collect().toSet
+    assert(hitDocs === reported, "memorization hit set must equal the overlap-report doc set")
+    assert(prof.count() === corp.count(), "every corpus doc present")
+    // every span is at least k where nonzero, and never exceeds the doc's token count
+    val spans = prof
+      .join(corp.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt")), Seq("doc_id"))
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    spans.foreach { case (id, hits, span, nt) =>
+      if (hits > 0L) assert(span >= 4L && span <= nt, s"doc $id span $span out of [4, $nt]")
+      else assert(span === 0L)
+    }
+    // determinism under repartitioning
+    val a = Decontaminate.memorizationProfile(corp.repartition(13), bm, 4).collect().toSet
+    assert(a === prof.collect().toSet)
+    intercept[IllegalArgumentException](Decontaminate.memorizationProfile(corp, bm, 0))
+  }
+
   test("semanticOverlap: planted paraphrase flagged, orthogonal not, inclusive threshold") {
     import spark.implicits._
     val bench = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))

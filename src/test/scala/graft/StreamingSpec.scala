@@ -295,6 +295,87 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(1L) > byDoc(2L), s"target-like ${byDoc(1L)} should beat raw-like ${byDoc(2L)}")
   }
 
+  test("streaming learned-quality scoring is stateless; foreachBatch aggregate == batch score") {
+    implicit val sqlCtx = spark.sqlContext
+    val pos = Seq((100L, "careful analysis reports clear evidence methods")).toDF("doc_id", "text")
+    val neg = Seq((200L, "click free offer buy now bonus prize")).toDF("doc_id", "text")
+    val model = graft.operators.Classifier.train(pos, neg).localCheckpoint(true)
+    val arrivals = Seq(
+      (1L, "careful analysis evidence methods"), // positive-like
+      (2L, "click buy free bonus") // negative-like
+    )
+    val stream = MemoryStream[(Long, String)]
+    val scored =
+      StreamingOps.scoreQualityAgainst(model, stream.toDF().toDF("doc_id", "text"))
+    val q = scored.writeStream.outputMode("append").format("memory").queryName("qual_s").start()
+    stream.addData(arrivals); q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty, "scoreQualityAgainst must plan stateless")
+    q.stop()
+    val streamAgg = spark
+      .table("qual_s")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_feats"),
+        expr("cast(sum(cast(w as decimal(38,0))) div count(*) as bigint)").as("q_micro")
+      )
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val batch = graft.operators.Classifier
+      .score(arrivals.toDF("doc_id", "text"), model)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(streamAgg == batch)
+    val byDoc = batch.map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) > graft.operators.Classifier.Scale && byDoc(2L) < graft.operators.Classifier.Scale)
+  }
+
+  test("streaming language-id is stateless; foreachBatch argmin == batch assign") {
+    implicit val sqlCtx = spark.sqlContext
+    val labeled = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog while the rain falls"),
+      (2L, "en", "she sells sea shells by the shore and the wind whispers"),
+      (3L, "de", "der schnelle braune fuchs springt über den faulen hund im wald"),
+      (4L, "de", "sie verkauft muscheln am ufer und der wind flüstert durch die eichen")
+    ).toDF("doc_id", "lang", "text")
+    val model = graft.operators.LangId.train(labeled)
+    val persisted = graft.operators.LangId.persistModel(model)
+    try {
+      val arrivals = Seq(
+        (11L, "the old dog sleeps by the fire while the children play"),
+        (12L, "der alte hund schläft am feuer während die kinder spielen")
+      )
+      val stream = MemoryStream[(Long, String)]
+      val scored =
+        StreamingOps.assignLangAgainst(persisted, stream.toDF().toDF("doc_id", "text"))
+      val q = scored.writeStream.outputMode("append").format("memory").queryName("lang_s").start()
+      stream.addData(arrivals); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty, "assignLangAgainst must plan stateless")
+      q.stop()
+      // foreachBatch side: per-(doc, lang) mean + argmin over the
+      // streamed occurrence rows == LangId.assign on the batch frame
+      val streamAssign = spark
+        .table("lang_s")
+        .groupBy("doc_id", "lang")
+        .agg(expr("cast(sum(cast(rarity as decimal(38,0))) div count(*) as bigint)").as("ra"))
+        .groupBy("doc_id")
+        .agg(min(struct(col("ra"), col("lang"))).as("m"))
+        .select(col("doc_id"), col("m.lang").as("lang_pred"), col("m.ra").as("rarity_avg"))
+        .as[(Long, String, Long)]
+        .collect()
+        .toSet
+      val batch = graft.operators.LangId
+        .assign(arrivals.toDF("doc_id", "text"), persisted)
+        .as[(Long, String, Long)]
+        .collect()
+        .toSet
+      assert(streamAssign == batch)
+      val byDoc = batch.map(r => r._1 -> r._2).toMap
+      assert(byDoc === Map(11L -> "en", 12L -> "de"))
+    } finally graft.operators.LangId.releaseModel(persisted)
+  }
+
   test("streaming BM25 scoring is stateless; foreachBatch aggregate == batch score") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.load(spark, Sf0001, "documents")
