@@ -505,6 +505,59 @@ object SparkEntry {
         .score(docs.filter(col("doc_id") % 3 === 2), model)
         .orderBy(col("doc_id"))
     }),
+    // embedding JOIN: every left vector's ranked top-5 right vectors —
+    // corpus x corpus (no broadcast side), candidates from the exact
+    // (table, bucket) LSH equi-join, q147's banding generalized from a
+    // max-flag to ranked top-k; per-left top-k via the bounded heap
+    "q158_ann_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity
+        .annJoin(
+          emb.filter(col("vec_id") % 10 =!= 9),
+          emb.filter(col("vec_id") % 10 === 9),
+          5
+        )
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    // packed windows WITH doc-boundary metadata: the q131 layout plus
+    // per-window doc_starts — the separator table behind block-diagonal
+    // attention masks / position-id resets in packed pretraining; same
+    // plan, the boundary rides the reassembly aggregate
+    "q155_pack_boundaries" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
+      val enc = graft.operators.Vocabulary
+        .encodeSubwords(docs, segs, graft.operators.Vocabulary.subwordVocab(segs))
+      graft.operators.SequencePack
+        .chunkIdsAcrossWithBoundaries(enc, 64, Some(-1L), buckets = 32)
+        .select(col("chunk_idx"), col("n_ids"), explode_outer(col("doc_starts")).as("start_pos"))
+        .orderBy(col("chunk_idx"), col("start_pos").asc_nulls_first)
+    }),
+    // epoch-based source upsampling: the Pile/LLaMA mixture table's
+    // other half — floor(e) whole copies + one fractional copy via the
+    // salted content-hash draw; pure scan-side explode, no shuffle
+    "q156_epoch_expand" -> ((s, dir) => {
+      val epochs = (0 until 20)
+        .map(i => s"src$i" -> Seq(400L, 1000L, 1700L, 2300L)(i % 4))
+        .toMap
+      graft.operators.Sampling
+        .epochExpand(t(s, dir, "documents"), "source", epochs, "text")
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+    // tokenizer drift: diff the 6-merge and 8-merge BPE segmentation
+    // artifacts (prefix-stable trainer — the 6-round run IS the 8-round
+    // run's s6 table, which is how the oracle replays both from ONE
+    // chain); the corpus-weighted answer to "what re-tokenizes"
+    "q157_tokenizer_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Vocabulary
+        .segmentationDiff(
+          graft.operators.Vocabulary.bpeSegmentations(docs, 6),
+          graft.operators.Vocabulary.bpeSegmentations(docs, 8)
+        )
+        .orderBy(col("w"))
+    }),
     // unigram-LM (SentencePiece-style) tokenizer trainer: seed-substring
     // inventory -> Viterbi segmentation under double-product scores in
     // fixed fold order -> count re-estimation + prune -> final piece
@@ -2959,6 +3012,96 @@ object SparkEntry {
        FROM g ORDER BY chunk_idx, pos"""
 
   def oracleSql: Map[String, String] = Map(
+    // embedding-join replay: both slices' bucket rows, exact (t, bucket)
+    // equi-join, DISTINCT scored pairs, ROW_NUMBER <= 5 per query
+    "q158_ann_join" -> {
+      val L = Similarity.LshTables
+      val w = Similarity.LshPlanesPerTable
+      val buckets = lshBucketsList("embedding", L, w, Similarity.Dim)
+      s"""WITH lft AS (
+           SELECT vec_id, embedding, $buckets AS buckets
+           FROM embeddings WHERE vec_id % 10 <> 9
+         ), lbt AS (
+           SELECT vec_id, embedding, t, buckets[t+1] AS bucket
+           FROM lft, unnest(range(0, $L)) AS tt(t)
+         ), rgt AS (
+           SELECT vec_id, embedding, $buckets AS buckets
+           FROM embeddings WHERE vec_id % 10 = 9
+         ), rbt AS (
+           SELECT vec_id, embedding, t, buckets[t+1] AS bucket
+           FROM rgt, unnest(range(0, $L)) AS tt(t)
+         ), cand AS (
+           SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+             ${cosine("l.embedding", "r.embedding")} AS cos
+           FROM lbt l JOIN rbt r ON l.t = r.t AND l.bucket = r.bucket
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+           FROM cand
+         )
+         SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
+    // boundary replay: the packAcross stream with a first-of-doc flag
+    // (pos = 0 — EOS rows sit at max+1, never 0); LEFT JOIN keeps
+    // boundary-free windows with NULL start_pos
+    "q155_pack_boundaries" ->
+      s"""${bpeEncodeCtes(8)}, stream AS (
+           SELECT doc_id, pos, sym_id FROM enc
+           UNION ALL
+           SELECT doc_id, 1 + max(pos) AS pos, CAST(-1 AS BIGINT) AS sym_id
+           FROM enc GROUP BY doc_id
+         ), g AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id, pos) - 1 AS BIGINT) AS gpos,
+             (pos = 0) AS is_start
+           FROM stream
+         ), win AS (
+           SELECT gpos // 64 AS chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_ids
+           FROM g GROUP BY 1
+         ), st AS (
+           SELECT gpos // 64 AS chunk_idx, gpos % 64 AS start_pos FROM g WHERE is_start
+         )
+         SELECT win.chunk_idx, n_ids, st.start_pos
+         FROM win LEFT JOIN st USING (chunk_idx)
+         ORDER BY win.chunk_idx, st.start_pos NULLS FIRST""",
+    // epoch-expansion replay: the sorted-key CASE chain, the salted
+    // content-hash fractional draw, and unnest(range(0, copies))
+    "q156_epoch_expand" -> {
+      val cases = (0 until 20)
+        .map(i => s"src$i" -> Seq(400L, 1000L, 1700L, 2300L)(i % 4))
+        .sortBy(_._1)
+        .map { case (g, e) => s"WHEN source = '$g' THEN $e" }
+        .mkString(" ")
+      s"""WITH base AS (
+           SELECT doc_id, source,
+             (CASE $cases ELSE 1000 END) AS em,
+             (${polyHash("(text || ':epoch')")} % 1000) AS draw
+           FROM documents
+         ), copies AS (
+           SELECT doc_id, source,
+             em // 1000 + (CASE WHEN draw < em % 1000 THEN 1 ELSE 0 END) AS nc
+           FROM base
+         )
+         SELECT doc_id, source, CAST(c AS BIGINT) AS copy_idx
+         FROM copies, unnest(range(0, nc)) AS u(c)
+         ORDER BY doc_id, copy_idx"""
+    },
+    // tokenizer-drift replay: ONE 8-round chain serves both sides —
+    // prefix stability makes s6 the 6-merge artifact; full join mirrors
+    // the operator's general form (word sets equal here)
+    "q157_tokenizer_diff" ->
+      s"""${bpeChain(8)}
+         SELECT COALESCE(o.w, n.w) AS w,
+           CASE WHEN o.w IS NULL THEN 'added'
+                WHEN n.w IS NULL THEN 'removed'
+                WHEN o.syms <> n.syms THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COALESCE(len(o.syms), 0) AS BIGINT) AS n_syms_old,
+           CAST(COALESCE(len(n.syms), 0) AS BIGINT) AS n_syms_new,
+           COALESCE(n.cnt, o.cnt) AS cnt
+         FROM s6 o FULL JOIN s8 n ON o.w = n.w
+         ORDER BY w""",
     "q127_bpe_encode" -> bpeEncodeOracle(8),
     "q130_pack_ids" -> packIdsOracle(8, 64),
     "q131_pack_across" -> packAcrossOracle(8, 64, -1L),

@@ -109,6 +109,60 @@ object Sampling {
     * ·1e6)`), so the decision is reproducible across runs, engines, and
     * partitionings, and exact duplicates sample identically.
     */
+  /** EPOCH-based source UPSAMPLING — the other half of the mixture
+    * recipes: [[weightedBy]]/[[temperatureFlatten]] SUBSAMPLE (rates ≤
+    * 1), but every published pretraining mix also REPEATS scarce
+    * high-quality sources (GPT-3 runs Wikipedia at 3.4 epochs while
+    * Common Crawl runs 0.44; the Pile and LLaMA tables are epoch
+    * tables). Each document of group g is replicated `floor(e_g)` times
+    * plus ONE extra copy admitted by the content-hash draw with
+    * probability `frac(e_g)` — expected copies exactly `e_g`,
+    * deterministic (reproducible across runs, engines, partitionings;
+    * exact duplicates expand identically — the [[weightedBy]]
+    * discipline, extended past 1.0). Output = the input columns plus
+    * `copy_idx` (0-based; `(row, copy_idx)` unique); documents with
+    * zero copies (e_g < 1 and the draw fails) drop. The draw key is
+    * salted (`keyCol ++ ":epoch"`) so it decorrelates from
+    * [[weightedBy]]'s own draw on the same corpus.
+    *
+    * Compose with [[shufflePlan]] on a composite `(id, copy_idx)` key
+    * for a training order where a document's copies scatter instead of
+    * clustering (each copy hashes to its own shard/position).
+    *
+    * Scale shape: a pure scan-side explode — no shuffle, no state, no
+    * rate table beyond the broadcast-foldable CASE chain; the row
+    * multiplication IS the requested output (bounded by ⌈max e_g⌉ per
+    * row). `epochsMilli` maps group → milli-epochs (2500 = 2.5 epochs);
+    * groups absent from the map run `defaultMilli` (1000 = one epoch,
+    * the identity).
+    */
+  def epochExpand(
+      df: DataFrame,
+      groupCol: String,
+      epochsMilli: Map[String, Long],
+      keyCol: String,
+      defaultMilli: Long = 1000L
+  ): DataFrame = {
+    (epochsMilli.values ++ Seq(defaultMilli)).foreach(e =>
+      require(e >= 0L, s"need epochsMilli >= 0, got $e")
+    )
+    // fixed fold order (sorted keys) so the when-chain is deterministic
+    val em = epochsMilli.toSeq.sortBy(_._1).foldLeft(lit(defaultMilli)) { case (acc, (g, e)) =>
+      when(col(groupCol) === lit(g), lit(e)).otherwise(acc)
+    }
+    val draw = GraftExpressions.poly_hash(concat(col(keyCol), lit(":epoch"))) % 1000L
+    val copies = (em / 1000L).cast("long") + when(draw < em % 1000L, 1L).otherwise(0L)
+    df.withColumn("__nc", copies)
+      .withColumn(
+        "copy_idx",
+        explode(
+          when(col("__nc") >= 1L, sequence(lit(0L), col("__nc") - 1L))
+            .otherwise(array().cast("array<long>"))
+        )
+      )
+      .drop("__nc")
+  }
+
   def temperatureFlatten(
       df: DataFrame,
       groupCol: String,

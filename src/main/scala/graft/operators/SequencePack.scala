@@ -141,6 +141,29 @@ object SequencePack {
       eosId: Option[Long] = None,
       buckets: Int = 256,
       idCol: String = "doc_id"
+  ): DataFrame =
+    packPieces(packedOffsets(encoded, seqLen, eosId, buckets, idCol), seqLen)
+      .groupBy(col("chunk_idx"))
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("pstart"), col("piece")))),
+            s => s.getField("piece")
+          )
+        ).as("ids")
+      )
+      .select(col("chunk_idx"), col("ids"), size(col("ids")).cast("long").as("n_ids"))
+
+  /** The (ids, off, n) offset table both packers share — the
+    * two-phase bucketed prefix sum over the slim (id, n) projection,
+    * joined back to the checkpointed arrays.
+    */
+  private def packedOffsets(
+      encoded: DataFrame,
+      seqLen: Int,
+      eosId: Option[Long],
+      buckets: Int,
+      idCol: String
   ): DataFrame = {
     require(seqLen >= 1, s"need seqLen >= 1, got $seqLen")
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
@@ -196,11 +219,17 @@ object SequencePack {
         (col("__prefix") + sum(col("n")).over(inBucket) - col("n")).as("off"),
         col("n")
       )
-    val offsets = base.join(offs, Seq(idCol))
-    // row-local window emission: this doc overlaps global windows
-    // [off div L, (off + n - 1) div L]; its piece of window c is the
-    // intersection [max(cL, off), min((c+1)L, off+n)) sliced from ids
-    val pieces = offsets
+    base.join(offs, Seq(idCol))
+  }
+
+  /** Row-local window emission shared by [[chunkIdsAcross]] and
+    * [[chunkIdsAcrossWithBoundaries]]: this doc overlaps global windows
+    * [off div L, (off + n - 1) div L]; its piece of window c is the
+    * intersection [max(cL, off), min((c+1)L, off+n)) sliced from ids.
+    * `is_start` marks the piece that begins the document (pstart == off).
+    */
+  private def packPieces(offsets: DataFrame, seqLen: Int): DataFrame =
+    offsets
       .select(
         col("ids"),
         col("off"),
@@ -212,6 +241,7 @@ object SequencePack {
       .select(
         col("chunk_idx"),
         greatest(col("chunk_idx") * seqLen, col("off")).as("pstart"),
+        (greatest(col("chunk_idx") * seqLen, col("off")) === col("off")).as("is_start"),
         slice(
           col("ids"),
           (greatest(col("chunk_idx") * seqLen, col("off")) - col("off") + 1L).cast("int"),
@@ -219,7 +249,29 @@ object SequencePack {
             greatest(col("chunk_idx") * seqLen, col("off"))).cast("int")
         ).as("piece")
       )
-    pieces
+
+  /** [[chunkIdsAcross]] plus the DOC-BOUNDARY metadata a packed-attention
+    * trainer actually needs: each window additionally carries
+    * `doc_starts` — the 0-based positions WITHIN the window where a new
+    * document begins (sorted; empty for a window fully inside one long
+    * document). This is the sequence-separator table behind
+    * block-diagonal attention masks and position-id resets in packed
+    * pretraining (the LLaMA/T5 packing recipes): without it, tokens
+    * attend across the EOS into unrelated documents. The first window
+    * starts with a boundary at 0 by construction (the stream's first
+    * document). Same plan as [[chunkIdsAcross]] — the boundary is a
+    * per-piece flag that rides the existing reassembly aggregate (one
+    * extra null-skipping `collect_list`), no new shuffle.
+    */
+  def chunkIdsAcrossWithBoundaries(
+      encoded: DataFrame,
+      seqLen: Int,
+      eosId: Option[Long] = None,
+      buckets: Int = 256,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val packed = packedOffsets(encoded, seqLen, eosId, buckets, idCol)
+    packPieces(packed, seqLen)
       .groupBy(col("chunk_idx"))
       .agg(
         flatten(
@@ -227,9 +279,20 @@ object SequencePack {
             array_sort(collect_list(struct(col("pstart"), col("piece")))),
             s => s.getField("piece")
           )
-        ).as("ids")
+        ).as("ids"),
+        // collect_list skips nulls: only doc-starting pieces contribute
+        array_sort(
+          collect_list(
+            when(col("is_start"), col("pstart") - col("chunk_idx") * seqLen)
+          )
+        ).as("doc_starts")
       )
-      .select(col("chunk_idx"), col("ids"), size(col("ids")).cast("long").as("n_ids"))
+      .select(
+        col("chunk_idx"),
+        col("ids"),
+        size(col("ids")).cast("long").as("n_ids"),
+        col("doc_starts")
+      )
   }
 
   /** Chunk→sequence assignment for every chunk: adds `seq_id` (the training

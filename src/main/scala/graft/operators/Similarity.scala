@@ -622,6 +622,59 @@ object Similarity {
       k
     )
 
+  /** EMBEDDING JOIN — for EVERY left vector, its ranked top-k most
+    * similar right vectors: the corpus×corpus primitive behind
+    * entity/record linkage, cross-corpus near-dup attribution with
+    * ranked evidence, and candidate generation for distillation pairs.
+    * [[annLsh]]/[[annLshServe]] serve a SMALL query batch (the query
+    * side broadcasts and multi-probes); here BOTH sides are
+    * corpus-sized, so candidates come from the exact (table, bucket)
+    * LSH equi-join — the
+    * [[graft.operators.Decontaminate.semanticOverlapLsh]] banding
+    * generalized from a max-flag to ranked top-k. No multi-probe: probe
+    * expansion multiplies a corpus-sized side ~19×; recall is the
+    * banding recall (near-dups collide with high probability — the
+    * semdecon smoke measured 100% planted recall at 1M×200k — and
+    * L = [[LshTables]] is the knob). Duplicate collisions (a pair
+    * sharing several tables) collapse via one distinct on the scored
+    * pair before the heap. Left vectors with NO candidate are absent
+    * from the output (banding one-sidedness — join, not audit,
+    * semantics; [[graft.operators.Decontaminate.semanticOverlapLsh]] is
+    * the keep-everything audit form). Joining a corpus to itself
+    * returns each vector's self-match at rank 1 — filter `query_id =!=
+    * neighbor_id` downstream if unwanted.
+    *
+    * Output `(query_id, rnk, neighbor_id, cosine)` — the [[annLsh]]
+    * contract, per-left top-k via the bounded-heap aggregate (map-side
+    * partials, no per-key sort).
+    */
+  def annJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val l = lshIndex(left)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("l_emb"),
+        col("table"),
+        col("bucket")
+      )
+    val r = lshIndex(right)
+      .select(
+        col("vec_id").as("neighbor_id"),
+        col("embedding").as("r_emb"),
+        col("table"),
+        col("bucket")
+      )
+    val scored = l
+      .join(r, Seq("table", "bucket"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        VectorFunctions.cosine(col("l_emb"), col("r_emb")).as("cos")
+      )
+      .distinct()
+    topK(scored, k)
+  }
+
   /** The persisted LSH ARTIFACT: the corpus exploded to one row per
     * (table, bucket) membership — `(vec_id, embedding, table, bucket)`,
     * L rows per vector. Write it to parquet once at ingest (partition

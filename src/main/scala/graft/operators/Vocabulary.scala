@@ -750,6 +750,57 @@ object Vocabulary {
         s" ') at liftScale=$liftScale; lower liftScale')) END"
     )
 
+  /** TOKENIZER DRIFT report — diff two trained segmentation tables (any
+    * mix of [[bpeSegmentations]]/[[wordpieceSegmentations]]/
+    * [[unigramSegmentations]], or two snapshots of one trainer): one row
+    * per word present in either, `(w, status, n_syms_old, n_syms_new,
+    * cnt)` with status `added`/`removed`/`changed`/`unchanged`. This is
+    * the [[graft.operators.Report.snapshotDiff]] discipline applied to
+    * the tokenizer artifact — the question a retrain actually raises is
+    * not "did the merge list change" but "how much of the CORPUS
+    * re-tokenizes differently" (embedding caches invalidate, token
+    * budgets shift, packed shards stop aligning), which is why the
+    * word frequency rides along and [[segmentationDiffSummary]] rolls
+    * the corpus-weighted answer up.
+    *
+    * Scale shape: one full-outer equi-join of two word-table-bounded
+    * frames on the word — never corpus-sized.
+    */
+  def segmentationDiff(oldSegs: DataFrame, newSegs: DataFrame): DataFrame =
+    oldSegs
+      .select(col("w"), col("syms").as("syms_old"), col("cnt").as("cnt_old"))
+      .join(
+        newSegs.select(col("w"), col("syms").as("syms_new"), col("cnt").as("cnt_new")),
+        Seq("w"),
+        "full_outer"
+      )
+      .select(
+        col("w"),
+        when(col("syms_old").isNull, lit("added"))
+          .when(col("syms_new").isNull, lit("removed"))
+          .when(col("syms_old") =!= col("syms_new"), lit("changed"))
+          .otherwise(lit("unchanged"))
+          .as("status"),
+        coalesce(size(col("syms_old")).cast("long"), lit(0L)).as("n_syms_old"),
+        coalesce(size(col("syms_new")).cast("long"), lit(0L)).as("n_syms_new"),
+        coalesce(col("cnt_new"), col("cnt_old")).as("cnt")
+      )
+
+  /** [[segmentationDiff]] rolled up per status: `(status, n_words,
+    * word_mass, subword_delta)` — word mass = Σ corpus occurrences
+    * (how much of the corpus re-tokenizes), subword_delta =
+    * Σ (n_syms_new − n_syms_old)·cnt (how the corpus token count moves —
+    * the number that re-sizes every token budget downstream).
+    */
+  def segmentationDiffSummary(oldSegs: DataFrame, newSegs: DataFrame): DataFrame =
+    segmentationDiff(oldSegs, newSegs)
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("cnt")).as("word_mass"),
+        sum((col("n_syms_new") - col("n_syms_old")) * col("cnt")).as("subword_delta")
+      )
+
   /** Per-document SUBWORD profile under a trained segmentation table —
     * the serving side of [[bpeMerges]]: `(idCol, n_words, n_subwords)`,
     * where each word contributes its trained decomposition length. The

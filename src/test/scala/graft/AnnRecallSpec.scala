@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Similarity
 import graft.sources.Tables
+import org.apache.spark.sql.functions._
 
 /** Correct-vs-mirror is not correct-vs-purpose (VERDICT.md on round-1 q31):
   * the ANN path must also RECALL what exact search finds. Gate: recall@10
@@ -579,5 +580,48 @@ class AnnRecallSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("annJoin: self-join identity, candidate-set law vs banded decon, planted pair, bounds") {
+    val emb = Tables.load(spark, Sf001, "embeddings").select("vec_id", "embedding")
+    // self-join: every vector finds ITSELF at rank 1, cosine 1.0
+    val self = Similarity.annJoin(emb, emb, 3)
+    val r1 = self.filter(col("rnk") === 1)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(r1.length === emb.count())
+    r1.foreach { case (q, n, c) => assert(q === n && c === 1.0, s"($q, $n, $c)") }
+    // candidate-set law: the left vectors annJoin returns are EXACTLY
+    // those semanticOverlapLsh finds candidates for (same bucket join)
+    val left = emb.filter(col("vec_id") % 10 =!= 9)
+    val right = emb.filter(col("vec_id") % 10 === 9)
+    val joined = Similarity.annJoin(left, right, 5)
+    val joinedQs = joined.select("query_id").distinct().as[Long].collect().toSet
+    val withCand = graft.operators.Decontaminate
+      .semanticOverlapLsh(left, right, 500000L)
+      .filter(col("max_cos_micro").isNotNull)
+      .select("vec_id").as[Long].collect().toSet
+    assert(joinedQs === withCand)
+    // per-query bounds: <= k rows, dense ranks from 1
+    val byQ = joined.groupBy("query_id")
+      .agg(count(lit(1)).as("c"), max("rnk").as("m"), min("rnk").as("lo"))
+      .as[(Long, Long, Long, Long)].collect()
+    byQ.foreach { case (q, c, m, lo) =>
+      assert(c <= 5L && m === c && lo === 1L, s"query $q: c=$c m=$m lo=$lo")
+    }
+    // a planted near-copy on the right is its left original's rank 1
+    val planted = right
+      .limit(0)
+      .unionByName(
+        left.filter(col("vec_id") === 0L)
+          .select(lit(900000L).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x * 0.999 + 0.0001 AS float))").as("embedding"))
+      )
+      .unionByName(right)
+    val hit = Similarity.annJoin(left.filter(col("vec_id") === 0L), planted, 3)
+      .filter(col("rnk") === 1)
+      .select("neighbor_id").as[Long].head()
+    assert(hit === 900000L)
+    intercept[IllegalArgumentException](Similarity.annJoin(left, right, 0))
   }
 }

@@ -1604,6 +1604,59 @@ class CorpusOpsSpec extends SparkSpec {
     )
   }
 
+  test("segmentationDiff: crafted statuses, prefix-stability law, summary mass accounting") {
+    import graft.operators.Vocabulary
+    // crafted: a unchanged, b changed, d removed, e added
+    val oldSegs = Seq(
+      ("a", Seq("a"), 10L), ("b", Seq("b", "c"), 5L), ("d", Seq("d"), 2L)
+    ).toDF("w", "syms", "cnt")
+    val newSegs = Seq(
+      ("a", Seq("a"), 11L), ("b", Seq("bc"), 6L), ("e", Seq("e"), 3L)
+    ).toDF("w", "syms", "cnt")
+    val got = Vocabulary.segmentationDiff(oldSegs, newSegs)
+      .as[(String, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 === "unchanged" && got("a")._5 === 11L)
+    assert(got("b") === (("b", "changed", 2L, 1L, 6L)))
+    assert(got("d") === (("d", "removed", 1L, 0L, 2L)))
+    assert(got("e") === (("e", "added", 0L, 1L, 3L)))
+    val sum = Vocabulary.segmentationDiffSummary(oldSegs, newSegs)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(sum("changed") === (("changed", 1L, 6L, -6L))) // b: (1-2)*6
+    assert(sum("added")._4 === 3L)
+    // prefix-stability on the real trainer: diff(bpe6, bpe8) over one
+    // corpus has NO added/removed (same word table), and the changed
+    // words are exactly those containing merges 7-8's pairs
+    val docs = sources.Tables.load(spark, Sf001, "documents").limit(150)
+    val d68 = Vocabulary.segmentationDiff(
+      Vocabulary.bpeSegmentations(docs, 6),
+      Vocabulary.bpeSegmentations(docs, 8)
+    ).persist()
+    try {
+      assert(d68.filter(col("status").isin("added", "removed")).count() === 0L)
+      val merges = Vocabulary.bpeMerges(docs, 8)
+        .filter(col("merge_idx") > 6)
+        .select(concat(col("left"), col("right")).as("fused"))
+        .as[String].collect().toSet
+      val changed = d68.filter(col("status") === "changed")
+        .select("w").as[String].collect()
+      assert(changed.nonEmpty)
+      // every changed word contains a late-merge fusion as a substring
+      changed.foreach(w => assert(merges.exists(w.contains), s"'$w' changed without a late merge"))
+      // identity: diff(x, x) is all-unchanged with zero subword delta
+      val segs = Vocabulary.bpeSegmentations(docs, 6)
+      val idSum = Vocabulary.segmentationDiffSummary(segs, segs)
+        .as[(String, Long, Long, Long)].collect()
+      assert(idSum.map(_._1).toSeq === Seq("unchanged") && idSum.head._4 === 0L)
+      // cross-trainer contract: unigram vs BPE diffs compose (same (w,
+      // syms, cnt) shape), word sets equal so no added/removed
+      val uni = Vocabulary.unigramSegmentations(docs, 32, 16)
+      assert(
+        Vocabulary.segmentationDiff(segs, uni)
+          .filter(col("status").isin("added", "removed")).count() === 0L
+      )
+    } finally { d68.unpersist(); () }
+  }
+
   test("unigramTrain: determinism under repartitioning; longer-piece tie-break") {
     import graft.operators.Vocabulary
     val fixture = sources.Tables.load(spark, Sf001, "documents").limit(60)

@@ -387,4 +387,52 @@ class SamplingSpec extends SparkSpec {
     // a different seed reshuffles: the manifest differs
     assert(rows(Sampling.shardManifest(docs, 8, 43L)) !== m)
   }
+
+  test("epochExpand: whole-epoch exactness, fractional mean, monotone draw, dedup-consistent") {
+    val docs = sources.Tables.load(spark, Sf001, "documents")
+      .select("doc_id", "source", "text")
+    // em = 2000 exactly: every doc exactly 2 copies, copy_idx 0 and 1
+    val whole = Sampling.epochExpand(docs, "source", Map.empty, "text", defaultMilli = 2000L)
+    assert(whole.count() === docs.count() * 2)
+    assert(
+      whole.groupBy("doc_id").agg(count(lit(1)).as("c"), max("copy_idx").as("m"))
+        .filter(col("c") =!= 2 || col("m") =!= 1).count() === 0L
+    )
+    // em = 0 drops everything; default 1000 is the identity
+    assert(Sampling.epochExpand(docs, "source", Map.empty, "text", 0L).count() === 0L)
+    assert(Sampling.epochExpand(docs, "source", Map.empty, "text").count() === docs.count())
+    // fractional epochs: realized expansion within 10% of e on 500 docs
+    val e17 = Sampling.epochExpand(docs, "source", Map.empty, "text", 1700L).count().toDouble
+    assert(math.abs(e17 / docs.count() - 1.7) < 0.17, s"got ${e17 / docs.count()}")
+    // monotone: the extra-copy doc set at 400 milli is a subset of 700's
+    def extras(m: Long) = Sampling
+      .epochExpand(docs, "source", Map.empty, "text", m)
+      .select("doc_id").as[Long].collect().toSet
+    assert(extras(400L).subsetOf(extras(700L)))
+    // dedup-consistency: two docs with IDENTICAL text expand identically
+    val twins = Seq((1L, "s", "same words here"), (2L, "s", "same words here"))
+      .toDF("doc_id", "source", "text")
+    val tw = Sampling.epochExpand(twins, "source", Map("s" -> 1500L), "text")
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect()
+    assert(tw.length === 2 && tw.toSet.size === 1, s"twins diverged: ${tw.toSeq}")
+    // per-source map + determinism under repartitioning
+    val byMap = Sampling.epochExpand(
+      docs, "source", Map("src0" -> 3000L, "src1" -> 0L), "text", 1000L)
+    val perSrc = byMap.groupBy("source").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val baseSrc = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(perSrc("src0") === baseSrc("src0") * 3)
+    assert(!perSrc.contains("src1"))
+    assert(perSrc("src5") === baseSrc("src5"))
+    val a = byMap.collect().toSet
+    val b = Sampling.epochExpand(
+      docs.repartition(13), "source", Map("src0" -> 3000L, "src1" -> 0L), "text", 1000L)
+      .collect().toSet
+    assert(a === b)
+    intercept[IllegalArgumentException](
+      Sampling.epochExpand(docs, "source", Map("s" -> -1L), "text")
+    )
+  }
 }

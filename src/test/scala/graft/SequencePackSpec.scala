@@ -232,4 +232,55 @@ class SequencePackSpec extends SparkSpec {
       .toSeq
     assert(got === Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 4L, 4L, 4L))
   }
+
+  test("chunkIdsAcrossWithBoundaries: hand-checked starts, ids == plain packer, laws") {
+    import spark.implicits._
+    // docs A(5 ids) B(10) C(2), EOS -1, L=8: stream lengths 6+11+3=20.
+    // A at gpos 0..5, B at 6..16, C at 17..19.
+    // w0: starts at 0 (A) and 6 (B); w1 (gpos 8..15, all B): none;
+    // w2 (gpos 16..19): B's tail at 0? no — B STARTED in w0; C starts
+    // at gpos 17 -> pos 1.
+    val enc = Seq(
+      (1L, (1L to 5L).toSeq),
+      (2L, (11L to 20L).toSeq),
+      (3L, Seq(31L, 32L))
+    ).toDF("doc_id", "ids")
+    val got = SequencePack
+      .chunkIdsAcrossWithBoundaries(enc, 8, Some(-1L), buckets = 4)
+      .select("chunk_idx", "ids", "doc_starts")
+      .as[(Long, Seq[Long], Seq[Long])]
+      .collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got(0)._3 === Seq(0L, 6L))
+    assert(got(1)._3 === Seq())
+    assert(got(2)._3 === Seq(1L))
+    // ids identical to the plain packer, window for window
+    val plain = SequencePack
+      .chunkIdsAcross(enc, 8, Some(-1L), buckets = 4)
+      .select("chunk_idx", "ids")
+      .as[(Long, Seq[Long])]
+      .collect()
+      .toMap
+    got.foreach { case (c, ids, _) => assert(ids === plain(c)) }
+    // laws on the real fixture encode: total starts == doc count, every
+    // start in [0, L), sorted, first window starts at 0
+    val docs = sources.Tables.load(spark, Sf001, "documents").limit(150)
+    val segs = graft.operators.Vocabulary.bpeSegmentations(docs, 8)
+    val realEnc = graft.operators.Vocabulary
+      .encodeSubwords(docs, segs, graft.operators.Vocabulary.subwordVocab(segs))
+    val real = SequencePack
+      .chunkIdsAcrossWithBoundaries(realEnc, 64, Some(-1L), buckets = 8)
+      .select("chunk_idx", "doc_starts")
+      .as[(Long, Seq[Long])]
+      .collect()
+      .sortBy(_._1)
+    val nDocs = realEnc.filter(size(col("ids")) > 0).count()
+    assert(real.map(_._2.size.toLong).sum === nDocs, "one boundary per packed document")
+    real.foreach { case (c, starts) =>
+      assert(starts === starts.sorted)
+      starts.foreach(p => assert(p >= 0L && p < 64L, s"window $c start $p out of range"))
+    }
+    assert(real.head._2.headOption === Some(0L), "the stream's first document starts window 0")
+  }
 }
