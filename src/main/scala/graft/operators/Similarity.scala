@@ -648,16 +648,29 @@ object Similarity {
     * contract, per-left top-k via the bounded-heap aggregate (map-side
     * partials, no per-key sort).
     */
-  def annJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+  def annJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame =
+    annJoinServe(lshIndex(left), lshIndex(right), k)
+
+  /** [[annJoin]] against PRE-BUILT [[lshIndex]] artifacts — the serve
+    * form: both sides' bucket rows are final at compute time
+    * (data-independent hyperplanes), so a pipeline that maintains its
+    * LSH artifacts (ingest-time [[lshIndex]] writes, or streaming
+    * [[graft.streaming.StreamingOps.maintainLshIndex]] appends) joins
+    * them directly with zero signature computation — the q125/q129
+    * artifact discipline applied to the corpus×corpus join. Identical
+    * to [[annJoin]] over the source frames (spec-pinned: the in-plan
+    * path IS this over freshly-built indexes).
+    */
+  def annJoinServe(leftIndex: DataFrame, rightIndex: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val l = lshIndex(left)
+    val l = leftIndex
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("l_emb"),
         col("table"),
         col("bucket")
       )
-    val r = lshIndex(right)
+    val r = rightIndex
       .select(
         col("vec_id").as("neighbor_id"),
         col("embedding").as("r_emb"),

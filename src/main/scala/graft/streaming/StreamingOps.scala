@@ -366,6 +366,36 @@ object StreamingOps {
   ): DataFrame =
     graft.operators.Retrieval.matchedTerms(stream, model, textCol)
 
+  /** Streaming MEMORIZATION profiling — the in-flight form of q154:
+    * each arriving document's positional k-gram hits against the STATIC
+    * broadcast benchmark index
+    * ([[graft.operators.Decontaminate.benchmarkIndex]], caller-owned
+    * lifecycle). The stream side is the stateless hit projection —
+    * `(doc_id, i)` per benchmark-covered window position, zero
+    * streaming state (the gaps-and-islands window would plan a
+    * StateStore on a stream); the per-doc run-length fold belongs in
+    * `foreachBatch`, where
+    * [[graft.operators.Decontaminate.memorizationProfile]] on the batch
+    * frame is micro-batch-exact (a document's windows arrive with the
+    * document).
+    */
+  def profileMemorizationAgainst(
+      benchmarkIdx: DataFrame,
+      stream: DataFrame,
+      k: Int = graft.operators.Decontaminate.DefaultK,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    stream
+      .select(
+        col(idCol),
+        posexplode(
+          graft.functions.TextFunctions.positionalShingleHashes(col(textCol), k)
+        ).as(Seq("i", "gh"))
+      )
+      .join(broadcast(benchmarkIdx), Seq("gh"))
+      .select(col(idCol), col("i"))
+
   /** Streaming LEARNED-quality scoring — the in-flight form of the
     * q150 classifier: each arriving page's hashed features looked up
     * against the STATIC trained weight table

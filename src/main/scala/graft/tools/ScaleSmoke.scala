@@ -1472,6 +1472,12 @@ object ScaleSmoke {
       s"[scale] flagged=$nFlagged of $nC; planted recall=$plantedHit/$nPlanted " +
         f"(${plantedHit * 100.0 / nPlanted}%.1f%%)"
     )
+    // the ranked corpus×corpus JOIN over the same candidate mass: q158's
+    // operator at scale — per-left top-5 via the bounded heap
+    val nJoined = time("annJoin top-5 (full)") {
+      graft.operators.Similarity.annJoin(corpus, bench, 5).count()
+    }
+    println(s"[scale] annJoin rows=$nJoined (<= 5 per left vector with candidates)")
     // subset law at scale: on a corpus slice, banded flags ⊆ exact flags
     val slice = corpus.filter(col("vec_id") < 20000L)
     val exactFlags = time("exact tier (20k slice)") {

@@ -623,5 +623,17 @@ class AnnRecallSpec extends SparkSpec {
       .select("neighbor_id").as[Long].head()
     assert(hit === 900000L)
     intercept[IllegalArgumentException](Similarity.annJoin(left, right, 0))
+    // serve form: the join over PERSISTED lshIndex artifacts (parquet
+    // round-trip) is bit-identical to the in-plan path — the bucket
+    // rows are final at compute time
+    val dir = java.nio.file.Files.createTempDirectory("graft-annjoin").toString
+    Similarity.lshIndex(left).write.parquet(s"$dir/l")
+    Similarity.lshIndex(right).write.parquet(s"$dir/r")
+    val served = Similarity
+      .annJoinServe(spark.read.parquet(s"$dir/l"), spark.read.parquet(s"$dir/r"), 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inPlan = Similarity.annJoin(left, right, 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(served === inPlan)
   }
 }

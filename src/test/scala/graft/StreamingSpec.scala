@@ -295,6 +295,40 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(1L) > byDoc(2L), s"target-like ${byDoc(1L)} should beat raw-like ${byDoc(2L)}")
   }
 
+  test("streaming memorization profiling is stateless; foreachBatch fold == batch profile") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Decontaminate
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")).toDF("doc_id", "text")
+    val idx = Decontaminate.benchmarkIndex(bench, 4).localCheckpoint(true)
+    val arrivals = Seq(
+      (1L, "own opening words b3 b4 b5 b6 b7 b8 b9 and an own tail here"),
+      (2L, "nothing shared with that benchmark at all in any window")
+    )
+    val stream = MemoryStream[(Long, String)]
+    val hits = StreamingOps.profileMemorizationAgainst(idx, stream.toDF().toDF("doc_id", "text"), 4)
+    val q = hits.writeStream.outputMode("append").format("memory").queryName("mem_s").start()
+    stream.addData(arrivals); q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty, "profileMemorizationAgainst must plan stateless")
+    q.stop()
+    // foreachBatch side: the gaps-and-islands fold over the streamed hit
+    // rows == memorizationProfile on the batch frame (for docs with hits)
+    val streamAgg = spark.sql(
+      """SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_hit_windows,
+        |  CAST(MAX(run) + 3 AS BIGINT) AS max_span_tokens
+        |FROM (
+        |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run FROM (
+        |    SELECT doc_id, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |    FROM mem_s) t GROUP BY doc_id, grp
+        |) r GROUP BY doc_id""".stripMargin
+    ).as[(Long, Long, Long)].collect().toSet
+    val batch = Decontaminate
+      .memorizationProfile(arrivals.toDF("doc_id", "text"), bench, 4)
+      .filter(col("n_hit_windows") > 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamAgg === batch)
+    assert(streamAgg.map(_._1) === Set(1L), "only the quoting doc carries hits")
+  }
+
   test("streaming learned-quality scoring is stateless; foreachBatch aggregate == batch score") {
     implicit val sqlCtx = spark.sqlContext
     val pos = Seq((100L, "careful analysis reports clear evidence methods")).toDF("doc_id", "text")
