@@ -47,6 +47,102 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // De-identification tier (r11): the release step an OMOP dump feeds —
+    // salted-hash pseudonyms that stay JOINABLE across tables (the gate
+    // joins orders to customer ON the pseudonym), per-entity date
+    // shifting, generalization + k-anonymity suppression, l-diversity.
+    // All scan-side projections except the one quasi-key aggregate.
+    "q159_pseudonymize" -> ((s, dir) => {
+      val cust = graft.operators.Deidentify
+        .pseudonymize(t(s, dir, "customer"), Map("c_custkey" -> "cust"), "r11")
+      val ords = graft.operators.Deidentify
+        .pseudonymize(t(s, dir, "orders"), Map("o_orderkey" -> "order", "o_custkey" -> "cust"), "r11")
+      ords
+        .join(cust, ords("o_custkey") === cust("c_custkey"))
+        .groupBy(cust("c_custkey").as("p_cust"))
+        .agg(count(lit(1)).as("n_orders"), min(ords("o_orderkey")).as("min_p_order"))
+        .orderBy(col("p_cust"))
+    }),
+    "q160_date_shift" -> ((s, dir) => {
+      graft.operators.Deidentify
+        .dateShift(t(s, dir, "orders"), "o_orderdate", "o_custkey", 30, "r11")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q161_k_anonymize" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      graft.operators.Deidentify
+        .suppressSmallGroups(g, Seq("c_nationkey", "bal_band"), 5L)
+        .select(col("c_custkey"), col("c_nationkey"), col("bal_band"), col("suppressed"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q162_l_diversity" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      graft.operators.Deidentify
+        .lDiversityAudit(g, Seq("c_nationkey", "c_mktsegment"), "bal_band", 3L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+    // C4-style blocklist audit: exact-token hits against a literal list,
+    // scan-local, zero shuffle — the (in)famous badwords drop rule as an
+    // auditable report rather than a silent filter
+    "q163_blocklist" -> ((s, dir) => {
+      graft.operators.Heuristics
+        .blocklistReport(t(s, dir, "documents"), Seq("dup", "slow", "big"))
+        .orderBy(col("doc_id"))
+    }),
+    // vocabulary-growth (Heaps-law) curve: distinct tokens first seen at
+    // or before each id checkpoint + their token mass — one token-key
+    // shuffle, per-token work bounded by |checkpoints|
+    "q164_vocab_growth" -> ((s, dir) => {
+      graft.operators.Report
+        .vocabGrowth(t(s, dir, "documents"), Seq(100L, 200L, 300L, 400L, 500L))
+        .orderBy(col("checkpoint"))
+    }),
+    // in-context-pretraining layout: pack whole documents within their
+    // SEMANTIC group (here the embedding table's label; the production
+    // composition joins Similarity.ivfIndex cells the same way) — related
+    // docs share context windows instead of random hash buckets
+    "q165_pack_grouped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lab = t(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("label"))
+      graft.operators.SequencePack
+        .packGrouped(docs.join(lab, "doc_id"), "label", 256)
+        .orderBy(col("doc_id"))
+    }),
+    // multi-word blocked phrases: overlapping k-token-window equality
+    // per distinct phrase length, one split — C4's list blocks phrases
+    // a token rule can't express without banning the words alone
+    "q166_phrase_blocklist" -> ((s, dir) => {
+      graft.operators.Heuristics
+        .phraseBlocklistReport(
+          t(s, dir, "documents"),
+          Seq("table hash", "slow key", "customer join order")
+        )
+        .orderBy(col("doc_id"))
+    }),
+    // the COMPOSED de-identified release: date-shift (on the raw entity,
+    // so the offset replays from the source key) -> pseudonymize both
+    // keys -> write the release artifact -> gate on the READ-BACK (the
+    // reference's extract-shard-verify discipline applied to the
+    // de-identification output)
+    "q167_deid_release" -> ((s, dir) => {
+      val out = dumpPath("deid_q167", dir)
+      val deid = graft.operators.Deidentify
+        .pseudonymize(
+          graft.operators.Deidentify
+            .dateShift(t(s, dir, "orders"), "o_orderdate", "o_custkey", 30, "rel1"),
+          Map("o_orderkey" -> "order", "o_custkey" -> "cust"),
+          "rel1"
+        )
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")
+        )
+      deid.coalesce(1).write.mode("overwrite").option("maxRecordsPerFile", 5000L).parquet(out)
+      s.read.parquet(out).orderBy(col("o_orderkey"), col("o_custkey"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3012,6 +3108,130 @@ object SparkEntry {
        FROM g ORDER BY chunk_idx, pos"""
 
   def oracleSql: Map[String, String] = Map(
+    // de-identification replays: the salted pseudonym is
+    // remix32(polyHash(domain:value:salt)) — hash in one CTE (the remix
+    // fragment inlines its argument), remix in the next
+    "q159_pseudonymize" ->
+      s"""WITH ch AS (
+           SELECT ${polyHash("('cust:' || CAST(c_custkey AS VARCHAR) || ':r11')")} AS h0
+           FROM customer
+         ), cust AS (SELECT ${OracleFragments.remix32("h0")} AS p_cust FROM ch),
+         oh AS (
+           SELECT ${polyHash("('cust:' || CAST(o_custkey AS VARCHAR) || ':r11')")} AS hc,
+             ${polyHash("('order:' || CAST(o_orderkey AS VARCHAR) || ':r11')")} AS ho
+           FROM orders
+         ), ords AS (
+           SELECT ${OracleFragments.remix32("hc")} AS p_cust,
+             ${OracleFragments.remix32("ho")} AS p_order
+           FROM oh
+         )
+         SELECT p_cust, COUNT(*) AS n_orders, MIN(p_order) AS min_p_order
+         FROM ords JOIN cust USING (p_cust)
+         GROUP BY p_cust ORDER BY p_cust""",
+    "q160_date_shift" ->
+      s"""WITH h AS (
+           SELECT o_orderkey, o_custkey, o_orderdate,
+             ${polyHash("('dateshift:' || CAST(o_custkey AS VARCHAR) || ':r11')")} AS h0
+           FROM orders
+         ), r AS (
+           SELECT o_orderkey, o_custkey, o_orderdate,
+             ${OracleFragments.remix32("h0")} % 61 - 30 AS off
+           FROM h
+         )
+         SELECT o_orderkey, o_custkey,
+           o_orderdate + off * INTERVAL 1 DAY AS o_orderdate
+         FROM r ORDER BY o_orderkey""",
+    "q161_k_anonymize" ->
+      s"""WITH g AS (
+           SELECT c_custkey, c_nationkey,
+             '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+             CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band
+           FROM customer
+         ), c AS (
+           SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, bal_band) AS n FROM g
+         )
+         SELECT c_custkey,
+           CASE WHEN n < 5 THEN NULL ELSE c_nationkey END AS c_nationkey,
+           CASE WHEN n < 5 THEN NULL ELSE bal_band END AS bal_band,
+           (n < 5) AS suppressed
+         FROM c ORDER BY c_custkey""",
+    "q162_l_diversity" ->
+      s"""WITH g AS (
+           SELECT c_nationkey, c_mktsegment,
+             '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+             CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band
+           FROM customer
+         )
+         SELECT c_nationkey, c_mktsegment, COUNT(*) AS cell_n,
+           COUNT(DISTINCT bal_band) AS n_distinct,
+           (COUNT(DISTINCT bal_band) >= 3) AS ok
+         FROM g GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+    // blocklist replay: the stop-word occurrence-count fragment over the
+    // literal list
+    "q163_blocklist" -> {
+      val hits = OracleFragments.stopwordHits("text", Seq("dup", "slow", "big"))
+      s"""SELECT doc_id, CAST($hits AS BIGINT) AS n_hits, ($hits = 0) AS keep
+         FROM documents ORDER BY doc_id"""
+    },
+    // vocab-growth replay: min-doc-per-token, then per-checkpoint counts
+    "q164_vocab_growth" ->
+      s"""WITH cp AS (SELECT CAST(unnest([100, 200, 300, 400, 500]) AS BIGINT) AS checkpoint),
+         tok AS (
+           SELECT doc_id, unnest(${OracleFragments.tokens("text")}) AS tk FROM documents
+         ), fd AS (
+           SELECT tk, MIN(doc_id) AS fd FROM tok GROUP BY tk
+         ), v AS (
+           SELECT checkpoint, COUNT(*) AS vocab FROM cp JOIN fd ON fd.fd <= cp.checkpoint GROUP BY checkpoint
+         ), tt AS (
+           SELECT checkpoint, COUNT(*) AS n_tokens FROM cp JOIN tok ON tok.doc_id <= cp.checkpoint GROUP BY checkpoint
+         )
+         SELECT cp.checkpoint AS checkpoint,
+           COALESCE(vocab, 0) AS vocab, COALESCE(n_tokens, 0) AS n_tokens
+         FROM cp LEFT JOIN v USING (checkpoint) LEFT JOIN tt USING (checkpoint)
+         ORDER BY checkpoint""",
+    // composed-release replay: the shift+pseudonym chain in one pass —
+    // the artifact write/read-back is transparent to values
+    "q167_deid_release" ->
+      s"""WITH h AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+             ${polyHash("('dateshift:' || CAST(o_custkey AS VARCHAR) || ':rel1')")} AS hs,
+             ${polyHash("('order:' || CAST(o_orderkey AS VARCHAR) || ':rel1')")} AS ho,
+             ${polyHash("('cust:' || CAST(o_custkey AS VARCHAR) || ':rel1')")} AS hc
+           FROM orders
+         )
+         SELECT ${OracleFragments.remix32("ho")} AS o_orderkey,
+           ${OracleFragments.remix32("hc")} AS o_custkey,
+           o_orderstatus, o_totalprice,
+           o_orderdate + (${OracleFragments.remix32("hs")} % 61 - 30) * INTERVAL 1 DAY AS o_orderdate,
+           o_orderpriority
+         FROM h ORDER BY o_orderkey, o_custkey""",
+    // phrase-blocklist replay: per length-k group, count positional
+    // k-windows equal to a listed phrase (clamped window convention)
+    "q166_phrase_blocklist" -> {
+      def cnt(k: Int, ps: Seq[String]): String = {
+        val lst = ps.map(p => s"'$p'").mkString("[", ", ", "]")
+        s"len(list_filter(${OracleFragments.positionalShingles("text", k)}, w -> list_contains($lst, w)))"
+      }
+      val hits = s"(${cnt(2, Seq("table hash", "slow key"))} + ${cnt(3, Seq("customer join order"))})"
+      s"""SELECT doc_id, CAST($hits AS BIGINT) AS n_hits, ($hits = 0) AS keep
+         FROM documents ORDER BY doc_id"""
+    },
+    // grouped-packing replay: the running-sum window partitioned by the
+    // label group, ordered (hash, id) like every packing oracle
+    "q165_pack_grouped" ->
+      s"""WITH d AS (
+           SELECT doc_id, label, ${polyHash("text")} AS h,
+             len(${OracleFragments.tokens("text")}) AS n_tok
+           FROM documents JOIN embeddings ON doc_id = vec_id
+         ), w AS (
+           SELECT CAST(label AS VARCHAR) AS bucket, doc_id, h, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY label ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM d
+         )
+         SELECT bucket, (cum - n_tok) // 256 AS seq_id, doc_id, h, n_tok, cum
+         FROM w ORDER BY doc_id""",
     // embedding-join replay: both slices' bucket rows, exact (t, bucket)
     // equi-join, DISTINCT scored pairs, ROW_NUMBER <= 5 per query
     "q158_ann_join" -> {

@@ -119,4 +119,126 @@ object Heuristics {
       )
     )
   }
+
+  /** C4-style blocklist filtering (Raffel et al. 2020 §2.2 dropped any
+    * page containing a "List of Dirty, Naughty …" word): per document,
+    * the OCCURRENCE count of blocklist tokens (exact token equality
+    * under the engine-wide single-space split — substring matching is
+    * deliberately out: "class" must not hit a blocklist entry "ass") and
+    * `keep = n_hits == 0`. The audit form; compose
+    * `.filter(col("keep"))` for the C4 drop rule, or threshold on
+    * `n_hits` for the softer ratio gates later pipelines use (a single
+    * hit in a 10k-word page is usually a quote, not a topic).
+    *
+    * Scale shape: the blocklist is a LITERAL array in the expression
+    * (bounded: a curated list is hundreds of entries, like
+    * [[graft.functions.TextFunctions.StopwordsEn]]) — one scan-local
+    * filter over builtin array functions, zero shuffle, codegen'd; the
+    * corpus never moves. The oracle mirrors it via the same
+    * `list_filter`/`list_contains` fragment as the stop-word counts.
+    */
+  def blocklistReport(
+      docs: DataFrame,
+      words: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(words.nonEmpty, "need a non-empty blocklist")
+    require(words.forall(w => w.nonEmpty && !w.contains(" ")), "blocklist entries are single tokens")
+    val hits = size(
+      filter(
+        split(col(textCol), " "),
+        t => array_contains(array(words.map(lit): _*), t)
+      )
+    ).cast("long")
+    docs.select(
+      col(idCol),
+      hits.as("n_hits"),
+      (hits === 0L).as("keep")
+    )
+  }
+
+  /** Admission form of [[blocklistReport]]: scan-local drop of every
+    * document containing any blocklist token, original columns
+    * untouched.
+    */
+  def filterBlocklist(
+      docs: DataFrame,
+      words: Seq[String],
+      textCol: String = "text"
+  ): DataFrame = {
+    require(words.nonEmpty, "need a non-empty blocklist")
+    require(words.forall(w => w.nonEmpty && !w.contains(" ")), "blocklist entries are single tokens")
+    docs.filter(
+      !exists(split(col(textCol), " "), t => array_contains(array(words.map(lit): _*), t))
+    )
+  }
+
+  /** Multi-word sibling of [[blocklistReport]]: OVERLAPPING occurrence
+    * counts of blocked PHRASES — a phrase hits at token position i when
+    * the k-token window starting there equals it exactly (same clamped
+    * positional-window convention as the winnowing/decontamination
+    * shingles, mirrored by `OracleFragments.positionalShingles`). C4's
+    * list blocks phrases as well as words, and a token-level list cannot
+    * express them without also banning each word alone ("watch" in
+    * "watch free movies online" is innocent by itself).
+    *
+    * One window-compare chain per DISTINCT phrase LENGTH re-uses one
+    * split; the phrase list is a bounded literal like the token list.
+    * Scan-local, zero shuffle, codegen'd builtin array ops.
+    */
+  def phraseBlocklistReport(
+      docs: DataFrame,
+      phrases: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(phrases.nonEmpty, "need a non-empty phrase list")
+    require(
+      phrases.forall(p => p.trim == p && p.nonEmpty && p.split(" ").forall(_.nonEmpty)),
+      "phrases are single-space token sequences with no leading/trailing/double spaces"
+    )
+    val toks = split(col(textCol), " ")
+    // group phrases by token count: one positional-window pass per length
+    val hits = phrases
+      .groupBy(_.split(" ").length)
+      .toSeq
+      .sortBy(_._1)
+      .map { case (k, ps) =>
+        val wins = transform(
+          sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+        )
+        size(filter(wins, w => array_contains(array(ps.map(lit): _*), w))).cast("long")
+      }
+      .reduce(_ + _)
+    docs.select(col(idCol), hits.as("n_hits"), (hits === 0L).as("keep"))
+  }
+
+  /** Admission form of [[phraseBlocklistReport]]. */
+  def filterBlockedPhrases(
+      docs: DataFrame,
+      phrases: Seq[String],
+      textCol: String = "text"
+  ): DataFrame = {
+    require(phrases.nonEmpty, "need a non-empty phrase list")
+    require(
+      phrases.forall(p => p.trim == p && p.nonEmpty && p.split(" ").forall(_.nonEmpty)),
+      "phrases are single-space token sequences with no leading/trailing/double spaces"
+    )
+    val toks = split(col(textCol), " ")
+    val anyHit = phrases
+      .groupBy(_.split(" ").length)
+      .toSeq
+      .sortBy(_._1)
+      .map { case (k, ps) =>
+        val wins = transform(
+          sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+        )
+        exists(wins, w => array_contains(array(ps.map(lit): _*), w))
+      }
+      .reduce(_ || _)
+    docs.filter(!anyHit)
+  }
 }

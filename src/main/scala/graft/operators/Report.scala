@@ -371,4 +371,66 @@ object Report {
         expr("n_shared * 1000 div n_b").as("contain_b_milli")
       )
   }
+
+  /** Vocabulary-growth (Heaps-law) curve: at each id checkpoint `c`, the
+    * number of DISTINCT tokens whose first occurrence lies in a document
+    * with `id <= c`, next to the total token count of those documents —
+    * the curve that sizes a tokenizer's vocab budget against corpus
+    * growth and shows when a crawl stops contributing new vocabulary
+    * (the slope in log-log space is Heaps' β; the report ships the exact
+    * integer curve and leaves the fit to the caller — a log-log
+    * regression is float-order-dependent and would break the oracle
+    * discipline).
+    *
+    * "First occurrence" is by MINIMUM id — deterministic under any
+    * partitioning, no notion of scan order. Scale shape: one shuffle on
+    * the token key (map-side partials absorb hot tokens — a stop word's
+    * billion occurrences reduce per partition before moving), one tiny
+    * per-checkpoint aggregate; each token then explodes into only the
+    * checkpoints AT OR AFTER its first occurrence (≤ |checkpoints| rows
+    * per DISTINCT token, bounded by the vocabulary, not the corpus).
+    */
+  def vocabGrowth(
+      docs: DataFrame,
+      checkpoints: Seq[Long],
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    require(checkpoints == checkpoints.sorted && checkpoints.distinct == checkpoints,
+      "checkpoints must be strictly increasing")
+    val cps = array(checkpoints.map(lit): _*)
+    val firstDoc = docs
+      .select(col(idCol).as("id"), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(min(col("id")).as("fd"))
+    val vocabAt = firstDoc
+      .select(explode(filter(cps, c => col("fd") <= c)).as("checkpoint"))
+      .groupBy(col("checkpoint"))
+      .agg(count(lit(1)).as("vocab"))
+    val tokensAt = docs
+      .select(
+        col(idCol).as("id"),
+        size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n_tok")
+      )
+      .select(explode(filter(cps, c => col("id") <= c)).as("checkpoint"), col("n_tok"))
+      .groupBy(col("checkpoint"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    // checkpoints with no docs yet ride at 0/0 through the seed frame
+    val seed = docs.sparkSession
+      .createDataFrame(
+        docs.sparkSession.sparkContext.parallelize(checkpoints.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("checkpoint", org.apache.spark.sql.types.LongType, nullable = false)
+        ))
+      )
+    seed
+      .join(vocabAt, Seq("checkpoint"), "left")
+      .join(tokensAt, Seq("checkpoint"), "left")
+      .select(
+        col("checkpoint"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens")
+      )
+  }
 }

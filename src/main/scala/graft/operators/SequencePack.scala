@@ -423,6 +423,46 @@ object SequencePack {
     * seq = floor(tokens_before / budget) over a window partitioned by
     * `bucket`, ordered (hash, id) for cross-run determinism.
     */
+  /** [[packAcross]] with SEMANTIC buckets: fill training rows from whole
+    * documents within a caller-supplied group (topic cluster, source,
+    * language...) instead of a hash bucket — the in-context-pretraining
+    * layout (Shi et al. 2023: packing RELATED documents into one context
+    * window beats random packing, because cross-document attention then
+    * sees usable context). The canonical composition assigns each doc
+    * its IVF cell ([[Similarity.ivfIndex]] on the doc-embedding table,
+    * join on the id) and packs within the cell; the gate uses the
+    * embedding table's label column the same way.
+    *
+    * Within a group the order is (content hash, id) — same determinism
+    * contract as [[packAcross]]. `subBuckets > 1` salts each group into
+    * hash sub-buckets to bound the per-task window sort when groups are
+    * corpus-scale (a "group" from a clusterer is occupancy-bounded by
+    * construction — √(2n) for [[Similarity.annCells]] — but a SOURCE
+    * group can be half the corpus; salting trades cross-doc coherence
+    * within the group for bounded tasks, the same knob as
+    * `targetDocsPerBucket`).
+    */
+  def packGrouped(
+      docs: DataFrame,
+      groupCol: String,
+      budget: Int,
+      subBuckets: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(budget > 0 && subBuckets > 0, s"need budget > 0 and subBuckets > 0, got $budget, $subBuckets")
+    val scored = docs.select(
+      col(idCol),
+      col(groupCol).cast("string").as("__grp"),
+      graft.functions.GraftExpressions.poly_hash(col(textCol)).as("h"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok")
+    )
+    val bucket =
+      if (subBuckets == 1) col("__grp")
+      else concat_ws("#", col("__grp"), pmod(col("h"), lit(subBuckets.toLong)).cast("string"))
+    greedyWithinBuckets(scored.withColumn("bucket", bucket).drop("__grp"), budget, idCol)
+  }
+
   private def greedyWithinBuckets(bucketed: DataFrame, budget: Int, idCol: String): DataFrame = {
     val w = Window
       .partitionBy(col("bucket"))

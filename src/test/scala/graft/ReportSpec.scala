@@ -267,4 +267,105 @@ class ReportSpec extends SparkSpec {
     assert(a === b)
     intercept[IllegalArgumentException](Report.sourceOverlap(crafted, prefixTokens = -1))
   }
+
+  test("vocabGrowth: hand-checked curve, monotone, converges to corpus totals") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a b"),       // vocab {a,b}, 2 tokens
+      (2L, "b c c"),     // +{c}, 3 tokens
+      (5L, "a d")        // +{d}, 2 tokens
+    ).toDF("doc_id", "text")
+    val rows = Report
+      .vocabGrowth(crafted, Seq(1L, 2L, 3L, 5L))
+      .orderBy("checkpoint")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(rows === Seq((1L, 2L, 2L), (2L, 3L, 5L), (3L, 3L, 5L), (5L, 4L, 7L)))
+    // fixture: monotone in both columns; final checkpoint == corpus totals
+    val curve = Report
+      .vocabGrowth(docs, Seq(50L, 150L, 250L, 350L, 500L))
+      .orderBy("checkpoint")
+      .as[(Long, Long, Long)]
+      .collect()
+    assert(curve.sliding(2).forall(p => p(1)._2 >= p(0)._2 && p(1)._3 >= p(0)._3))
+    val totalVocab = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")))
+      .head.getLong(0)
+    val totalTok = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(curve.last === ((500L, totalVocab, totalTok)))
+    // a checkpoint before any doc rides at 0/0
+    val zero = Report.vocabGrowth(crafted, Seq(0L, 5L)).orderBy("checkpoint")
+      .as[(Long, Long, Long)].collect()
+    assert(zero.head === ((0L, 0L, 0L)))
+    intercept[IllegalArgumentException](Report.vocabGrowth(docs, Seq()))
+    intercept[IllegalArgumentException](Report.vocabGrowth(docs, Seq(5L, 1L)))
+    intercept[IllegalArgumentException](Report.vocabGrowth(docs, Seq(1L, 1L)))
+  }
+
+  test("blocklistReport: exact-token hits only, filter form == keep column") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "clean prose here"),
+      (2L, "contains dup twice dup"),
+      (3L, "superduper is not a hit"), // substring must NOT match
+      (4L, "slow")
+    ).toDF("doc_id", "text")
+    val rep = graft.operators.Heuristics
+      .blocklistReport(crafted, Seq("dup", "slow"))
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .toMap2
+    assert(rep(1L) === ((0L, true)))
+    assert(rep(2L) === ((2L, false)), "occurrence count, not distinct")
+    assert(rep(3L) === ((0L, true)), "substring containment must not hit")
+    assert(rep(4L) === ((1L, false)))
+    val kept = graft.operators.Heuristics.filterBlocklist(crafted, Seq("dup", "slow"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    intercept[IllegalArgumentException](
+      graft.operators.Heuristics.blocklistReport(crafted, Seq())
+    )
+    intercept[IllegalArgumentException](
+      graft.operators.Heuristics.blocklistReport(crafted, Seq("two words"))
+    )
+  }
+
+  test("phraseBlocklistReport: overlapping windows, mixed lengths, filter form") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a a a"),                   // "a a" hits at positions 0 AND 1
+      (2L, "watch free movies online"),
+      (3L, "watch the movies"),        // words present, phrase absent
+      (4L, "free movies")              // exact 2-token doc
+    ).toDF("doc_id", "text")
+    val rep = graft.operators.Heuristics
+      .phraseBlocklistReport(crafted, Seq("a a", "free movies", "watch free movies"))
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .toMap2
+    assert(rep(1L) === ((2L, false)), "overlapping occurrences both count")
+    assert(rep(2L) === ((2L, false)), "'free movies' and 'watch free movies' both hit")
+    assert(rep(3L) === ((0L, true)), "scattered words are not a phrase hit")
+    assert(rep(4L) === ((1L, false)))
+    val kept = graft.operators.Heuristics
+      .filterBlockedPhrases(crafted, Seq("a a", "free movies", "watch free movies"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(3L))
+    intercept[IllegalArgumentException](
+      graft.operators.Heuristics.phraseBlocklistReport(crafted, Seq())
+    )
+    intercept[IllegalArgumentException](
+      graft.operators.Heuristics.phraseBlocklistReport(crafted, Seq(" padded "))
+    )
+    intercept[IllegalArgumentException](
+      graft.operators.Heuristics.phraseBlocklistReport(crafted, Seq("double  space"))
+    )
+  }
+
+  private implicit class TupleSeqOps(s: Array[(Long, Long, Boolean)]) {
+    def toMap2: Map[Long, (Long, Boolean)] = s.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
 }

@@ -283,4 +283,50 @@ class SequencePackSpec extends SparkSpec {
     }
     assert(real.head._2.headOption === Some(0L), "the stream's first document starts window 0")
   }
+
+  test("packGrouped: conservation, group purity, subBucket salting, IVF-cell composition") {
+    import spark.implicits._
+    val lab = sources.Tables
+      .load(spark, Sf0001, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val grouped = docs.join(lab, "doc_id")
+    val packed = SequencePack.packGrouped(grouped, "label", Budget)
+    // every doc exactly once
+    assert(packed.select("doc_id").distinct().count() === grouped.count())
+    assert(packed.count() === grouped.count())
+    // group purity: a bucket IS the group — every doc in a bucket carries
+    // that label (subBuckets = 1)
+    val impure = packed
+      .join(grouped.select(col("doc_id"), col("label").cast("string").as("lab")), "doc_id")
+      .filter(col("bucket") =!= col("lab"))
+      .count()
+    assert(impure === 0L)
+    // deterministic under repartitioning
+    val again = SequencePack.packGrouped(grouped.repartition(13), "label", Budget)
+    assert(packed.except(again).count() === 0L && again.except(packed).count() === 0L)
+    // salting: bucket prefix is still the group, docs never cross groups
+    val salted = SequencePack.packGrouped(grouped, "label", Budget, subBuckets = 4)
+    val crossed = salted
+      .join(grouped.select(col("doc_id"), col("label").cast("string").as("lab")), "doc_id")
+      .filter(!col("bucket").startsWith(concat(col("lab"), lit("#"))))
+      .count()
+    assert(crossed === 0L)
+    assert(salted.count() === grouped.count())
+    // the ICLM composition: IVF cells as groups — conservation holds and
+    // every sequence is cell-pure
+    val emb = sources.Tables.load(spark, Sf0001, "embeddings")
+    val cb = graft.operators.Similarity.trainCodebook(emb)
+    val cells = graft.operators.Similarity
+      .ivfIndex(emb, cb)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val byCell = SequencePack.packGrouped(docs.join(cells, "doc_id"), "cell", Budget)
+    assert(byCell.select("doc_id").distinct().count() === docs.join(cells, "doc_id").count())
+    val mixed = byCell
+      .join(cells.select(col("doc_id"), col("cell").cast("string").as("c")), "doc_id")
+      .filter(col("bucket") =!= col("c"))
+      .count()
+    assert(mixed === 0L)
+    intercept[IllegalArgumentException](SequencePack.packGrouped(grouped, "label", 0))
+    intercept[IllegalArgumentException](SequencePack.packGrouped(grouped, "label", Budget, subBuckets = 0))
+  }
 }

@@ -877,6 +877,52 @@ class StreamingSpec extends SparkSpec {
     batch.foreach { case (i, v) => assert(got(i) === v, s"vec $i diverges") }
   }
 
+  test("de-identification on a stream: stateless projections, streamed == batch") {
+    // pseudonymize/dateShift are pure scan-side projections, so they
+    // apply to a streaming frame DIRECTLY (no foreachBatch, no state) —
+    // the de-identified live ingest an enclave-side tap needs
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val ords = sources.Tables
+      .load(spark, Sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val rows = ords
+      .as[(Long, Long, java.sql.Timestamp)]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val deid = Deidentify.dateShift(
+      Deidentify.pseudonymize(
+        stream.toDF().toDF("o_orderkey", "o_custkey", "o_orderdate"),
+        Map("o_orderkey" -> "order"),
+        "s1"
+      ),
+      "o_orderdate",
+      "o_custkey",
+      30,
+      "s1"
+    )
+    assert(deid.isStreaming, "projections must preserve streaming-ness")
+    rows.grouped((rows.length + 1) / 2).foreach(stream.addData(_))
+    val got = StreamingOps
+      .runToMemory(spark, deid, "deid_live")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .collect()
+      .toSet
+    val batch = Deidentify
+      .dateShift(
+        Deidentify.pseudonymize(ords, Map("o_orderkey" -> "order"), "s1"),
+        "o_orderdate",
+        "o_custkey",
+        30,
+        "s1"
+      )
+      .as[(Long, Long, java.sql.Timestamp)]
+      .collect()
+      .toSet
+    assert(got === batch)
+  }
+
   test("streaming moment maintenance: centered matrix and PC == batch, bit for bit") {
     import graft.operators.Spectral
     implicit val sqlCtx = spark.sqlContext
