@@ -143,6 +143,71 @@ object SparkEntry {
       deid.coalesce(1).write.mode("overwrite").option("maxRecordsPerFile", 5000L).parquet(out)
       s.read.parquet(out).orderBy(col("o_orderkey"), col("o_custkey"))
     }),
+    // HIPAA Safe-Harbor top-coding: clamp + flag at the cap — the ordered
+    // analogue of cell suppression (the identifying tail collapses to one
+    // category). Pure scan-side projection.
+    "q168_top_code" -> ((s, dir) => {
+      graft.operators.Deidentify
+        .topCode(t(s, dir, "customer"), "c_acctbal", 9000L)
+        .select(col("c_custkey"), col("c_acctbal"), col("top_coded"))
+        .orderBy(col("c_custkey"))
+    }),
+    // k-anonymity SERVE path: a late slice judged against the RELEASE's
+    // persisted census, not its own batch's (its own census would
+    // suppress nearly everything) — the stateless stream-static half of
+    // q161; census bounded by cell cardinality so the join broadcasts
+    "q169_suppress_serve" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      val census = graft.operators.Deidentify.cellCounts(g, Seq("c_nationkey", "bal_band"))
+      graft.operators.Deidentify
+        .suppressAgainstCounts(g.filter(col("c_custkey") <= 300L), census, Seq("c_nationkey", "bal_band"), 5L)
+        .select(col("c_custkey"), col("c_nationkey"), col("bal_band"), col("suppressed"))
+        .orderBy(col("c_custkey"))
+    }),
+    // the reference's EXACT shard naming (dump_table.py:157
+    // `omop_notes.{N}.parquet`) — parallel write, then a driver-side
+    // metadata rename pass; the gate fail-fasts on the template and
+    // verifies shard sizes from parquet FOOTERS (the read-back
+    // discipline), closing SURVEY §7's one documented layout trade
+    "q170_dump_named" -> ((s, dir) => {
+      val out = dumpPath("dump_q170", dir)
+      val paths = graft.sources.ShardedParquetSink.writeNamed(
+        t(s, dir, "customer").coalesce(1).sortWithinPartitions(col("c_custkey")),
+        out,
+        "omop_customer",
+        graft.sources.ParquetLayout(maxRecordsPerFile = 400L)
+      )
+      paths.zipWithIndex.foreach { case (p, i) =>
+        require(p.endsWith(s"omop_customer.$i.parquet"), s"bad shard name: $p")
+      }
+      val report = graft.sources.ShardedParquetSink.readBackReport(s, out)
+      import s.implicits._
+      report.shards.zipWithIndex
+        .map { case (sh, i) => (i.toLong, sh.rows) }
+        .toDF("shard_idx", "rows")
+        .orderBy(col("shard_idx"))
+    }),
+    // re-identification risk across every non-empty quasi SUBSET (one
+    // cube pass, subsets labeled by member names via grouping() flags)
+    "q171_risk_audit" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      graft.operators.Deidentify
+        .riskAudit(g, Seq("c_nationkey", "c_mktsegment", "bal_band"), 5L)
+        .orderBy(col("subset"))
+    }),
+    // t-closeness audit: per quasi cell, exact-integer EMD between the
+    // cell's ordered-sensitive CDF and the table's (l-diversity's blind
+    // spot: diverse but SKEWED cells)
+    "q172_t_closeness" -> ((s, dir) => {
+      val bands = t(s, dir, "customer")
+        .withColumn("bal_lo", (floor(col("c_acctbal") / 2000.0) * 2000).cast("long"))
+      graft.operators.Deidentify
+        .tClosenessAudit(bands, Seq("c_nationkey", "c_mktsegment"), "bal_lo", 50000L)
+        .select(col("c_nationkey"), col("c_mktsegment"), col("cell_n"), col("emd_micro"), col("ok"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -574,7 +639,13 @@ object SparkEntry {
     // mean rarity — alphabet-bounded broadcast models, min(struct) argmin
     "q148_lang_id" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = graft.operators.LangId.train(docs.filter(col("doc_id") % 2 === 0))
+      // the operator's documented serve contract: persist the
+      // alphabet-bounded model once — scoring joins grams AND prefixes,
+      // and each broadcast build would otherwise recompute the training
+      // explode+aggregate chain from scratch
+      val model = graft.operators.LangId.persistModel(
+        graft.operators.LangId.train(docs.filter(col("doc_id") % 2 === 0))
+      )
       graft.operators.LangId
         .assign(docs.filter(col("doc_id") % 2 === 1), model)
         .orderBy(col("doc_id"))
@@ -584,7 +655,9 @@ object SparkEntry {
     // single-scan rollup rides unchanged
     "q149_lang_card" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = graft.operators.LangId.train(docs.filter(col("doc_id") % 2 === 0))
+      val model = graft.operators.LangId.persistModel(
+        graft.operators.LangId.train(docs.filter(col("doc_id") % 2 === 0))
+      )
       graft.operators.LangId.corpusCardDerived(docs, model).orderBy(col("source"))
     }),
     // learned quality classifier: NB count-ratio weights over hashed
@@ -3206,6 +3279,99 @@ object SparkEntry {
            o_orderdate + (${OracleFragments.remix32("hs")} % 61 - 30) * INTERVAL 1 DAY AS o_orderdate,
            o_orderpriority
          FROM h ORDER BY o_orderkey, o_custkey""",
+    // top-coding replay: clamp + flag, trivially exact
+    "q168_top_code" ->
+      """SELECT c_custkey, LEAST(c_acctbal, 9000.0) AS c_acctbal,
+           (c_acctbal >= 9000.0) AS top_coded
+         FROM customer ORDER BY c_custkey""",
+    // suppress-serve replay: the FULL table's census drives the slice's
+    // suppression (the window count runs before the slice filter)
+    "q169_suppress_serve" ->
+      """WITH g AS (
+           SELECT c_custkey, c_nationkey,
+             '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+             CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band
+           FROM customer
+         ), c AS (
+           SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, bal_band) AS n FROM g
+         )
+         SELECT c_custkey,
+           CASE WHEN n < 5 THEN NULL ELSE c_nationkey END AS c_nationkey,
+           CASE WHEN n < 5 THEN NULL ELSE bal_band END AS bal_band,
+           (n < 5) AS suppressed
+         FROM c WHERE c_custkey <= 300 ORDER BY c_custkey""",
+    // named-dump replay: coalesce(1) + maxRecordsPerFile=400 shards a
+    // count-n table into ceil(n/400) files of least(400, remaining)
+    "q170_dump_named" ->
+      """WITH s AS (
+           SELECT CAST(floor((rn - 1) / 400) AS BIGINT) AS shard_idx
+           FROM (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn FROM customer)
+         )
+         SELECT shard_idx, COUNT(*) AS rows FROM s GROUP BY shard_idx ORDER BY shard_idx""",
+    // risk-audit replay: CUBE + per-column GROUPING flags label the
+    // subset portably (bitmask bit order differs across engines)
+    "q171_risk_audit" ->
+      """WITH g AS (
+           SELECT c_custkey, c_nationkey, c_mktsegment,
+             '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+             CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band
+           FROM customer
+         ), cells AS (
+           SELECT concat_ws(',',
+               CASE WHEN GROUPING(c_nationkey) = 0 THEN 'c_nationkey' END,
+               CASE WHEN GROUPING(c_mktsegment) = 0 THEN 'c_mktsegment' END,
+               CASE WHEN GROUPING(bal_band) = 0 THEN 'bal_band' END) AS subset,
+             COUNT(*) AS cell_n
+           FROM g GROUP BY CUBE (c_nationkey, c_mktsegment, bal_band)
+         )
+         SELECT subset, COUNT(*) AS n_cells,
+           CAST(SUM(CASE WHEN cell_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton_cells,
+           CAST(SUM(CASE WHEN cell_n < 5 THEN cell_n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+           MIN(cell_n) AS min_cell_n
+         FROM cells WHERE subset <> '' GROUP BY subset ORDER BY subset""",
+    // t-closeness replay: per-cell prefix-CDF EMD in HUGEINT (mirrors
+    // decimal(38,0)), integral // mirrors Spark's decimal div
+    "q172_t_closeness" ->
+      """WITH nn AS (
+           SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS v
+           FROM customer WHERE c_acctbal IS NOT NULL
+         ), gd AS (
+           SELECT v, COUNT(*) AS gc FROM nn GROUP BY v
+         ), gg AS (
+           SELECT v,
+             SUM(gc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_cum,
+             (SELECT COUNT(*) FROM gd) AS m, (SELECT COUNT(*) FROM nn) AS nt
+           FROM gd
+         ), cells AS (
+           SELECT c_nationkey, c_mktsegment, COUNT(*) AS cell_n FROM nn GROUP BY 1, 2
+         ), cv AS (
+           SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c FROM nn GROUP BY 1, 2, 3
+         ), dense AS (
+           SELECT cells.c_nationkey, cells.c_mktsegment, cells.cell_n,
+             gg.v, gg.g_cum, gg.m, gg.nt, COALESCE(cv.c, 0) AS c
+           FROM cells CROSS JOIN gg
+           LEFT JOIN cv ON cv.c_nationkey = cells.c_nationkey
+             AND cv.c_mktsegment = cells.c_mktsegment AND cv.v = gg.v
+         ), pre AS (
+           SELECT *, SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_cum
+           FROM dense
+         ), term AS (
+           SELECT c_nationkey, c_mktsegment, cell_n, m, nt,
+             abs(CAST(c_cum AS HUGEINT)*CAST(nt AS HUGEINT)
+               - CAST(g_cum AS HUGEINT)*CAST(cell_n AS HUGEINT)) AS t
+           FROM pre
+         )
+         SELECT c_nationkey, c_mktsegment, cell_n,
+           CAST(CASE WHEN m = 1 THEN 0 ELSE
+             (SUM(t) * 1000000) // (CAST(cell_n AS HUGEINT)*CAST(nt AS HUGEINT)*CAST(m-1 AS HUGEINT))
+           END AS BIGINT) AS emd_micro,
+           (CAST(CASE WHEN m = 1 THEN 0 ELSE
+             (SUM(t) * 1000000) // (CAST(cell_n AS HUGEINT)*CAST(nt AS HUGEINT)*CAST(m-1 AS HUGEINT))
+           END AS BIGINT) <= 50000) AS ok
+         FROM term GROUP BY c_nationkey, c_mktsegment, cell_n, m, nt
+         ORDER BY c_nationkey, c_mktsegment""",
     // phrase-blocklist replay: per length-k group, count positional
     // k-windows equal to a listed phrase (clamped window convention)
     "q166_phrase_blocklist" -> {

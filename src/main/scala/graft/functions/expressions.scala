@@ -248,6 +248,86 @@ object Kernels {
     * `transform(positionalShingles(text, k), polyHash)` with no window
     * string ever materialized.
     */
+  /** One-pass char-trigram/bigram-prefix pair hashes for langid
+    * ([[graft.operators.LangId.gramPairs]]): one struct(p, g) per window
+    * start i in 1..max(len−2, 1) — p = polyHash(substring(text, i, 2)),
+    * g = polyHash(substring(text, i, 3)), codepoint positions, windows
+    * clamped at the text end (substring semantics), empty text yields
+    * one (0, 0) pair. Replaces a transform/zip_with/slice HOF pipeline
+    * that Spark evaluated interpreted per element — the langid scoring
+    * chain was the bench's most expensive query family purely from that
+    * interpretation overhead (q148 7.1 s → the codegen'd kernel walks
+    * the codepoints once).
+    */
+  def charGramPairHashes(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val sn = s.length
+    var n = 0
+    var ci = 0
+    while (ci < sn) { ci += Character.charCount(s.codePointAt(ci)); n += 1 }
+    val cps = new Array[Int](n)
+    ci = 0
+    var k = 0
+    while (ci < sn) {
+      val cp = s.codePointAt(ci)
+      cps(k) = cp
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    val m = math.max(n - 2, 1)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val e2 = math.min(i + 2, n)
+      val e3 = math.min(i + 3, n)
+      var p = 0L
+      var g = 0L
+      var j = i
+      while (j < e2) { p = (p * 31L + cps(j)) % HashPrime; j += 1 }
+      j = i
+      while (j < e3) { g = (g * 31L + cps(j)) % HashPrime; j += 1 }
+      out(i) = new GenericInternalRow(Array[Any](p, g))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional char-n-gram polyHashes — the codegen'd form of
+    * [[graft.operators.LangId.charGramsExpr]] (windows at 1..max(len−n+1,
+    * 1), clamped at the text end, empty text → one 0 hash). One codepoint
+    * walk; same interpretation-overhead story as
+    * [[charGramPairHashes]].
+    */
+  def charGramHashes(text: UTF8String, n: Int): GenericArrayData = {
+    if (n <= 0) throw new IllegalArgumentException(s"charGramHashes needs n > 0, got $n")
+    val s = text.toString
+    val sn = s.length
+    var len = 0
+    var ci = 0
+    while (ci < sn) { ci += Character.charCount(s.codePointAt(ci)); len += 1 }
+    val cps = new Array[Int](len)
+    ci = 0
+    var k = 0
+    while (ci < sn) {
+      val cp = s.codePointAt(ci)
+      cps(k) = cp
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    val m = math.max(len - (n - 1), 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val e = math.min(i + n, len)
+      var h = 0L
+      var j = i
+      while (j < e) { h = (h * 31L + cps(j)) % HashPrime; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def positionalShingleHashes(text: UTF8String, k: Int): GenericArrayData = {
     if (k <= 0)
       throw new IllegalArgumentException(s"positionalShingleHashes needs k > 0, got $k")
@@ -881,6 +961,42 @@ case class PositionalShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `char_gram_pairs(text) -> array<struct<p:long, g:long>>` — fused
+  * char-bigram-prefix/trigram pair hashes (see
+  * [[Kernels.charGramPairHashes]]).
+  */
+case class CharGramPairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("p", LongType, nullable = false), StructField("g", LongType, nullable = false))),
+    containsNull = false
+  )
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.charGramPairHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charGramPairHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramPairs =
+    copy(child = newChild)
+}
+
+/** `char_gram_hashes(text, n) -> array<long>` — positional char-n-gram
+  * polyHashes (see [[Kernels.charGramHashes]]).
+  */
+case class CharGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.charGramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charGramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
 /** `simhash32(text) -> long` — one-pass SimHash fingerprint (see
   * [[Kernels.simhash32]]).
   */
@@ -1096,6 +1212,10 @@ object GraftExpressions {
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
   def positional_shingles(text: Column, k: Int): Column =
     GraftBridge.column(PositionalShingles(GraftBridge.expression(text), k))
+  def char_gram_pairs(text: Column): Column =
+    GraftBridge.column(CharGramPairs(GraftBridge.expression(text)))
+  def char_gram_hashes(text: Column, n: Int): Column =
+    GraftBridge.column(CharGramHashes(GraftBridge.expression(text), n))
   def positional_shingle_hashes(text: Column, k: Int): Column =
     GraftBridge.column(PositionalShingleHashes(GraftBridge.expression(text), k))
   def token_chunks(text: Column, chunkSize: Int, overlap: Int): Column =

@@ -115,6 +115,18 @@ object Deidentify {
     df.withColumn(outCol, concat(lit("["), lo.cast("string"), lit(","), (lo + width).cast("string"), lit(")")))
   }
 
+  /** HIPAA-style top-coding: clamp a numeric column at `cap` and flag the
+    * clamped rows — Safe Harbor §164.514(b)(2) requires ages over 89
+    * aggregated into one "90+" category because the tail is sparse enough
+    * to identify (the same argument as [[suppressSmallGroups]], applied
+    * to an ordered domain where the SMALL cells are all at one end).
+    * Scan-side projection; `topCode(df, "age", 90)` reads "90 means 90 or
+    * older". Compose with [[generalize]] for the banded interior.
+    */
+  def topCode(df: DataFrame, numCol: String, cap: Long): DataFrame =
+    df.withColumn("top_coded", col(numCol) >= cap)
+      .withColumn(numCol, least(col(numCol), lit(cap).cast(df.schema(numCol).dataType)))
+
   /** k-anonymity cell suppression: count each quasi-identifier
     * combination (NULL-safe — all-null is itself a cell) and NULL every
     * quasi column on rows whose cell has < k members, flagging them
@@ -126,16 +138,56 @@ object Deidentify {
   def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 1, s"need k >= 1, got $k")
-    val counts = quasiCols
-      .foldLeft(df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__graft_cell_n"))) {
-        (d, c) => d.withColumnRenamed(c, s"__graft_q_$c")
-      }
-    // null-safe equality: an all-NULL quasi combination is itself a cell
-    // (the aggregate groups NULLs together; a plain equi-join would
-    // orphan those rows into a NULL count)
+    suppressWithCounts(df, cellCounts(df, quasiCols), quasiCols, k)
+  }
+
+  /** The quasi-cell count frame [[suppressSmallGroups]] builds from its
+    * own input — exposed so a release snapshot's counts can be persisted
+    * once and reused (the [[suppressAgainstCounts]] serving half and the
+    * streaming twin both consume it). Quasi columns come back renamed
+    * `__graft_q_<c>` so the null-safe join below never self-resolves.
+    */
+  def cellCounts(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    quasiCols.foldLeft(
+      df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__graft_cell_n"))
+    ) { (d, c) => d.withColumnRenamed(c, s"__graft_q_$c") }
+  }
+
+  /** Suppress rows of `df` against an EXTERNAL cell-count frame (from
+    * [[cellCounts]] over a release snapshot): a row whose quasi cell is
+    * small IN THE SNAPSHOT — or absent from it entirely (an unseen cell
+    * has snapshot size 0 < k) — gets its quasi columns nulled. This is
+    * the serving/streaming half: the k-anonymity promise of a published
+    * release is relative to the RELEASE's cell sizes, so late-arriving
+    * rows must be judged against those counts, not their own batch's
+    * (a micro-batch of 3 rows would suppress everything by its own
+    * census). Stateless: one stream-static join.
+    */
+  def suppressAgainstCounts(
+      df: DataFrame,
+      counts: DataFrame,
+      quasiCols: Seq[String],
+      k: Long
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"need k >= 1, got $k")
+    suppressWithCounts(df, counts, quasiCols, k)
+  }
+
+  /** Shared suppression core: null-safe equality join (an all-NULL quasi
+    * combination is itself a cell — a plain equi-join would orphan those
+    * rows into a NULL count), absent cells coalesce to size 0.
+    */
+  private def suppressWithCounts(
+      df: DataFrame,
+      counts: DataFrame,
+      quasiCols: Seq[String],
+      k: Long
+  ): DataFrame = {
     val cond = quasiCols.map(c => df(c) <=> counts(s"__graft_q_$c")).reduce(_ && _)
     val joined = df.join(counts, cond, "left").drop(quasiCols.map(c => s"__graft_q_$c"): _*)
-    val small = col("__graft_cell_n") < k
+    val small = coalesce(col("__graft_cell_n"), lit(0L)) < k
     val suppressed = quasiCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, when(small, lit(null).cast(df.schema(c).dataType)).otherwise(col(c)))
     }
@@ -156,5 +208,144 @@ object Deidentify {
         countDistinct(col(sensitiveCol)).as("n_distinct"),
         (countDistinct(col(sensitiveCol)) >= l).as("ok")
       )
+  }
+
+  /** Re-identification risk audit across EVERY non-empty subset of the
+    * quasi-identifier columns — the question an adversary with partial
+    * background knowledge forces ("they might know only the ZIP, or the
+    * ZIP and the age band"): per subset, how many cells exist, how many
+    * are singletons (unique → re-identifiable outright), how many rows
+    * sit in cells under k, and the smallest cell. One `cube` pass — the
+    * 2^|quasi| groupings share the scan and the partial aggregates
+    * (Catalyst expands the cube map-side; no per-subset rescan), then a
+    * second aggregate over the subset-bounded cell frame. The subset is
+    * labeled by its member column NAMES via per-column `grouping()`
+    * flags (portable — bitmask bit order differs across engines).
+    * NULL quasi values group as values, the [[suppressSmallGroups]]
+    * convention. The grand-total grouping (empty subset) is excluded —
+    * "knows nothing" is not an attack.
+    */
+  def riskAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.size >= 2, "risk audit needs >= 2 quasi columns (1 subset is just suppressSmallGroups's census)")
+    require(quasiCols.size <= 10, s"2^${quasiCols.size} cube groupings — cap at 10 quasi columns")
+    require(k >= 1, s"need k >= 1, got $k")
+    val label = concat_ws(
+      ",",
+      quasiCols.map(c => when(grouping(col(c)) === 0, lit(c)).otherwise(lit(null).cast("string"))): _*
+    )
+    // grouping() is only resolvable inside the cube's own Aggregate
+    val cells = df
+      .cube(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cell_n"), label.as("subset"))
+      .filter(col("subset") =!= "")
+    cells
+      .groupBy(col("subset"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("__graft_cell_n") === 1L, 1L).otherwise(0L)).as("n_singleton_cells"),
+        sum(when(col("__graft_cell_n") < k, col("__graft_cell_n")).otherwise(0L)).as("n_risky_rows"),
+        min(col("__graft_cell_n")).as("min_cell_n")
+      )
+  }
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian 2007): per quasi cell,
+    * the Earth Mover's Distance between the cell's distribution of an
+    * ORDERED sensitive attribute and the whole table's — l-diversity's
+    * blind spot is a cell that is diverse but SKEWED (all its salaries
+    * in the top bands still leak). For an ordered discrete domain the
+    * EMD is the mean absolute difference of the two prefix CDFs:
+    *
+    *   EMD = (1/(m−1)) · Σ_{prefixes} |c_cum/n_cell − g_cum/N|
+    *
+    * computed exactly in integers as Σ|c_cum·N − g_cum·n_cell| scaled by
+    * 10^6 over n_cell·N·(m−1) in decimal(38,0) (no float accumulation —
+    * the audit replays bit-for-bit). Shapes: the global distribution and
+    * the value domain are DOMAIN-bounded (m rows, broadcast); every cell
+    * carries all m values via that broadcast join, so the per-cell
+    * prefix window sorts exactly m rows — bounded work per cell, one
+    * quasi-key shuffle, never a global sort. `ok = emd_micro <= tMicro`.
+    */
+  def tClosenessAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      tMicro: Long
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tMicro >= 0, s"need tMicro >= 0, got $tMicro")
+    import org.apache.spark.sql.expressions.Window
+
+    // NULL sensitive values have no position in the order, so they are
+    // excluded from BOTH distributions (documented convention — a cell
+    // whose every sensitive value is NULL has no distribution to audit
+    // and is absent from the report)
+    val dfNN = df.filter(col(sensitiveCol).isNotNull)
+
+    // global distribution over the ordered domain: m rows, cumulative
+    // counts precomputed (the window here runs over the domain-bounded
+    // frame, not the corpus)
+    val global = dfNN
+      .groupBy(col(sensitiveCol).as("__graft_v"))
+      .agg(count(lit(1)).as("__graft_g"))
+      .withColumn("__graft_g_cum", sum(col("__graft_g")).over(
+        Window.orderBy(col("__graft_v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cellTotals = dfNN.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("cell_n"))
+    val cellValue = quasiCols.foldLeft(
+      dfNN
+        .groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__graft_v")): _*)
+        .agg(count(lit(1)).as("__graft_c"))
+    ) { (d, c) => d.withColumnRenamed(c, s"__graft_q_$c") }
+
+    // every cell × every domain value (broadcast the m-row domain), so
+    // absent values contribute 0 to the cell's CDF
+    val domain = broadcast(
+      global.select(
+        col("__graft_v"), col("__graft_g_cum"),
+        count(lit(1)).over(Window.partitionBy()).as("__graft_m"),
+        max(col("__graft_g_cum")).over(Window.partitionBy()).as("__graft_n")
+      )
+    )
+    // the q30 documented pattern: crossJoin(broadcast(domain-bounded));
+    // the join-back is NULL-SAFE on the quasi key (an all-NULL quasi
+    // combination is itself a cell, the suppressSmallGroups convention)
+    val crossed = cellTotals.crossJoin(domain)
+    val cond = quasiCols.map(c => crossed(c) <=> cellValue(s"__graft_q_$c"))
+      .reduce(_ && _) && crossed("__graft_v") === cellValue("__graft_v")
+    val dense = crossed
+      .join(cellValue, cond, "left")
+      .drop(cellValue("__graft_v"))
+      .drop(quasiCols.map(c => s"__graft_q_$c"): _*)
+      .withColumn("__graft_c", coalesce(col("__graft_c"), lit(0L)))
+    val cellWin = Window
+      .partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the cross-multiplied CDF difference in decimal(38,0) from the
+    // start: c_cum·N is ~N² and would wrap Long at web-release scale
+    val terms = dense
+      .withColumn("__graft_c_cum", sum(col("__graft_c")).over(cellWin))
+      .withColumn(
+        "__graft_term",
+        abs(
+          col("__graft_c_cum").cast("decimal(38,0)") * col("__graft_n").cast("decimal(38,0)") -
+            col("__graft_g_cum").cast("decimal(38,0)") * col("cell_n").cast("decimal(38,0)")
+        )
+      )
+    // integral `div` on decimal(38,0): truncation == floor here (every
+    // factor positive), and DuckDB's `//` replays it exactly
+    terms
+      .groupBy((quasiCols.map(col) :+ col("cell_n") :+ col("__graft_m") :+ col("__graft_n")): _*)
+      .agg(sum(col("__graft_term").cast("decimal(38,0)")).as("__graft_s"))
+      .withColumn(
+        "emd_micro",
+        when(col("__graft_m") === 1L, lit(0L)).otherwise(
+          expr(
+            "cast((__graft_s * cast(1000000 as decimal(38,0))) div " +
+              "(cast(cell_n as decimal(38,0)) * cast(__graft_n as decimal(38,0)) * cast(__graft_m - 1 as decimal(38,0))) as long)"
+          )
+        )
+      )
+      .withColumn("ok", col("emd_micro") <= tMicro)
+      .drop("__graft_s", "__graft_m", "__graft_n")
   }
 }

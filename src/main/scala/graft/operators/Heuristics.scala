@@ -198,21 +198,37 @@ object Heuristics {
       phrases.forall(p => p.trim == p && p.nonEmpty && p.split(" ").forall(_.nonEmpty)),
       "phrases are single-space token sequences with no leading/trailing/double spaces"
     )
-    val toks = split(col(textCol), " ")
-    // group phrases by token count: one positional-window pass per length
+    // materialize the split ONCE as a column: higher-order functions are
+    // interpreted (CodegenFallback), and any computed expression inside
+    // the lambda body — here the token array — re-evaluates PER ELEMENT;
+    // with split inlined that is O(n_tok²) re-splits per document
+    // (measured 5.5 s at sf0.1; an attribute reference is a row read)
+    val withToks = docs.select(col(idCol), split(col(textCol), " ").as("__graft_toks"))
+    val toks = col("__graft_toks")
+    // group phrases by token count: one positional pass per length. The
+    // window STRING is only built at positions whose token matches some
+    // phrase's FIRST token (And short-circuits) — on ordinary text almost
+    // every position fails that one array_contains, so the concat_ws
+    // allocation never runs
     val hits = phrases
       .groupBy(_.split(" ").length)
       .toSeq
       .sortBy(_._1)
       .map { case (k, ps) =>
-        val wins = transform(
-          sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))
-        )
-        size(filter(wins, w => array_contains(array(ps.map(lit): _*), w))).cast("long")
+        val firsts = ps.map(_.split(" ").head).distinct
+        size(
+          filter(
+            sequence(lit(0), greatest(size(toks) - k, lit(0))),
+            i =>
+              array_contains(array(firsts.map(lit): _*), element_at(toks, i + 1)) &&
+                array_contains(array(ps.map(lit): _*), concat_ws(" ", slice(toks, i + 1, lit(k))))
+          )
+        ).cast("long")
       }
       .reduce(_ + _)
-    docs.select(col(idCol), hits.as("n_hits"), (hits === 0L).as("keep"))
+    withToks
+      .select(col(idCol), hits.as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
   }
 
   /** Admission form of [[phraseBlocklistReport]]. */
@@ -226,19 +242,26 @@ object Heuristics {
       phrases.forall(p => p.trim == p && p.nonEmpty && p.split(" ").forall(_.nonEmpty)),
       "phrases are single-space token sequences with no leading/trailing/double spaces"
     )
-    val toks = split(col(textCol), " ")
+    // same single-materialization discipline as the report form (HOF
+    // lambda bodies re-evaluate computed expressions per element)
+    val toks = col("__graft_toks")
     val anyHit = phrases
       .groupBy(_.split(" ").length)
       .toSeq
       .sortBy(_._1)
       .map { case (k, ps) =>
-        val wins = transform(
+        val firsts = ps.map(_.split(" ").head).distinct
+        exists(
           sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+          i =>
+            array_contains(array(firsts.map(lit): _*), element_at(toks, i + 1)) &&
+              array_contains(array(ps.map(lit): _*), concat_ws(" ", slice(toks, i + 1, lit(k))))
         )
-        exists(wins, w => array_contains(array(ps.map(lit): _*), w))
       }
       .reduce(_ || _)
-    docs.filter(!anyHit)
+    docs
+      .withColumn("__graft_toks", split(col(textCol), " "))
+      .filter(!anyHit)
+      .drop("__graft_toks")
   }
 }

@@ -61,18 +61,13 @@ object LangId {
     * (the [[NgramLM.gramPairs]] alignment, characters instead of
     * tokens).
     */
-  def gramPairs(docs: DataFrame, textCol: String = "text", keyCol: String = "doc_id"): DataFrame = {
-    val g2 = charGramsExpr(textCol, 2)
-    val g3 = charGramsExpr(textCol, 3)
+  def gramPairs(docs: DataFrame, textCol: String = "text", keyCol: String = "doc_id"): DataFrame =
     docs
       .select(
         col(keyCol),
-        explode(
-          expr(s"zip_with(slice($g2, 1, size($g3)), $g3, (p, g) -> named_struct('p', p, 'g', g))")
-        ).as("pg")
+        explode(graft.functions.GraftExpressions.char_gram_pairs(col(textCol))).as("pg")
       )
       .select(col(keyCol), col("pg.p").as("p"), col("pg.g").as("g"))
-  }
 
   /** Trained per-language profile: `grams` (lang, g, c) — trigram counts;
     * `prefixes` (lang, p, cp) — bigram-context counts; `vocab` (lang, v)
@@ -106,7 +101,7 @@ object LangId {
       grams = pairs.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c")),
       prefixes = pairs.groupBy(col("lang"), col("p")).agg(count(lit(1)).as("cp")),
       vocab = src
-        .select(col("lang"), explode(expr(charGramsExpr("__t", 1))).as("u"))
+        .select(col("lang"), explode(graft.functions.GraftExpressions.char_gram_hashes(col("__t"), 1)).as("u"))
         .groupBy(col("lang"))
         .agg(countDistinct(col("u")).as("v"))
     )

@@ -54,6 +54,35 @@ object ShardedParquetSink {
       .option("compression", layout.codec)
       .parquet(outputDir)
 
+  /** [[write]] plus the reference's EXACT shard naming
+    * (`dump_table.py:157`: `omop_notes.{N}.parquet`, N sequential from
+    * 0): the parallel write runs unchanged, then the driver renames the
+    * committed `part-*` files in their sorted (= partition-order) name
+    * sequence — a pure FileSystem-metadata pass, one rename per shard
+    * (a dump produces at most thousands), after the commit protocol has
+    * already made the output durable. Returns the renamed paths in
+    * shard order. This closes the one layout difference SURVEY §7
+    * documented as a trade: downstream tooling keyed on the reference's
+    * template now reads this engine's output unmodified.
+    */
+  def writeNamed(
+      df: DataFrame,
+      outputDir: String,
+      table: String,
+      layout: ParquetLayout = ParquetLayout()
+  ): Seq[String] = {
+    require(table.nonEmpty && !table.contains("/"), s"bad table name: '$table'")
+    write(df, outputDir, layout)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new Path(outputDir)
+    val fs = dir.getFileSystem(conf)
+    listParquetFiles(conf, outputDir).zipWithIndex.map { case (p, i) =>
+      val target = new Path(dir, s"$table.$i.parquet")
+      require(fs.rename(p, target), s"rename failed: $p -> $target")
+      target.toString
+    }
+  }
+
   /** O11: open the output directory as one dataset and count rows per file
     * from parquet FOOTERS only — no data pages are read, matching the
     * reference's fragment-metadata walk (`dump_table.py:243-248`).

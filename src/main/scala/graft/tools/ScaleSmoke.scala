@@ -1503,7 +1503,77 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** De-identification tier at release scale: N synthetic "person event"
+    * rows with ONE hot quasi cell (30% of the corpus — the urban-ZIP
+    * shape every census-like release has) and a ~1000-cell tail. Measures
+    * the scan-side projections (pseudonymize + dateShift, noop sink), the
+    * k-anonymity census + suppression (the one shuffle; the cell-count
+    * frame is bounded by CELL CARDINALITY, so the join-back broadcasts —
+    * suppression costs one partial-agg shuffle of tiny partials, not a
+    * corpus co-partition), and the stateless serve path against persisted
+    * counts. Run: `ScaleSmoke deid [n]`.
+    */
+  private def deidMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 20000000L
+    val spark = GraftSession.local("scale-smoke-deid", 32)
+    import org.apache.spark.sql.functions._
+    import graft.operators.Deidentify
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[deid] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val rows = spark
+      .range(n)
+      .select(
+        col("id"),
+        pmod(col("id"), lit(1000000L)).as("entity"),
+        when(pmod(col("id"), lit(10L)) < 3, lit(0L)).otherwise(pmod(col("id"), lit(200L))).as("nation"),
+        when(pmod(col("id"), lit(10L)) < 3, lit(500.0))
+          .otherwise(pmod(col("id"), lit(10000L)).cast("double")).as("value"),
+        expr("timestampadd(DAY, CAST(id % 1000 AS INT), TIMESTAMP'2020-01-01 00:00:00')").as("ts")
+      )
+      .persist()
+    println(s"[deid] corpus: ${rows.count()} rows; hot cell = (nation 0, band [0,2000)) at 30%")
+
+    time("pseudonymize + dateShift scan") {
+      Deidentify
+        .dateShift(
+          Deidentify.pseudonymize(rows, Map("id" -> "event", "entity" -> "person"), "smoke"),
+          "ts", "entity", 30, "smoke"
+        )
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    val banded = Deidentify.generalize(rows, "value", 2000L, "band")
+    val out = time("k-anon census + suppression") {
+      val s = Deidentify.suppressSmallGroups(banded, Seq("nation", "band"), 1000L)
+      s.groupBy(col("suppressed")).agg(count(lit(1)).as("n")).collect()
+    }
+    out.foreach(r => println(s"[deid] suppressed=${r.get(0)} rows=${r.get(1)}"))
+
+    val counts = time("census persist (cellCounts)") {
+      val c = Deidentify.cellCounts(banded, Seq("nation", "band")).persist()
+      println(s"[deid] distinct quasi cells: ${c.count()}")
+      c
+    }
+    time("serve path (suppressAgainstCounts)") {
+      Deidentify
+        .suppressAgainstCounts(banded.limit(2000000), counts, Seq("nation", "band"), 1000L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val plan = Deidentify
+      .suppressAgainstCounts(banded, counts, Seq("nation", "band"), 1000L)
+      .queryExecution.executedPlan.toString
+    println(s"[deid] serve join broadcasts the census: ${plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin")}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("deid")) { deidMain(args); return }
     if (args.headOption.contains("semdecon")) { semdeconMain(args); return }
     if (args.headOption.contains("pack")) { packMain(args); return }
     if (args.headOption.contains("spectral")) { spectralMain(args); return }

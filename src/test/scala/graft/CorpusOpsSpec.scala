@@ -1679,6 +1679,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(c === a)
   }
 
+  test("langId gramPairs kernel == the HOF expression it replaced, incl. unicode/short/empty") {
+    import graft.operators.LangId
+    // the exact pipeline the fused CharGramPairs kernel replaced
+    def hofPairs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val g2 = LangId.charGramsExpr("text", 2)
+      val g3 = LangId.charGramsExpr("text", 3)
+      df.select(
+        col("doc_id"),
+        explode(expr(s"zip_with(slice($g2, 1, size($g3)), $g3, (p, g) -> named_struct('p', p, 'g', g))")).as("pg")
+      ).select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+    }
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "héllo wörld"), // 2-byte codepoints: positions are codepoints, not bytes
+      (3L, "日本語のテキスト"), // 3-byte codepoints
+      (4L, "ab"), // shorter than the trigram: one clamped window
+      (5L, "a"),
+      (6L, "") // empty: one (0, 0) pair
+    ).toDF("doc_id", "text")
+    val kernel = LangId.gramPairs(df).orderBy("doc_id", "p", "g").collect().toSeq
+    val hof = hofPairs(df).orderBy("doc_id", "p", "g").collect().toSeq
+    assert(kernel === hof)
+    assert(kernel.count(_.getLong(0) == 6L) === 1, "empty text yields exactly one pair")
+    // the scalar-array form too (vocab's n=1 and any other n)
+    for (n <- Seq(1, 2, 3)) {
+      val kh = df
+        .select(col("doc_id"), explode(graft.functions.GraftExpressions.char_gram_hashes(col("text"), n)).as("h"))
+        .orderBy("doc_id", "h").collect().toSeq
+      val eh = df
+        .select(col("doc_id"), explode(expr(LangId.charGramsExpr("text", n))).as("h"))
+        .orderBy("doc_id", "h").collect().toSeq
+      assert(kh === eh, s"char_gram_hashes(n=$n) == charGramsExpr")
+    }
+  }
+
   test("langId: held-out documents of crafted languages assign correctly; determinism") {
     import graft.operators.LangId
     val model = LangId.train(langTrain)

@@ -173,6 +173,95 @@ class DeidentifySpec extends SparkSpec {
     assert(!p2.contains("Exchange"), s"dateShift must be scan-only:\n$p2")
   }
 
+  test("topCode: clamp + flag, interior untouched, type preserved") {
+    val df = Seq(88.0, 89.0, 90.0, 93.0, 101.0).toDF("age")
+    val out = Deidentify.topCode(df, "age", 90L)
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1))).toSet
+    assert(out === Set((88.0, false), (89.0, false), (90.0, true), (90.0, true)))
+    val ints = Seq(85, 95).toDF("age")
+    val outInts = Deidentify.topCode(ints, "age", 90L).collect()
+      .map(r => (r.getInt(0), r.getBoolean(1))).toSet
+    assert(outInts === Set((85, false), (90, true)), "integer column stays integer")
+  }
+
+  test("suppressAgainstCounts: judged by the SNAPSHOT's census, unseen cells suppressed") {
+    val snapshot = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b")
+    ).toDF("id", "q")
+    val counts = Deidentify.cellCounts(snapshot, Seq("q"))
+    val late = Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("id", "q")
+    val out = Deidentify
+      .suppressAgainstCounts(late, counts, Seq("q"), 2L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2))).toSet
+    // "a" has 3 snapshot members: kept; "b" has 1: suppressed; "c" unseen: suppressed
+    assert(out === Set((10L, Some("a"), false), (11L, None, true), (12L, None, true)))
+    // against its OWN batch every late row would have been suppressed (cells of 1)
+    val own = Deidentify.suppressSmallGroups(late, Seq("q"), 2L)
+    assert(own.filter(!col("suppressed")).count() === 0L)
+    // law: suppressSmallGroups == suppressAgainstCounts on the frame's own census
+    val viaAgainst = Deidentify
+      .suppressAgainstCounts(snapshot, counts, Seq("q"), 2L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val direct = Deidentify.suppressSmallGroups(snapshot, Seq("q"), 2L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(viaAgainst === direct)
+  }
+
+  test("riskAudit: hand-checked subsets, NULL cell counted, grand total excluded") {
+    val df = Seq(
+      (1L, Some("a"), "x"),
+      (2L, Some("a"), "x"),
+      (3L, Some("a"), "y"),
+      (4L, Some("b"), "y"),
+      (5L, None, "y")
+    ).toDF("id", "q1", "q2")
+    val out = Deidentify.riskAudit(df, Seq("q1", "q2"), 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map { case (s, a, b, c, d) => s -> ((a, b, c, d)) }
+      .toMap
+    // q1 alone: cells a=3, b=1, NULL=1 -> 3 cells, 2 singletons, 2 risky rows, min 1
+    assert(out("q1") === ((3L, 2L, 2L, 1L)))
+    // q2 alone: x=2, y=3 -> no risk
+    assert(out("q2") === ((2L, 0L, 0L, 2L)))
+    // both: (a,x)=2 (a,y)=1 (b,y)=1 (NULL,y)=1 -> 4 cells, 3 singletons, 3 risky
+    assert(out("q1,q2") === ((4L, 3L, 3L, 1L)))
+    // exactly the 2^2 - 1 non-empty subsets; the grand total is not an attack
+    assert(out.size === 3)
+    intercept[IllegalArgumentException](Deidentify.riskAudit(df, Seq("q1"), 2L))
+  }
+
+  test("tClosenessAudit: hand-checked EMD, identical-to-global cell reads 0, NULL sensitive excluded") {
+    // global over v: {0 -> 2, 1000 -> 2}; m=2, N=4
+    val df = Seq(
+      ("A", Some(0L)), ("A", Some(0L)),         // cell A: all mass at 0
+      ("B", Some(1000L)), ("B", Some(1000L)),   // cell B: all mass at 1000
+      ("C", None)                               // NULL sensitive: excluded entirely
+    ).toDF("q", "v")
+    val out = Deidentify.tClosenessAudit(df, Seq("q"), "v", 400000L)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // cell A: prefix v=0: |2*4 - 2*2| = 4; v=1000: |2*4 - 4*2| = 0; S=4
+    // emd = 4*1e6 / (2*4*(2-1)) = 500000
+    assert(out("A") === ((2L, 500000L, false)))
+    assert(out("B") === ((2L, 500000L, false)))
+    // cell C had only NULL sensitive values -> absent from the report
+    assert(out.size === 2)
+    // a cell distributed exactly like the global reads 0
+    val bal = Seq(("A", 0L), ("A", 1000L), ("B", 0L), ("B", 1000L)).toDF("q", "v")
+    val out2 = Deidentify.tClosenessAudit(bal, Seq("q"), "v", 0L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    assert(out2.forall { case (_, e, ok) => e == 0L && ok })
+    // single-value domain (m=1): EMD defined as 0
+    val mono = Seq(("A", 7L), ("B", 7L)).toDF("q", "v")
+    assert(
+      Deidentify.tClosenessAudit(mono, Seq("q"), "v", 0L)
+        .collect().forall(_.getLong(2) == 0L)
+    )
+    intercept[IllegalArgumentException](Deidentify.tClosenessAudit(df, Seq.empty, "v", 1L))
+    intercept[IllegalArgumentException](Deidentify.tClosenessAudit(df, Seq("q"), "v", -1L))
+  }
+
   test("fail-fast on bad parameters") {
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map.empty, "s"))
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map("nope" -> "d"), "s"))

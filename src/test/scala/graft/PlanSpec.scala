@@ -160,6 +160,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), "no global sort in the mixing pipeline")
   }
 
+  test("deid-tier plans: census broadcasts in the serve join; risk audit is ONE cube pass; t-closeness never sorts the corpus globally") {
+    // q169: the cell-cardinality-bounded census must broadcast back onto
+    // the (unshuffled) late slice
+    val p169 = plan("q169_suppress_serve")
+    assert(p169.contains("BroadcastHashJoin") || p169.contains("BroadcastNestedLoopJoin"),
+      s"census join must broadcast:\n$p169")
+    // q171: one Expand (the cube) feeding aggregates — per-subset rescans
+    // would show as multiple parquet scans
+    val p171 = plan("q171_risk_audit")
+    assert(p171.contains("Expand"), "cube lowered to one Expand pass")
+    assert("Scan parquet".r.findAllIn(p171).size == 1, s"risk audit reads the table once:\n$p171")
+    // q172: windows are cell-partitioned (domain-bounded per cell) — a
+    // global Window over the corpus would be the scale-killer shape. The
+    // only un-partitioned window is over the DOMAIN-bounded global
+    // distribution frame (m rows), which the plan shows under the
+    // broadcast exchange.
+    val p172 = plan("q172_t_closeness")
+    assert(p172.contains("BroadcastExchange"), "domain frame broadcasts")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -41,4 +41,31 @@ class ShardingSpec extends SparkSpec {
   test("sharding invariant: reference layout constant 2^19") {
     assert(ParquetLayout().maxRecordsPerFile == 524288L)
   }
+
+  test("writeNamed: the reference's omop_notes.{N}.parquet template, content transparent") {
+    val dir = s"$testOut/shard_named"
+    val df = spark
+      .range(1050)
+      .coalesce(1)
+      .select(col("id"), concat(lit("row-"), col("id")).as("payload"))
+    val paths = ShardedParquetSink.writeNamed(df, dir, "omop_notes", ParquetLayout(maxRecordsPerFile = 400L))
+    // dump_table.py:157 template, N sequential from 0, no part-* residue
+    assert(paths.size == 3)
+    paths.zipWithIndex.foreach { case (p, i) =>
+      assert(p.endsWith(s"omop_notes.$i.parquet"), s"template name: $p")
+    }
+    val listed = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted
+    assert(listed.toSeq == Seq("omop_notes.0.parquet", "omop_notes.1.parquet", "omop_notes.2.parquet"))
+    // read-back verification still works on the renamed files, and the
+    // content round-trips exactly
+    val report = ShardedParquetSink.readBackReport(spark, dir)
+    assert(report.totalRows == 1050L)
+    assert(report.shards.map(_.rows) == Seq(400L, 400L, 250L))
+    assert(spark.read.parquet(dir).count() == 1050L)
+    assert(
+      spark.read.parquet(dir).agg(sum(col("id"))).head.getLong(0) ==
+        (0L until 1050L).sum
+    )
+    intercept[IllegalArgumentException](ShardedParquetSink.writeNamed(df, dir, "a/b"))
+  }
 }

@@ -923,6 +923,65 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming k-anonymity: suppressAgainstCounts vs the release census, stateless") {
+    // late arrivals are judged against the PUBLISHED release's cell
+    // sizes (their own micro-batch census would suppress everything)
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = sources.Tables
+      .load(spark, Sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+    val counts = Deidentify.cellCounts(snapshot, Seq("nation")).localCheckpoint(true)
+    val late = snapshot.limit(40).as[(Long, Long)].collect().toSeq
+    val stream = MemoryStream[(Long, Long)]
+    val deid = Deidentify.suppressAgainstCounts(
+      stream.toDF().toDF("c_custkey", "nation"),
+      counts,
+      Seq("nation"),
+      5L
+    )
+    assert(deid.isStreaming)
+    late.grouped(15).foreach(stream.addData(_))
+    val got = StreamingOps
+      .runToMemory(spark, deid, "kanon_live")
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    val batch = Deidentify
+      .suppressAgainstCounts(snapshot.limit(40), counts, Seq("nation"), 5L)
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    assert(got === batch)
+  }
+
+  test("streaming census maintenance: merge-on-read == one-pass census; live suppression == batch") {
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val full = sources.Tables
+      .load(spark, Sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+    val rows = full.as[(Long, Long)].collect().toSeq
+    val dir = s"$testOut/census_lsm"
+    val stream = MemoryStream[(Long, Long)]
+    rows.grouped(40).foreach(stream.addData(_))
+    val q = StreamingOps.maintainCensus(
+      stream.toDF().toDF("c_custkey", "nation"),
+      dir,
+      s"$dir/_ckpt",
+      Seq("nation")
+    )
+    q.processAllAvailable(); q.stop()
+    val merged = StreamingOps.currentCensus(spark, dir)
+    val batch = Deidentify.cellCounts(full, Seq("nation"))
+    val a = merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b, "merge-on-read census must equal the one-pass census exactly")
+    // the composition: suppressing against the merged census == suppressSmallGroups
+    val viaLsm = Deidentify
+      .suppressAgainstCounts(full, merged, Seq("nation"), 5L)
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    val direct = Deidentify.suppressSmallGroups(full, Seq("nation"), 5L)
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    assert(viaLsm === direct)
+  }
+
   test("streaming moment maintenance: centered matrix and PC == batch, bit for bit") {
     import graft.operators.Spectral
     implicit val sqlCtx = spark.sqlContext

@@ -95,6 +95,10 @@ def parse_baseline(path):
             m = re.search(r"median of 5 = (\d+(?:\.\d+)?)", cells[-1])
             if m:
                 anchor = float(m.group(1))
+        if anchor is None:
+            m = re.search(r"paired-run min = (\d+(?:\.\d+)?)", cells[-1])
+            if m:
+                anchor = float(m.group(1))
         if anchor is not None:
             anchors[name] = anchor
     for line in text.splitlines():
