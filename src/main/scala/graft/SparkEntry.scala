@@ -208,6 +208,46 @@ object SparkEntry {
         .select(col("c_nationkey"), col("c_mktsegment"), col("cell_n"), col("emd_micro"), col("ok"))
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
+    // bucketized range join: clicks attributed to the 10-minute window
+    // after each error — an equi-join on the time bucket (a raw theta
+    // join would plan BNLJ/cartesian); exact predicate re-checked
+    "q173_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("p"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(
+          col("event_id").as("err_id"),
+          unix_micros(col("ts").cast("timestamp")).as("w_start"),
+          (unix_micros(col("ts").cast("timestamp")) + 600000000L).as("w_end")
+        )
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, errors, "p", "w_start", "w_end", 600000000L)
+        .select(col("event_id"), col("err_id"))
+        .orderBy(col("event_id"), col("err_id"))
+    }),
+    // interval-overlap join with the owner-bucket uniqueness rule (each
+    // overlapping pair emitted exactly once, no distinct): error windows
+    // overlapping purchase windows
+    "q174_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(
+          col("event_id").as("err_id"),
+          unix_micros(col("ts").cast("timestamp")).as("e_start"),
+          (unix_micros(col("ts").cast("timestamp")) + 600000000L).as("e_end")
+        )
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("pur_id"),
+          unix_micros(col("ts").cast("timestamp")).as("p_start"),
+          (unix_micros(col("ts").cast("timestamp")) + 300000000L).as("p_end")
+        )
+      graft.operators.RangeJoin
+        .intervalOverlap(errs, purch, "e_start", "e_end", "p_start", "p_end", 600000000L)
+        .select(col("err_id"), col("pur_id"))
+        .orderBy(col("err_id"), col("pur_id"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3300,6 +3340,28 @@ object SparkEntry {
            CASE WHEN n < 5 THEN NULL ELSE bal_band END AS bal_band,
            (n < 5) AS suppressed
          FROM c WHERE c_custkey <= 300 ORDER BY c_custkey""",
+    // range-join replay: the plain inequality join (DuckDB's optimizer
+    // handles the theta join at oracle scale; the Spark side's bucketing
+    // is plan shape, not semantics)
+    "q173_range_join" ->
+      """WITH c AS (
+           SELECT event_id, epoch_us(ts) AS p FROM events WHERE event_type = 'click'
+         ), e AS (
+           SELECT event_id AS err_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS w_end
+           FROM events WHERE event_type = 'error'
+         )
+         SELECT c.event_id, e.err_id FROM c JOIN e ON c.p >= e.s AND c.p < e.w_end
+         ORDER BY c.event_id, e.err_id""",
+    "q174_interval_join" ->
+      """WITH e AS (
+           SELECT event_id AS err_id, epoch_us(ts) AS es, epoch_us(ts) + 600000000 AS ee
+           FROM events WHERE event_type = 'error'
+         ), p AS (
+           SELECT event_id AS pur_id, epoch_us(ts) AS ps, epoch_us(ts) + 300000000 AS pe
+           FROM events WHERE event_type = 'purchase'
+         )
+         SELECT e.err_id, p.pur_id FROM e JOIN p ON e.es < p.pe AND p.ps < e.ee
+         ORDER BY e.err_id, p.pur_id""",
     // named-dump replay: coalesce(1) + maxRecordsPerFile=400 shards a
     // count-n table into ceil(n/400) files of least(400, remaining)
     "q170_dump_named" ->

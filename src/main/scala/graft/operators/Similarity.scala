@@ -940,15 +940,24 @@ object Similarity {
     * by zero.
     */
   def quantizeInt8(emb: DataFrame): DataFrame = {
-    val s = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-    emb.select(
+    // materialize the scale as a COLUMN before the code transform: a
+    // computed expression inside an HOF lambda body re-evaluates PER
+    // ELEMENT (interpreted), so `/ s` with s inlined re-ran the
+    // array_max+transform once per dimension — O(d²) per row (the q166
+    // mechanism); an attribute reference is a row read
+    val withScale = emb.select(
       col("vec_id"),
-      s.as("scale"),
-      when(s === 0.0, transform(col("embedding"), _ => lit(0).cast("byte")))
+      col("embedding"),
+      array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("scale")
+    )
+    withScale.select(
+      col("vec_id"),
+      col("scale"),
+      when(col("scale") === 0.0, transform(col("embedding"), _ => lit(0).cast("byte")))
         .otherwise(
           transform(
             col("embedding"),
-            x => floor(x.cast("double") * lit(127.0) / s + lit(0.5)).cast("byte")
+            x => floor(x.cast("double") * lit(127.0) / col("scale") + lit(0.5)).cast("byte")
           )
         )
         .as("codes")
