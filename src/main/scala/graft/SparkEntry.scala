@@ -248,6 +248,24 @@ object SparkEntry {
         .select(col("err_id"), col("pur_id"))
         .orderBy(col("err_id"), col("pur_id"))
     }),
+    // grid-snapped Mondrian k-anonymization: the PRODUCING half of the
+    // privacy tier (the audits measure; this constructs the k-anonymous
+    // generalization) — driver-iterated median cuts on band histograms,
+    // no corpus-sized window in any round
+    "q175_mondrian" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b")
+      )
+      graft.operators.Mondrian
+        .anonymize(cust, Seq("a", "b"), 50L, 4)
+        .select(
+          col("c_custkey"), col("pid"), col("cell_n"),
+          col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"), col("ok")
+        )
+        .orderBy(col("c_custkey"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3220,7 +3238,64 @@ object SparkEntry {
        SELECT gpos // $seqLen AS chunk_idx, gpos % $seqLen AS pos, sym_id
        FROM g ORDER BY chunk_idx, pos"""
 
+  /** The Mondrian cut loop unrolled into `rounds` materialized CTE
+    * blocks (the q138/q111 lesson: each round's state is referenced
+    * more than once — plain CTEs would inline 2^rounds scans). A
+    * no-cut round is the identity (empty `cu{r}` ⇒ LEFT join keeps
+    * pids), so the fixed unroll replays the Scala loop's early exit
+    * exactly.
+    */
+  private def mondrianOracle(k: Long, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH s0 AS MATERIALIZED (
+           SELECT c_custkey, CAST(floor(c_acctbal/1000.0) AS BIGINT) AS a,
+                  CAST(c_nationkey AS BIGINT) AS b, CAST(0 AS BIGINT) AS pid
+           FROM customer)"""
+    )
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        h$r AS MATERIALIZED (
+          SELECT pid, 0 AS attr, a AS band, COUNT(*) AS bn FROM s$p GROUP BY 1, 3
+          UNION ALL
+          SELECT pid, 1 AS attr, b AS band, COUNT(*) AS bn FROM s$p GROUP BY 1, 3),
+        ch$r AS (
+          SELECT pid, attr, n FROM (
+            SELECT pid, attr, n, span,
+              ROW_NUMBER() OVER (PARTITION BY pid ORDER BY span DESC, attr ASC) AS rk
+            FROM (SELECT pid, attr, MAX(band)-MIN(band) AS span, SUM(bn) AS n
+                  FROM h$r GROUP BY 1, 2))
+          WHERE rk = 1 AND span > 0 AND n >= 2*$k),
+        cu$r AS (
+          SELECT pid, attr, cut FROM (
+            SELECT pid, attr, n, MIN(band) AS cut, min_by(cum, band) AS left_n
+            FROM (SELECT h.pid, h.attr, h.band, ch.n,
+                    SUM(h.bn) OVER (PARTITION BY h.pid ORDER BY h.band
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM h$r h JOIN ch$r ch USING (pid, attr))
+            WHERE cum*2 >= n GROUP BY pid, attr, n)
+          WHERE left_n >= $k AND n - left_n >= $k),
+        s$r AS MATERIALIZED (
+          SELECT s.c_custkey, s.a, s.b,
+            CASE WHEN cu.pid IS NULL THEN s.pid
+              ELSE s.pid*2 + CASE WHEN (CASE cu.attr WHEN 0 THEN s.a ELSE s.b END) <= cu.cut
+                             THEN 1 ELSE 2 END END AS pid
+          FROM s$p s LEFT JOIN cu$r cu ON s.pid = cu.pid)""")
+    }
+    sb.append(s""",
+      boxes AS (
+        SELECT pid, COUNT(*) AS cell_n, MIN(a) AS a_lo, MAX(a) AS a_hi,
+               MIN(b) AS b_lo, MAX(b) AS b_hi
+        FROM s$rounds GROUP BY pid)
+      SELECT s.c_custkey, s.pid, x.cell_n, x.a_lo, x.a_hi, x.b_lo, x.b_hi,
+             (x.cell_n >= $k) AS ok
+      FROM s$rounds s JOIN boxes x USING (pid) ORDER BY s.c_custkey""")
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q175_mondrian" -> mondrianOracle(50L, 4),
     // de-identification replays: the salted pseudonym is
     // remix32(polyHash(domain:value:salt)) — hash in one CTE (the remix
     // fragment inlines its argument), remix in the next

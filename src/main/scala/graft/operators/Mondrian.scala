@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MONDRIAN k-ANONYMIZATION (LeFevre/DeWitt/Ramakrishnan 2006) — the
+  * PRODUCING half of the privacy tier: [[Deidentify.suppressSmallGroups]]
+  * nulls small cells and [[Deidentify.riskAudit]]/[[Deidentify.tClosenessAudit]]
+  * MEASURE risk, but the standard way to *construct* a k-anonymous
+  * release is multidimensional recursive partitioning — split the
+  * record space on the widest quasi attribute at its median until no
+  * partition can be split without dropping below k, then generalize
+  * each record to its final partition's bounding box.
+  *
+  * This implementation is GRID-SNAPPED Mondrian: every quasi attribute
+  * is first quantized to integer band indices (`value div width`, the
+  * [[Deidentify.generalize]] grid), and cuts happen at band boundaries.
+  * That single design choice is what makes the algorithm both
+  * SCALE-SAFE and EXACTLY REPLAYABLE:
+  *
+  *   - the per-partition median comes from a banded HISTOGRAM
+  *     (groupBy(pid, band) counts + a cumulative over the band-bounded
+  *     frame), never from sorting records — no corpus-sized window
+  *     exists in any round, including round 1 where the "partition" is
+  *     the whole table;
+  *   - all arithmetic is integer (band indices, counts, pid bit paths),
+  *     so a SQL oracle replays every cut decision bit-for-bit.
+  *
+  * Per round (driver-iterated, bounded by `maxRounds` — partition count
+  * at most doubles per round, and useful depth is log2(n/k)):
+  *   1. per (pid, attr): the banded histogram (|attrs| aggregates, all
+  *      partial-combined — the hot whole-table round-1 "cell" is
+  *      absorbed map-side);
+  *   2. per pid: choose the attr spanning the MOST bands (ties to quasi
+  *      column order) — the "widest normalized range" heuristic of the
+  *      paper, measured on the grid;
+  *   3. per (pid, chosen attr): the median band b = smallest band with
+  *      cumulative count ≥ ⌈n/2⌉ (cumulative window runs over the
+  *      band-bounded histogram, partitioned by pid);
+  *   4. the cut is ALLOWABLE iff both sides keep ≥ k records (strict
+  *      Mondrian); allowable → records route to `2·pid+1` / `2·pid+2`
+  *      by `band ≤ b`, else the partition RETIRES (pid stays, never
+  *      reconsidered — a retired partition is stable under further
+  *      rounds because its cut decision is deterministic).
+  *
+  * The cut table of a round is bounded by the live partition count
+  * (≤ n/k), so the route-back join broadcasts. Output is row-level:
+  * every input row with its final `pid`, the partition size `cell_n`,
+  * per-attr generalized band ranges `<attr>_lo`/`<attr>_hi` (INCLUSIVE
+  * band indices — multiply by the width for value ranges), and
+  * `ok = cell_n >= k` (with n ≥ k input and enough rounds every
+  * partition satisfies k; `ok` makes the guarantee auditable instead of
+  * assumed). Rows are NEVER dropped. NULL band values: disallowed
+  * (fail-fast) — Mondrian's geometry has no place for a NULL
+  * coordinate; route NULLs through [[Deidentify.suppressSmallGroups]]'s
+  * convention before calling.
+  */
+object Mondrian {
+
+  /** @param df        input frame
+    * @param bandCols  quasi attributes ALREADY quantized to integer band
+    *                  indices (long) — `floor(value/width)` per attr;
+    *                  the caller owns the grid
+    * @param k         the anonymity parameter (both sides of every cut
+    *                  keep ≥ k records)
+    * @param maxRounds cut-round bound (driver-iterated); log2(n/k)
+    *                  rounds reach the unsplittable floor
+    */
+  def anonymize(df: DataFrame, bandCols: Seq[String], k: Long, maxRounds: Int): DataFrame = {
+    require(bandCols.nonEmpty, "need at least one banded quasi column")
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 62, s"need 1 <= maxRounds <= 62, got $maxRounds")
+
+    val nullGuard = bandCols.map(c => col(c).isNull).reduce(_ || _)
+    var state = df
+      .withColumn(
+        "__graft_pid",
+        when(nullGuard, raise_error(lit("mondrian: NULL band value — handle NULLs before anonymizing")))
+          .otherwise(lit(0L))
+      )
+      .localCheckpoint(true)
+
+    var round = 0
+    var live = true
+    while (round < maxRounds && live) {
+      // 1. banded histogram per (pid, attr) — one aggregate per attr
+      val hist = bandCols.zipWithIndex
+        .map { case (c, i) =>
+          state
+            .groupBy(col("__graft_pid"), col(c).as("__graft_band"))
+            .agg(count(lit(1)).as("__graft_bn"))
+            .withColumn("__graft_attr", lit(i))
+        }
+        .reduce(_ unionByName _)
+
+      // 2. widest attr per pid (band span; ties to column order)
+      val spans = hist
+        .groupBy(col("__graft_pid"), col("__graft_attr"))
+        .agg(
+          (max(col("__graft_band")) - min(col("__graft_band"))).as("__graft_span"),
+          sum(col("__graft_bn")).as("__graft_n")
+        )
+      val chosen = spans
+        .groupBy(col("__graft_pid"))
+        .agg(
+          max(struct(col("__graft_span").as("s"), (-col("__graft_attr")).as("na"))).as("__graft_m"),
+          // __graft_n is the partition size — identical across attrs
+          max(col("__graft_n")).as("__graft_n")
+        )
+        .select(
+          col("__graft_pid"),
+          (-col("__graft_m.na")).as("__graft_attr"),
+          col("__graft_m.s").as("__graft_span"),
+          col("__graft_n")
+        )
+        .filter(col("__graft_span") > 0 && col("__graft_n") >= 2L * k)
+
+      // 3. median band over the chosen attr's histogram (window over the
+      // band-bounded histogram frame, partitioned by pid)
+      import org.apache.spark.sql.expressions.Window
+      val cumWin = Window
+        .partitionBy(col("__graft_pid"))
+        .orderBy(col("__graft_band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cuts = hist
+        .join(chosen, Seq("__graft_pid", "__graft_attr"))
+        .withColumn("__graft_cum", sum(col("__graft_bn")).over(cumWin))
+        .filter(col("__graft_cum") * 2 >= col("__graft_n"))
+        .groupBy(col("__graft_pid"), col("__graft_attr"), col("__graft_n"))
+        .agg(
+          min(col("__graft_band")).as("__graft_cut"),
+          min(struct(col("__graft_band"), col("__graft_cum"))).getField("__graft_cum").as("__graft_left_n")
+        )
+        // 4. strict-Mondrian allowability: both sides keep >= k
+        .filter(
+          col("__graft_left_n") >= k &&
+            (col("__graft_n") - col("__graft_left_n")) >= k &&
+            (col("__graft_n") - col("__graft_left_n")) > 0
+        )
+        .select(col("__graft_pid"), col("__graft_attr"), col("__graft_cut"))
+
+      val nCuts = cuts.count()
+      if (nCuts == 0) {
+        live = false
+      } else {
+        // route: the cut table is bounded by the live partition count — broadcast
+        // exactly one arm matches (attr indices are exhaustive); the
+        // unmatched arms are NULL, coalesce picks the live one
+        val bandOfChosen = coalesce(
+          bandCols.zipWithIndex.map { case (c, i) => when(col("__graft_attr") === i, col(c)) }: _*
+        )
+        state = state
+          .join(broadcast(cuts), Seq("__graft_pid"), "left")
+          .withColumn(
+            "__graft_pid",
+            when(col("__graft_attr").isNull, col("__graft_pid"))
+              .otherwise(
+                col("__graft_pid") * 2 + when(bandOfChosen <= col("__graft_cut"), lit(1L)).otherwise(lit(2L))
+              )
+          )
+          .drop("__graft_attr", "__graft_cut")
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+
+    // final generalization: the bounding box of each final partition
+    val boxAggs = count(lit(1)).as("cell_n") +:
+      bandCols.flatMap(c => Seq(min(col(c)).as(s"${c}_lo"), max(col(c)).as(s"${c}_hi")))
+    val boxes = state.groupBy(col("__graft_pid")).agg(boxAggs.head, boxAggs.tail: _*)
+    state
+      .join(boxes, Seq("__graft_pid"))
+      .withColumn("ok", col("cell_n") >= k)
+      .withColumnRenamed("__graft_pid", "pid")
+  }
+}
