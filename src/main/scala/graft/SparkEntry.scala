@@ -266,6 +266,18 @@ object SparkEntry {
         )
         .orderBy(col("c_custkey"))
     }),
+    // release-utility metrics over the q175 anonymization (the paper's
+    // discernibility / class-size / certainty-penalty numbers, exact
+    // integers over the partition-bounded box frame)
+    "q176_mondrian_utility" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b")
+      )
+      val anon = graft.operators.Mondrian.anonymize(cust, Seq("a", "b"), 50L, 4)
+      graft.operators.Mondrian.utilityReport(anon, Seq("a", "b"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3288,14 +3300,30 @@ object SparkEntry {
         SELECT pid, COUNT(*) AS cell_n, MIN(a) AS a_lo, MAX(a) AS a_hi,
                MIN(b) AS b_lo, MAX(b) AS b_hi
         FROM s$rounds GROUP BY pid)
-      SELECT s.c_custkey, s.pid, x.cell_n, x.a_lo, x.a_hi, x.b_lo, x.b_hi,
-             (x.cell_n >= $k) AS ok
-      FROM s$rounds s JOIN boxes x USING (pid) ORDER BY s.c_custkey""")
+      """)
     sb.toString
   }
 
+  private def mondrianRowOracle(k: Long, rounds: Int): String =
+    mondrianOracle(k, rounds) +
+      s"""SELECT s.c_custkey, s.pid, x.cell_n, x.a_lo, x.a_hi, x.b_lo, x.b_hi,
+             (x.cell_n >= $k) AS ok
+      FROM s$rounds s JOIN boxes x USING (pid) ORDER BY s.c_custkey"""
+
+  private def mondrianUtilityOracle(k: Long, rounds: Int): String =
+    mondrianOracle(k, rounds) +
+      """SELECT CAST(SUM(cell_n) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_partitions,
+             MIN(cell_n) AS min_cell,
+             CAST(SUM(cell_n)*1000 // COUNT(*) AS BIGINT) AS avg_cell_milli,
+             CAST(SUM(cell_n*cell_n) AS BIGINT) AS discernibility,
+             CAST(SUM(cell_n*(a_hi-a_lo+1))*1000 // SUM(cell_n) AS BIGINT) AS a_width_milli,
+             CAST(SUM(cell_n*(b_hi-b_lo+1))*1000 // SUM(cell_n) AS BIGINT) AS b_width_milli
+      FROM boxes"""
+
   def oracleSql: Map[String, String] = Map(
-    "q175_mondrian" -> mondrianOracle(50L, 4),
+    "q175_mondrian" -> mondrianRowOracle(50L, 4),
+    "q176_mondrian_utility" -> mondrianUtilityOracle(50L, 4),
     // de-identification replays: the salted pseudonym is
     // remix32(polyHash(domain:value:salt)) — hash in one CTE (the remix
     // fragment inlines its argument), remix in the next

@@ -72,7 +72,12 @@ object Mondrian {
     require(maxRounds >= 1 && maxRounds <= 62, s"need 1 <= maxRounds <= 62, got $maxRounds")
 
     val nullGuard = bandCols.map(c => col(c).isNull).reduce(_ || _)
-    var state = df
+    // the CORPUS is materialized exactly once; each round's pid
+    // assignment is derived by replaying the (tiny, checkpointed) cut
+    // tables as a chain of broadcast joins — materializing the row-level
+    // state per round instead costs a corpus write+read per round (the
+    // first cut of this operator's own 20M-row smoke)
+    var base = df
       .withColumn(
         "__graft_pid",
         when(nullGuard, raise_error(lit("mondrian: NULL band value — handle NULLs before anonymizing")))
@@ -80,9 +85,34 @@ object Mondrian {
       )
       .localCheckpoint(true)
 
+    // fold the join chain back into a checkpoint every chainCap rounds:
+    // round r otherwise replays r broadcast joins per scan (fine) but
+    // the growing plan re-analysis costs dominate at small scale
+    val chainCap = 4
+    var cutTables = Vector.empty[DataFrame]
+    def routed: DataFrame = cutTables.foldLeft(base) { (st, cuts) =>
+      val bandOfChosen = coalesce(
+        bandCols.zipWithIndex.map { case (c, i) => when(col("__graft_attr") === i, col(c)) }: _*
+      )
+      st.join(broadcast(cuts), Seq("__graft_pid"), "left")
+        .withColumn(
+          "__graft_pid",
+          when(col("__graft_attr").isNull, col("__graft_pid"))
+            .otherwise(
+              col("__graft_pid") * 2 + when(bandOfChosen <= col("__graft_cut"), lit(1L)).otherwise(lit(2L))
+            )
+        )
+        .drop("__graft_attr", "__graft_cut")
+    }
+
     var round = 0
     var live = true
     while (round < maxRounds && live) {
+      if (cutTables.size >= chainCap) {
+        base = routed.localCheckpoint(true)
+        cutTables = Vector.empty
+      }
+      val state = routed
       // 1. banded histogram per (pid, attr) — one aggregate per attr
       val hist = bandCols.zipWithIndex
         .map { case (c, i) =>
@@ -138,31 +168,19 @@ object Mondrian {
             (col("__graft_n") - col("__graft_left_n")) > 0
         )
         .select(col("__graft_pid"), col("__graft_attr"), col("__graft_cut"))
+        // the cut table is partition-bounded — materialize it once; the
+        // count and the broadcast route-back would otherwise each replay
+        // the histogram chain
+        .localCheckpoint(true)
 
       val nCuts = cuts.count()
-      if (nCuts == 0) {
-        live = false
-      } else {
-        // route: the cut table is bounded by the live partition count — broadcast
-        // exactly one arm matches (attr indices are exhaustive); the
-        // unmatched arms are NULL, coalesce picks the live one
-        val bandOfChosen = coalesce(
-          bandCols.zipWithIndex.map { case (c, i) => when(col("__graft_attr") === i, col(c)) }: _*
-        )
-        state = state
-          .join(broadcast(cuts), Seq("__graft_pid"), "left")
-          .withColumn(
-            "__graft_pid",
-            when(col("__graft_attr").isNull, col("__graft_pid"))
-              .otherwise(
-                col("__graft_pid") * 2 + when(bandOfChosen <= col("__graft_cut"), lit(1L)).otherwise(lit(2L))
-              )
-          )
-          .drop("__graft_attr", "__graft_cut")
-          .localCheckpoint(true)
+      if (nCuts == 0) live = false
+      else {
+        cutTables = cutTables :+ cuts
         round += 1
       }
     }
+    val state = routed
 
     // final generalization: the bounding box of each final partition
     val boxAggs = count(lit(1)).as("cell_n") +:
@@ -172,5 +190,39 @@ object Mondrian {
       .join(boxes, Seq("__graft_pid"))
       .withColumn("ok", col("cell_n") >= k)
       .withColumnRenamed("__graft_pid", "pid")
+  }
+
+  /** Release-utility metrics over an [[anonymize]] output — the numbers
+    * the Mondrian paper evaluates a release by, in exact integers:
+    *
+    *   - `n_partitions`, `min_cell`, `avg_cell_milli` (n·1000 div p) —
+    *     equivalence-class sizes (closer to k = finer, more useful);
+    *   - `discernibility` — Σ|P|² over partitions (each record is
+    *     indistinguishable from |P| others; the paper's C_DM);
+    *   - `<attr>_width_milli` — the record-weighted mean generalized
+    *     band width Σ|P|·(hi−lo+1)·1000 div n per attribute (1000 =
+    *     no generalization; the certainty-penalty axis).
+    *
+    * One distinct over the partition-bounded frame + one aggregate —
+    * the report is p-bounded, never corpus-bounded, and every metric
+    * replays in the oracle (`div` mirrored by `//`).
+    */
+  def utilityReport(anon: DataFrame, bandCols: Seq[String]): DataFrame = {
+    require(bandCols.nonEmpty, "need the band columns the release was built on")
+    val parts = anon
+      .select(col("pid") +: col("cell_n") +: bandCols.flatMap(c => Seq(col(s"${c}_lo"), col(s"${c}_hi"))): _*)
+      .distinct()
+    val widths = bandCols.map { c =>
+      expr(s"CAST(sum(cell_n * (`${c}_hi` - `${c}_lo` + 1)) * 1000L div sum(cell_n) AS BIGINT)")
+        .as(s"${c}_width_milli")
+    }
+    parts.agg(
+      sum(col("cell_n")).as("n_rows"),
+      count(lit(1)).as("n_partitions") +:
+        min(col("cell_n")).as("min_cell") +:
+        expr("CAST(sum(cell_n) * 1000L div count(1) AS BIGINT)").as("avg_cell_milli") +:
+        sum(col("cell_n") * col("cell_n")).as("discernibility") +:
+        widths: _*
+    )
   }
 }

@@ -1572,7 +1572,42 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Mondrian k-anonymization at release scale: N rows, two banded
+    * attrs (one with a 30% hot band — the skew every census-like
+    * release has). Measures the driver-iterated cut rounds (each round:
+    * |attrs| histogram aggregates + one broadcast route-back + a
+    * localCheckpoint) and reports the final partition census. Run:
+    * `ScaleSmoke mondrian [n] [k] [rounds]`.
+    */
+  private def mondrianMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 20000000L
+    val k = if (args.length > 2) args(2).toLong else 20000L
+    val rounds = if (args.length > 3) args(3).toInt else 8
+    val spark = GraftSession.local("scale-smoke-mondrian", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val rows = spark
+      .range(n)
+      .select(
+        col("id"),
+        when(pmod(col("id"), lit(10L)) < 3, lit(0L)).otherwise(pmod(col("id") * 7919L, lit(1000L))).as("a"),
+        pmod(col("id") * 104729L, lit(50L)).as("b")
+      )
+      .repartition(64)
+      .persist()
+    println(s"[mondrian] corpus: ${rows.count()} rows, k=$k, maxRounds=$rounds; band a has a 30% hot band")
+    val t0 = System.nanoTime()
+    val anon = graft.operators.Mondrian.anonymize(rows, Seq("a", "b"), k, rounds)
+    val report = graft.operators.Mondrian.utilityReport(anon, Seq("a", "b")).collect()(0)
+    println(f"[mondrian] anonymize + utility: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    println(s"[mondrian] n_rows=${report.getLong(0)} partitions=${report.getLong(1)} min_cell=${report.getLong(2)} " +
+      s"avg_cell_milli=${report.getLong(3)} discernibility=${report.getLong(4)} " +
+      s"a_width_milli=${report.getLong(5)} b_width_milli=${report.getLong(6)}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("mondrian")) { mondrianMain(args); return }
     if (args.headOption.contains("deid")) { deidMain(args); return }
     if (args.headOption.contains("semdecon")) { semdeconMain(args); return }
     if (args.headOption.contains("pack")) { packMain(args); return }

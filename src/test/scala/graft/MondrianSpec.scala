@@ -71,6 +71,21 @@ class MondrianSpec extends SparkSpec {
     assert(box === Seq((0L, 9L)))
   }
 
+  test("utilityReport: hand-checked metrics on the line fixture") {
+    val df = (0L until 8L).map(b => (b, b)).toDF("id", "b")
+    val anon = Mondrian.anonymize(df, Seq("b"), 2L, 4)
+    val r = Mondrian.utilityReport(anon, Seq("b")).head
+    // 4 partitions of 2: discernibility 4·2² = 16, avg 2000 milli,
+    // width 2 bands = 2000 milli
+    assert(r.getLong(0) === 8L)   // n_rows
+    assert(r.getLong(1) === 4L)   // n_partitions
+    assert(r.getLong(2) === 2L)   // min_cell
+    assert(r.getLong(3) === 2000L) // avg_cell_milli
+    assert(r.getLong(4) === 16L)  // discernibility
+    assert(r.getLong(5) === 2000L) // b_width_milli
+    intercept[IllegalArgumentException](Mondrian.utilityReport(anon, Seq.empty))
+  }
+
   test("determinism under repartitioning") {
     val df = (0L until 200L).map(i => (i, (i * 37L) % 16L, (i * 53L) % 10L)).toDF("id", "a", "b")
     val x = Mondrian.anonymize(df, Seq("a", "b"), 10L, 6)

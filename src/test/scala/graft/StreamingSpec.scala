@@ -982,6 +982,31 @@ class StreamingSpec extends SparkSpec {
     assert(viaLsm === direct)
   }
 
+  test("streaming range join: live points vs static intervals — stateless, == batch") {
+    // the attribution shape with a STATIC interval table (campaign
+    // windows, maintenance windows): pointInInterval is explode +
+    // equi-join + filter, all stateless — a live feed needs no
+    // watermark and no state store
+    import graft.operators.RangeJoin
+    implicit val sqlCtx = spark.sqlContext
+    val intervals = (0L until 20L).map(i => (i, i * 50L, i * 50L + 120L)).toDF("i_id", "s", "e")
+      .localCheckpoint(true)
+    val pts = (0L until 300L).map(i => (i, (i * 37L) % 1000L))
+    val stream = MemoryStream[(Long, Long)]
+    val joined = RangeJoin.pointInInterval(
+      stream.toDF().toDF("p_id", "p"), intervals, "p", "s", "e", 100L)
+    assert(joined.isStreaming)
+    pts.grouped(100).foreach(stream.addData(_))
+    val got = StreamingOps
+      .runToMemory(spark, joined.select("p_id", "i_id"), "range_live")
+      .as[(Long, Long)].collect().toSet
+    val batch = RangeJoin
+      .pointInInterval(pts.toDF("p_id", "p"), intervals, "p", "s", "e", 100L)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming moment maintenance: centered matrix and PC == batch, bit for bit") {
     import graft.operators.Spectral
     implicit val sqlCtx = spark.sqlContext
