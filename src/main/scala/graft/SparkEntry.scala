@@ -278,6 +278,14 @@ object SparkEntry {
       val anon = graft.operators.Mondrian.anonymize(cust, Seq("a", "b"), 50L, 4)
       graft.operators.Mondrian.utilityReport(anon, Seq("a", "b"))
     }),
+    // categorical t-closeness (TVD — the equal-distance EMD): the
+    // market segment's distribution inside each nation cell vs globally
+    "q177_t_closeness_cat" -> ((s, dir) => {
+      graft.operators.Deidentify
+        .tClosenessCategorical(t(s, dir, "customer"), Seq("c_nationkey"), "c_mktsegment", 80000L)
+        .select(col("c_nationkey"), col("cell_n"), col("tvd_micro"), col("ok"))
+        .orderBy(col("c_nationkey"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3324,6 +3332,31 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q175_mondrian" -> mondrianRowOracle(50L, 4),
     "q176_mondrian_utility" -> mondrianUtilityOracle(50L, 4),
+    // categorical t-closeness replay: per-(cell, value) counts against
+    // the global distribution, TVD in HUGEINT with // for the div
+    "q177_t_closeness_cat" ->
+      """WITH nn AS (
+           SELECT c_nationkey, c_mktsegment AS v FROM customer WHERE c_mktsegment IS NOT NULL
+         ), gd AS (
+           SELECT v, COUNT(*) AS g FROM nn GROUP BY v
+         ), gg AS (
+           SELECT v, g, (SELECT COUNT(*) FROM nn) AS nt FROM gd
+         ), cells AS (
+           SELECT c_nationkey, COUNT(*) AS cell_n FROM nn GROUP BY 1
+         ), cv AS (
+           SELECT c_nationkey, v, COUNT(*) AS c FROM nn GROUP BY 1, 2
+         ), term AS (
+           SELECT cells.c_nationkey, cells.cell_n, gg.nt,
+             abs(CAST(COALESCE(cv.c, 0) AS HUGEINT)*CAST(gg.nt AS HUGEINT)
+               - CAST(gg.g AS HUGEINT)*CAST(cells.cell_n AS HUGEINT)) AS t
+           FROM cells CROSS JOIN gg
+           LEFT JOIN cv ON cv.c_nationkey = cells.c_nationkey AND cv.v = gg.v
+         )
+         SELECT c_nationkey, cell_n,
+           CAST((SUM(t) * 1000000) // (2 * CAST(cell_n AS HUGEINT) * CAST(nt AS HUGEINT)) AS BIGINT) AS tvd_micro,
+           (CAST((SUM(t) * 1000000) // (2 * CAST(cell_n AS HUGEINT) * CAST(nt AS HUGEINT)) AS BIGINT) <= 80000) AS ok
+         FROM term GROUP BY c_nationkey, cell_n, nt
+         ORDER BY c_nationkey""",
     // de-identification replays: the salted pseudonym is
     // remix32(polyHash(domain:value:salt)) — hash in one CTE (the remix
     // fragment inlines its argument), remix in the next

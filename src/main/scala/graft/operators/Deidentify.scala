@@ -210,6 +210,70 @@ object Deidentify {
       )
   }
 
+  /** t-closeness for CATEGORICAL sensitive attributes — the paper's
+    * equal-distance ground metric, where the EMD degenerates to the
+    * total variation distance: TVD = ½·Σ_v |p_v − q_v|. Same exact
+    * integer discipline as [[tClosenessAudit]] (cross-multiplied
+    * counts in decimal(38,0), `div` replayed by `//`), same shapes
+    * (domain-bounded broadcast, one quasi-key shuffle), but no prefix
+    * window at all — category order is meaningless, so the per-value
+    * terms sum directly. NULL sensitive values excluded (same
+    * convention). `ok = tvd_micro <= tMicro`.
+    */
+  def tClosenessCategorical(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      tMicro: Long
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tMicro >= 0, s"need tMicro >= 0, got $tMicro")
+    import org.apache.spark.sql.expressions.Window
+
+    val dfNN = df.filter(col(sensitiveCol).isNotNull)
+    val global = dfNN
+      .groupBy(col(sensitiveCol).as("__graft_v"))
+      .agg(count(lit(1)).as("__graft_g"))
+    val domain = broadcast(
+      global.select(
+        col("__graft_v"), col("__graft_g"),
+        sum(col("__graft_g")).over(Window.partitionBy()).as("__graft_n")
+      )
+    )
+    val cellTotals = dfNN.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("cell_n"))
+    val cellValue = quasiCols.foldLeft(
+      dfNN
+        .groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__graft_v")): _*)
+        .agg(count(lit(1)).as("__graft_c"))
+    ) { (d, c) => d.withColumnRenamed(c, s"__graft_q_$c") }
+
+    val crossed = cellTotals.crossJoin(domain)
+    val cond = quasiCols.map(c => crossed(c) <=> cellValue(s"__graft_q_$c"))
+      .reduce(_ && _) && crossed("__graft_v") === cellValue("__graft_v")
+    crossed
+      .join(cellValue, cond, "left")
+      .drop(cellValue("__graft_v"))
+      .drop(quasiCols.map(c => s"__graft_q_$c"): _*)
+      .withColumn(
+        "__graft_term",
+        abs(
+          coalesce(col("__graft_c"), lit(0L)).cast("decimal(38,0)") * col("__graft_n").cast("decimal(38,0)") -
+            col("__graft_g").cast("decimal(38,0)") * col("cell_n").cast("decimal(38,0)")
+        )
+      )
+      .groupBy((quasiCols.map(col) :+ col("cell_n") :+ col("__graft_n")): _*)
+      .agg(sum(col("__graft_term").cast("decimal(38,0)")).as("__graft_s"))
+      .withColumn(
+        "tvd_micro",
+        expr(
+          "cast((__graft_s * cast(1000000 as decimal(38,0))) div " +
+            "(cast(2 as decimal(38,0)) * cast(cell_n as decimal(38,0)) * cast(__graft_n as decimal(38,0))) as long)"
+        )
+      )
+      .withColumn("ok", col("tvd_micro") <= tMicro)
+      .drop("__graft_s", "__graft_n")
+  }
+
   /** Re-identification risk audit across EVERY non-empty subset of the
     * quasi-identifier columns — the question an adversary with partial
     * background knowledge forces ("they might know only the ZIP, or the

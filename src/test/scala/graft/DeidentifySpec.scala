@@ -262,6 +262,28 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.tClosenessAudit(df, Seq("q"), "v", -1L))
   }
 
+  test("tClosenessCategorical: hand-checked TVD, identical cell reads 0, NULL excluded") {
+    // global: {x -> 2, y -> 2}; cell A all-x: TVD = ½(|1−½| + |0−½|) = ½
+    val df = Seq(
+      ("A", Some("x")), ("A", Some("x")),
+      ("B", Some("y")), ("B", Some("y")),
+      ("C", None)
+    ).toDF("q", "v")
+    val out = Deidentify.tClosenessCategorical(df, Seq("q"), "v", 400000L)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("A") === ((2L, 500000L, false)))
+    assert(out("B") === ((2L, 500000L, false)))
+    assert(out.size === 2, "all-NULL-sensitive cell absent")
+    val bal = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")).toDF("q", "v")
+    assert(
+      Deidentify.tClosenessCategorical(bal, Seq("q"), "v", 0L)
+        .collect().forall(r => r.getLong(2) == 0L && r.getBoolean(3))
+    )
+    // TVD is order-free: == the ordered EMD only when m = 2 (single prefix)
+    intercept[IllegalArgumentException](Deidentify.tClosenessCategorical(df, Seq.empty, "v", 1L))
+    intercept[IllegalArgumentException](Deidentify.tClosenessCategorical(df, Seq("q"), "v", -1L))
+  }
+
   test("fail-fast on bad parameters") {
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map.empty, "s"))
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map("nope" -> "d"), "s"))
