@@ -1100,6 +1100,61 @@ object StreamingOps {
     )
   }
 
+  /** The COMPOSED streaming de-identified release feed — the q167
+    * enclave-exit path as a live pipeline: every arriving batch is
+    * date-shifted on the RAW entity key (so the offset replays from the
+    * source key), pseudonymized (both projections stateless —
+    * referential consistency across batches comes from the salted hash,
+    * not from state), judged against the PUBLISHED release census
+    * (`suppressAgainstCounts` — the k-anonymity promise is relative to
+    * the release's cell sizes, never a micro-batch's own), and appended
+    * to the release artifact with the dump layout knobs. Contracts,
+    * stated honestly (the admitIngest conventions): the census is a
+    * fixed snapshot (compose with [[maintainCensus]]/[[currentCensus]]
+    * inside foreachBatch for a census-so-far feed); foreachBatch +
+    * append parquet is at-least-once under retry, and every projection
+    * is a pure function of content, so a replayed batch writes
+    * identical rows.
+    */
+  def deidFeed(
+      stream: DataFrame,
+      census: DataFrame,
+      dir: String,
+      checkpointDir: String,
+      pseudoCols: Map[String, String],
+      tsCol: String,
+      entityCol: String,
+      quasiCols: Seq[String],
+      k: Long,
+      maxShiftDays: Int = 30,
+      salt: String = "release",
+      layout: graft.sources.ParquetLayout = graft.sources.ParquetLayout(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Deidentify
+    val deid = Deidentify.pseudonymize(
+      Deidentify.dateShift(stream, tsCol, entityCol, maxShiftDays, salt),
+      pseudoCols,
+      salt
+    )
+    Deidentify
+      .suppressAgainstCounts(deid, census, quasiCols, k)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("append")
+          .option("maxRecordsPerFile", layout.maxRecordsPerFile)
+          .option("parquet.block.size", layout.rowGroupBytes)
+          .option("parquet.page.size", layout.pageBytes)
+          .option("compression", layout.codec)
+          .parquet(dir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming maintenance of the k-anonymity release census
     * ([[graft.operators.Deidentify.cellCounts]]) — the privacy tier
     * joining the exact-merge LSM family: per-cell counts ADD, so each

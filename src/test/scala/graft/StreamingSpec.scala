@@ -1007,6 +1007,61 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming de-identified release feed: shift + pseudonymize + suppress-vs-census + append == batch chain") {
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val orders = sources.Tables
+      .load(spark, Sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .limit(120)
+      .localCheckpoint(true)
+    // the published release's census over the generalized price band
+    val banded = Deidentify.generalize(orders, "o_totalprice", 50000L, "price_band")
+    val census = Deidentify.cellCounts(banded, Seq("price_band")).localCheckpoint(true)
+
+    val dir = s"$testOut/deid_feed"
+    val rows = orders.collect().toSeq
+    val tupleStream = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    rows
+      .map(r => (r.getLong(0), r.getLong(1), java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](2)), r.getDouble(3)))
+      .grouped(40)
+      .foreach(tupleStream.addData(_))
+    val live = Deidentify.generalize(
+      tupleStream.toDF().toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      "o_totalprice", 50000L, "price_band"
+    )
+    val q = StreamingOps.deidFeed(
+      live, census, dir, s"$dir/_ckpt",
+      Map("o_orderkey" -> "order", "o_custkey" -> "cust"),
+      "o_orderdate", "o_custkey", Seq("price_band"), 5L, 30, "rel-live"
+    )
+    q.processAllAvailable(); q.stop()
+
+    // canonicalize the timestamp to micros: the tuple stream carries
+    // TIMESTAMP while the parquet fixture reads TIMESTAMP_NTZ (same
+    // instants under the pinned UTC session)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("ts_us"),
+        col("price_band"), col("suppressed")
+      )
+      .collect().map(_.toString).sorted.toSeq
+    val got = canon(spark.read.parquet(dir))
+    val batchChain = canon(
+      Deidentify.suppressAgainstCounts(
+        Deidentify.pseudonymize(
+          Deidentify.dateShift(banded, "o_orderdate", "o_custkey", 30, "rel-live"),
+          Map("o_orderkey" -> "order", "o_custkey" -> "cust"),
+          "rel-live"
+        ),
+        census, Seq("price_band"), 5L
+      )
+    )
+    assert(got === batchChain)
+    assert(got.nonEmpty)
+  }
+
   test("streaming moment maintenance: centered matrix and PC == batch, bit for bit") {
     import graft.operators.Spectral
     implicit val sqlCtx = spark.sqlContext
