@@ -286,6 +286,35 @@ object SparkEntry {
         .select(col("c_nationkey"), col("cell_n"), col("tvd_micro"), col("ok"))
         .orderBy(col("c_nationkey"))
     }),
+    // the full k-ANONYMOUS release: Mondrian generalization -> raw quasi
+    // columns DROPPED (only the partition's bounding box ships) ->
+    // pseudonymized key -> the reference-template sharded write -> gate
+    // on the READ-BACK — every privacy piece of the round composed into
+    // the enclave-exit artifact
+    "q178_k_release" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b")
+      )
+      val anon = graft.operators.Mondrian
+        .anonymize(cust, Seq("a", "b"), 50L, 4)
+        .select(col("c_custkey"), col("cell_n"), col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+      val release = graft.operators.Deidentify
+        .pseudonymize(anon, Map("c_custkey" -> "cust"), "rel2")
+        .withColumnRenamed("c_custkey", "p_cust")
+      val out = dumpPath("krel_q178", dir)
+      val paths = graft.sources.ShardedParquetSink.writeNamed(
+        release.coalesce(1).sortWithinPartitions(col("p_cust")),
+        out,
+        "omop_release",
+        graft.sources.ParquetLayout(maxRecordsPerFile = 600L)
+      )
+      paths.zipWithIndex.foreach { case (p, i) =>
+        require(p.endsWith(s"omop_release.$i.parquet"), s"bad shard name: $p")
+      }
+      s.read.parquet(out).orderBy(col("p_cust"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3332,6 +3361,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q175_mondrian" -> mondrianRowOracle(50L, 4),
     "q176_mondrian_utility" -> mondrianUtilityOracle(50L, 4),
+    // the composed k-anonymous release: the Mondrian chain + the salted
+    // pseudonym replay (the write/read-back is value-transparent)
+    "q178_k_release" -> (
+      mondrianOracle(50L, 4) +
+        s""", rel AS (
+           SELECT ${OracleFragments.polyHash("('cust:' || CAST(s.c_custkey AS VARCHAR) || ':rel2')")} AS h0,
+             x.cell_n, x.a_lo, x.a_hi, x.b_lo, x.b_hi
+           FROM s4 s JOIN boxes x USING (pid)
+         )
+         SELECT ${OracleFragments.remix32("h0")} AS p_cust,
+           cell_n, a_lo, a_hi, b_lo, b_hi
+         FROM rel ORDER BY p_cust"""
+    ),
     // categorical t-closeness replay: per-(cell, value) counts against
     // the global distribution, TVD in HUGEINT with // for the div
     "q177_t_closeness_cat" ->
