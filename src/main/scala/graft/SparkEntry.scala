@@ -315,6 +315,15 @@ object SparkEntry {
       }
       s.read.parquet(out).orderBy(col("p_cust"))
     }),
+    // Safe Harbor's OTHER date rule: uniform truncation (no per-entity
+    // secret; intervals destroyed) — per-month order counts survive
+    "q179_date_truncate" -> ((s, dir) => {
+      graft.operators.Deidentify
+        .truncateDates(t(s, dir, "orders"), "o_orderdate", "month")
+        .groupBy(col("o_orderdate").as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("month"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3374,6 +3383,10 @@ object SparkEntry {
            cell_n, a_lo, a_hi, b_lo, b_hi
          FROM rel ORDER BY p_cust"""
     ),
+    "q179_date_truncate" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
     // categorical t-closeness replay: per-(cell, value) counts against
     // the global distribution, TVD in HUGEINT with // for the div
     "q177_t_closeness_cat" ->

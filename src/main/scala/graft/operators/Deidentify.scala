@@ -115,6 +115,20 @@ object Deidentify {
     df.withColumn(outCol, concat(lit("["), lo.cast("string"), lit(","), (lo + width).cast("string"), lit(")")))
   }
 
+  /** Date GENERALIZATION — Safe Harbor's other date rule: where
+    * [[dateShift]] preserves within-entity intervals at the cost of a
+    * per-entity secret, truncation (`year` / `month` / `quarter`)
+    * destroys sub-unit precision uniformly with NO secret to manage —
+    * the right tool when intervals are not needed downstream (the
+    * §164.514(b)(2) "year of birth" form). Pure scan-side `date_trunc`;
+    * compose with [[topCode]] for the 90+ age rule.
+    */
+  def truncateDates(df: DataFrame, tsCol: String, unit: String): DataFrame = {
+    val allowed = Set("year", "quarter", "month")
+    require(allowed.contains(unit.toLowerCase), s"unit must be one of $allowed, got '$unit'")
+    df.withColumn(tsCol, date_trunc(unit, col(tsCol)))
+  }
+
   /** HIPAA-style top-coding: clamp a numeric column at `cap` and flag the
     * clamped rows — Safe Harbor §164.514(b)(2) requires ages over 89
     * aggregated into one "90+" category because the tail is sparse enough

@@ -284,6 +284,23 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.tClosenessCategorical(df, Seq("q"), "v", -1L))
   }
 
+  test("truncateDates: uniform truncation, no secret, scan-only; bad unit fails fast") {
+    val df = Seq(
+      Timestamp.valueOf("2024-03-17 10:30:00"),
+      Timestamp.valueOf("2024-03-01 00:00:00"),
+      Timestamp.valueOf("2023-12-31 23:59:59")
+    ).toDF("ts")
+    val byMonth = Deidentify.truncateDates(df, "ts", "month")
+      .collect().map(_.getTimestamp(0).toString).toSet
+    assert(byMonth === Set("2024-03-01 00:00:00.0", "2023-12-01 00:00:00.0"))
+    val byYear = Deidentify.truncateDates(df, "ts", "year")
+      .collect().map(_.getTimestamp(0).toString).toSet
+    assert(byYear === Set("2024-01-01 00:00:00.0", "2023-01-01 00:00:00.0"))
+    val plan = Deidentify.truncateDates(df, "ts", "year").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "truncation is scan-only")
+    intercept[IllegalArgumentException](Deidentify.truncateDates(df, "ts", "day"))
+  }
+
   test("fail-fast on bad parameters") {
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map.empty, "s"))
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map("nope" -> "d"), "s"))
