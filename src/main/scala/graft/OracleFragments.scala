@@ -171,6 +171,28 @@ object OracleFragments {
     s"len(list_filter(${tokens(col)}, t -> list_contains($lst, t)))"
   }
 
+  /** Pin every non-recursive CTE in an oracle to ONE evaluation by
+    * rewriting `name AS (` → `name AS MATERIALIZED (`. DuckDB (≤1.1)
+    * INLINES plain CTEs at every reference, so an oracle whose shared
+    * chain is referenced k times re-evaluates the whole upstream pipeline
+    * k-fold — q109's 7-stage funnel (each stage count referenced as both
+    * `n_in` and `n_out`) ran 252–260 s at sf0.01, and the 5 hottest
+    * oracles together ate 578 s (62 % of the driver's compare phase, the
+    * reason CORRECTNESS_r{09,11,12} zeroed on budget). With MATERIALIZED
+    * the same five run in 9.3 s with value-identical results (measured
+    * round 13, DuckDB 1.0.0). Applied to EVERY oracle by
+    * [[graft.SparkEntry.oracleSql]].
+    *
+    * Exclusions, both load-bearing:
+    *  - recursive members are declared with a column list
+    *    (`reach(n, l) AS (`) — the name-then-AS-then-paren shape cannot
+    *    match through the `)`, so they stay plain as DuckDB requires;
+    *  - named windows (`WINDOW w AS (PARTITION …)`) are skipped via the
+    *    lookbehind (builder SQL always writes a single space there).
+    */
+  def materializeCtes(sql: String): String =
+    sql.replaceAll("""(?<!\bWINDOW )\b(\w+)(\s+)AS(\s*)\(""", "$1 AS MATERIALIZED (")
+
   /** The near-dup CLUSTERING chain — MinHash signatures, banded candidate
     * join, Jaccard verification at `threshold`, recursive min-label
     * connected components — as a CTE sequence `sig … cc` over a source

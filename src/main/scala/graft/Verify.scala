@@ -53,13 +53,29 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val queries = SparkEntry.queries
-    names.foreach { name =>
-      try queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    // Round-13 (VERDICT r12 #1): the sequential 174-query loop took
+    // ~6.5 min — dominated by per-query planning/scheduling latency, not
+    // compute, at sf0.01 — and contributed to the driver gate overrunning
+    // its budget three rounds straight. The dump is embarrassingly
+    // parallel across queries (every query writes its OWN outDir/<name>
+    // and its OWN dumpPath artifact; the one temp view is private to its
+    // query), so run it on a bounded worker pool. Submission order stays
+    // cheap-first, so a budget-truncated run still lands the maximum
+    // number of green rows.
+    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      names.map { name =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
     spark.stop()
   }
 }

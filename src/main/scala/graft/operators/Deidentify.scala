@@ -97,11 +97,16 @@ object Deidentify {
       domain: String = "dateshift"
   ): DataFrame = {
     require(maxDays > 0, s"need maxDays > 0, got $maxDays")
+    require(df.columns.contains(tsCol), s"no such column: $tsCol")
     val span = 2L * maxDays + 1L
     val off = (pseudonymExpr(domain, col(entityCol), salt) % span - maxDays).cast("int")
-    df.withColumn("__graft_off", off)
-      .withColumn(tsCol, expr(s"timestampadd(DAY, __graft_off, $tsCol)"))
-      .drop("__graft_off")
+    // (ADVICE r11) Column-API form — the previous string-SQL
+    // interpolation (`expr(s"timestampadd(DAY, …, $tsCol)")`) broke on
+    // backtick-needing names (dots, spaces, hyphens) or silently bound a
+    // dotted name to a nested field; backtick-quoting the reference keeps
+    // it literal, and no temp column is needed at all.
+    val quoted = "`" + tsCol.replace("`", "``") + "`"
+    df.withColumn(tsCol, timestamp_add("DAY", off, col(quoted)))
   }
 
   /** Bin a numeric column into half-open bands `[lo, lo+width)` labelled

@@ -103,6 +103,25 @@ object ShardedParquetSink {
     } finally pool.shutdown()
   }
 
+  // Spark task files (`part-00042-<uuid>…parquet`) and this sink's renamed
+  // shards (`<table>.42.parquet`) both carry their shard index numerically.
+  private val SparkPartName = """part-(\d+)\D.*""".r
+  private val NamedShard = """.*\.(\d+)\.parquet""".r
+
+  /** (ADVICE r11) Shard index parsed from the file name, for NUMERIC
+    * ordering: lexicographic name sort misorders once indices outgrow
+    * their zero-padding (Spark pads task ids to 5 digits, so
+    * `part-100000` < `part-99999`; the renamed form is unpadded and
+    * misorders at 10 files). Unrecognized names sort last, by name —
+    * deterministic, and impossible for the two layouts this sink
+    * produces and reads back.
+    */
+  private def shardIndex(name: String): Long = name match {
+    case SparkPartName(d) => d.toLong
+    case NamedShard(d) => d.toLong
+    case _ => Long.MaxValue
+  }
+
   private def listParquetFiles(conf: Configuration, dir: String): Seq[Path] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(conf)
@@ -110,7 +129,7 @@ object ShardedParquetSink {
       .toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
-      .sortBy(_.getName)
+      .sortBy(p => (shardIndex(p.getName), p.getName))
   }
 
   private def footerRowCount(conf: Configuration, file: Path): Long = {

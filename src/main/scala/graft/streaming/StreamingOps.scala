@@ -880,9 +880,17 @@ object StreamingOps {
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/part=$p"), true)
         ()
       }
-      fs.rename(staged, new org.apache.hadoop.fs.Path(s"$indexDir/part=$hi"))
+      // (ADVICE r11) a false-returning rename — destination exists on some
+      // filesystems — would silently lose the staged fold AFTER the
+      // superseded parts were deleted; fail loudly instead, leaving the
+      // marker + staged dir in place so a re-invocation can resume.
+      val dest = new org.apache.hadoop.fs.Path(s"$indexDir/part=$hi")
+      require(fs.rename(staged, dest), s"rename failed: $staged -> $dest")
     }
-    // staged gone ⇒ the rename landed on a previous attempt; just uncommit
+    // uncommit ONLY once the staged dir is verifiably gone (the rename
+    // landed now, or on a previous attempt) — never drop the marker over
+    // a still-present fold
+    require(!fs.exists(staged), s"staged fold still present after rename: $staged")
     fs.delete(compactMarkerPath(indexDir), false)
     ()
   }
@@ -1270,7 +1278,15 @@ object StreamingOps {
   def currentNorms(spark: SparkSession, normsDir: String): DataFrame =
     currentIndex(spark, normsDir)
 
-  /** Read the current generation of a [[maintainIndex]] artifact. */
+  /** Read the current generation of a [[maintainIndex]] artifact.
+    *
+    * (ADVICE r11) "current" is the max COMPLETE generation, not the max
+    * directory: a crash mid-write leaves a partial top `gen=` dir with no
+    * committer `_SUCCESS`, and serving it would silently drop postings.
+    * Same resolution discipline as [[currentIvf]] — `_SUCCESS` is the
+    * commit marker, with a bare-existence fallback only when NO
+    * generation carries a marker (markerless committer configuration).
+    */
   def currentIndex(spark: SparkSession, indexDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1279,7 +1295,14 @@ object StreamingOps {
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
     require(gens.nonEmpty, s"no index generations under $indexDir")
-    spark.read.parquet(s"$indexDir/gen=${gens.max}")
+    val anyMarked = gens.exists(g =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/_SUCCESS"))
+    )
+    val eligible =
+      if (anyMarked)
+        gens.filter(g => fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/_SUCCESS")))
+      else gens
+    spark.read.parquet(s"$indexDir/gen=${eligible.max}")
   }
 
   /** Run a streaming frame to completion against bounded input via the

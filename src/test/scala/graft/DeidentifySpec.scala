@@ -103,6 +103,27 @@ class DeidentifySpec extends SparkSpec {
     assert(ja.except(jb).count() === 0L && jb.except(ja).count() === 0L)
   }
 
+  test("dateShift accepts backtick-needing column names (ADVICE r11)") {
+    // the old string-SQL form (`expr(s"timestampadd(DAY, …, $tsCol)")`)
+    // either failed to parse names with dots/spaces/hyphens or silently
+    // bound a dotted name to a nested field; the Column-API form must
+    // treat every name literally and shift identically to the plain form
+    val plain = ords.select(col("o_custkey"), col("o_orderdate").as("ts"))
+    val weird = Seq("order.date", "order date", "order-date", "ts`tick")
+    weird.foreach { name =>
+      val df = plain.withColumnRenamed("ts", name)
+      val shifted = Deidentify.dateShift(df, name, "o_custkey", 30, "s1")
+      assert(shifted.columns.toSeq === df.columns.toSeq, s"schema preserved for '$name'")
+      val want = Deidentify
+        .dateShift(plain, "ts", "o_custkey", 30, "s1")
+        .select(col("o_custkey"), col("ts").as(name))
+      assert(shifted.except(want).count() === 0L && want.except(shifted).count() === 0L,
+        s"'$name' must shift exactly like the plain column")
+    }
+    // a missing column fails fast instead of producing a confusing parse error
+    intercept[IllegalArgumentException](Deidentify.dateShift(plain, "nope", "o_custkey", 30, "s1"))
+  }
+
   test("generalize floors negatives into the correct band") {
     val df = Seq(-0.5, 0.0, 1999.99, 2000.0, -2000.0).toDF("v")
     val bands = Deidentify.generalize(df, "v", 2000L, "band").select("v", "band").collect()

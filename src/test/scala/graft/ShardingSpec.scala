@@ -68,4 +68,41 @@ class ShardingSpec extends SparkSpec {
     )
     intercept[IllegalArgumentException](ShardedParquetSink.writeNamed(df, dir, "a/b"))
   }
+
+  test("shard listing is NUMERIC, not lexicographic (ADVICE r11): unpadded names past 9") {
+    // the renamed `<table>.N.parquet` form is unpadded, so a name sort
+    // misorders at 10 files ("t.10.parquet" < "t.9.parquet"); the
+    // read-back report must walk shards 0,1,…,11 in numeric order
+    val dir = s"$testOut/shard_numorder"
+    val df = spark
+      .range(1200)
+      .coalesce(1)
+      .select(col("id"), concat(lit("row-"), col("id")).as("payload"))
+    val paths = ShardedParquetSink.writeNamed(df, dir, "t", ParquetLayout(maxRecordsPerFile = 100L))
+    assert(paths.size == 12)
+    paths.zipWithIndex.foreach { case (p, i) => assert(p.endsWith(s"t.$i.parquet"), p) }
+    val report = ShardedParquetSink.readBackReport(spark, dir)
+    val idx = report.shards.map(s => s.path.split('.').dropRight(1).last.toInt)
+    assert(idx == (0 until 12), s"numeric shard order, got $idx")
+    // content transparent: every shard full except the deterministic tail
+    assert(report.shards.map(_.rows) == Seq.fill(12)(100L))
+  }
+
+  test("shard listing is NUMERIC past the 5-digit task-id padding (ADVICE r11)") {
+    // Spark pads task ids to 5 digits, so lexicographic order breaks at
+    // 100000 ("part-100000…" < "part-99999…"); simulate the boundary by
+    // cloning one real shard under both names and checking report order
+    val srcDir = s"$testOut/shard_bigids_src"
+    val dir = s"$testOut/shard_bigids"
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val part = new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val d = new java.io.File(dir); org.apache.commons.io.FileUtils.deleteDirectory(d); d.mkdirs()
+    Seq("part-99998-a.snappy.parquet", "part-99999-a.snappy.parquet",
+        "part-100000-a.snappy.parquet", "part-100001-a.snappy.parquet").foreach { n =>
+      java.nio.file.Files.copy(part.toPath, new java.io.File(d, n).toPath)
+    }
+    val report = ShardedParquetSink.readBackReport(spark, dir)
+    val ids = report.shards.map(s => s.path.split('/').last.split('-')(1).toLong)
+    assert(ids == Seq(99998L, 99999L, 100000L, 100001L), s"numeric order past padding, got $ids")
+  }
 }

@@ -1273,4 +1273,86 @@ class StreamingSpec extends SparkSpec {
     val view2 = StreamingOps.currentIvf(spark, s"$dir/ivf")
     assert(view2.index.count() === completeIdx)
   }
+
+  test("currentIndex serves the max COMPLETE generation, _SUCCESS-gated (ADVICE r11)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gen-succ").toString
+    Seq((1L, "one")).toDF("k", "v").write.parquet(s"$dir/gen=1")
+    Seq((2L, "two")).toDF("k", "v").write.parquet(s"$dir/gen=2")
+    // crash mid-write of gen=2: the commit marker never landed — serving
+    // that generation would silently drop postings, so gen=1 is current
+    assert(new java.io.File(s"$dir/gen=2/_SUCCESS").delete())
+    assert(
+      StreamingOps.currentIndex(spark, dir).as[(Long, String)].collect().toSeq
+        === Seq((1L, "one"))
+    )
+    // markerless committer configuration (NO generation carries _SUCCESS):
+    // bare-existence fallback — max generation, as before the fix
+    assert(new java.io.File(s"$dir/gen=1/_SUCCESS").delete())
+    assert(
+      StreamingOps.currentIndex(spark, dir).as[(Long, String)].collect().toSeq
+        === Seq((2L, "two"))
+    )
+  }
+
+  test("compactIndex: a FAILED rename keeps the marker + staged fold, then resumes (ADVICE r11)") {
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-failren").toString
+    val idxDir = s"$dir/index"
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("tok", "df", "doc_ids", "tfs")
+        .as[(String, Long, Seq[Long], Seq[Long])]
+        .collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4)))
+        .toMap
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e"), (4L, "x y z"))
+    val (b1, b2) = docs.splitAt(2)
+    Retrieval.invertedIndex(b1.toDF("doc_id", "text")).write.parquet(s"$idxDir/part=0")
+    Retrieval.invertedIndex(b2.toDF("doc_id", "text")).write.parquet(s"$idxDir/part=1")
+    val want = flat(Retrieval.invertedIndex(docs.toDF("doc_id", "text")))
+    // committed crash state: staged fold + marker present, parts still live
+    StreamingOps.currentIndexMerged(spark, idxDir)
+      .write.parquet(s"$idxDir/part=1.compacted")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$idxDir/_compacting"), "1")
+    // resume through a filesystem whose rename(staged → part=1) returns
+    // false: the old code swallowed it and deleted the marker anyway,
+    // losing the only remaining copy (the superseded parts are deleted
+    // first); the fix must fail loudly and leave marker + staged intact
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failrename.impl", classOf[FailRenameFs].getName)
+    FailRenameFs.armed.set(true)
+    try intercept[IllegalArgumentException] {
+      StreamingOps.compactIndex(spark, s"failrename:$idxDir")
+    } finally FailRenameFs.armed.set(false)
+    assert(new java.io.File(s"$idxDir/_compacting").exists(), "marker must survive the failed rename")
+    assert(new java.io.File(s"$idxDir/part=1.compacted").exists(), "staged fold must survive")
+    // the view is still complete (served from the committed staged fold)
+    assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
+    // re-invocation on a healthy filesystem finishes: rename + uncommit
+    StreamingOps.compactIndex(spark, idxDir)
+    val names = new java.io.File(idxDir).list().toSet
+    assert(names.contains("part=1") && !names.contains("_compacting"), s"got $names")
+    assert(!names.exists(_.endsWith(".compacted")), s"staged dir renamed away: $names")
+    assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
+  }
+}
+
+/** A local filesystem whose `rename` into a `part=<n>` destination can be
+  * armed to return false — Hadoop's documented failure mode on filesystems
+  * where the destination already exists — so specs can pin compactIndex's
+  * behavior when the final publish rename does not land. Top-level with a
+  * no-arg constructor because Hadoop instantiates it reflectively from
+  * `fs.failrename.impl`.
+  */
+class FailRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("failrename:///")
+  override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FailRenameFs.armed.get() && dst.getName.startsWith("part=") && !dst.getName.contains(".compacted"))
+      false
+    else super.rename(src, dst)
+}
+
+object FailRenameFs {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
