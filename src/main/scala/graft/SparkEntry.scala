@@ -324,6 +324,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("month"))
     }),
+    // ε-differentially-private cell histogram — the aggregate-exit
+    // release primitive completing the privacy tier (k-anon bounds a ROW
+    // release; DP bounds what any released COUNT reveals about one
+    // individual). Geometric mechanism, inverse-CDF from the salted hash
+    // via an embedded LUT — deterministic, so the oracle replays it.
+    "q180_dp_counts" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      graft.operators.Deidentify
+        .dpCellCounts(g, Seq("c_nationkey", "bal_band"), 1000000L, "r13")
+        .orderBy(col("c_nationkey"), col("bal_band"))
+    }),
+    // the COMPOSED DP release: banded histogram + ε=0.5 geometric noise,
+    // template-sharded write, gated on the READ-BACK (the q167/q178
+    // extract-shard-verify discipline applied to the DP artifact — the
+    // noised counts are what leaves the enclave, so the noised counts are
+    // what the gate reads back)
+    "q181_dp_release" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      val hist = graft.operators.Deidentify
+        .dpCellCounts(g, Seq("c_mktsegment", "bal_band"), 500000L, "rel13")
+      val out = dumpPath("dprel_q181", dir)
+      val paths = graft.sources.ShardedParquetSink.writeNamed(
+        hist.coalesce(1).sortWithinPartitions(col("c_mktsegment"), col("bal_band")),
+        out,
+        "omop_dp_hist",
+        graft.sources.ParquetLayout(maxRecordsPerFile = 40L)
+      )
+      paths.zipWithIndex.foreach { case (p, i) =>
+        require(p.endsWith(s"omop_dp_hist.$i.parquet"), s"bad shard name: $p")
+      }
+      s.read.parquet(out).orderBy(col("c_mktsegment"), col("bal_band"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3356,6 +3390,40 @@ object SparkEntry {
              (x.cell_n >= $k) AS ok
       FROM s$rounds s JOIN boxes x USING (pid) ORDER BY s.c_custkey"""
 
+  /** DuckDB replay of [[graft.operators.Deidentify.dpCellCounts]] over
+    * the bal-banded customer frame: the cell census, the salted-hash
+    * uniform (polyHash then remix32, the q159 two-CTE shape), then the
+    * geometric mechanism as `len(list_filter(LUT, t -> t <= u)) − K` —
+    * the LUT's integer thresholds are computed ONCE by
+    * [[graft.operators.Deidentify.dpNoiseLut]] and embedded as literals
+    * in BOTH plans, so the draw replays bit-for-bit with no
+    * transcendental evaluated on either side.
+    */
+  private def dpCountsOracle(quasiCols: Seq[String], epsilonMicro: Long, salt: String): String = {
+    val (kk, ts) = graft.operators.Deidentify.dpNoiseLut(epsilonMicro)
+    val lut = ts.mkString("[", ", ", "]")
+    val qs = quasiCols.mkString(", ")
+    val keyExpr = quasiCols.map(c => s"CAST($c AS VARCHAR)").mkString(" || '|' || ")
+    s"""WITH g AS (
+         SELECT c_mktsegment, c_nationkey,
+           '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+           CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band
+         FROM customer
+       ), cells AS (
+         SELECT $qs, COUNT(*) AS n FROM g GROUP BY $qs
+       ), h AS (
+         SELECT $qs, n,
+           ${OracleFragments.polyHash(s"('dp:' || $keyExpr || ':$salt')")} AS h0
+         FROM cells
+       ), r AS (
+         SELECT $qs, n, ${OracleFragments.remix32("h0")} AS u FROM h
+       )
+       SELECT $qs,
+         CAST(greatest(n + len(list_filter($lut, t -> t <= u)) - $kk, 0) AS BIGINT) AS n_dp,
+         CAST($epsilonMicro AS BIGINT) AS epsilon_micro
+       FROM r ORDER BY $qs"""
+  }
+
   private def mondrianUtilityOracle(k: Long, rounds: Int): String =
     mondrianOracle(k, rounds) +
       """SELECT CAST(SUM(cell_n) AS BIGINT) AS n_rows,
@@ -3396,6 +3464,11 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // ε-DP cell histogram replays: census → salted-hash uniform →
+    // inverse-CDF through the embedded geometric LUT (q181's write/
+    // read-back is value-transparent, the q167/q178 discipline)
+    "q180_dp_counts" -> dpCountsOracle(Seq("c_nationkey", "bal_band"), 1000000L, "r13"),
+    "q181_dp_release" -> dpCountsOracle(Seq("c_mktsegment", "bal_band"), 500000L, "rel13"),
     // categorical t-closeness replay: per-(cell, value) counts against
     // the global distribution, TVD in HUGEINT with // for the div
     "q177_t_closeness_cat" ->

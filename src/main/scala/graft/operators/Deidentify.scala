@@ -229,6 +229,109 @@ object Deidentify {
       )
   }
 
+  /** The ε-DP noise lookup table: CDF thresholds of the two-sided
+    * geometric (discrete Laplace) distribution with α = e^−ε, scaled to
+    * the u32 domain — `(K, thresholds)` such that for a uniform
+    * `u ∈ [0, 2^32)`, `noise(u) = −K + |{t ∈ thresholds : t ≤ u}|` is an
+    * exact inverse-CDF sample. This is the geometric mechanism of
+    * Ghosh/Roughgarden/Sundararajan 2009 — the discrete, utility-optimal
+    * analogue of Laplace noise for sensitivity-1 counting queries.
+    *
+    * Why a LUT and not `ln(u)` at eval time: the thresholds are computed
+    * ONCE here in double precision and embedded as integer LITERALS in
+    * both the Spark plan and the DuckDB oracle (the q118 `hllLut`
+    * discipline), so the release replays bit-for-bit — transcendental
+    * functions evaluated independently by two engines do not.
+    *
+    * Truncation at ±K where the two-sided tail mass drops below 2^−33
+    * (under one expected event per 8 billion cells; the folded tail lands
+    * on the ±K endpoints). K = O(1/ε): 23 entries·2 at ε=1, 94·2 at
+    * ε=0.25 — always a bounded literal, never data-sized.
+    */
+  def dpNoiseLut(epsilonMicro: Long): (Int, Seq[Long]) = {
+    require(
+      epsilonMicro >= 10000L && epsilonMicro <= 20000000L,
+      s"epsilonMicro out of supported range [1e4, 2e7] (ε in [0.01, 20]), got $epsilonMicro"
+    )
+    val eps = epsilonMicro / 1e6
+    val alpha = math.exp(-eps)
+    // P(|Z| > K) = 2·α^(K+1)/(1+α) < 2^−33
+    val kk = math.ceil((33.0 * math.log(2.0) + math.log(2.0 / (1.0 + alpha))) / eps).toInt.max(1)
+    val thresholds = (-kk until kk).map { k =>
+      val cdf =
+        if (k < 0) math.pow(alpha, -k) / (1.0 + alpha)
+        else 1.0 - math.pow(alpha, k + 1) / (1.0 + alpha)
+      math.round(cdf * 4294967296.0)
+    }
+    (kk, thresholds)
+  }
+
+  /** The deterministic per-cell uniform: remix32∘polyHash of
+    * `"dp:" ++ quasi values (NULL → ␀, '|'-joined) ++ ":" ++ salt` —
+    * uniform in [0, 2^32), replayable by the oracle's hash fragments.
+    * Exposed for the oracle builder; the sentinel ␀ (U+2400) marks a
+    * NULL quasi component (an all-NULL cell is itself a cell, the
+    * [[suppressSmallGroups]] convention, and needs a stable key).
+    */
+  def dpCellUniform(quasiCols: Seq[String], salt: String): org.apache.spark.sql.Column = {
+    val parts = quasiCols.map(c => coalesce(col(c).cast("string"), lit("␀")))
+    val key = parts.reduce((a, b) => concat(a, lit("|"), b))
+    GraftExpressions.remix32(
+      GraftExpressions.poly_hash(concat(lit("dp:"), key, lit(":" + salt)))
+    )
+  }
+
+  /** ε-differentially-private quasi-cell histogram — the release tier's
+    * aggregate-exit primitive, completing the suite after k-anonymity
+    * ([[suppressSmallGroups]]/[[graft.operators.Mondrian]]), l-diversity
+    * and t-closeness: where those bound what an adversary learns from a
+    * ROW release, DP bounds what any cell COUNT reveals about one
+    * individual's presence. Per quasi cell: `n_dp = max(n + Z, 0)` with
+    * `Z` two-sided geometric (α = e^−ε) — sensitivity 1 for unit
+    * contribution per individual, so the mechanism is ε-DP; the
+    * non-negativity clamp is post-processing and costs no privacy.
+    *
+    * Determinism contract, stated honestly: `Z` is drawn by inverse-CDF
+    * from remix32∘polyHash(cell key, salt) — a PSEUDO-random draw, which
+    * is what makes the release replayable (and is the standard practice
+    * for auditable DP releases: the salt is the secret seed, rotated per
+    * release exactly like [[pseudonymize]]'s). The formal guarantee is
+    * relative to an adversary without the salt.
+    *
+    * Scale shape: ONE shuffle (the [[cellCounts]] aggregate, map-side
+    * partials absorbing hot cells); noise is a scan-side projection over
+    * the cell frame with a bounded-literal LUT probe (|LUT| = O(1/ε)
+    * integers, never data-sized). Absent cells are NOT materialized —
+    * callers needing closed-domain DP histograms densify the domain
+    * first ([[tClosenessAudit]]'s broadcast-domain pattern).
+    */
+  def dpCellCounts(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      epsilonMicro: Long,
+      salt: String
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val (kk, lut) = dpNoiseLut(epsilonMicro)
+    val cells = quasiCols.foldLeft(cellCounts(df, quasiCols)) { (d, c) =>
+      d.withColumnRenamed(s"__graft_q_$c", c)
+    }
+    // u materialized as a column FIRST: a computed expression inside the
+    // HOF lambda would re-evaluate per LUT element (the q166/q148 lesson)
+    cells
+      .withColumn("__graft_u", dpCellUniform(quasiCols, salt))
+      .withColumn(
+        "__graft_z",
+        lit(-kk) + size(filter(lit(lut.toArray), t => t <= col("__graft_u")))
+      )
+      .withColumn(
+        "n_dp",
+        greatest(col("__graft_cell_n") + col("__graft_z").cast("long"), lit(0L))
+      )
+      .withColumn("epsilon_micro", lit(epsilonMicro))
+      .drop("__graft_cell_n", "__graft_u", "__graft_z")
+  }
+
   /** t-closeness for CATEGORICAL sensitive attributes — the paper's
     * equal-distance ground metric, where the EMD degenerates to the
     * total variation distance: TVD = ½·Σ_v |p_v − q_v|. Same exact

@@ -322,6 +322,89 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.truncateDates(df, "ts", "day"))
   }
 
+  test("dpNoiseLut: a valid inverse-CDF table of the two-sided geometric") {
+    // the LUT is the mechanism — pin its mathematical shape, not samples
+    val epsMicro = 1000000L // ε = 1
+    val (kk, ts) = Deidentify.dpNoiseLut(epsMicro)
+    assert(ts.size === 2 * kk)
+    assert(ts === ts.sorted, "CDF thresholds must be non-decreasing")
+    // the head may round to 0 (tail mass below half a u32 grid unit)
+    assert(ts.head >= 0L && ts.last <= 4294967296L)
+    val alpha = math.exp(-1.0)
+    // truncation bound: the two-sided tail beyond ±K is below 2^-33
+    assert(2.0 * math.pow(alpha, kk + 1) / (1 + alpha) < math.pow(2.0, -33))
+    // the zero-noise mass (t_0 − t_{−1}) is (1−α)/(1+α) of the u32 domain
+    val p0 = (ts(kk) - ts(kk - 1)).toDouble / 4294967296.0
+    assert(math.abs(p0 - (1 - alpha) / (1 + alpha)) < 1e-6, s"P(Z=0) read $p0")
+    // geometric decay: each step away from 0 scales the mass by α (check
+    // the first three steps on both sides, within rounding of the u32 grid)
+    (1 to 3).foreach { k =>
+      val right = (ts(kk + k) - ts(kk + k - 1)).toDouble / (ts(kk + k - 1) - ts(kk + k - 2))
+      val left = (ts(kk - k) - ts(kk - k - 1)).toDouble / (ts(kk - k + 1) - ts(kk - k))
+      assert(math.abs(right - alpha) < 1e-3, s"right decay at $k read $right")
+      assert(math.abs(left - alpha) < 1e-3, s"left decay at $k read $left")
+    }
+    intercept[IllegalArgumentException](Deidentify.dpNoiseLut(9999L))
+    intercept[IllegalArgumentException](Deidentify.dpNoiseLut(20000001L))
+  }
+
+  test("dpCellCounts: exact inverse-CDF replay, determinism, post-processing clamp") {
+    import graft.functions.Kernels
+    val epsMicro = 500000L // ε = 0.5 — wide noise so small cells exercise the clamp
+    val (kk, ts) = Deidentify.dpNoiseLut(epsMicro)
+    val g = Deidentify.generalize(cust, "c_acctbal", 2000L, "bal_band")
+    val quasi = Seq("c_nationkey", "bal_band")
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("c_nationkey").cast("long"), col("bal_band"), col("n_dp"), col("epsilon_micro"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val out = cellMap(Deidentify.dpCellCounts(g, quasi, epsMicro, "spec"))
+    // 1) the released value is EXACTLY clamp(n + invCdf(u), 0) — replay the
+    //    whole mechanism independently in driver-side Scala from raw counts
+    val raw = g
+      .groupBy(col("c_nationkey").cast("long").as("k"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out.keySet === raw.keySet, "every cell released, none invented")
+    var clamped = 0
+    var zs = List.empty[Long]
+    raw.foreach { case (cell @ (nat, band), n) =>
+      val u = Kernels.remix32(Kernels.polyHash(s"dp:$nat|$band:spec"))
+      val z = -kk + ts.count(_ <= u)
+      zs ::= z.toLong
+      val expect = math.max(n + z, 0L)
+      if (n + z < 0L) clamped += 1
+      assert(out(cell) === ((expect, epsMicro)), s"cell $cell: n=$n u=$u z=$z")
+    }
+    // 2) the noise is genuinely two-sided and bounded by the truncation
+    assert(zs.forall(z => z >= -kk && z <= kk))
+    assert(zs.exists(_ > 0) && zs.exists(_ < 0), "both noise signs present")
+    // 3) determinism: same salt bit-identical, rotated salt re-noises
+    assert(cellMap(Deidentify.dpCellCounts(g, quasi, epsMicro, "spec")) === out)
+    val rotated = cellMap(Deidentify.dpCellCounts(g, quasi, epsMicro, "spec2"))
+    assert(rotated.exists { case (cell, v) => out(cell)._1 != v._1 }, "salt rotation must re-noise")
+    // 4) post-processing: never negative (and this corpus has small cells,
+    //    so at ε=0.5 the clamp really fires — if it never does, the law
+    //    above degenerates and the fixture should change)
+    assert(out.values.forall(_._1 >= 0L))
+    assert(clamped > 0, s"fixture too uniform: no cell hit the clamp (cells=${raw.size})")
+    // 5) NULL quasi values key via the ␀ sentinel — an all-NULL cell is a cell
+    import spark.implicits._
+    val withNull = Seq((Some(1L), "a"), (None, "a"), (None, "a")).toDF("k", "v")
+    val dpNull = Deidentify.dpCellCounts(withNull, Seq("k"), epsMicro, "spec")
+    assert(dpNull.count() === 2L)
+    val uNull = Kernels.remix32(Kernels.polyHash("dp:␀:spec"))
+    val zNull = -kk + ts.count(_ <= uNull)
+    assert(
+      dpNull.filter(col("k").isNull).select("n_dp").head().getLong(0)
+        === math.max(2L + zNull, 0L)
+    )
+    intercept[IllegalArgumentException](Deidentify.dpCellCounts(g, Seq(), epsMicro, "s"))
+  }
+
   test("fail-fast on bad parameters") {
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map.empty, "s"))
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map("nope" -> "d"), "s"))

@@ -180,6 +180,17 @@ class PlanSpec extends SparkSpec {
     assert(p172.contains("BroadcastExchange"), "domain frame broadcasts")
   }
 
+  test("q180: DP histogram is join-free — one quasi-key aggregate, noise scan-side") {
+    // the mechanism must add NOTHING to the census's scale shape: one
+    // HashAggregate (map-side partials) and a projection probing the
+    // bounded LUT literal — no join, no window, no second corpus pass
+    val p = plan("q180_dp_counts")
+    assert(!p.contains("Join"), s"noise must not join:\n$p")
+    assert(!p.contains("Window"), s"noise must not window:\n$p")
+    assert(p.contains("HashAggregate"), "the census aggregate")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"one table read:\n$p")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
