@@ -358,6 +358,36 @@ object SparkEntry {
       }
       s.read.parquet(out).orderBy(col("c_mktsegment"), col("bal_band"))
     }),
+    // offset-checkpointed RE-ENTRANT dump — the reference's cursor loop
+    // (dump_table.py:81-111) restarts from row zero on any failure; here
+    // the key range is the checkpoint: per-chunk _SUCCESS markers make
+    // re-entry skip complete ranges (the pushed filter keeps skipped
+    // ranges off the wire). The gate runs fresh, CRASHES chunk 1 (marker
+    // + data gone), resumes — requiring exactly that chunk to re-run —
+    // then proves idempotent re-entry (nothing runs), and gates on the
+    // read-back content == source (resume == fresh, value-transparent).
+    "q182_resumable_dump" -> ((s, dir) => {
+      val out = dumpPath("resume_q182", dir)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val source = new graft.sources.ParquetNoteSource(s"$dir/customer.parquet")
+      val b = source.scan(s).agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+      val bounds = (b.getAs[Number](0).longValue(), b.getAs[Number](1).longValue())
+      def run() = graft.sources.ResumableDump.run(
+        s, source, "c_custkey", bounds, out, 4,
+        graft.sources.ParquetLayout(maxRecordsPerFile = 500L)
+      )
+      val fresh = run()
+      require(fresh.ranChunks == (0 until 4) && fresh.skippedChunks.isEmpty, s"fresh: $fresh")
+      // simulated mid-write crash of chunk 1: marker and data gone
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/chunk_00001"), true)
+      val resumed = run()
+      require(resumed.ranChunks == Seq(1), s"resume must re-run ONLY chunk 1: $resumed")
+      val idle = run()
+      require(idle.ranChunks.isEmpty, s"idempotent re-entry must run nothing: $idle")
+      graft.sources.ResumableDump.read(s, out).orderBy(col("c_custkey"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3469,6 +3499,9 @@ object SparkEntry {
     // read-back is value-transparent, the q167/q178 discipline)
     "q180_dp_counts" -> dpCountsOracle(Seq("c_nationkey", "bal_band"), 1000000L, "r13"),
     "q181_dp_release" -> dpCountsOracle(Seq("c_mktsegment", "bal_band"), 500000L, "rel13"),
+    // the resumable dump is value-transparent: crash + resume + idempotent
+    // re-entry all happen inside the gate; content must equal the source
+    "q182_resumable_dump" -> "SELECT * FROM customer ORDER BY c_custkey",
     // categorical t-closeness replay: per-(cell, value) counts against
     // the global distribution, TVD in HUGEINT with // for the div
     "q177_t_closeness_cat" ->

@@ -1606,7 +1606,71 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** The COMPOSED streaming release feed ([[graft.streaming.StreamingOps.deidFeed]])
+    * at release scale: an N-row corpus split into B micro-batches (one
+    * file per trigger), each batch date-shifted + pseudonymized +
+    * judged against a PUBLISHED census snapshot and appended to the
+    * release artifact. Run twice with different quasi cardinalities so
+    * the stanza reads per-batch latency VS CENSUS SIZE — the census is
+    * the only non-batch-bounded input, and the join strategy it gets
+    * (broadcast under the threshold, shuffled above) is the scale story.
+    * Run: `ScaleSmoke deidfeed [n] [batches]`.
+    */
+  private def deidFeedMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 20000000L
+    val batches = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.local("scale-smoke-deidfeed", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Deidentify
+
+    Seq(("small census", 200L), ("large census", 200000L)).foreach { case (label, nationCard) =>
+      val base = s"/tmp/graft-deidfeed-smoke-$nationCard"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val rows = spark
+        .range(n)
+        .select(
+          col("id"),
+          pmod(col("id"), lit(1000000L)).as("entity"),
+          when(pmod(col("id"), lit(10L)) < 3, lit(0L))
+            .otherwise(pmod(col("id"), lit(nationCard))).as("nation"),
+          pmod(col("id"), lit(10000L)).cast("double").as("value"),
+          expr("timestampadd(DAY, CAST(id % 1000 AS INT), TIMESTAMP'2020-01-01 00:00:00')").as("ts")
+        )
+      val banded = Deidentify.generalize(rows, "value", 2000L, "band")
+      // the stream input: B files, one per micro-batch
+      banded.repartition(batches).write.parquet(s"$base/in")
+      val census = Deidentify.cellCounts(spark.read.parquet(s"$base/in"), Seq("nation", "band")).persist()
+      val cells = census.count()
+      val stream = spark.readStream
+        .schema(banded.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingOps.deidFeed(
+        stream, census, s"$base/out", s"$base/ckpt",
+        Map("id" -> "event", "entity" -> "person"),
+        "ts", "entity", Seq("nation", "band"), 1000L, 30, "smoke"
+      )
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val lat = prog.map(p => p.durationMs.get("triggerExecution").toDouble / 1000.0)
+      println(
+        f"[deidfeed] $label: cells=$cells rows=$n batches=${prog.length} wall=$wall%.1f s " +
+          f"batch p50=${lat.sorted.apply(lat.length / 2)}%.2f s max=${lat.max}%.2f s " +
+          f"rows/s=${n / wall}%.0f"
+      )
+      val released = spark.read.parquet(s"$base/out")
+      val supp = released.filter(col("suppressed")).count()
+      println(s"[deidfeed] $label: released=${released.count()} suppressed=$supp")
+      census.unpersist()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("deidfeed")) { deidFeedMain(args); return }
     if (args.headOption.contains("mondrian")) { mondrianMain(args); return }
     if (args.headOption.contains("deid")) { deidMain(args); return }
     if (args.headOption.contains("semdecon")) { semdeconMain(args); return }

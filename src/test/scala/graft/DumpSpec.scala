@@ -1,7 +1,8 @@
 package graft
 
 import graft.operators.OmopDump
-import graft.sources.{ParquetLayout, ParquetNoteSource}
+import graft.sources.{NoteSource, ParquetLayout, ParquetNoteSource, ResumableDump}
+import org.apache.spark.sql.functions._
 
 /** The parity pipeline end-to-end (dump_table.py:175-248 semantics):
   * limit mode caps at min(n, |table|), grab-everything dumps all rows,
@@ -42,5 +43,99 @@ class DumpSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       OmopDump.run(spark, src(), s"$testOut/dump_zero", Some(0L), ParquetLayout())
     }
+  }
+
+  // ------------------------------------------------------ resumable ingest
+
+  private def docsTable = spark.read.parquet(s"$Sf0001/documents.parquet")
+  private def docBounds = {
+    val r = docsTable.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+  private def sameContent(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+    a.except(b).isEmpty && b.except(a).isEmpty
+
+  test("resumable dump, fresh run: full coverage, per-chunk _SUCCESS, read == table") {
+    val dir = s"$testOut/resume_fresh"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    val res = ResumableDump.run(spark, src(), "doc_id", docBounds, dir, 4, ParquetLayout(maxRecordsPerFile = 64L))
+    assert(res.ranChunks == (0 until 4) && res.skippedChunks.isEmpty)
+    assert(res.report.totalRows == total)
+    assert(sameContent(ResumableDump.read(spark, dir), docsTable))
+    // idempotent re-entry: everything complete, NOTHING re-runs
+    val again = ResumableDump.run(spark, src(), "doc_id", docBounds, dir, 4, ParquetLayout(maxRecordsPerFile = 64L))
+    assert(again.ranChunks.isEmpty && again.skippedChunks == (0 until 4))
+    assert(again.report.totalRows == total)
+  }
+
+  test("resume equals fresh: a crashed chunk (no _SUCCESS) and a missing chunk re-run; complete chunks skip") {
+    val dir = s"$testOut/resume_crash"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    ResumableDump.run(spark, src(), "doc_id", docBounds, dir, 4, ParquetLayout())
+    // crash state A: chunk 1's marker never landed (mid-write kill) —
+    // delete its _SUCCESS and corrupt its content to prove the rewrite
+    assert(new java.io.File(s"$dir/chunk_00001/_SUCCESS").delete())
+    new java.io.File(s"$dir/chunk_00001").listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    // crash state B: chunk 3 never started
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/chunk_00003"))
+    val res = ResumableDump.run(spark, src(), "doc_id", docBounds, dir, 4, ParquetLayout())
+    assert(res.ranChunks == Seq(1, 3), s"only the incomplete chunks re-run, got ${res.ranChunks}")
+    assert(res.skippedChunks == Seq(0, 2))
+    assert(res.report.totalRows == total)
+    assert(sameContent(ResumableDump.read(spark, dir), docsTable), "resume == fresh")
+  }
+
+  test("kill mid-run, then resume: completed chunks survive, the rest complete") {
+    val dir = s"$testOut/resume_kill"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // a source that dies on its 3rd scan — chunks 0 and 1 land, 2 kills
+    val killing = new NoteSource {
+      var calls = 0
+      def scan(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+        calls += 1
+        if (calls == 3) throw new RuntimeException("connection reset (simulated)")
+        src().scan(s)
+      }
+      def countAtSource(s: org.apache.spark.sql.SparkSession): Long = src().countAtSource(s)
+    }
+    val died = intercept[RuntimeException] {
+      ResumableDump.run(spark, killing, "doc_id", docBounds, dir, 4, ParquetLayout())
+    }
+    assert(died.getMessage.contains("simulated"))
+    assert(new java.io.File(s"$dir/chunk_00001/_SUCCESS").exists(), "completed chunks are durable")
+    assert(!new java.io.File(s"$dir/chunk_00002").exists() || !new java.io.File(s"$dir/chunk_00002/_SUCCESS").exists())
+    val res = ResumableDump.run(spark, src(), "doc_id", docBounds, dir, 4, ParquetLayout())
+    assert(res.ranChunks == Seq(2, 3) && res.skippedChunks == Seq(0, 1))
+    assert(sameContent(ResumableDump.read(spark, dir), docsTable))
+  }
+
+  test("resume manifest pins the chunking: mismatched re-entry fails fast") {
+    val dir = s"$testOut/resume_manifest"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    ResumableDump.run(spark, src(), "doc_id", docBounds, dir, 4, ParquetLayout())
+    intercept[IllegalArgumentException] {
+      ResumableDump.run(spark, src(), "doc_id", docBounds, dir, 8, ParquetLayout())
+    }
+    intercept[IllegalArgumentException] {
+      ResumableDump.run(spark, src(), "doc_id", (docBounds._1, docBounds._2 + 1), dir, 4, ParquetLayout())
+    }
+  }
+
+  test("the chunk range filter reaches the source scan (pushdown — skipped ranges never cross the wire)") {
+    val slice = src().scan(spark).filter(col("doc_id") >= 10L && col("doc_id") <= 20L)
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(doc_id"), s"range not pushed:\n$plan")
+  }
+
+  test("more chunks than keys: degenerate tails skip, coverage intact") {
+    val dir = s"$testOut/resume_tiny"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    import spark.implicits._
+    val tiny = s"$testOut/resume_tiny_src"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tiny)
+    val res = ResumableDump.run(spark, new ParquetNoteSource(tiny), "doc_id", (1L, 3L), dir, 8, ParquetLayout())
+    assert(res.report.totalRows == 3L)
+    assert(sameContent(ResumableDump.read(spark, dir), spark.read.parquet(tiny)))
   }
 }
