@@ -64,6 +64,8 @@ FAMILY_OVERRIDES = {
     "q145_keep_top_quality": "shuffle",
     "q146_semantic_decon": "ann",
     "q147_semantic_decon_lsh": "ann",
+    "q181_dp_release": "fileio",  # template-sharded write + read-back inside
+    "q182_resumable_dump": "fileio",  # three dump passes of real file I/O inside
 }
 
 FAMILY_KEYS = [
