@@ -388,6 +388,30 @@ object SparkEntry {
       require(idle.ranChunks.isEmpty, s"idempotent re-entry must run nothing: $idle")
       graft.sources.ResumableDump.read(s, out).orderBy(col("c_custkey"))
     }),
+    // closed-domain DP histogram: the support-leak fix — EVERY cell of
+    // the public domain (here the observed-marginal product: nations ×
+    // bands) gets a count (absent → 0) and its own draw, so an empty
+    // cell is indistinguishable from a small one up to ε
+    "q183_dp_closed_hist" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      val domain = g.select(col("c_nationkey")).distinct()
+        .crossJoin(g.select(col("bal_band")).distinct())
+      graft.operators.Deidentify
+        .dpClosedHistogram(g, domain, Seq("c_nationkey", "bal_band"), 1000000L, "r13h")
+        .orderBy(col("c_nationkey"), col("bal_band"))
+    }),
+    // DP sums of a clipped contribution (sensitivity = clip, α = e^(−ε/Δ));
+    // the noise key carries the value-column name, so these draws are
+    // independent of q180's count draws over the same cells
+    "q184_dp_sums" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+        .withColumn("orders_capped", pmod(col("c_custkey"), lit(13L)))
+      graft.operators.Deidentify
+        .dpCellSums(g, Seq("c_nationkey", "bal_band"), "orders_capped", 8L, 2000000L, "r13")
+        .orderBy(col("c_nationkey"), col("bal_band"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3454,6 +3478,75 @@ object SparkEntry {
        FROM r ORDER BY $qs"""
   }
 
+  /** DuckDB replay of [[graft.operators.Deidentify.dpClosedHistogram]]
+    * over the observed-marginal product domain: nations × bands cross
+    * join, LEFT join of the census, COALESCE 0, then the same salted
+    * uniform + LUT probe as [[dpCountsOracle]] on EVERY domain cell.
+    */
+  private def dpClosedHistOracle(epsilonMicro: Long, salt: String): String = {
+    val (kk, ts) = graft.operators.Deidentify.dpNoiseLut(epsilonMicro)
+    val lut = ts.mkString("[", ", ", "]")
+    s"""WITH g AS (
+         SELECT c_nationkey,
+           '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+           CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band
+         FROM customer
+       ), cells AS (
+         SELECT c_nationkey, bal_band, COUNT(*) AS n FROM g GROUP BY 1, 2
+       ), dom AS (
+         SELECT n1.c_nationkey, b1.bal_band
+         FROM (SELECT DISTINCT c_nationkey FROM g) n1
+         CROSS JOIN (SELECT DISTINCT bal_band FROM g) b1
+       ), dense AS (
+         SELECT dom.c_nationkey, dom.bal_band, COALESCE(cells.n, 0) AS n
+         FROM dom LEFT JOIN cells USING (c_nationkey, bal_band)
+       ), h AS (
+         SELECT c_nationkey, bal_band, n,
+           ${OracleFragments.polyHash(
+            s"('dp:' || CAST(c_nationkey AS VARCHAR) || '|' || bal_band || ':$salt')"
+          )} AS h0
+         FROM dense
+       ), r AS (
+         SELECT c_nationkey, bal_band, n, ${OracleFragments.remix32("h0")} AS u FROM h
+       )
+       SELECT c_nationkey, bal_band,
+         CAST(greatest(n + len(list_filter($lut, t -> t <= u)) - $kk, 0) AS BIGINT) AS n_dp,
+         CAST($epsilonMicro AS BIGINT) AS epsilon_micro
+       FROM r ORDER BY c_nationkey, bal_band"""
+  }
+
+  /** DuckDB replay of [[graft.operators.Deidentify.dpCellSums]]: clamp to
+    * [0, clip], per-cell sum, geometric draw at sensitivity clip (the
+    * LUT built at ε/Δ), noise key salted `salt:sum:<valueCol>`.
+    */
+  private def dpSumsOracle(clip: Long, epsilonMicro: Long, salt: String): String = {
+    val (kk, ts) = graft.operators.Deidentify.dpNoiseLut(epsilonMicro / clip)
+    val lut = ts.mkString("[", ", ", "]")
+    s"""WITH g AS (
+         SELECT c_nationkey,
+           '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+           CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band,
+           greatest(least(c_custkey % 13, $clip), 0) AS v
+         FROM customer
+       ), cells AS (
+         SELECT c_nationkey, bal_band, CAST(SUM(v) AS BIGINT) AS s
+         FROM g GROUP BY 1, 2
+       ), h AS (
+         SELECT c_nationkey, bal_band, s,
+           ${OracleFragments.polyHash(
+            s"('dp:' || CAST(c_nationkey AS VARCHAR) || '|' || bal_band || ':$salt:sum:orders_capped')"
+          )} AS h0
+         FROM cells
+       ), r AS (
+         SELECT c_nationkey, bal_band, s, ${OracleFragments.remix32("h0")} AS u FROM h
+       )
+       SELECT c_nationkey, bal_band,
+         CAST(greatest(s + len(list_filter($lut, t -> t <= u)) - $kk, 0) AS BIGINT) AS sum_dp,
+         CAST($epsilonMicro AS BIGINT) AS epsilon_micro,
+         CAST($clip AS BIGINT) AS clip
+       FROM r ORDER BY c_nationkey, bal_band"""
+  }
+
   private def mondrianUtilityOracle(k: Long, rounds: Int): String =
     mondrianOracle(k, rounds) +
       """SELECT CAST(SUM(cell_n) AS BIGINT) AS n_rows,
@@ -3502,6 +3595,8 @@ object SparkEntry {
     // the resumable dump is value-transparent: crash + resume + idempotent
     // re-entry all happen inside the gate; content must equal the source
     "q182_resumable_dump" -> "SELECT * FROM customer ORDER BY c_custkey",
+    "q183_dp_closed_hist" -> dpClosedHistOracle(1000000L, "r13h"),
+    "q184_dp_sums" -> dpSumsOracle(8L, 2000000L, "r13"),
     // categorical t-closeness replay: per-(cell, value) counts against
     // the global distribution, TVD in HUGEINT with // for the div
     "q177_t_closeness_cat" ->

@@ -332,6 +332,94 @@ object Deidentify {
       .drop("__graft_cell_n", "__graft_u", "__graft_z")
   }
 
+  /** Closed-domain ε-DP histogram — the leak [[dpCellCounts]] documents
+    * away, fixed: releasing only OBSERVED cells reveals exactly which
+    * cells are empty (an adversary learns "no 90+ patients in ZIP x"
+    * with no noise in the way — support leakage, the standard failure of
+    * naive DP histograms). Here the caller supplies the closed cell
+    * DOMAIN (the public universe of cells — public by assumption, e.g.
+    * the band grid × the region list); every domain cell gets a count
+    * (absent → 0) and every count gets its own geometric draw, so an
+    * empty cell is indistinguishable from a small one up to the ε
+    * guarantee.
+    *
+    * Shapes: the domain is CELL-cardinality bounded (the
+    * [[tClosenessAudit]] broadcast-domain discipline) — it broadcasts
+    * onto the one quasi-key census aggregate via a null-safe LEFT join
+    * from the domain side; observed cells OUTSIDE the domain are dropped
+    * (the domain is the release contract), and the noise probe stays a
+    * scan-side bounded-LUT projection over the domain-sized frame.
+    */
+  def dpClosedHistogram(
+      df: DataFrame,
+      domain: DataFrame,
+      quasiCols: Seq[String],
+      epsilonMicro: Long,
+      salt: String
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(
+      quasiCols.forall(domain.columns.contains),
+      s"domain must carry every quasi column: ${quasiCols.mkString(", ")}"
+    )
+    val (kk, lut) = dpNoiseLut(epsilonMicro)
+    val counts = cellCounts(df, quasiCols)
+    val cond = quasiCols.map(c => domain(c) <=> counts(s"__graft_q_$c")).reduce(_ && _)
+    domain
+      .select(quasiCols.map(col): _*)
+      .join(counts, cond, "left")
+      .drop(quasiCols.map(c => s"__graft_q_$c"): _*)
+      .withColumn("__graft_n", coalesce(col("__graft_cell_n"), lit(0L)))
+      .withColumn("__graft_u", dpCellUniform(quasiCols, salt))
+      .withColumn(
+        "__graft_z",
+        lit(-kk) + size(filter(lit(lut.toArray), t => t <= col("__graft_u")))
+      )
+      .withColumn("n_dp", greatest(col("__graft_n") + col("__graft_z").cast("long"), lit(0L)))
+      .withColumn("epsilon_micro", lit(epsilonMicro))
+      .drop("__graft_cell_n", "__graft_n", "__graft_u", "__graft_z")
+  }
+
+  /** ε-DP cell SUMS of a clipped contribution — the second standard
+    * aggregate after counts: each row's value is clamped to the public
+    * range `[0, clip]` (clamping is what BOUNDS one individual's
+    * influence; without it a single outlier row makes the sensitivity —
+    * and the noise — unbounded), summed per quasi cell, and noised with
+    * the geometric mechanism at sensitivity Δ = `clip`: α = e^(−ε/Δ),
+    * realized by running [[dpNoiseLut]] at `epsilonMicro / clip` (LUT
+    * size O(Δ/ε) — still a bounded literal; keep `clip` modest or spend
+    * more ε). Same deterministic salted-hash inverse-CDF discipline as
+    * [[dpCellCounts]]; the domain key includes the value column name so
+    * a count release and a sum release over the same cells draw
+    * independent noise. Composition honesty: releasing counts AND sums
+    * of the same frame costs ε_count + ε_sum of budget — that
+    * accounting is the caller's.
+    */
+  def dpCellSums(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      valueCol: String,
+      clip: Long,
+      epsilonMicro: Long,
+      salt: String
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(clip >= 1, s"need clip >= 1, got $clip")
+    val (kk, lut) = dpNoiseLut(epsilonMicro / clip)
+    val clamped = greatest(least(col(valueCol).cast("long"), lit(clip)), lit(0L))
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(sum(clamped).as("__graft_s"))
+      .withColumn("__graft_u", dpCellUniform(quasiCols, s"$salt:sum:$valueCol"))
+      .withColumn(
+        "__graft_z",
+        lit(-kk) + size(filter(lit(lut.toArray), t => t <= col("__graft_u")))
+      )
+      .withColumn("sum_dp", greatest(col("__graft_s") + col("__graft_z").cast("long"), lit(0L)))
+      .withColumn("epsilon_micro", lit(epsilonMicro))
+      .withColumn("clip", lit(clip))
+      .drop("__graft_s", "__graft_u", "__graft_z")
+  }
+
   /** t-closeness for CATEGORICAL sensitive attributes — the paper's
     * equal-distance ground metric, where the EMD degenerates to the
     * total variation distance: TVD = ½·Σ_v |p_v − q_v|. Same exact

@@ -405,6 +405,67 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.dpCellCounts(g, Seq(), epsMicro, "s"))
   }
 
+  test("dpClosedHistogram: every domain cell released (absent → noised 0), out-of-domain dropped") {
+    import graft.functions.Kernels
+    import spark.implicits._
+    val epsMicro = 1000000L
+    val (kk, ts) = Deidentify.dpNoiseLut(epsMicro)
+    // observed: (a,1) x3, (b,2) x2, (c,9) x1; domain: {a,b} x {1,2} —
+    // (a,2)/(b,1) are EMPTY domain cells (must appear, noised from 0);
+    // (c,9) is outside the domain (must be dropped — the release contract)
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L), ("c", 9L)).toDF("k", "band")
+    val domain = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("k", "band")
+    val out = Deidentify
+      .dpClosedHistogram(df, domain, Seq("k", "band"), epsMicro, "spec")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out.keySet === Set(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)))
+    // exact replay per domain cell, including the empty ones from n=0
+    val raw = Map(("a", 1L) -> 3L, ("a", 2L) -> 0L, ("b", 1L) -> 0L, ("b", 2L) -> 2L)
+    raw.foreach { case (cell @ (k, band), n) =>
+      val u = Kernels.remix32(Kernels.polyHash(s"dp:$k|$band:spec"))
+      val z = -kk + ts.count(_ <= u)
+      assert(out(cell) === math.max(n + z, 0L), s"cell $cell n=$n z=$z")
+    }
+    // an empty cell is indistinguishable in KIND from a small one: both
+    // are plain n_dp values, no null/flag distinguishing support
+    assert(out.values.forall(_ >= 0L))
+    intercept[IllegalArgumentException](
+      Deidentify.dpClosedHistogram(df, domain.select("k"), Seq("k", "band"), epsMicro, "s")
+    )
+  }
+
+  test("dpCellSums: clip bounds the contribution, draw at sensitivity clip, independent of count draws") {
+    import graft.functions.Kernels
+    import spark.implicits._
+    val (epsMicro, clip) = (2000000L, 4L)
+    val (kk, ts) = Deidentify.dpNoiseLut(epsMicro / clip)
+    // values straddle the clip range: -5 clamps to 0, 9 clamps to 4
+    val df = Seq(("a", -5L), ("a", 9L), ("a", 3L), ("b", 2L), ("b", 100L)).toDF("k", "v")
+    val out = Deidentify
+      .dpCellSums(df, Seq("k"), "v", clip, epsMicro, "spec")
+      .select("k", "sum_dp", "epsilon_micro", "clip")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val rawSums = Map("a" -> (0L + 4L + 3L), "b" -> (2L + 4L))
+    rawSums.foreach { case (cell, s) =>
+      val u = Kernels.remix32(Kernels.polyHash(s"dp:$cell:spec:sum:v"))
+      val z = -kk + ts.count(_ <= u)
+      assert(out(cell) === ((math.max(s + z, 0L), epsMicro, clip)), s"cell $cell s=$s z=$z")
+    }
+    // the sum draw and the count draw over the SAME cells use different
+    // keys — a joint count+sum release must not reuse one noise stream
+    val uCount = Kernels.remix32(Kernels.polyHash("dp:a:spec"))
+    val uSum = Kernels.remix32(Kernels.polyHash("dp:a:spec:sum:v"))
+    assert(uCount !== uSum)
+    // sensitivity scaling is real: the sum LUT (ε/Δ) is wider than the
+    // count LUT (ε) — more noise for a larger per-individual influence
+    assert(ts.size > Deidentify.dpNoiseLut(epsMicro)._2.size)
+    intercept[IllegalArgumentException](Deidentify.dpCellSums(df, Seq("k"), "v", 0L, epsMicro, "s"))
+  }
+
   test("fail-fast on bad parameters") {
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map.empty, "s"))
     intercept[IllegalArgumentException](Deidentify.pseudonymize(cust, Map("nope" -> "d"), "s"))

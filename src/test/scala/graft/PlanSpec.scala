@@ -180,15 +180,28 @@ class PlanSpec extends SparkSpec {
     assert(p172.contains("BroadcastExchange"), "domain frame broadcasts")
   }
 
-  test("q180: DP histogram is join-free — one quasi-key aggregate, noise scan-side") {
+  test("q180/q184: DP census/sums are join-free — one quasi-key aggregate, noise scan-side") {
     // the mechanism must add NOTHING to the census's scale shape: one
     // HashAggregate (map-side partials) and a projection probing the
     // bounded LUT literal — no join, no window, no second corpus pass
-    val p = plan("q180_dp_counts")
-    assert(!p.contains("Join"), s"noise must not join:\n$p")
-    assert(!p.contains("Window"), s"noise must not window:\n$p")
-    assert(p.contains("HashAggregate"), "the census aggregate")
-    assert("Scan parquet".r.findAllIn(p).size == 1, s"one table read:\n$p")
+    for (q <- Seq("q180_dp_counts", "q184_dp_sums")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: noise must not join:\n$p")
+      assert(!p.contains("Window"), s"$q: noise must not window:\n$p")
+      assert(p.contains("HashAggregate"), s"$q: the census aggregate")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q: one table read:\n$p")
+    }
+  }
+
+  test("q183: closed-domain DP histogram joins the cell-bounded census under a broadcast") {
+    // the domain and the census are both cell-cardinality bounded; the
+    // dense left join must broadcast, and the corpus is read only for
+    // the census aggregate (plus the two domain-marginal distincts)
+    val p = plan("q183_dp_closed_hist")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"domain/census join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join of cell-bounded frames:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
   }
 
   test("flagship entry returns rows") {
