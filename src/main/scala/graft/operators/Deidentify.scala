@@ -312,8 +312,28 @@ object Deidentify {
       salt: String
   ): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    dpFromCounts(cellCounts(df, quasiCols), quasiCols, epsilonMicro, salt)
+  }
+
+  /** The geometric mechanism over an ALREADY-MAINTAINED census frame in
+    * [[cellCounts]] shape (`__graft_q_<c>` quasi columns +
+    * `__graft_cell_n`) — the streaming composition point: a census kept
+    * live by [[graft.streaming.StreamingOps.maintainCensus]] releases a
+    * DP histogram with `dpFromCounts(currentCensus(...), ...)`, and the
+    * result is bit-identical to [[dpCellCounts]] over everything ever
+    * streamed (counts merge exactly, the draw is a pure function of
+    * cell key + salt — no noise state to maintain, which is what makes
+    * the DP release LSM-composable at all).
+    */
+  def dpFromCounts(
+      counts: DataFrame,
+      quasiCols: Seq[String],
+      epsilonMicro: Long,
+      salt: String
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     val (kk, lut) = dpNoiseLut(epsilonMicro)
-    val cells = quasiCols.foldLeft(cellCounts(df, quasiCols)) { (d, c) =>
+    val cells = quasiCols.foldLeft(counts) { (d, c) =>
       d.withColumnRenamed(s"__graft_q_$c", c)
     }
     // u materialized as a column FIRST: a computed expression inside the

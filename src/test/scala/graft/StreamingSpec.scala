@@ -982,6 +982,37 @@ class StreamingSpec extends SparkSpec {
     assert(viaLsm === direct)
   }
 
+  test("streaming DP release: dpFromCounts over the census LSM == dpCellCounts of everything streamed") {
+    // the DP release is LSM-composable because counts merge exactly and
+    // the draw is a pure function of (cell key, salt) — no noise state;
+    // a census maintained across micro-batches must release the SAME
+    // noised histogram as a one-pass batch release, bit for bit
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val full = sources.Tables
+      .load(spark, Sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+    val rows = full.as[(Long, Long)].collect().toSeq
+    val dir = s"$testOut/census_dp_lsm"
+    val stream = MemoryStream[(Long, Long)]
+    rows.grouped(35).foreach(stream.addData(_))
+    val q = StreamingOps.maintainCensus(
+      stream.toDF().toDF("c_custkey", "nation"),
+      dir,
+      s"$dir/_ckpt",
+      Seq("nation")
+    )
+    q.processAllAvailable(); q.stop()
+    val viaLsm = Deidentify
+      .dpFromCounts(StreamingOps.currentCensus(spark, dir), Seq("nation"), 1000000L, "rel")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Deidentify
+      .dpCellCounts(full, Seq("nation"), 1000000L, "rel")
+      .select("nation", "n_dp", "epsilon_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaLsm === batch, "LSM-composed DP release must equal the batch release exactly")
+  }
+
   test("streaming range join: live points vs static intervals — stateless, == batch") {
     // the attribution shape with a STATIC interval table (campaign
     // windows, maintenance windows): pointInInterval is explode +
