@@ -425,6 +425,13 @@ object Deidentify {
   ): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(clip >= 1, s"need clip >= 1, got $clip")
+    require(
+      epsilonMicro / clip >= 10000L,
+      s"ε/Δ = $epsilonMicro/$clip µ is below the supported 0.01 floor — " +
+        "raise epsilonMicro or lower clip (the LUT would need >4600 entries)"
+    )
+    // integer division truncates ε/Δ downward → slightly MORE noise than
+    // the nominal budget: conservative, still ε-DP
     val (kk, lut) = dpNoiseLut(epsilonMicro / clip)
     val clamped = greatest(least(col(valueCol).cast("long"), lit(clip)), lit(0L))
     df.groupBy(quasiCols.map(col): _*)
