@@ -412,6 +412,32 @@ object SparkEntry {
         .dpCellSums(g, Seq("c_nationkey", "bal_band"), "orders_capped", 8L, 2000000L, "r13")
         .orderBy(col("c_nationkey"), col("bal_band"))
     }),
+    // whole-CDM orchestration: one invocation dumps every table, keyed
+    // tables resumable at chunk granularity, unkeyed dimensions guarded
+    // whole; the gate runs the extraction TWICE and requires the second
+    // pass to be all-skip (re-entrant), then compares per-table row
+    // totals from the read-back footers against the source counts
+    "q185_dump_all" -> ((s, dir) => {
+      val root = dumpPath("dumpall_q185", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      def specs = Seq(
+        graft.sources.DumpAll.TableSpec(
+          "customer", new graft.sources.ParquetNoteSource(s"$dir/customer.parquet"),
+          keyCol = Some("c_custkey"), chunks = 4),
+        graft.sources.DumpAll.TableSpec(
+          "nation", new graft.sources.ParquetNoteSource(s"$dir/nation.parquet")),
+        graft.sources.DumpAll.TableSpec(
+          "region", new graft.sources.ParquetNoteSource(s"$dir/region.parquet"))
+      )
+      val fresh = graft.sources.DumpAll.run(s, specs, root)
+      require(fresh.forall(_.ok) && fresh.map(_.ranChunks).sum > 0, s"fresh: $fresh")
+      val again = graft.sources.DumpAll.run(s, specs, root)
+      require(again.forall(o => o.ok && o.ranChunks == 0), s"re-entry must all-skip: $again")
+      import s.implicits._
+      again.map(o => (o.table, o.rows)).toDF("table_name", "n_rows").orderBy(col("table_name"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3597,6 +3623,11 @@ object SparkEntry {
     "q182_resumable_dump" -> "SELECT * FROM customer ORDER BY c_custkey",
     "q183_dp_closed_hist" -> dpClosedHistOracle(1000000L, "r13h"),
     "q184_dp_sums" -> dpSumsOracle(8L, 2000000L, "r13"),
+    "q185_dump_all" ->
+      """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
+         UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation
+         UNION ALL SELECT 'region', CAST(COUNT(*) AS BIGINT) FROM region
+         ORDER BY table_name""",
     // categorical t-closeness replay: per-(cell, value) counts against
     // the global distribution, TVD in HUGEINT with // for the div
     "q177_t_closeness_cat" ->

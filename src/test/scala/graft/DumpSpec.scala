@@ -127,6 +127,41 @@ class DumpSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(doc_id"), s"range not pushed:\n$plan")
   }
 
+  test("DumpAll: continue-on-error collects outcomes; strict throws AT THE END; re-entry re-runs only failures") {
+    val root = s"$testOut/dumpall_err"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val dying = new NoteSource {
+      def scan(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+        throw new RuntimeException("table locked (simulated)")
+      def countAtSource(s: org.apache.spark.sql.SparkSession): Long = 0L
+    }
+    def specs(mid: NoteSource) = Seq(
+      graft.sources.DumpAll.TableSpec("docs", src(), keyCol = Some("doc_id"), chunks = 3),
+      graft.sources.DumpAll.TableSpec("locked", mid),
+      graft.sources.DumpAll.TableSpec("docs_dim", src())
+    )
+    // strict: throws at the END, naming the failed table — the healthy
+    // tables before AND after it must still have landed
+    val died = intercept[IllegalStateException] {
+      graft.sources.DumpAll.run(spark, specs(dying), root)
+    }
+    assert(died.getMessage.contains("locked") && died.getMessage.contains("1/3"))
+    assert(new java.io.File(s"$root/docs/chunk_00002/_SUCCESS").exists(), "keyed table landed")
+    assert(new java.io.File(s"$root/docs_dim/_SUCCESS").exists(), "table AFTER the failure landed")
+    // non-strict: same run reports the outcome instead of throwing
+    val outcomes = graft.sources.DumpAll.run(spark, specs(dying), root, strict = false)
+    assert(outcomes.map(_.ok) == Seq(true, false, true))
+    assert(outcomes.filter(_.ok).forall(_.ranChunks == 0), "healthy tables re-enter metadata-only")
+    // fix the cause, re-run strict: only the failed table does work
+    val fixed = graft.sources.DumpAll.run(spark, specs(src()), root)
+    assert(fixed.forall(_.ok))
+    assert(fixed.map(o => o.table -> o.ranChunks).toMap === Map("docs" -> 0, "locked" -> 1, "docs_dim" -> 0))
+    assert(fixed.map(_.rows).sum === 3 * total)
+    intercept[IllegalArgumentException] {
+      graft.sources.DumpAll.run(spark, specs(src()) :+ specs(src()).head, root)
+    }
+  }
+
   test("more chunks than keys: degenerate tails skip, coverage intact") {
     val dir = s"$testOut/resume_tiny"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

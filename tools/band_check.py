@@ -66,6 +66,7 @@ FAMILY_OVERRIDES = {
     "q147_semantic_decon_lsh": "ann",
     "q181_dp_release": "fileio",  # template-sharded write + read-back inside
     "q182_resumable_dump": "fileio",  # three dump passes of real file I/O inside
+    "q185_dump_all": "fileio",  # two 3-table extraction passes inside
 }
 
 FAMILY_KEYS = [
