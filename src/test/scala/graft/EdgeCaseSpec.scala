@@ -219,4 +219,35 @@ class EdgeCaseSpec extends SparkSpec {
     val report = ShardedParquetSink.readBackReport(spark, dir)
     assert(report.totalRows == 0)
   }
+
+  test("materializeCtes: rewrites every plain CTE, touches nothing else, idempotent") {
+    // this rewrite runs over ALL oracle SQL (the driver-gate fix that
+    // cut the DuckDB compare from 894 s) — a silent mis-rewrite breaks
+    // the whole correctness gate, so its edges are pinned here
+    import OracleFragments.materializeCtes
+    // plain CTEs rewrite, every one in a chain
+    assert(
+      materializeCtes("WITH a AS (SELECT 1), b AS (SELECT * FROM a) SELECT * FROM b")
+        === "WITH a AS MATERIALIZED (SELECT 1), b AS MATERIALIZED (SELECT * FROM a) SELECT * FROM b"
+    )
+    // recursive members declared with a column list stay plain (DuckDB
+    // requires it): the `name(cols) AS (` shape must not match
+    val rec = "WITH RECURSIVE reach(n, l) AS (SELECT 1, 0 UNION ALL SELECT n+1, l FROM reach) SELECT * FROM reach"
+    assert(materializeCtes(rec) === rec)
+    // named windows stay plain: `WINDOW w AS (PARTITION ...)` is not a CTE
+    val win = "SELECT sum(x) OVER w FROM t WINDOW w AS (PARTITION BY k)"
+    assert(materializeCtes(win) === win)
+    // casts/aliases never match (no `word AS (` shape)
+    val cast = "SELECT CAST(x AS BIGINT) AS y, sum(z) AS s FROM t"
+    assert(materializeCtes(cast) === cast)
+    // idempotent: re-applying to already-materialized SQL changes nothing
+    val once = materializeCtes("WITH a AS (SELECT 1) SELECT * FROM a")
+    assert(materializeCtes(once) === once)
+    // the live oracle map is already-materialized output: re-application
+    // must be a fixed point for EVERY gate (catches a future oracle whose
+    // shape the regex would corrupt on the second pass)
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(materializeCtes(sql) === sql, s"$name: materializeCtes not a fixed point")
+    }
+  }
 }
