@@ -171,6 +171,21 @@ object OracleFragments {
     s"len(list_filter(${tokens(col)}, t -> list_contains($lst, t)))"
   }
 
+  /** Mirror of [[graft.operators.Deidentify.dpCellUniform]]'s cell KEY:
+    * each quasi component (already a VARCHAR expression) is
+    * length-prefixed `<charlen>:<value>` (netstring-style — injective,
+    * so colliding-by-concatenation cells draw different noise; VERDICT
+    * r13 №1), the components '|'-joined, wrapped `dp:<key>:<saltSuffix>`.
+    * DuckDB `length` counts characters exactly like Spark's, so the key
+    * string — and therefore the polyHash∘remix32 draw — replays
+    * bit-for-bit. `saltSuffix` is the literal salt tail (plain salt for
+    * counts, `salt:sum:<col>` for sums).
+    */
+  def dpCellKey(parts: Seq[String], saltSuffix: String): String = {
+    val prefixed = parts.map(p => s"(CAST(length($p) AS VARCHAR) || ':' || ($p))")
+    s"('dp:' || ${prefixed.mkString(" || '|' || ")} || ':$saltSuffix')"
+  }
+
   /** Pin every non-recursive CTE in an oracle to ONE evaluation by
     * rewriting `name AS (` → `name AS MATERIALIZED (`. DuckDB (≤1.1)
     * INLINES plain CTEs at every reference, so an oracle whose shared

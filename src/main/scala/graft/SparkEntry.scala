@@ -3483,7 +3483,7 @@ object SparkEntry {
     val (kk, ts) = graft.operators.Deidentify.dpNoiseLut(epsilonMicro)
     val lut = ts.mkString("[", ", ", "]")
     val qs = quasiCols.mkString(", ")
-    val keyExpr = quasiCols.map(c => s"CAST($c AS VARCHAR)").mkString(" || '|' || ")
+    val keyExpr = OracleFragments.dpCellKey(quasiCols.map(c => s"CAST($c AS VARCHAR)"), salt)
     s"""WITH g AS (
          SELECT c_mktsegment, c_nationkey,
            '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
@@ -3493,7 +3493,7 @@ object SparkEntry {
          SELECT $qs, COUNT(*) AS n FROM g GROUP BY $qs
        ), h AS (
          SELECT $qs, n,
-           ${OracleFragments.polyHash(s"('dp:' || $keyExpr || ':$salt')")} AS h0
+           ${OracleFragments.polyHash(keyExpr)} AS h0
          FROM cells
        ), r AS (
          SELECT $qs, n, ${OracleFragments.remix32("h0")} AS u FROM h
@@ -3529,7 +3529,7 @@ object SparkEntry {
        ), h AS (
          SELECT c_nationkey, bal_band, n,
            ${OracleFragments.polyHash(
-            s"('dp:' || CAST(c_nationkey AS VARCHAR) || '|' || bal_band || ':$salt')"
+            OracleFragments.dpCellKey(Seq("CAST(c_nationkey AS VARCHAR)", "bal_band"), salt)
           )} AS h0
          FROM dense
        ), r AS (
@@ -3560,7 +3560,10 @@ object SparkEntry {
        ), h AS (
          SELECT c_nationkey, bal_band, s,
            ${OracleFragments.polyHash(
-            s"('dp:' || CAST(c_nationkey AS VARCHAR) || '|' || bal_band || ':$salt:sum:orders_capped')"
+            OracleFragments.dpCellKey(
+              Seq("CAST(c_nationkey AS VARCHAR)", "bal_band"),
+              s"$salt:sum:orders_capped"
+            )
           )} AS h0
          FROM cells
        ), r AS (

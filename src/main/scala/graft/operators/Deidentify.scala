@@ -267,14 +267,28 @@ object Deidentify {
   }
 
   /** The deterministic per-cell uniform: remix32∘polyHash of
-    * `"dp:" ++ quasi values (NULL → ␀, '|'-joined) ++ ":" ++ salt` —
-    * uniform in [0, 2^32), replayable by the oracle's hash fragments.
-    * Exposed for the oracle builder; the sentinel ␀ (U+2400) marks a
-    * NULL quasi component (an all-NULL cell is itself a cell, the
-    * [[suppressSmallGroups]] convention, and needs a stable key).
+    * `"dp:" ++ quasi values length-prefixed (NULL → ␀) and '|'-joined
+    * ++ ":" ++ salt` — uniform in [0, 2^32), replayable by the oracle's
+    * hash fragments. Exposed for the oracle builder; the sentinel ␀
+    * (U+2400) marks a NULL quasi component (an all-NULL cell is itself
+    * a cell, the [[suppressSmallGroups]] convention, and needs a stable
+    * key).
+    *
+    * Each component is encoded `<charlen>:<value>` BEFORE joining
+    * (netstring-style, so the encoding is injective): a bare `'|'` join
+    * gave the distinct cells `("a|b","c")` and `("a","b|c")` the SAME
+    * key and therefore identical noise draws — and the release of
+    * `n1+Z, n2+Z` leaks the exact count difference (VERDICT r13 №1).
+    * Length-prefixing parses deterministically (digits to ':', take
+    * that many characters, expect '|' or end), so no two distinct cell
+    * tuples share a key. Both engines' `length` counts characters, so
+    * the oracle fragment replays it bit-for-bit.
     */
   def dpCellUniform(quasiCols: Seq[String], salt: String): org.apache.spark.sql.Column = {
-    val parts = quasiCols.map(c => coalesce(col(c).cast("string"), lit("␀")))
+    val parts = quasiCols.map { c =>
+      val v = coalesce(col(c).cast("string"), lit("␀"))
+      concat(length(v).cast("string"), lit(":"), v)
+    }
     val key = parts.reduce((a, b) => concat(a, lit("|"), b))
     GraftExpressions.remix32(
       GraftExpressions.poly_hash(concat(lit("dp:"), key, lit(":" + salt)))

@@ -89,7 +89,10 @@ object DumpAll {
             TableOutcome(spec.table, report.totalRows, report.numFiles, ran, 1 - ran, None)
         }
       } catch {
-        case e: Throwable =>
+        // NonFatal ONLY (VERDICT r13 №2): an OOM / LinkageError must kill
+        // the run, not become a per-table "outcome" the strict check
+        // reports as retryable
+        case scala.util.control.NonFatal(e) =>
           TableOutcome(spec.table, 0L, 0, 0, 0, Some(e.getMessage))
       }
     }

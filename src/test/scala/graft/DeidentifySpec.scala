@@ -18,6 +18,13 @@ class DeidentifySpec extends SparkSpec {
   private lazy val cust = sources.Tables.load(spark, Sf001, "customer")
   private lazy val ords = sources.Tables.load(spark, Sf001, "orders")
 
+  /** Driver-side replay of [[Deidentify.dpCellUniform]]'s KEY string:
+    * netstring-style length-prefixed components, '|'-joined (the
+    * injective encoding that fixed the VERDICT r13 separator collision).
+    */
+  private def dpKey(parts: Seq[String], saltSuffix: String): String =
+    "dp:" + parts.map(p => s"${p.length}:$p").mkString("|") + s":$saltSuffix"
+
   test("pseudonyms are referentially consistent across tables") {
     // pseudonymize the two tables independently, join on the pseudonym:
     // the (cust, order) pair set must equal the raw join's, pseudonymized
@@ -372,7 +379,7 @@ class DeidentifySpec extends SparkSpec {
     var clamped = 0
     var zs = List.empty[Long]
     raw.foreach { case (cell @ (nat, band), n) =>
-      val u = Kernels.remix32(Kernels.polyHash(s"dp:$nat|$band:spec"))
+      val u = Kernels.remix32(Kernels.polyHash(dpKey(Seq(nat.toString, band), "spec")))
       val z = -kk + ts.count(_ <= u)
       zs ::= z.toLong
       val expect = math.max(n + z, 0L)
@@ -396,7 +403,7 @@ class DeidentifySpec extends SparkSpec {
     val withNull = Seq((Some(1L), "a"), (None, "a"), (None, "a")).toDF("k", "v")
     val dpNull = Deidentify.dpCellCounts(withNull, Seq("k"), epsMicro, "spec")
     assert(dpNull.count() === 2L)
-    val uNull = Kernels.remix32(Kernels.polyHash("dp:␀:spec"))
+    val uNull = Kernels.remix32(Kernels.polyHash(dpKey(Seq("␀"), "spec")))
     val zNull = -kk + ts.count(_ <= uNull)
     assert(
       dpNull.filter(col("k").isNull).select("n_dp").head().getLong(0)
@@ -424,7 +431,7 @@ class DeidentifySpec extends SparkSpec {
     // exact replay per domain cell, including the empty ones from n=0
     val raw = Map(("a", 1L) -> 3L, ("a", 2L) -> 0L, ("b", 1L) -> 0L, ("b", 2L) -> 2L)
     raw.foreach { case (cell @ (k, band), n) =>
-      val u = Kernels.remix32(Kernels.polyHash(s"dp:$k|$band:spec"))
+      val u = Kernels.remix32(Kernels.polyHash(dpKey(Seq(k, band.toString), "spec")))
       val z = -kk + ts.count(_ <= u)
       assert(out(cell) === math.max(n + z, 0L), s"cell $cell n=$n z=$z")
     }
@@ -451,19 +458,43 @@ class DeidentifySpec extends SparkSpec {
       .toMap
     val rawSums = Map("a" -> (0L + 4L + 3L), "b" -> (2L + 4L))
     rawSums.foreach { case (cell, s) =>
-      val u = Kernels.remix32(Kernels.polyHash(s"dp:$cell:spec:sum:v"))
+      val u = Kernels.remix32(Kernels.polyHash(dpKey(Seq(cell), "spec:sum:v")))
       val z = -kk + ts.count(_ <= u)
       assert(out(cell) === ((math.max(s + z, 0L), epsMicro, clip)), s"cell $cell s=$s z=$z")
     }
     // the sum draw and the count draw over the SAME cells use different
     // keys — a joint count+sum release must not reuse one noise stream
-    val uCount = Kernels.remix32(Kernels.polyHash("dp:a:spec"))
-    val uSum = Kernels.remix32(Kernels.polyHash("dp:a:spec:sum:v"))
+    val uCount = Kernels.remix32(Kernels.polyHash(dpKey(Seq("a"), "spec")))
+    val uSum = Kernels.remix32(Kernels.polyHash(dpKey(Seq("a"), "spec:sum:v")))
     assert(uCount !== uSum)
     // sensitivity scaling is real: the sum LUT (ε/Δ) is wider than the
     // count LUT (ε) — more noise for a larger per-individual influence
     assert(ts.size > Deidentify.dpNoiseLut(epsMicro)._2.size)
     intercept[IllegalArgumentException](Deidentify.dpCellSums(df, Seq("k"), "v", 0L, epsMicro, "s"))
+  }
+
+  test("dpCellUniform: colliding-by-concatenation cells draw DIFFERENT noise (VERDICT r13)") {
+    import graft.functions.Kernels
+    // under a bare '|' join both tuples key as "a|b|c" — the length-prefixed
+    // encoding keys them "3:a|b|1:c" vs "1:a|3:b|c": distinct, so the two
+    // cells' released counts carry INDEPENDENT draws (correlated noise
+    // leaks their exact count difference)
+    val df = Seq(("a|b", "c", 1L), ("a", "b|c", 2L)).toDF("q1", "q2", "id")
+    val us = df
+      .select(Deidentify.dpCellUniform(Seq("q1", "q2"), "s").as("u"))
+      .collect()
+      .map(_.getLong(0))
+    assert(us.distinct.length === 2, s"colliding cells must draw distinct uniforms: $us")
+    // and the engine key replays the documented netstring encoding exactly
+    assert(us.toSet === Set(
+      Kernels.remix32(Kernels.polyHash("dp:3:a|b|1:c:s")),
+      Kernels.remix32(Kernels.polyHash("dp:1:a|3:b|c:s"))
+    ))
+    // the release itself: with the OLD key both cells drew the same Z, so
+    // the released pair leaked the exact count difference; the fixed keys
+    // give each cell its own draw
+    val rel = Deidentify.dpCellCounts(df, Seq("q1", "q2"), 500000L, "s")
+    assert(rel.count() === 2L)
   }
 
   test("fail-fast on bad parameters") {

@@ -162,6 +162,31 @@ class DumpSpec extends SparkSpec {
     }
   }
 
+  test("DumpAll: a FATAL error propagates — never a per-table 'outcome' (VERDICT r13)") {
+    val root = s"$testOut/dumpall_fatal"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val fatal = new NoteSource {
+      def scan(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+        throw new LinkageError("broken classpath (simulated)")
+      def countAtSource(s: org.apache.spark.sql.SparkSession): Long = 0L
+    }
+    // the old `catch Throwable` turned this into outcomes(ok=false) and the
+    // loop marched on; NonFatal lets it kill the run immediately
+    val died = intercept[LinkageError] {
+      graft.sources.DumpAll.run(
+        spark,
+        Seq(
+          graft.sources.DumpAll.TableSpec("broken", fatal),
+          graft.sources.DumpAll.TableSpec("never_reached", src())
+        ),
+        root,
+        strict = false
+      )
+    }
+    assert(died.getMessage.contains("simulated"))
+    assert(!new java.io.File(s"$root/never_reached").exists(), "fatal error must abort the loop")
+  }
+
   test("more chunks than keys: degenerate tails skip, coverage intact") {
     val dir = s"$testOut/resume_tiny"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
