@@ -181,10 +181,19 @@ object OracleFragments {
     * bit-for-bit. `saltSuffix` is the literal salt tail (plain salt for
     * counts, `salt:sum:<col>` for sums).
     */
-  def dpCellKey(parts: Seq[String], saltSuffix: String): String = {
-    val prefixed = parts.map(p => s"(CAST(length($p) AS VARCHAR) || ':' || ($p))")
-    s"('dp:' || ${prefixed.mkString(" || '|' || ")} || ':$saltSuffix')"
-  }
+  def dpCellKey(parts: Seq[String], saltSuffix: String): String =
+    s"('dp:' || ${lenPrefixedKey(parts)} || ':$saltSuffix')"
+
+  /** Mirror of the SALT-FREE domain digest key in
+    * [[graft.operators.Deidentify.dpManifest]]: `dom:<netstring key>` —
+    * no salt, so two releases over the same cell set hash to the same
+    * domain in the ledger.
+    */
+  def domainCellKey(parts: Seq[String]): String =
+    s"('dom:' || ${lenPrefixedKey(parts)})"
+
+  private def lenPrefixedKey(parts: Seq[String]): String =
+    parts.map(p => s"(CAST(length($p) AS VARCHAR) || ':' || ($p))").mkString(" || '|' || ")
 
   /** Pin every non-recursive CTE in an oracle to ONE evaluation by
     * rewriting `name AS (` → `name AS MATERIALIZED (`. DuckDB (≤1.1)

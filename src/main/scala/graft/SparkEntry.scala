@@ -438,6 +438,42 @@ object SparkEntry {
       import s.implicits._
       again.map(o => (o.table, o.rows)).toDF("table_name", "n_rows").orderBy(col("table_name"))
     }),
+    // USER-level DP histogram over a genuinely multi-row-per-individual
+    // frame (orders: ~10 rows per customer): boundContributions caps each
+    // customer at 3 rows per release (salted-hash ranked, replayable),
+    // then the geometric mechanism runs at ε/cap per cell — the stated
+    // ε=3.0 is a true user-level guarantee, which q180's unit-contribution
+    // mechanism cannot give on this frame
+    "q186_dp_user_counts" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "orders"), "o_totalprice", 100000L, "price_band")
+      graft.operators.Deidentify
+        .dpUserCellCounts(
+          g, "o_custkey", "o_orderkey", Seq("o_orderstatus", "price_band"),
+          maxRowsPerEntity = 3, epsilonMicro = 3000000L, salt = "r14")
+        .orderBy(col("o_orderstatus"), col("price_band"))
+    }),
+    // the DP release LEDGER: one manifest row per released artifact
+    // (ε, sensitivity, salt id, cell count, salt-free domain digest) with
+    // the running ε total — the budget-composition table dpCellSums
+    // documents as caller-owned, made auditable. Both releases cover the
+    // SAME cell set, so their domain_hash agrees and the ledger shows
+    // ε_count + ε_sum = 3.0 composing over one domain
+    "q187_dp_ledger" -> ((s, dir) => {
+      val quasi = Seq("c_nationkey", "bal_band")
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      val rel1 = graft.operators.Deidentify.dpCellCounts(g, quasi, 1000000L, "r14a")
+      val rel2 = graft.operators.Deidentify.dpCellSums(
+        g.withColumn("orders_capped", pmod(col("c_custkey"), lit(13L))),
+        quasi, "orders_capped", 8L, 2000000L, "r14b")
+      graft.operators.Deidentify
+        .dpLedger(Seq(
+          graft.operators.Deidentify.dpManifest(rel1, quasi, "rel_a_counts", "count", 1000000L, 1L, "r14a"),
+          graft.operators.Deidentify.dpManifest(rel2, quasi, "rel_b_sums", "sum", 2000000L, 8L, "r14b")
+        ))
+        .orderBy(col("release_id"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3576,6 +3612,86 @@ object SparkEntry {
        FROM r ORDER BY c_nationkey, bal_band"""
   }
 
+  /** DuckDB replay of [[graft.operators.Deidentify.dpUserCellCounts]]
+    * over the price-banded orders frame: the salted-hash contribution
+    * bound (`ROW_NUMBER() OVER (PARTITION BY entity ORDER BY rank-hash,
+    * id) <= cap` — the exact window [[graft.operators.Deidentify
+    * .boundContributions]] runs), then the census + geometric draw at
+    * ε/cap (the user-level sensitivity scaling).
+    */
+  private def dpUserCountsOracle(cap: Int, epsilonMicro: Long, salt: String): String = {
+    val (kk, ts) = graft.operators.Deidentify.dpNoiseLut(epsilonMicro / cap)
+    val lut = ts.mkString("[", ", ", "]")
+    s"""WITH g AS (
+         SELECT o_custkey, o_orderkey, o_orderstatus,
+           '[' || CAST(CAST(floor(o_totalprice/100000.0)*100000 AS BIGINT) AS VARCHAR) || ',' ||
+           CAST(CAST(floor(o_totalprice/100000.0)*100000 + 100000 AS BIGINT) AS VARCHAR) || ')' AS price_band
+         FROM orders
+       ), hk AS (
+         SELECT o_custkey, o_orderkey, o_orderstatus, price_band,
+           ${OracleFragments.polyHash(s"('bc:' || CAST(o_orderkey AS VARCHAR) || ':$salt:bound')")} AS h0
+         FROM g
+       ), rk AS (
+         SELECT o_custkey, o_orderkey, o_orderstatus, price_band,
+           ${OracleFragments.remix32("h0")} AS ru
+         FROM hk
+       ), bounded AS (
+         SELECT o_orderstatus, price_band FROM (
+           SELECT o_orderstatus, price_band,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY ru, o_orderkey) AS rn
+           FROM rk)
+         WHERE rn <= $cap
+       ), cells AS (
+         SELECT o_orderstatus, price_band, COUNT(*) AS n FROM bounded GROUP BY 1, 2
+       ), h AS (
+         SELECT o_orderstatus, price_band, n,
+           ${OracleFragments.polyHash(
+            OracleFragments.dpCellKey(Seq("o_orderstatus", "price_band"), salt)
+          )} AS h0
+         FROM cells
+       ), r AS (
+         SELECT o_orderstatus, price_band, n, ${OracleFragments.remix32("h0")} AS u FROM h
+       )
+       SELECT o_orderstatus, price_band,
+         CAST(greatest(n + len(list_filter($lut, t -> t <= u)) - $kk, 0) AS BIGINT) AS n_dp,
+         CAST($epsilonMicro AS BIGINT) AS epsilon_micro,
+         CAST($cap AS BIGINT) AS max_rows_per_entity
+       FROM r ORDER BY o_orderstatus, price_band"""
+  }
+
+  /** DuckDB replay of the q187 ledger: both releases census the SAME
+    * banded customer cells, so one `m` CTE (cell count + salt-free
+    * domain digest) serves both manifest rows; the running ε total is a
+    * literal per row (two releases, 1.0 then +2.0).
+    */
+  private def dpLedgerOracle: String = {
+    val dom = OracleFragments.domainCellKey(Seq("CAST(c_nationkey AS VARCHAR)", "bal_band"))
+    s"""WITH g AS (
+         SELECT c_nationkey,
+           '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+           CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band
+         FROM customer
+       ), cells AS (
+         SELECT c_nationkey, bal_band FROM g GROUP BY 1, 2
+       ), hd AS (
+         SELECT ${OracleFragments.polyHash(dom)} AS h0 FROM cells
+       ), rd AS (
+         SELECT ${OracleFragments.remix32("h0")} AS u FROM hd
+       ), m AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(SUM(u) AS BIGINT) AS domain_hash FROM rd
+       )
+       SELECT 'rel_a_counts' AS release_id, 'count' AS kind,
+         CAST(1000000 AS BIGINT) AS epsilon_micro, CAST(1 AS BIGINT) AS sensitivity,
+         'r14a' AS salt_id, n_cells, domain_hash,
+         CAST(1000000 AS BIGINT) AS eps_cum_micro
+       FROM m
+       UNION ALL
+       SELECT 'rel_b_sums', 'sum', CAST(2000000 AS BIGINT), CAST(8 AS BIGINT),
+         'r14b', n_cells, domain_hash, CAST(3000000 AS BIGINT)
+       FROM m
+       ORDER BY release_id"""
+  }
+
   private def mondrianUtilityOracle(k: Long, rounds: Int): String =
     mondrianOracle(k, rounds) +
       """SELECT CAST(SUM(cell_n) AS BIGINT) AS n_rows,
@@ -3626,6 +3742,10 @@ object SparkEntry {
     "q182_resumable_dump" -> "SELECT * FROM customer ORDER BY c_custkey",
     "q183_dp_closed_hist" -> dpClosedHistOracle(1000000L, "r13h"),
     "q184_dp_sums" -> dpSumsOracle(8L, 2000000L, "r13"),
+    // user-level DP: salted-hash contribution bound then noise at ε/cap
+    "q186_dp_user_counts" -> dpUserCountsOracle(3, 3000000L, "r14"),
+    // the release ledger: manifest rows + running ε over one shared domain
+    "q187_dp_ledger" -> dpLedgerOracle,
     "q185_dump_all" ->
       """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
          UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation

@@ -284,15 +284,24 @@ object Deidentify {
     * tuples share a key. Both engines' `length` counts characters, so
     * the oracle fragment replays it bit-for-bit.
     */
-  def dpCellUniform(quasiCols: Seq[String], salt: String): org.apache.spark.sql.Column = {
+  def dpCellUniform(quasiCols: Seq[String], salt: String): org.apache.spark.sql.Column =
+    GraftExpressions.remix32(
+      GraftExpressions.poly_hash(concat(lit("dp:"), cellKeyExpr(quasiCols), lit(":" + salt)))
+    )
+
+  /** The shared netstring cell-key body: each quasi value (NULL → ␀)
+    * encoded `<charlen>:<value>`, '|'-joined. [[dpCellUniform]] wraps it
+    * `dp:<key>:<salt>` (the noise stream); [[dpManifest]] wraps it
+    * `dom:<key>` (the SALT-FREE domain digest — two releases over the
+    * same cells must hash to the same domain regardless of their noise
+    * salts, or the ledger cannot show they compose over one domain).
+    */
+  private def cellKeyExpr(quasiCols: Seq[String]): org.apache.spark.sql.Column = {
     val parts = quasiCols.map { c =>
       val v = coalesce(col(c).cast("string"), lit("␀"))
       concat(length(v).cast("string"), lit(":"), v)
     }
-    val key = parts.reduce((a, b) => concat(a, lit("|"), b))
-    GraftExpressions.remix32(
-      GraftExpressions.poly_hash(concat(lit("dp:"), key, lit(":" + salt)))
-    )
+    parts.reduce((a, b) => concat(a, lit("|"), b))
   }
 
   /** ε-differentially-private quasi-cell histogram — the release tier's
@@ -304,6 +313,11 @@ object Deidentify {
     * `Z` two-sided geometric (α = e^−ε) — sensitivity 1 for unit
     * contribution per individual, so the mechanism is ε-DP; the
     * non-negativity clamp is post-processing and costs no privacy.
+    * A frame where one individual contributes MANY rows (the OMOP norm —
+    * multiple NOTE rows per person) has per-individual sensitivity > 1
+    * and the stated ε does NOT hold here: bound it first with
+    * [[boundContributions]], or use [[dpUserCellCounts]], which composes
+    * the bound with noise at ε/cap for a true user-level guarantee.
     *
     * Determinism contract, stated honestly: `Z` is drawn by inverse-CDF
     * from remix32∘polyHash(cell key, salt) — a PSEUDO-random draw, which
@@ -461,6 +475,99 @@ object Deidentify {
       .drop("__graft_s", "__graft_u", "__graft_z")
   }
 
+  /** Deterministic per-entity contribution BOUNDING — the operator that
+    * MAKES a frame unit-contribution so a DP count release's stated ε
+    * actually holds at the USER level (VERDICT r13 №1 of "missing"):
+    * [[dpCellCounts]]' sensitivity-1 argument assumes one row per
+    * individual, but OMOP NOTE data is many rows per person — an
+    * unbounded individual shifts a cell count by their whole row count
+    * and the ε claim silently degrades. Keep at most `cap` rows per
+    * entity (per quasi CELL when `withinCols` names the cell columns;
+    * per RELEASE when empty), selected deterministically: rows rank by
+    * remix32∘polyHash("bc:" ++ id ++ ":" ++ salt) with the id as
+    * tiebreak, so the kept subset replays bit-for-bit in the oracle
+    * (`ROW_NUMBER() OVER (PARTITION BY entity ORDER BY hash, id)`) and
+    * is salt-rotatable like every release secret. The salted-hash rank
+    * makes the kept rows a pseudo-random sample of each entity's rows —
+    * no bias toward low ids (an id-ordered cap would keep each patient's
+    * EARLIEST notes, skewing every downstream count toward enrollment).
+    *
+    * Requires a non-NULL unique `idCol` (the rank tiebreak; NULL ids
+    * would make the kept set nondeterministic). Scale shape: one
+    * shuffle on (entity ++ withinCols); the per-partition window sorts
+    * each entity's rows only — bounded by the entity fan-out, never a
+    * global sort. Entities with ≤ cap rows pass through untouched.
+    */
+  def boundContributions(
+      df: DataFrame,
+      entityCol: String,
+      idCol: String,
+      cap: Int,
+      salt: String,
+      withinCols: Seq[String] = Seq.empty
+  ): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    require(df.columns.contains(entityCol), s"no such column: $entityCol")
+    require(df.columns.contains(idCol), s"no such column: $idCol")
+    import org.apache.spark.sql.expressions.Window
+    val rankHash = GraftExpressions.remix32(
+      GraftExpressions.poly_hash(
+        concat(lit("bc:"), col(idCol).cast("string"), lit(":" + salt))
+      )
+    )
+    val w = Window
+      .partitionBy((entityCol +: withinCols).map(col): _*)
+      .orderBy(rankHash, col(idCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= cap)
+      .drop("__graft_rn")
+  }
+
+  /** USER-level ε-DP cell histogram — [[dpCellCounts]] with the
+    * contribution bounding that makes the stated ε hold when one
+    * individual contributes MANY rows (the OMOP norm): first
+    * [[boundContributions]] caps each entity at `maxRowsPerEntity` rows
+    * per RELEASE (rank salt `salt:bound` — a stream independent of the
+    * noise draws), then the geometric mechanism runs per cell at
+    * ε/maxRowsPerEntity.
+    *
+    * Sensitivity accounting (the spec pins this law): after bounding,
+    * adding or removing one individual changes at most `cap` rows, each
+    * row in exactly one cell, so the count VECTOR moves by at most cap
+    * in L1. Independent geometric noise at α = e^(−ε/cap) per cell makes
+    * the release e^((ε/cap)·|Δ_i|)-close per coordinate, and the product
+    * over coordinates is bounded by e^((ε/cap)·L1) ≤ e^ε — user-level
+    * ε-DP. Integer division truncates ε/cap downward → slightly MORE
+    * noise than nominal: conservative, still ε-DP (the [[dpCellSums]]
+    * convention). `epsilon_micro` in the output is the USER-level
+    * budget; `max_rows_per_entity` records the cap the claim depends on.
+    *
+    * Scale shape: the bounding window's one shuffle on the entity key,
+    * then [[cellCounts]]' one shuffle on the quasi key; noise stays a
+    * scan-side bounded-LUT projection (|LUT| = O(cap/ε) integers).
+    */
+  def dpUserCellCounts(
+      df: DataFrame,
+      entityCol: String,
+      idCol: String,
+      quasiCols: Seq[String],
+      maxRowsPerEntity: Int,
+      epsilonMicro: Long,
+      salt: String
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(maxRowsPerEntity >= 1, s"need maxRowsPerEntity >= 1, got $maxRowsPerEntity")
+    require(
+      epsilonMicro / maxRowsPerEntity >= 10000L,
+      s"ε/cap = $epsilonMicro/$maxRowsPerEntity µ is below the supported 0.01 floor — " +
+        "raise epsilonMicro or lower the cap"
+    )
+    val bounded = boundContributions(df, entityCol, idCol, maxRowsPerEntity, s"$salt:bound")
+    dpFromCounts(cellCounts(bounded, quasiCols), quasiCols, epsilonMicro / maxRowsPerEntity, salt)
+      .withColumn("epsilon_micro", lit(epsilonMicro))
+      .withColumn("max_rows_per_entity", lit(maxRowsPerEntity.toLong))
+  }
+
   /** t-closeness for CATEGORICAL sensitive attributes — the paper's
     * equal-distance ground metric, where the EMD degenerates to the
     * total variation distance: TVD = ½·Σ_v |p_v − q_v|. Same exact
@@ -523,6 +630,74 @@ object Deidentify {
       )
       .withColumn("ok", col("tvd_micro") <= tMicro)
       .drop("__graft_s", "__graft_n")
+  }
+
+  /** DP release-LEDGER row for one released artifact — the q140 shard-
+    * manifest discipline applied to the privacy budget (VERDICT r13 №6):
+    * [[dpCellSums]] documents that releasing counts AND sums of the same
+    * frame costs ε_count + ε_sum and leaves the accounting to the
+    * caller; this is the table that makes the accounting AUDITABLE. One
+    * row per release: `(release_id, kind, epsilon_micro, sensitivity,
+    * salt_id, n_cells, domain_hash)` where `domain_hash` is the
+    * order-free sum of remix32∘polyHash("dom:" ++ cell key) over the
+    * released cells — SALT-FREE, so two releases over the same cell set
+    * provably share a domain (sequential composition applies: their ε
+    * add) while differing domains are visible at a glance. Deterministic
+    * integer discipline throughout; the oracle replays every column.
+    *
+    * One aggregate over the (cell-bounded) release frame; the digest is
+    * a scan-side projection. Stores no row data — a manifest can ship
+    * with the release.
+    */
+  def dpManifest(
+      release: DataFrame,
+      quasiCols: Seq[String],
+      releaseId: String,
+      kind: String,
+      epsilonMicro: Long,
+      sensitivity: Long,
+      saltId: String
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(
+      quasiCols.forall(release.columns.contains),
+      s"release must carry every quasi column: ${quasiCols.mkString(", ")}"
+    )
+    val domHash = GraftExpressions.remix32(
+      GraftExpressions.poly_hash(concat(lit("dom:"), cellKeyExpr(quasiCols)))
+    )
+    release
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(domHash).cast("long").as("domain_hash")
+      )
+      .select(
+        lit(releaseId).as("release_id"),
+        lit(kind).as("kind"),
+        lit(epsilonMicro).as("epsilon_micro"),
+        lit(sensitivity).as("sensitivity"),
+        lit(saltId).as("salt_id"),
+        col("n_cells"),
+        col("domain_hash")
+      )
+  }
+
+  /** The composed LEDGER over a release sequence: [[dpManifest]] rows
+    * unioned with a running `eps_cum_micro` in `release_id` order — the
+    * sequential-composition total an auditor checks against the enclave's
+    * budget. The single-partition window is safe here by construction:
+    * the ledger has one row per RELEASE (a human-scale count), never
+    * per cell or per row.
+    */
+  def dpLedger(manifests: Seq[DataFrame]): DataFrame = {
+    require(manifests.nonEmpty, "need at least one release manifest")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .orderBy(col("release_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifests
+      .reduce(_.unionByName(_))
+      .withColumn("eps_cum_micro", sum(col("epsilon_micro")).over(w))
   }
 
   /** Re-identification risk audit across EVERY non-empty subset of the

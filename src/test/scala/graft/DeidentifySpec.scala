@@ -473,6 +473,125 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.dpCellSums(df, Seq("k"), "v", 0L, epsMicro, "s"))
   }
 
+  test("boundContributions: per-release and per-cell caps, deterministic, salted, subset") {
+    import graft.functions.Kernels
+    // 4 entities with 1..8 rows each; two quasi cells per entity
+    val rows = for {
+      e <- 1L to 4L
+      i <- 1L to (2 * e)
+    } yield (e, e * 100 + i, if (i % 2 == 0) "a" else "b")
+    val df = rows.toDF("ent", "id", "cell")
+    val perRelease = Deidentify.boundContributions(df, "ent", "id", 3, "s1")
+    // cap enforced per entity; entities under the cap keep every row
+    val byEnt = perRelease.groupBy("ent").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byEnt === Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // output is a SUBSET of the input (never invents or mutates rows)
+    assert(perRelease.except(df).count() === 0L)
+    // deterministic: bit-identical on re-run
+    val again = Deidentify.boundContributions(df, "ent", "id", 3, "s1")
+    assert(perRelease.except(again).count() === 0L && again.except(perRelease).count() === 0L)
+    // the kept set is the salted-hash top-cap, exactly (driver replay)
+    val keptIds = perRelease.select("id").collect().map(_.getLong(0)).toSet
+    val wantIds = rows.groupBy(_._1).values.flatMap { g =>
+      g.map(_._2).sortBy(id => (Kernels.remix32(Kernels.polyHash(s"bc:$id:s1")), id)).take(3)
+    }.toSet
+    assert(keptIds === wantIds)
+    // salt rotation re-draws the kept subset (pinned on this fixture)
+    val rot = Deidentify.boundContributions(df, "ent", "id", 3, "s2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rot !== keptIds, "rotating the rank salt must change the kept subset")
+    // per-CELL mode: ≤ cap rows per (entity, cell), entity totals may exceed
+    val perCell = Deidentify.boundContributions(df, "ent", "id", 2, "s1", withinCols = Seq("cell"))
+    val byEntCell = perCell.groupBy("ent", "cell").count().collect().map(_.getLong(2))
+    assert(byEntCell.forall(_ <= 2L))
+    assert(
+      perCell.groupBy("ent").count().filter(col("count") > 2).count() > 0L,
+      "per-cell bounding must allow entity totals above the per-cell cap"
+    )
+    intercept[IllegalArgumentException](Deidentify.boundContributions(df, "ent", "id", 0, "s"))
+    intercept[IllegalArgumentException](Deidentify.boundContributions(df, "nope", "id", 1, "s"))
+  }
+
+  test("dpUserCellCounts: ε-claim valid ⇔ contributions bounded (user-level DP law)") {
+    import graft.functions.Kernels
+    // a genuinely multi-row-per-individual frame: entity 1 owns 6 of 9 rows —
+    // under dpCellCounts' unit-contribution assumption its removal would
+    // shift a cell count by 6 with sensitivity-1 noise (the ε claim breaks)
+    val df = Seq(
+      (1L, 11L, "x"), (1L, 12L, "x"), (1L, 13L, "x"),
+      (1L, 14L, "y"), (1L, 15L, "y"), (1L, 16L, "y"),
+      (2L, 21L, "x"), (3L, 31L, "y"), (4L, 41L, "x")
+    ).toDF("ent", "id", "cell")
+    val (cap, epsMicro) = (2, 2000000L)
+    val out = Deidentify
+      .dpUserCellCounts(df, "ent", "id", Seq("cell"), cap, epsMicro, "spec")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // replay the WHOLE mechanism driver-side: bound (salted-hash top-cap per
+    // entity), census, then the geometric draw at ε/cap
+    val bounded = Seq(11L, 12L, 13L, 14L, 15L, 16L).map(id => (1L, id))
+      .sortBy { case (_, id) => (Kernels.remix32(Kernels.polyHash(s"bc:$id:spec:bound")), id) }
+      .take(cap)
+      .map(_._2).toSet ++ Set(21L, 31L, 41L)
+    val cells = df.collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+      .filter { case (id, _) => bounded.contains(id) }
+      .groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+    val (kk, ts) = Deidentify.dpNoiseLut(epsMicro / cap)
+    cells.foreach { case (cell, n) =>
+      val u = Kernels.remix32(Kernels.polyHash(dpKey(Seq(cell), "spec")))
+      val z = -kk + ts.count(_ <= u)
+      assert(out(cell) === ((math.max(n + z, 0L), epsMicro, cap.toLong)), s"cell $cell n=$n z=$z")
+    }
+    // the LAW: after bounding, NO entity contributes more than cap rows —
+    // the L1-sensitivity-≤-cap accounting the ε claim rests on — and the
+    // noise really is drawn at ε/cap (wider LUT than the unit-ε mechanism)
+    val maxContrib = Deidentify
+      .boundContributions(df, "ent", "id", cap, "spec:bound")
+      .groupBy("ent").count().agg(max("count")).head().getLong(0)
+    assert(maxContrib <= cap.toLong)
+    assert(ts.size > Deidentify.dpNoiseLut(epsMicro)._2.size,
+      "user-level noise must be wider than the unit-contribution LUT")
+    // output schema carries the claim's parameters for the audit trail
+    assert(out.values.forall { case (_, e, c) => e == epsMicro && c == cap.toLong })
+    intercept[IllegalArgumentException](
+      Deidentify.dpUserCellCounts(df, "ent", "id", Seq("cell"), 0, epsMicro, "s"))
+    intercept[IllegalArgumentException](
+      Deidentify.dpUserCellCounts(df, "ent", "id", Seq("cell"), 250, epsMicro, "s"))
+  }
+
+  test("dpManifest/dpLedger: salt-free domain digest, running ε, replayable") {
+    import graft.functions.Kernels
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("q", "id")
+    val rel1 = Deidentify.dpCellCounts(df, Seq("q"), 1000000L, "sA")
+    val rel2 = Deidentify.dpCellCounts(df, Seq("q"), 500000L, "sB")
+    val ledger = Deidentify
+      .dpLedger(Seq(
+        Deidentify.dpManifest(rel1, Seq("q"), "r1", "count", 1000000L, 1L, "sA"),
+        Deidentify.dpManifest(rel2, Seq("q"), "r2", "count", 500000L, 1L, "sB")
+      ))
+      .orderBy("release_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // the domain digest replays driver-side and is SALT-FREE: both releases
+    // over the same cells share it even though their noise salts differ
+    val wantDom = Seq("a", "b")
+      .map(v => Kernels.remix32(Kernels.polyHash(s"dom:${v.length}:$v"))).sum
+    assert(ledger(0) === (("r1", "count", 1000000L, 1L, "sA", 2L, wantDom, 1000000L)))
+    assert(ledger(1) === (("r2", "count", 500000L, 1L, "sB", 2L, wantDom, 1500000L)))
+    // a release over DIFFERENT cells shows a different domain at a glance
+    val rel3 = Deidentify.dpCellCounts(df.filter(col("q") === "a"), Seq("q"), 1000000L, "sA")
+    val dom3 = Deidentify.dpManifest(rel3, Seq("q"), "r3", "count", 1000000L, 1L, "sA")
+      .head().getLong(6)
+    assert(dom3 !== wantDom)
+    intercept[IllegalArgumentException](Deidentify.dpLedger(Seq.empty))
+    intercept[IllegalArgumentException](
+      Deidentify.dpManifest(rel1.drop("q"), Seq("q"), "r", "count", 1L, 1L, "s"))
+  }
+
   test("dpCellUniform: colliding-by-concatenation cells draw DIFFERENT noise (VERDICT r13)") {
     import graft.functions.Kernels
     // under a bare '|' join both tuples key as "a|b|c" — the length-prefixed

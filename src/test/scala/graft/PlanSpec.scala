@@ -204,6 +204,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window:\n$p")
   }
 
+  test("q186: user-level DP — the bound is an ENTITY-partitioned window, census join-free, noise scan-side") {
+    val p = plan("q186_dp_user_counts")
+    assert(!p.contains("Join"), s"q186: noise must not join:\n$p")
+    assert(p.contains("Window"), "the contribution bound is a window")
+    // the window partitions by the entity key (per-entity sort, bounded by
+    // entity fan-out) — an UNpartitioned window here would be the global
+    // single-partition sort that dies at scale
+    assert(p.contains("hashpartitioning(o_custkey"), s"bound window must partition by entity:\n$p")
+    assert(p.contains("HashAggregate"), "the census aggregate")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"q186: one table read:\n$p")
+  }
+
+  test("q187: the DP ledger never shuffles a corpus — censuses aggregate, manifests are 1-row frames") {
+    val p = plan("q187_dp_ledger")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"ledger must not shuffle-join or cross anything:\n$p")
+    // two releases → the customer table is read once per census, nothing more
+    assert("Scan parquet".r.findAllIn(p).size == 2, s"q187: one read per release:\n$p")
+    // the running-ε window runs over the RELEASE-count frame (rows = number
+    // of releases, bounded by construction — the documented exception to
+    // the no-global-window rule)
+    assert(p.contains("Window"), "the ledger's cumulative budget window")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
