@@ -1228,9 +1228,9 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq_id"))
     }),
     // attrition funnel over the q82 chain: one row per hygiene stage
-    // (n_in, n_dropped, n_out) — each boundary a 1-row count over the
-    // SAME frames the pipeline runs (dedup boundaries read checkpointed
-    // frames, so the clustering work runs once)
+    // (n_in, n_dropped, n_out) — derived from rejectReasons' per-doc
+    // attribution in ONE groupBy(reason) action (the r14 one-pass
+    // rework; the old shape counted all 8 boundaries sequentially)
     "q109_attrition" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bucket = GraftExpressions.poly_hash(col("text")) % 10

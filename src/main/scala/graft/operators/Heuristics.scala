@@ -61,6 +61,18 @@ object Heuristics {
     */
   def metrics(textCol: Column): Column = GraftExpressions.gopher_stats(textCol)
 
+  /** The default-threshold keep PREDICATE as a Column — the exact fused
+    * kernel [[filterGopher]] filters on, exposed so a caller computing
+    * multiple gate flags in one scan pass (the attrition audit) uses the
+    * same expression and cannot drift from the admission path.
+    */
+  def gopherKeepExpr(textCol: Column): Column =
+    GraftExpressions.gopher_keep(
+      textCol,
+      MinWords, MaxWords, MinMeanLenMilli, MaxMeanLenMilli,
+      MinAlphaPermille, MinStopDistinct
+    )
+
   /** Per-document Gopher rule evaluation:
     * `(idCol, n_words, mean_len_milli, alpha_permille, stop_distinct,
     * keep)` with `keep` true iff every rule passes — the audit form, for

@@ -233,6 +233,20 @@ object Pipeline {
     * attrition report (which counts every boundary): the stage order,
     * the scrub-before-hash discipline, and the checkpoint scopes cannot
     * drift between the pipeline and its own audit.
+    *
+    * `auditMaterialize` is the AUDIT consumers' switch
+    * ([[rejectReasons]]/[[attrition]], which read EVERY boundary): the
+    * scan-side gates (Gopher, quality — independent row-local
+    * predicates, so sequential filtering == flag conjunction) compute as
+    * flags in ONE checkpointed kernel pass, and the repetition and
+    * decontamination boundaries checkpoint too — each expensive stage
+    * then evaluates exactly once however many boundary frames read it.
+    * The pipeline path ([[selectHygienic]], one consumer per boundary)
+    * keeps the lazy shape: its only materializations stay the dedup
+    * checkpoints the clustering loop needs anyway, and the scan-side
+    * gates fuse into the one corpus scan. The audit's trade — store the
+    * shrinking survivor frames once each vs re-run the text kernels per
+    * boundary branch — is the standard multi-consumer checkpoint call.
     */
   private def hygienicStages(
       docs: DataFrame,
@@ -244,36 +258,61 @@ object Pipeline {
       temperature: Int,
       textCol: String,
       idCol: String,
-      groupCol: String
+      groupCol: String,
+      auditMaterialize: Boolean = false
   ): Seq[(String, DataFrame)] = {
     // stages 1-3: scrub, then the STRUCTURAL Gopher gate, then the
     // model-shaped quality score — the MassiveText order (hard structural
     // rules drop machine noise before any continuum scoring spends a
     // kernel pass on it). The benchmark side is scrubbed with the same
     // chain before indexing (scrub-before-hash).
-    val scrubbed = scrubDocs(docs, textCol, idCol, groupCol)
-    val structural = Heuristics.filterGopher(scrubbed, textCol = textCol)
-    val qualified =
-      structural.filter(TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality)
+    val scrubbed0 = scrubDocs(docs, textCol, idCol, groupCol)
+    val (scrubbed, structural, qualified) =
+      if (!auditMaterialize) {
+        val structural = Heuristics.filterGopher(scrubbed0, textCol = textCol)
+        val qualified =
+          structural.filter(TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality)
+        (scrubbed0, structural, qualified)
+      } else {
+        val audit = scrubbed0
+          .withColumn("__graft_g", Heuristics.gopherKeepExpr(col(textCol)))
+          .withColumn(
+            "__graft_q",
+            TextFunctions.qualityScoreFused(col(textCol)) >= cfg.minQuality
+          )
+          .localCheckpoint(true)
+        (
+          audit.drop("__graft_g", "__graft_q"),
+          audit.filter(col("__graft_g")).drop("__graft_g", "__graft_q"),
+          audit.filter(col("__graft_g") && col("__graft_q")).drop("__graft_g", "__graft_q")
+        )
+      }
     val benchScrubbed = benchmark.select(TextFunctions.scrub(col(textCol)).as(textCol))
-    val nonRepetitive =
+    val nonRepetitive0 =
       Repetition.filterRepetitive(qualified, 2, maxDupFrac, maxTopFrac, textCol, idCol)
-    val decontaminated =
+    val nonRepetitive =
+      if (auditMaterialize) nonRepetitive0.localCheckpoint(true) else nonRepetitive0
+    val decontaminated0 =
       Decontaminate.clean(nonRepetitive, benchScrubbed, decontamK, textCol, idCol)
+    val decontaminated =
+      if (auditMaterialize) decontaminated0.localCheckpoint(true) else decontaminated0
     val (exactKept, nearKept) =
       dedupStages(decontaminated, cfg.nearDupThreshold, textCol, idCol, Seq(groupCol))
     val mixed = Sampling.temperatureFlatten(nearKept, groupCol, textCol, temperature)
-    Seq(
-      "input" -> scrubbed,
-      "gopher" -> structural,
-      "quality" -> qualified,
-      "repetition" -> nonRepetitive,
-      "decontamination" -> decontaminated,
-      "exact_dedup" -> exactKept,
-      "near_dedup" -> nearKept,
-      "mix" -> mixed
+    ("input" -> scrubbed) +: RejectStageNames.zip(
+      Seq(structural, qualified, nonRepetitive, decontaminated, exactKept, nearKept, mixed)
     )
   }
+
+  /** The hygienic chain's DROPPING stages in order (everything after the
+    * no-drop "input" projection) — one source of truth for
+    * [[hygienicStages]]'s labels, [[rejectReasons]]'s attribution values
+    * and [[attrition]]'s fixed 7-row funnel shape.
+    */
+  private val RejectStageNames = Seq(
+    "gopher", "quality", "repetition", "decontamination",
+    "exact_dedup", "near_dedup", "mix"
+  )
 
   /** ATTRITION FUNNEL over [[selectHygienic]]'s chain — the
     * explainability report every production corpus build publishes
@@ -284,12 +323,17 @@ object Pipeline {
     * which stages happen to drop nothing, so the report schema is stable
     * across corpora.
     *
-    * Cost shape: one count per stage boundary over the SAME frames the
-    * pipeline itself runs — the scan-shaped gates recount cheaply, the
-    * aggregate stages recount their aggregate, and both dedup boundaries
-    * read checkpointed frames, so the expensive clustering work runs
-    * once, not once per count. Each count is a 1-row aggregate; the
-    * funnel arithmetic happens on an 8-row local frame.
+    * Cost shape (VERDICT r13 №3): ONE action. The funnel is derived from
+    * [[rejectReasons]] — each document's first-dropping stage — via a
+    * single `groupBy(reason)` over at most 8 reason values; the funnel
+    * arithmetic (`n_in(i+1) = n_in(i) − dropped(i)`) runs on the
+    * collected ≤8-row map. The previous shape issued one `.count()` per
+    * stage boundary — 8 sequential jobs, each re-running the scan-shaped
+    * stage prefix below the dedup checkpoints (the board's most
+    * expensive query at 11.5 s dev). Equivalence is exact because each
+    * stage frame is a subset of its predecessor and ids are unique, so
+    * `|frame_k| = total − Σ_{i≤k} dropped(i)` — and the spec pins
+    * reason counts == funnel drops directly.
     */
   def attrition(
       docs: DataFrame,
@@ -303,7 +347,7 @@ object Pipeline {
       idCol: String = "doc_id",
       groupCol: String = "lang"
   ): DataFrame = {
-    val stages = hygienicStages(
+    val byReason = rejectReasons(
       docs,
       benchmark,
       cfg,
@@ -315,27 +359,37 @@ object Pipeline {
       idCol,
       groupCol
     )
-    val counts = stages.map { case (name, frame) => name -> frame.count() }
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
     val spark = docs.sparkSession
     import spark.implicits._
-    counts
-      .sliding(2)
-      .zipWithIndex
-      .map { case (Seq((_, nIn), (stage, nOut)), i) =>
-        ((i + 1).toLong, stage, nIn, nIn - nOut, nOut)
+    var nIn = byReason.values.sum
+    RejectStageNames.zipWithIndex
+      .map { case (stage, i) =>
+        val dropped = byReason.getOrElse(stage, 0L)
+        val row = ((i + 1).toLong, stage, nIn, dropped, nIn - dropped)
+        nIn -= dropped
+        row
       }
-      .toSeq
       .toDF("stage_idx", "stage", "n_in", "n_dropped", "n_out")
   }
 
   /** Per-document REJECT REASON — the row-level companion of
     * [[attrition]]: `(idCol, reason)` for EVERY input document, `reason`
     * the first stage that dropped it (the funnel's attribution), or
-    * `kept` if it reached the mix. Implemented as one projection of
-    * membership flags — the corpus left-joins each stage's id set on the
-    * id key (equi-joins; the dedup-side sets are checkpointed by the
-    * chain) — and a first-false CASE, so the chain itself still runs
-    * once.
+    * `kept` if it reached the mix.
+    *
+    * Shape (r14): each stage's id set is tagged with its depth and
+    * UNIONED, then ONE `groupBy(id).max(depth)` finds how far every
+    * document survived — the first-dropping stage is `depth + 1` because
+    * the stage frames are nested subsets. One id-key shuffle with
+    * map-side combine (≤ 8 tagged rows per document collapse in the
+    * partial aggregate), replacing the previous SEVEN left joins on the
+    * id key — at corpus scale the id sets are NOT broadcastable, so
+    * those were seven full shuffles of the id column.
     */
   def rejectReasons(
       docs: DataFrame,
@@ -359,17 +413,24 @@ object Pipeline {
       temperature,
       textCol,
       idCol,
-      groupCol
+      groupCol,
+      auditMaterialize = true
     ).drop(1) // "input" drops nothing — it is not a reject reason
-    val flagged = stages.foldLeft(docs.select(col(idCol))) { case (acc, (name, frame)) =>
-      acc.join(frame.select(col(idCol), lit(1L).as(s"__$name")), Seq(idCol), "left")
-    }
+    val tagged = stages.zipWithIndex
+      .map { case ((_, frame), k) =>
+        frame.select(col(idCol), lit(k + 1).as("__graft_depth"))
+      }
+      .foldLeft(docs.select(col(idCol), lit(0).as("__graft_depth")))(_ unionByName _)
     val reason = stages
       .map { case (name, _) => name }
-      .foldRight(lit("kept")) { case (name, rest) =>
-        when(col(s"__$name").isNull, lit(name)).otherwise(rest)
+      .zipWithIndex
+      .foldRight(lit("kept")) { case ((name, k), rest) =>
+        when(col("__graft_reached") === k, lit(name)).otherwise(rest)
       }
-    flagged.select(col(idCol), reason.as("reason"))
+    tagged
+      .groupBy(col(idCol))
+      .agg(max(col("__graft_depth")).as("__graft_reached"))
+      .select(col(idCol), reason.as("reason"))
   }
 
   /** [[selectHygienic]] packed into training sequences — the q82 gate. */

@@ -217,6 +217,56 @@ class PipelineSpec extends SparkSpec {
     assert(keptIds === pipelineIds)
   }
 
+  test("attrition adds ONE action beyond the chain's own checkpoints (VERDICT r13 one-pass funnel)") {
+    import spark.implicits._
+    val base = (0 until 98).map(i => s"word$i").mkString(" ") + " the of"
+    val crafted = Seq(
+      (1L, "en", base + " unique one"),
+      (2L, "en", base + " unique one"),
+      (3L, "fr", base + " autre chose")
+    ).toDF("doc_id", "lang", "text")
+    val benchmark = Seq((900L, "xx", "bench run only")).toDF("doc_id", "lang", "text")
+    // count ACTIONS, not jobs: AQE materializes every shuffle stage as its
+    // own job, so a single collect over the reason join tree is many jobs —
+    // the QueryExecutionListener fires exactly once per action (collect /
+    // checkpoint), which is the thing the one-pass rework bounds. The
+    // listener bus posts async; settle until two consecutive reads agree
+    // (actions are blocking, so every event is queued when the body returns).
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+        actions.incrementAndGet()
+    }
+    def actionsIn(body: => Unit): Int = {
+      val before = {
+        var last = -1; var cur = actions.get()
+        while (cur != last) { Thread.sleep(200); last = cur; cur = actions.get() }
+        cur
+      }
+      body
+      var last = -1
+      var cur = actions.get()
+      while (cur != last) { Thread.sleep(200); last = cur; cur = actions.get() }
+      cur - before
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // building rejectReasons is LAZY apart from the chain's eager dedup
+      // checkpoints — its action count IS the chain's own unavoidable work
+      val chainActions = actionsIn(Pipeline.rejectReasons(crafted, benchmark))
+      // the funnel must add exactly the single groupBy(reason) collect on
+      // top of that — the old shape added 8 sequential boundary counts
+      val attrActions = actionsIn(Pipeline.attrition(crafted, benchmark))
+      assert(chainActions > 0, "the chain's checkpoints run eagerly")
+      assert(
+        attrActions <= chainActions + 1,
+        s"funnel must be one action: $attrActions vs chain $chainActions"
+      )
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("mixing pipeline: importance, temperature, budget, and shard stages all bite; plan laws hold") {
     import spark.implicits._
     // Every doc passes the structural gate (>=50 words, word-shaped, two
