@@ -187,6 +187,29 @@ class DumpSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/never_reached").exists(), "fatal error must abort the loop")
   }
 
+  test("CLI --tables: 2-table extraction through the DumpMain entry; --resume gates re-entry (VERDICT r13)") {
+    val root = s"$testOut/dumpall_cli"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val tables = DumpMain.parseTables("docs:doc_id:3,docs_dim")
+    val makeSource: String => NoteSource = _ => src()
+    val fresh = DumpMain.runDumpAll(spark, tables, makeSource, root, resume = false)
+    assert(fresh.map(_.table) === Seq("docs", "docs_dim"))
+    assert(fresh.forall(_.ok) && fresh.map(_.rows).sum === 2 * total)
+    assert(new java.io.File(s"$root/docs/chunk_00002/_SUCCESS").exists(), "keyed table chunked")
+    assert(new java.io.File(s"$root/docs_dim/_SUCCESS").exists(), "unkeyed dimension guarded whole")
+    // WITHOUT --resume a root holding any listed table dir fails fast —
+    // stale _SUCCESS markers silently skipping data is invisible in the
+    // report, so re-entry must be the operator's explicit choice
+    val refused = intercept[IllegalArgumentException] {
+      DumpMain.runDumpAll(spark, tables, makeSource, root, resume = false)
+    }
+    assert(refused.getMessage.contains("--resume"))
+    // WITH --resume: re-entrant, all work skips
+    val again = DumpMain.runDumpAll(spark, tables, makeSource, root, resume = true)
+    assert(again.forall(o => o.ok && o.ranChunks == 0))
+    assert(again.map(_.rows).sum === 2 * total)
+  }
+
   test("more chunks than keys: degenerate tails skip, coverage intact") {
     val dir = s"$testOut/resume_tiny"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

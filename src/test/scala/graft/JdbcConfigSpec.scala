@@ -28,6 +28,27 @@ class JdbcConfigSpec extends AnyFunSuite {
     assert(JdbcSourceConfig.fromEnv(Map.empty).isEmpty)
   }
 
+  test("--tables parsing: name[:keyCol[:chunks]], fail-fast on every malformed shape") {
+    import DumpMain.{parseTables, TableArg}
+    assert(parseTables("note") === Seq(TableArg("note", None, 1)))
+    assert(parseTables("note:note_id") === Seq(TableArg("note", Some("note_id"), 1)))
+    assert(
+      parseTables("note:note_id:64,person,visit:visit_id") === Seq(
+        TableArg("note", Some("note_id"), 64),
+        TableArg("person", None, 1),
+        TableArg("visit", Some("visit_id"), 1)
+      )
+    )
+    // a typo'd list must die BEFORE any extraction starts
+    intercept[IllegalArgumentException](parseTables(""))
+    intercept[IllegalArgumentException](parseTables("note:"))
+    intercept[IllegalArgumentException](parseTables(":note_id"))
+    intercept[IllegalArgumentException](parseTables("note:note_id:zero"))
+    intercept[IllegalArgumentException](parseTables("note:note_id:0"))
+    intercept[IllegalArgumentException](parseTables("note:note_id:4:extra"))
+    intercept[IllegalArgumentException](parseTables("a,,b"))
+  }
+
   test("credentials never leak through toString/logs") {
     val cfg = JdbcSourceConfig.fromEnv(env).get
     assert(!cfg.toString.contains("s3cret"))
