@@ -474,6 +474,20 @@ object SparkEntry {
         ))
         .orderBy(col("release_id"))
     }),
+    // user-level DP SUMS: clipping bounds one ROW's influence, the
+    // contribution bound caps rows per individual — together one person
+    // moves the sum vector by ≤ cap·clip in L1, so draws at ε/(cap·clip)
+    // compose to the stated user-level ε=6.0
+    "q188_dp_user_sums" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "orders"), "o_totalprice", 100000L, "price_band")
+        .withColumn("qty", pmod(col("o_orderkey"), lit(9L)))
+      graft.operators.Deidentify
+        .dpUserCellSums(
+          g, "o_custkey", "o_orderkey", Seq("o_orderstatus", "price_band"),
+          "qty", clip = 5L, maxRowsPerEntity = 3, epsilonMicro = 6000000L, salt = "r14")
+        .orderBy(col("o_orderstatus"), col("price_band"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3659,6 +3673,53 @@ object SparkEntry {
        FROM r ORDER BY o_orderstatus, price_band"""
   }
 
+  /** DuckDB replay of [[graft.operators.Deidentify.dpUserCellSums]]: the
+    * q186 bound CTEs, then clamp + per-cell sum + LUT at ε/(cap·clip)
+    * with the `salt:sum:<col>` noise key.
+    */
+  private def dpUserSumsOracle(cap: Int, clip: Long, epsilonMicro: Long, salt: String): String = {
+    val (kk, ts) = graft.operators.Deidentify.dpNoiseLut(epsilonMicro / (cap * clip))
+    val lut = ts.mkString("[", ", ", "]")
+    s"""WITH g AS (
+         SELECT o_custkey, o_orderkey, o_orderstatus,
+           '[' || CAST(CAST(floor(o_totalprice/100000.0)*100000 AS BIGINT) AS VARCHAR) || ',' ||
+           CAST(CAST(floor(o_totalprice/100000.0)*100000 + 100000 AS BIGINT) AS VARCHAR) || ')' AS price_band,
+           greatest(least(o_orderkey % 9, $clip), 0) AS v
+         FROM orders
+       ), hk AS (
+         SELECT o_custkey, o_orderkey, o_orderstatus, price_band, v,
+           ${OracleFragments.polyHash(s"('bc:' || CAST(o_orderkey AS VARCHAR) || ':$salt:bound')")} AS h0
+         FROM g
+       ), rk AS (
+         SELECT o_custkey, o_orderkey, o_orderstatus, price_band, v,
+           ${OracleFragments.remix32("h0")} AS ru
+         FROM hk
+       ), bounded AS (
+         SELECT o_orderstatus, price_band, v FROM (
+           SELECT o_orderstatus, price_band, v,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY ru, o_orderkey) AS rn
+           FROM rk)
+         WHERE rn <= $cap
+       ), cells AS (
+         SELECT o_orderstatus, price_band, CAST(SUM(v) AS BIGINT) AS s
+         FROM bounded GROUP BY 1, 2
+       ), h AS (
+         SELECT o_orderstatus, price_band, s,
+           ${OracleFragments.polyHash(
+            OracleFragments.dpCellKey(Seq("o_orderstatus", "price_band"), s"$salt:sum:qty")
+          )} AS h0
+         FROM cells
+       ), r AS (
+         SELECT o_orderstatus, price_band, s, ${OracleFragments.remix32("h0")} AS u FROM h
+       )
+       SELECT o_orderstatus, price_band,
+         CAST(greatest(s + len(list_filter($lut, t -> t <= u)) - $kk, 0) AS BIGINT) AS sum_dp,
+         CAST($epsilonMicro AS BIGINT) AS epsilon_micro,
+         CAST($clip AS BIGINT) AS clip,
+         CAST($cap AS BIGINT) AS max_rows_per_entity
+       FROM r ORDER BY o_orderstatus, price_band"""
+  }
+
   /** DuckDB replay of the q187 ledger: both releases census the SAME
     * banded customer cells, so one `m` CTE (cell count + salt-free
     * domain digest) serves both manifest rows; the running ε total is a
@@ -3746,6 +3807,8 @@ object SparkEntry {
     "q186_dp_user_counts" -> dpUserCountsOracle(3, 3000000L, "r14"),
     // the release ledger: manifest rows + running ε over one shared domain
     "q187_dp_ledger" -> dpLedgerOracle,
+    // user-level sums: bound + clip → L1 ≤ cap·clip, LUT at ε/(cap·clip)
+    "q188_dp_user_sums" -> dpUserSumsOracle(3, 5L, 6000000L, "r14"),
     "q185_dump_all" ->
       """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
          UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation

@@ -568,6 +568,43 @@ object Deidentify {
       .withColumn("max_rows_per_entity", lit(maxRowsPerEntity.toLong))
   }
 
+  /** USER-level ε-DP cell SUMS — [[dpCellSums]] with the row-count side
+    * of the influence bounded too: clipping alone caps one ROW's
+    * contribution at `clip`, but an individual owning many rows still
+    * moves a cell sum by rows×clip and the stated ε degrades exactly
+    * like the count case. [[boundContributions]] caps each entity at
+    * `maxRowsPerEntity` rows per release (rank salt `salt:bound`), so
+    * one individual's total influence on the sum VECTOR is at most
+    * cap·clip in L1 — the geometric mechanism at ε/(cap·clip) per cell
+    * then composes to user-level ε (the [[dpUserCellCounts]] argument
+    * with Δ_row = clip). Same conservative integer-truncated budget
+    * split; LUT size O(cap·clip/ε) — keep both bounds modest or spend
+    * more ε. Output carries the full claim: user-level `epsilon_micro`,
+    * `clip`, `max_rows_per_entity`.
+    */
+  def dpUserCellSums(
+      df: DataFrame,
+      entityCol: String,
+      idCol: String,
+      quasiCols: Seq[String],
+      valueCol: String,
+      clip: Long,
+      maxRowsPerEntity: Int,
+      epsilonMicro: Long,
+      salt: String
+  ): DataFrame = {
+    require(maxRowsPerEntity >= 1, s"need maxRowsPerEntity >= 1, got $maxRowsPerEntity")
+    require(
+      epsilonMicro / (clip * maxRowsPerEntity) >= 10000L,
+      s"ε/(cap·Δ) = $epsilonMicro/(${maxRowsPerEntity}·$clip) µ is below the supported 0.01 " +
+        "floor — raise epsilonMicro or lower clip/cap"
+    )
+    val bounded = boundContributions(df, entityCol, idCol, maxRowsPerEntity, s"$salt:bound")
+    dpCellSums(bounded, quasiCols, valueCol, clip, epsilonMicro / maxRowsPerEntity, salt)
+      .withColumn("epsilon_micro", lit(epsilonMicro))
+      .withColumn("max_rows_per_entity", lit(maxRowsPerEntity.toLong))
+  }
+
   /** t-closeness for CATEGORICAL sensitive attributes — the paper's
     * equal-distance ground metric, where the EMD degenerates to the
     * total variation distance: TVD = ½·Σ_v |p_v − q_v|. Same exact

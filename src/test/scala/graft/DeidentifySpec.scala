@@ -562,6 +562,48 @@ class DeidentifySpec extends SparkSpec {
       Deidentify.dpUserCellCounts(df, "ent", "id", Seq("cell"), 250, epsMicro, "s"))
   }
 
+  test("dpUserCellSums: bound × clip = the full influence cap, exact replay") {
+    import graft.functions.Kernels
+    // entity 1 owns 4 rows with large values — unbounded, it moves its
+    // cell's sum by 4·clip even after clipping; the bound caps that at
+    // cap·clip (the user-level L1 argument)
+    val df = Seq(
+      (1L, 11L, "x", 100L), (1L, 12L, "x", 100L), (1L, 13L, "x", 100L), (1L, 14L, "x", 100L),
+      (2L, 21L, "x", 2L), (3L, 31L, "y", -7L), (4L, 41L, "y", 3L)
+    ).toDF("ent", "id", "cell", "v")
+    val (cap, clip, epsMicro) = (2, 4L, 4000000L)
+    val out = Deidentify
+      .dpUserCellSums(df, "ent", "id", Seq("cell"), "v", clip, cap, epsMicro, "spec")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // driver-side replay: bound (salted-hash top-cap), clamp, sum, LUT at ε/(cap·clip)
+    val keptIds = Seq(11L, 12L, 13L, 14L)
+      .sortBy(id => (Kernels.remix32(Kernels.polyHash(s"bc:$id:spec:bound")), id))
+      .take(cap).toSet ++ Set(21L, 31L, 41L)
+    val sums = df.collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+      .filter { case (id, _, _) => keptIds.contains(id) }
+      .groupBy(_._2)
+      .map { case (c, g) => c -> g.map(t => math.max(math.min(t._3, clip), 0L)).sum }
+    val (kk, ts) = Deidentify.dpNoiseLut(epsMicro / (cap * clip))
+    sums.foreach { case (cell, s) =>
+      val u = Kernels.remix32(Kernels.polyHash(dpKey(Seq(cell), "spec:sum:v")))
+      val z = -kk + ts.count(_ <= u)
+      assert(out(cell) === ((math.max(s + z, 0L), epsMicro, clip, cap.toLong)), s"cell $cell s=$s z=$z")
+    }
+    // entity 1's influence really is capped: its cell's bounded raw sum is
+    // cap·clip, not 4·clip
+    assert(sums("x") === cap * clip + 2L)
+    // LUT is wider than the row-level dpCellSums LUT at the same ε (the
+    // extra cap factor in the sensitivity is real noise, not bookkeeping)
+    assert(ts.size > Deidentify.dpNoiseLut(epsMicro / clip)._2.size)
+    intercept[IllegalArgumentException](
+      Deidentify.dpUserCellSums(df, "ent", "id", Seq("cell"), "v", clip, 0, epsMicro, "s"))
+    intercept[IllegalArgumentException](
+      Deidentify.dpUserCellSums(df, "ent", "id", Seq("cell"), "v", 400L, 10, epsMicro, "s"))
+  }
+
   test("dpManifest/dpLedger: salt-free domain digest, running ε, replayable") {
     import graft.functions.Kernels
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("q", "id")

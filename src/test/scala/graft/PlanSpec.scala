@@ -204,16 +204,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window:\n$p")
   }
 
-  test("q186: user-level DP — the bound is an ENTITY-partitioned window, census join-free, noise scan-side") {
-    val p = plan("q186_dp_user_counts")
-    assert(!p.contains("Join"), s"q186: noise must not join:\n$p")
-    assert(p.contains("Window"), "the contribution bound is a window")
-    // the window partitions by the entity key (per-entity sort, bounded by
-    // entity fan-out) — an UNpartitioned window here would be the global
-    // single-partition sort that dies at scale
-    assert(p.contains("hashpartitioning(o_custkey"), s"bound window must partition by entity:\n$p")
-    assert(p.contains("HashAggregate"), "the census aggregate")
-    assert("Scan parquet".r.findAllIn(p).size == 1, s"q186: one table read:\n$p")
+  test("q186/q188: user-level DP — the bound is an ENTITY-partitioned window, census join-free, noise scan-side") {
+    for (q <- Seq("q186_dp_user_counts", "q188_dp_user_sums")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: noise must not join:\n$p")
+      assert(p.contains("Window"), s"$q: the contribution bound is a window")
+      // the window partitions by the entity key (per-entity sort, bounded by
+      // entity fan-out) — an UNpartitioned window here would be the global
+      // single-partition sort that dies at scale
+      assert(p.contains("hashpartitioning(o_custkey"), s"$q: bound window must partition by entity:\n$p")
+      assert(p.contains("HashAggregate"), s"$q: the census aggregate")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q: one table read:\n$p")
+    }
   }
 
   test("q187: the DP ledger never shuffles a corpus — censuses aggregate, manifests are 1-row frames") {
