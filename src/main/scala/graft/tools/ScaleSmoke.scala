@@ -1572,6 +1572,89 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** User-level DP at release scale: N rows over ~N/20 entities with a
+    * MEGA-ENTITY owning 5% of the corpus — the adversarial case for the
+    * contribution-bound window (row_number sorts each entity's rows
+    * inside one partition, so the hot entity is one task sorting N/20
+    * rows; the smoke measures that this is a bounded straggler, not a
+    * wall). Reports the bound's row census (max per entity == cap), the
+    * end-to-end user-level count and sum releases, and the UNIT-level
+    * release for overhead comparison (the delta is the bound window's
+    * one entity-key shuffle). Run: `ScaleSmoke dpuser [n] [cap]`.
+    */
+  private def dpUserMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 20000000L
+    val cap = if (args.length > 2) args(2).toInt else 3
+    val spark = GraftSession.local("scale-smoke-dpuser", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Deidentify
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[dpuser] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // 5% of rows belong to entity 0 (the mega-patient); the rest spread
+    // over ~n/20 entities (~20 rows each — the OMOP many-notes norm)
+    val rows = spark
+      .range(n)
+      .select(
+        col("id"),
+        when(pmod(col("id"), lit(20L)) === 0, lit(0L))
+          .otherwise(pmod(col("id") * 7919L, lit(n / 20L))).as("entity"),
+        pmod(col("id") * 104729L, lit(200L)).as("nation"),
+        pmod(col("id") * 48271L, lit(10000L)).cast("double").as("value")
+      )
+      .persist()
+    val megaRows = rows.filter(col("entity") === 0L).count()
+    println(s"[dpuser] corpus: ${rows.count()} rows; mega-entity owns $megaRows; cap=$cap")
+
+    val banded = Deidentify.generalize(rows, "value", 2000L, "band")
+    // operator cost first (noop sink — no cache serialization in the way),
+    // then the cached copy the census diagnostics read
+    time("boundContributions -> noop") {
+      Deidentify.boundContributions(banded, "entity", "id", cap, "smoke")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("boundContributions -> noop (warm)") {
+      Deidentify.boundContributions(banded, "entity", "id", cap, "smoke")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val bounded = time("bound persist + count (cache fill)") {
+      val b = Deidentify.boundContributions(banded, "entity", "id", cap, "smoke").persist()
+      println(s"[dpuser]   kept ${b.count()} rows")
+      b
+    }
+    val census = bounded.groupBy(col("entity")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")), count(lit(1))).head()
+    println(s"[dpuser] bound census: max rows/entity = ${census.get(0)} over ${census.get(1)} entities")
+    require(census.getLong(0) <= cap.toLong, "bound violated at scale")
+
+    time("dpUserCellCounts end-to-end") {
+      val cells = Deidentify
+        .dpUserCellCounts(banded, "entity", "id", Seq("nation", "band"), cap, 3000000L, "smoke")
+        .collect()
+      println(s"[dpuser]   released ${cells.length} cells (user-level ε=3.0)")
+    }
+    time("dpUserCellSums end-to-end") {
+      val cells = Deidentify
+        .dpUserCellSums(banded, "entity", "id", Seq("nation", "band"), "value", 5L, cap, 6000000L, "smoke")
+        .collect()
+      println(s"[dpuser]   released ${cells.length} cells (user-level ε=6.0, clip 5)")
+    }
+    time("UNIT dpCellCounts (overhead baseline)") {
+      Deidentify.dpCellCounts(banded, Seq("nation", "band"), 1000000L, "smoke").collect()
+    }
+    val plan = Deidentify
+      .boundContributions(banded, "entity", "id", cap, "smoke")
+      .queryExecution.executedPlan.toString
+    println(s"[dpuser] bound window entity-partitioned: ${plan.contains("hashpartitioning(entity")}")
+    spark.stop()
+  }
+
   /** Mondrian k-anonymization at release scale: N rows, two banded
     * attrs (one with a 30% hot band — the skew every census-like
     * release has). Measures the driver-iterated cut rounds (each round:
@@ -1722,6 +1805,7 @@ object ScaleSmoke {
     if (args.headOption.contains("resume")) { resumeMain(args); return }
     if (args.headOption.contains("deidfeed")) { deidFeedMain(args); return }
     if (args.headOption.contains("mondrian")) { mondrianMain(args); return }
+    if (args.headOption.contains("dpuser")) { dpUserMain(args); return }
     if (args.headOption.contains("deid")) { deidMain(args); return }
     if (args.headOption.contains("semdecon")) { semdeconMain(args); return }
     if (args.headOption.contains("pack")) { packMain(args); return }
