@@ -488,6 +488,20 @@ object SparkEntry {
           "qty", clip = 5L, maxRowsPerEntity = 3, epsilonMicro = 6000000L, salt = "r14")
         .orderBy(col("o_orderstatus"), col("price_band"))
     }),
+    // DP quantiles by POST-PROCESSING the released histogram: zero extra
+    // privacy cost (post-processing invariance) and the already-audited
+    // geometric mechanism stays the only noise source — the deliberate
+    // trade against an exponential mechanism whose integer weight
+    // quantization would silently relax the stated ε
+    "q189_dp_quantiles" -> ((s, dir) => {
+      val g = t(s, dir, "customer")
+        .withColumn("bal_lo", (floor(col("c_acctbal") / 2000d) * 2000).cast("long"))
+      val rel = graft.operators.Deidentify
+        .dpCellCounts(g, Seq("c_mktsegment", "bal_lo"), 2000000L, "r14q")
+      graft.operators.Deidentify
+        .dpQuantiles(rel, Seq("c_mktsegment"), "bal_lo", Seq(250, 500, 750))
+        .orderBy(col("c_mktsegment"), col("permille"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3720,6 +3734,49 @@ object SparkEntry {
        FROM r ORDER BY o_orderstatus, price_band"""
   }
 
+  /** DuckDB replay of [[graft.operators.Deidentify.dpQuantiles]] over a
+    * [[graft.operators.Deidentify.dpCellCounts]] release on
+    * (c_mktsegment, bal_lo): the histogram mechanism verbatim, then the
+    * pure post-processing — per-segment cumulative noised counts, lower
+    * quantile at each permille (`cum·1000 >= total·p`).
+    */
+  private def dpQuantilesOracle(epsilonMicro: Long, salt: String, permilles: Seq[Int]): String = {
+    val (kk, ts) = graft.operators.Deidentify.dpNoiseLut(epsilonMicro)
+    val lut = ts.mkString("[", ", ", "]")
+    val pl = permilles.mkString("[", ", ", "]")
+    s"""WITH g AS (
+         SELECT c_mktsegment, CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS bal_lo
+         FROM customer
+       ), cells AS (
+         SELECT c_mktsegment, bal_lo, COUNT(*) AS n FROM g GROUP BY 1, 2
+       ), h AS (
+         SELECT c_mktsegment, bal_lo, n,
+           ${OracleFragments.polyHash(
+            OracleFragments.dpCellKey(
+              Seq("c_mktsegment", "CAST(bal_lo AS VARCHAR)"), salt)
+          )} AS h0
+         FROM cells
+       ), r AS (
+         SELECT c_mktsegment, bal_lo, n, ${OracleFragments.remix32("h0")} AS u FROM h
+       ), rel AS (
+         SELECT c_mktsegment, bal_lo,
+           CAST(greatest(n + len(list_filter($lut, t -> t <= u)) - $kk, 0) AS BIGINT) AS n_dp
+         FROM r
+       ), cum AS (
+         SELECT c_mktsegment, bal_lo, n_dp,
+           CAST(SUM(n_dp) OVER (PARTITION BY c_mktsegment ORDER BY bal_lo
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+           CAST(SUM(n_dp) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS total
+         FROM rel
+       )
+       SELECT c_mktsegment, p.permille,
+         MIN(CASE WHEN total > 0 AND c*1000 >= total*p.permille THEN bal_lo END) AS band_q,
+         CAST(MAX(total) AS BIGINT) AS n_dp_total,
+         CAST($epsilonMicro AS BIGINT) AS epsilon_micro
+       FROM cum CROSS JOIN (SELECT unnest($pl) AS permille) p
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** DuckDB replay of the q187 ledger: both releases census the SAME
     * banded customer cells, so one `m` CTE (cell count + salt-free
     * domain digest) serves both manifest rows; the running ε total is a
@@ -3809,6 +3866,8 @@ object SparkEntry {
     "q187_dp_ledger" -> dpLedgerOracle,
     // user-level sums: bound + clip → L1 ≤ cap·clip, LUT at ε/(cap·clip)
     "q188_dp_user_sums" -> dpUserSumsOracle(3, 5L, 6000000L, "r14"),
+    // quantiles as histogram post-processing: ε spent once, in the census
+    "q189_dp_quantiles" -> dpQuantilesOracle(2000000L, "r14q", Seq(250, 500, 750)),
     "q185_dump_all" ->
       """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
          UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation

@@ -605,6 +605,82 @@ object Deidentify {
       .withColumn("max_rows_per_entity", lit(maxRowsPerEntity.toLong))
   }
 
+  /** DP QUANTILES by post-processing a released DP histogram — the third
+    * standard release statistic after counts and sums, at ZERO extra
+    * privacy cost: differential privacy is closed under post-processing,
+    * so any function of an already-noised release (here: the lower
+    * quantile of the noised cumulative counts) inherits the release's ε
+    * unchanged. This is the deliberate engineering trade against the
+    * exponential mechanism (McSherry/Talwar 2007; Smith 2011 for
+    * quantiles): the exponential mechanism spends its own budget for
+    * better small-ε utility, but an EXACT integer implementation of it
+    * needs weight quantization whose floor cases (w=1 vs w=2 rounding)
+    * inflate the realized ε beyond the stated one — precisely the kind
+    * of silently-degraded claim this tier refuses to ship. Histogram
+    * post-processing keeps the already-audited geometric mechanism as
+    * the ONLY noise source and every arithmetic step integer-exact.
+    *
+    * Input is a released DP histogram in [[dpCellCounts]] /
+    * [[dpClosedHistogram]] / [[dpUserCellCounts]] shape —
+    * `(quasiCols…, bandCol, n_dp, epsilon_micro)` — with `bandCol`
+    * NUMERIC (the band's lower bound, e.g. `floor(v/w)*w`; the ordered
+    * domain quantiles need an order, which [[generalize]]'s string label
+    * deliberately doesn't have). Which variant the caller feeds decides
+    * the support story: dpCellCounts quantiles range over OBSERVED bands
+    * (support leak documented there), dpClosedHistogram over the public
+    * domain. `epsilon_micro` is carried through unchanged — it is the
+    * INPUT release's budget, nothing new is spent.
+    *
+    * Per quasi cell and permille p: the smallest band whose cumulative
+    * noised count reaches p/1000 of the cell's noised total
+    * (`cum·1000 >= total·p`, the engine's q86 lower-quantile
+    * convention, integer-exact); a cell whose noised total is 0 has no
+    * quantile and reports a NULL band (the row stays — auditable).
+    *
+    * Scale shape: windows partition by the quasi cell over BAND-bounded
+    * frames (m rows per cell — never a corpus sort); one quantile row
+    * per (cell × permille) via a bounded literal explode.
+    */
+  def dpQuantiles(
+      release: DataFrame,
+      quasiCols: Seq[String],
+      bandCol: String,
+      permilles: Seq[Int]
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(permilles.nonEmpty, "need at least one quantile (permille)")
+    require(permilles.forall(p => p >= 1 && p <= 1000), s"permilles must be in [1,1000]: $permilles")
+    require(release.columns.contains(bandCol), s"no such column: $bandCol")
+    require(
+      release.columns.contains("n_dp") && release.columns.contains("epsilon_micro"),
+      "input must be a DP histogram release (n_dp, epsilon_micro) — see dpCellCounts"
+    )
+    require(
+      release.schema(bandCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"bandCol '$bandCol' must be numeric (the band's lower bound) — " +
+        "quantiles need the domain ORDER, which generalize's string label does not have"
+    )
+    import org.apache.spark.sql.expressions.Window
+    val cell = Window.partitionBy(quasiCols.map(col): _*)
+    val cum = cell.orderBy(col(bandCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    release
+      .withColumn("__graft_cum", sum(col("n_dp")).over(cum))
+      .withColumn("__graft_total", sum(col("n_dp")).over(cell))
+      .withColumn("__graft_p", explode(lit(permilles.toArray)))
+      .groupBy((quasiCols.map(col) :+ col("__graft_p").as("permille")): _*)
+      .agg(
+        min(
+          when(
+            col("__graft_total") > 0L &&
+              col("__graft_cum") * 1000L >= col("__graft_total") * col("__graft_p"),
+            col(bandCol)
+          )
+        ).as("band_q"),
+        max(col("__graft_total")).as("n_dp_total"),
+        max(col("epsilon_micro")).as("epsilon_micro")
+      )
+  }
+
   /** t-closeness for CATEGORICAL sensitive attributes — the paper's
     * equal-distance ground metric, where the EMD degenerates to the
     * total variation distance: TVD = ½·Σ_v |p_v − q_v|. Same exact

@@ -604,6 +604,70 @@ class DeidentifySpec extends SparkSpec {
       Deidentify.dpUserCellSums(df, "ent", "id", Seq("cell"), "v", 400L, 10, epsMicro, "s"))
   }
 
+  test("dpQuantiles: pure post-processing — hand-checked convention, ε carried, NULL on empty") {
+    import graft.functions.Kernels
+    // dpQuantiles consumes ANY released histogram frame, so the convention
+    // is pinned on a hand-built one: cell A bands 0/10/20 with noised
+    // counts 2/5/3 (total 10 → p250 at cum 2.5 ⇒ band 10 (cum·1000=2000 <
+    // 2500 at band 0); p500 at cum 5 ⇒ band 10 EXACTLY (7000 ≥ 5000... the
+    // lower rule: band 10 has cum 7 ⇒ 7000 ≥ 5000, band 0 has 2000 < 5000));
+    // cell B is all-zero (clamped away) ⇒ NULL band, row kept
+    val rel = Seq(
+      ("A", 0L, 2L), ("A", 10L, 5L), ("A", 20L, 3L),
+      ("B", 0L, 0L), ("B", 10L, 0L)
+    ).toDF("q", "band", "n_dp").withColumn("epsilon_micro", lit(1000000L))
+    val out = Deidentify.dpQuantiles(rel, Seq("q"), "band", Seq(250, 500, 1000))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(("A", 250)) === ((Some(10L), 10L, 1000000L)))
+    assert(out(("A", 500)) === ((Some(10L), 10L, 1000000L)))
+    assert(out(("A", 1000)) === ((Some(20L), 10L, 1000000L)))
+    // exact boundary: cum·1000 == total·p counts as reached (>=, the q86 rule)
+    val exact = Seq(("C", 0L, 1L), ("C", 10L, 3L)).toDF("q", "band", "n_dp")
+      .withColumn("epsilon_micro", lit(1L))
+    assert(
+      Deidentify.dpQuantiles(exact, Seq("q"), "band", Seq(250))
+        .head().get(2) === 0L, "cum 1 of 4 reaches p250 exactly at band 0"
+    )
+    // the all-zero cell reports, with a NULL band (auditable, not dropped)
+    assert(out(("B", 500)) === ((None, 0L, 1000000L)))
+    // composed with the real mechanism: replay histogram + quantile driver-side
+    val g = cust.withColumn("bal_lo", (floor(col("c_acctbal") / 2000d) * 2000).cast("long"))
+    val (kk, ts) = Deidentify.dpNoiseLut(2000000L)
+    val noised = g.groupBy("c_mktsegment", "bal_lo").count().collect()
+      .map { r =>
+        val (seg, lo, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val u = Kernels.remix32(Kernels.polyHash(dpKey(Seq(seg, lo.toString), "spec")))
+        (seg, lo, math.max(n + (-kk + ts.count(_ <= u)), 0L))
+      }
+    val want = noised.groupBy(_._1).flatMap { case (seg, cells) =>
+      val sorted = cells.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val cums = sorted.map(_._3).scanLeft(0L)(_ + _).tail
+      Seq(250, 500, 750).map { p =>
+        val band = sorted.map(_._2).zip(cums)
+          .collectFirst { case (lo, cum) if total > 0 && cum * 1000 >= total * p => lo }
+        (seg, p) -> band
+      }
+    }.toMap
+    val got = Deidentify
+      .dpQuantiles(
+        Deidentify.dpCellCounts(g, Seq("c_mktsegment", "bal_lo"), 2000000L, "spec"),
+        Seq("c_mktsegment"), "bal_lo", Seq(250, 500, 750))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got === want)
+    // fail-fast: the band must be numeric (order!), the input a DP release
+    intercept[IllegalArgumentException](
+      Deidentify.dpQuantiles(rel.withColumn("band", col("band").cast("string")), Seq("q"), "band", Seq(500)))
+    intercept[IllegalArgumentException](Deidentify.dpQuantiles(rel.drop("n_dp"), Seq("q"), "band", Seq(500)))
+    intercept[IllegalArgumentException](Deidentify.dpQuantiles(rel, Seq("q"), "band", Seq()))
+    intercept[IllegalArgumentException](Deidentify.dpQuantiles(rel, Seq("q"), "band", Seq(0)))
+  }
+
   test("dpManifest/dpLedger: salt-free domain digest, running ε, replayable") {
     import graft.functions.Kernels
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("q", "id")

@@ -218,6 +218,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q189: DP quantiles post-process the census — cell-partitioned windows, no join, one scan") {
+    val p = plan("q189_dp_quantiles")
+    assert(!p.contains("Join"), s"q189: post-processing must not join:\n$p")
+    // the cumulative/total windows partition by the quasi cell (band-bounded
+    // frames) — an unpartitioned window would be a global sort
+    assert(p.contains("hashpartitioning(c_mktsegment"), s"q189: windows partition by the cell:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"q189: one table read:\n$p")
+  }
+
   test("q187: the DP ledger never shuffles a corpus — censuses aggregate, manifests are 1-row frames") {
     val p = plan("q187_dp_ledger")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
