@@ -502,6 +502,21 @@ object SparkEntry {
         .dpQuantiles(rel, Seq("c_mktsegment"), "bal_lo", Seq(250, 500, 750))
         .orderBy(col("c_mktsegment"), col("permille"))
     }),
+    // DP means: the q187 ledger's two releases composed — mean = sum_dp /
+    // n_dp is post-processing of two released artifacts, privacy cost
+    // exactly ε_count + ε_sum = 3.0 (sequential composition, no new noise)
+    "q190_dp_means" -> ((s, dir) => {
+      val quasi = Seq("c_nationkey", "bal_band")
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      val counts = graft.operators.Deidentify.dpCellCounts(g, quasi, 1000000L, "r14a")
+      val sums = graft.operators.Deidentify.dpCellSums(
+        g.withColumn("orders_capped", pmod(col("c_custkey"), lit(13L))),
+        quasi, "orders_capped", 8L, 2000000L, "r14b")
+      graft.operators.Deidentify
+        .dpCellMeans(counts, sums, quasi)
+        .orderBy(col("c_nationkey"), col("bal_band"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3777,6 +3792,54 @@ object SparkEntry {
        GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
+  /** DuckDB replay of [[graft.operators.Deidentify.dpCellMeans]] over the
+    * q187 release pair: ONE census CTE computes both the count and the
+    * clipped sum per cell, each gets its own salted draw (count LUT at
+    * ε_count, sum LUT at ε_sum/clip), and the mean is the integer
+    * fixed-point ratio of the two noised values — ε totals add.
+    */
+  private def dpMeansOracle(
+      epsCount: Long, saltCount: String,
+      clip: Long, epsSum: Long, saltSum: String
+  ): String = {
+    val (kkc, tsc) = graft.operators.Deidentify.dpNoiseLut(epsCount)
+    val (kks, tss) = graft.operators.Deidentify.dpNoiseLut(epsSum / clip)
+    val lutC = tsc.mkString("[", ", ", "]")
+    val lutS = tss.mkString("[", ", ", "]")
+    val keyParts = Seq("CAST(c_nationkey AS VARCHAR)", "bal_band")
+    s"""WITH g AS (
+         SELECT c_nationkey,
+           '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+           CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band,
+           greatest(least(c_custkey % 13, $clip), 0) AS v
+         FROM customer
+       ), cells AS (
+         SELECT c_nationkey, bal_band, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
+         FROM g GROUP BY 1, 2
+       ), h AS (
+         SELECT c_nationkey, bal_band, n, sv,
+           ${OracleFragments.polyHash(OracleFragments.dpCellKey(keyParts, saltCount))} AS h0c,
+           ${OracleFragments.polyHash(
+            OracleFragments.dpCellKey(keyParts, s"$saltSum:sum:orders_capped"))} AS h0s
+         FROM cells
+       ), r AS (
+         SELECT c_nationkey, bal_band, n, sv,
+           ${OracleFragments.remix32("h0c")} AS uc,
+           ${OracleFragments.remix32("h0s")} AS us
+         FROM h
+       ), rel AS (
+         SELECT c_nationkey, bal_band,
+           CAST(greatest(n + len(list_filter($lutC, t -> t <= uc)) - $kkc, 0) AS BIGINT) AS n_dp,
+           CAST(greatest(sv + len(list_filter($lutS, t -> t <= us)) - $kks, 0) AS BIGINT) AS sum_dp
+         FROM r
+       )
+       SELECT c_nationkey, bal_band, n_dp, sum_dp,
+         CASE WHEN n_dp > 0
+           THEN CAST((CAST(sum_dp AS HUGEINT) * 1000) // CAST(n_dp AS HUGEINT) AS BIGINT) END AS mean_milli,
+         CAST(${epsCount + epsSum} AS BIGINT) AS epsilon_micro
+       FROM rel ORDER BY c_nationkey, bal_band"""
+  }
+
   /** DuckDB replay of the q187 ledger: both releases census the SAME
     * banded customer cells, so one `m` CTE (cell count + salt-free
     * domain digest) serves both manifest rows; the running ε total is a
@@ -3868,6 +3931,8 @@ object SparkEntry {
     "q188_dp_user_sums" -> dpUserSumsOracle(3, 5L, 6000000L, "r14"),
     // quantiles as histogram post-processing: ε spent once, in the census
     "q189_dp_quantiles" -> dpQuantilesOracle(2000000L, "r14q", Seq(250, 500, 750)),
+    // means as the ratio of the two q187 releases: ε_count + ε_sum
+    "q190_dp_means" -> dpMeansOracle(1000000L, "r14a", 8L, 2000000L, "r14b"),
     "q185_dump_all" ->
       """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
          UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation

@@ -681,6 +681,64 @@ object Deidentify {
       )
   }
 
+  /** DP cell MEANS by post-processing a released count and a released
+    * sum — completing the count/sum/mean/quantile release quartet with,
+    * again, ZERO fresh noise: `mean = sum_dp / n_dp` is a function of
+    * two already-released artifacts, so by post-processing invariance
+    * its privacy cost is exactly the inputs' ε_count + ε_sum (sequential
+    * composition over the same frame — the accounting [[dpLedger]]
+    * records). This is the standard production shape (ratio of two
+    * noised aggregates) rather than a dedicated mean mechanism: the two
+    * ingredients are independently useful, auditable in the ledger, and
+    * the ratio needs no new sensitivity argument.
+    *
+    * Inputs are a [[dpCellCounts]]-shaped frame (`quasi…, n_dp,
+    * epsilon_micro`) and a [[dpCellSums]]-shaped frame (`quasi…,
+    * sum_dp, epsilon_micro, clip`) over the SAME cells (same source
+    * frame → identical observed support; closed-domain variants are
+    * dense on the same domain). Null-safe inner join on the quasi key —
+    * both sides cell-bounded, so the join broadcasts. `mean_milli` is
+    * the integer fixed-point ratio `sum_dp·1000 div n_dp` in
+    * decimal(38,0) (DuckDB `//` replays it); a cell whose noised count
+    * clamped to 0 has no defined mean and reports NULL (row kept,
+    * auditable). Output `epsilon_micro` = ε_count + ε_sum.
+    */
+  def dpCellMeans(
+      counts: DataFrame,
+      sums: DataFrame,
+      quasiCols: Seq[String]
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(
+      counts.columns.contains("n_dp") && counts.columns.contains("epsilon_micro"),
+      "counts must be a DP histogram release (n_dp, epsilon_micro) — see dpCellCounts"
+    )
+    require(
+      sums.columns.contains("sum_dp") && sums.columns.contains("epsilon_micro"),
+      "sums must be a DP sum release (sum_dp, epsilon_micro) — see dpCellSums"
+    )
+    val s = quasiCols.foldLeft(
+      sums.select((quasiCols.map(col) :+ col("sum_dp") :+ col("epsilon_micro").as("__graft_es")): _*)
+    ) { (d, c) => d.withColumnRenamed(c, s"__graft_q_$c") }
+    val cond = quasiCols.map(c => counts(c) <=> s(s"__graft_q_$c")).reduce(_ && _)
+    counts
+      .join(s, cond, "inner")
+      .drop(quasiCols.map(c => s"__graft_q_$c"): _*)
+      .withColumn(
+        "mean_milli",
+        when(
+          col("n_dp") > 0L,
+          expr(
+            "cast((cast(sum_dp as decimal(38,0)) * cast(1000 as decimal(38,0))) div " +
+              "cast(n_dp as decimal(38,0)) as long)"
+          )
+        )
+      )
+      .withColumn("epsilon_micro", col("epsilon_micro") + col("__graft_es"))
+      .select((quasiCols.map(col) :+ col("n_dp") :+ col("sum_dp") :+
+        col("mean_milli") :+ col("epsilon_micro")): _*)
+  }
+
   /** t-closeness for CATEGORICAL sensitive attributes — the paper's
     * equal-distance ground metric, where the EMD degenerates to the
     * total variation distance: TVD = ½·Σ_v |p_v − q_v|. Same exact

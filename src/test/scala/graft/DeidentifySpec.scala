@@ -668,6 +668,52 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.dpQuantiles(rel, Seq("q"), "band", Seq(0)))
   }
 
+  test("dpCellMeans: ratio of two releases, ε adds, NULL on clamped count, null-safe cells") {
+    // hand-built releases pin the convention (dpCellMeans consumes ANY
+    // count+sum release pair)
+    val counts = Seq((Some("a"), 4L), (Some("b"), 0L), (None, 2L))
+      .toDF("q", "n_dp").withColumn("epsilon_micro", lit(1000000L))
+    val sums = Seq((Some("a"), 10L), (Some("b"), 7L), (None, 5L))
+      .toDF("q", "sum_dp").withColumn("epsilon_micro", lit(2000000L)).withColumn("clip", lit(8L))
+    val out = Deidentify.dpCellMeans(counts, sums, Seq("q"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))))
+      .toMap
+    // mean_milli = sum·1000 div n (integer floor), ε = 1.0 + 2.0
+    assert(out(Some("a")) === ((4L, 10L, Some(2500L), 3000000L)))
+    // a count clamped to 0 has no defined mean: NULL, row kept (auditable)
+    assert(out(Some("b")) === ((0L, 7L, None, 3000000L)))
+    // the all-NULL quasi cell joins null-safely (it is a cell)
+    assert(out(None) === ((2L, 5L, Some(2500L), 3000000L)))
+    assert(out.size === 3)
+    // composed with the real mechanisms: equals the driver-side ratio of
+    // the two collected releases
+    val g = Deidentify.generalize(cust, "c_acctbal", 2000L, "bal_band")
+    val quasi = Seq("c_nationkey", "bal_band")
+    val rc = Deidentify.dpCellCounts(g, quasi, 1000000L, "sA")
+    val rs = Deidentify.dpCellSums(
+      g.withColumn("v", pmod(col("c_custkey"), lit(13L))), quasi, "v", 8L, 2000000L, "sB")
+    val want = {
+      val cm = rc.collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getString(1)) -> r.getLong(2)).toMap
+      val sm = rs.collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getString(1)) -> r.getLong(2)).toMap
+      cm.map { case (cell, n) =>
+        cell -> (if (n > 0) Some(sm(cell) * 1000L / n) else None)
+      }
+    }
+    val got = Deidentify.dpCellMeans(rc, rs, quasi)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got === want)
+    intercept[IllegalArgumentException](Deidentify.dpCellMeans(counts.drop("n_dp"), sums, Seq("q")))
+    intercept[IllegalArgumentException](Deidentify.dpCellMeans(counts, sums.drop("sum_dp"), Seq("q")))
+    intercept[IllegalArgumentException](Deidentify.dpCellMeans(counts, sums, Seq()))
+  }
+
   test("dpManifest/dpLedger: salt-free domain digest, running ε, replayable") {
     import graft.functions.Kernels
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("q", "id")

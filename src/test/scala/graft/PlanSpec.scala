@@ -227,6 +227,14 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, s"q189: one table read:\n$p")
   }
 
+  test("q190: DP means join two CELL-BOUNDED releases under a broadcast — never a shuffle join") {
+    val p = plan("q190_dp_means")
+    assert(p.contains("BroadcastHashJoin"), s"release join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join of cell-bounded frames:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 2, s"one read per release:\n$p")
+  }
+
   test("q187: the DP ledger never shuffles a corpus — censuses aggregate, manifests are 1-row frames") {
     val p = plan("q187_dp_ledger")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
