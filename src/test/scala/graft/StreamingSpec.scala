@@ -1013,6 +1013,41 @@ class StreamingSpec extends SparkSpec {
     assert(viaLsm === batch, "LSM-composed DP release must equal the batch release exactly")
   }
 
+  test("streaming DP quantiles: post-processing the census LSM == the batch quantiles") {
+    // the r14 post-processing tier composes with the streamed census for
+    // free: dpQuantiles is a pure function of the released histogram, and
+    // the LSM census releases the SAME histogram as batch (the law above),
+    // so the quantiles must agree bit for bit — no new streaming machinery
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val full = sources.Tables
+      .load(spark, Sf0001, "customer")
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        (floor(col("c_acctbal") / 2000d) * 2000).cast("long").as("band_lo")
+      )
+    val rows = full.as[(Long, String, Long)].collect().toSeq
+    val dir = s"$testOut/census_dpq_lsm"
+    val stream = MemoryStream[(Long, String, Long)]
+    rows.grouped(40).foreach(stream.addData(_))
+    val q = StreamingOps.maintainCensus(
+      stream.toDF().toDF("c_custkey", "seg", "band_lo"),
+      dir,
+      s"$dir/_ckpt",
+      Seq("seg", "band_lo")
+    )
+    q.processAllAvailable(); q.stop()
+    def quantiles(rel: org.apache.spark.sql.DataFrame) = Deidentify
+      .dpQuantiles(rel, Seq("seg"), "band_lo", Seq(250, 500, 750))
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    val viaLsm = quantiles(
+      Deidentify.dpFromCounts(
+        StreamingOps.currentCensus(spark, dir), Seq("seg", "band_lo"), 1000000L, "relq"))
+    val batch = quantiles(Deidentify.dpCellCounts(full, Seq("seg", "band_lo"), 1000000L, "relq"))
+    assert(viaLsm === batch, "streamed-census quantiles must equal the batch quantiles exactly")
+  }
+
   test("streaming range join: live points vs static intervals — stateless, == batch") {
     // the attribution shape with a STATIC interval table (campaign
     // windows, maintenance windows): pointInInterval is explode +
