@@ -637,6 +637,13 @@ object Deidentify {
     * convention, integer-exact); a cell whose noised total is 0 has no
     * quantile and reports a NULL band (the row stays — auditable).
     *
+    * NULL bands are EXCLUDED from the domain and the totals before
+    * anything cumulates: a NULL is not a value on the ordered axis, and
+    * engines disagree on where it would sort (Spark ASC is NULLS FIRST,
+    * DuckDB NULLS LAST — a NULL band's count would enter every later
+    * cumulative on one side and only the total on the other). Callers
+    * who want a "missing" bucket must encode a sentinel band.
+    *
     * Scale shape: windows partition by the quasi cell over BAND-bounded
     * frames (m rows per cell — never a corpus sort); one quantile row
     * per (cell × permille) via a bounded literal explode.
@@ -664,6 +671,7 @@ object Deidentify {
     val cell = Window.partitionBy(quasiCols.map(col): _*)
     val cum = cell.orderBy(col(bandCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     release
+      .filter(col(bandCol).isNotNull)
       .withColumn("__graft_cum", sum(col("n_dp")).over(cum))
       .withColumn("__graft_total", sum(col("n_dp")).over(cell))
       .withColumn("__graft_p", explode(lit(permilles.toArray)))

@@ -633,6 +633,14 @@ class DeidentifySpec extends SparkSpec {
     )
     // the all-zero cell reports, with a NULL band (auditable, not dropped)
     assert(out(("B", 500)) === ((None, 0L, 1000000L)))
+    // a NULL band is excluded from domain AND totals (engines disagree on
+    // where a NULL would sort — the contract forbids it, sentinel instead)
+    val withNullBand = Seq(("D", Some(0L), 6L), ("D", None, 100L), ("D", Some(10L), 2L))
+      .toDF("q", "band", "n_dp").withColumn("epsilon_micro", lit(1L))
+    val d = Deidentify.dpQuantiles(withNullBand, Seq("q"), "band", Seq(500))
+      .head()
+    assert(d.get(2) === 0L, "p500 of 6/2 over non-null bands is band 0")
+    assert(d.getLong(3) === 8L, "the NULL band's count must not enter the total")
     // composed with the real mechanism: replay histogram + quantile driver-side
     val g = cust.withColumn("bal_lo", (floor(col("c_acctbal") / 2000d) * 2000).cast("long"))
     val (kk, ts) = Deidentify.dpNoiseLut(2000000L)
