@@ -517,6 +517,18 @@ object SparkEntry {
         .dpCellMeans(counts, sums, quasi)
         .orderBy(col("c_nationkey"), col("bal_band"))
     }),
+    // DP top-k: the largest released cells — ranking an already-noised
+    // histogram is post-processing (ε carries unchanged); deterministic
+    // desc-count/asc-key order so the release replays exactly
+    "q191_dp_topk" -> ((s, dir) => {
+      val g = graft.operators.Deidentify
+        .generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      val rel = graft.operators.Deidentify
+        .dpCellCounts(g, Seq("c_nationkey", "bal_band"), 1000000L, "r14a")
+      graft.operators.Deidentify
+        .dpTopK(rel, Seq("c_nationkey", "bal_band"), 10)
+        .orderBy(col("rank"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3933,6 +3945,38 @@ object SparkEntry {
     "q189_dp_quantiles" -> dpQuantilesOracle(2000000L, "r14q", Seq(250, 500, 750)),
     // means as the ratio of the two q187 releases: ε_count + ε_sum
     "q190_dp_means" -> dpMeansOracle(1000000L, "r14a", 8L, 2000000L, "r14b"),
+    // top-k of the q180-family release: post-processing, deterministic ties
+    "q191_dp_topk" -> {
+      val (kk, ts) = graft.operators.Deidentify.dpNoiseLut(1000000L)
+      val lut = ts.mkString("[", ", ", "]")
+      s"""WITH g AS (
+           SELECT c_nationkey,
+             '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+             CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band
+           FROM customer
+         ), cells AS (
+           SELECT c_nationkey, bal_band, COUNT(*) AS n FROM g GROUP BY 1, 2
+         ), h AS (
+           SELECT c_nationkey, bal_band, n,
+             ${OracleFragments.polyHash(
+              OracleFragments.dpCellKey(Seq("CAST(c_nationkey AS VARCHAR)", "bal_band"), "r14a")
+            )} AS h0
+           FROM cells
+         ), r AS (
+           SELECT c_nationkey, bal_band, n, ${OracleFragments.remix32("h0")} AS u FROM h
+         ), rel AS (
+           SELECT c_nationkey, bal_band,
+             CAST(greatest(n + len(list_filter($lut, t -> t <= u)) - $kk, 0) AS BIGINT) AS n_dp
+           FROM r
+         ), ranked AS (
+           SELECT c_nationkey, bal_band, n_dp,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_dp DESC, c_nationkey ASC, bal_band ASC) AS INT) AS rank
+           FROM rel
+         )
+         SELECT c_nationkey, bal_band, n_dp, rank,
+           CAST(1000000 AS BIGINT) AS epsilon_micro
+         FROM ranked WHERE rank <= 10 ORDER BY rank"""
+    },
     "q185_dump_all" ->
       """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
          UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation

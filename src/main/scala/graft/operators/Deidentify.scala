@@ -747,6 +747,41 @@ object Deidentify {
         col("mean_milli") :+ col("epsilon_micro")): _*)
   }
 
+  /** DP TOP-K cells — "which cohorts are largest", the most common
+    * question asked of a released histogram, again at ZERO extra privacy
+    * cost: ranking an already-noised release by its noised counts is
+    * post-processing, so the input's ε carries unchanged. (Contrast with
+    * peeling mechanisms that spend budget per selection — unnecessary
+    * once the whole histogram is already released.) Deterministic total
+    * order: `n_dp` descending, then the quasi values ascending as the
+    * tiebreak — equal noised counts rank reproducibly, so the release
+    * replays bit-for-bit. Returns the top `k` rows with a 1-based
+    * `rank`; ties are NOT expanded past k (row_number, not rank — a
+    * release has exactly k rows).
+    *
+    * The ranking window is GLOBAL but over the CELL-bounded release
+    * frame (the [[dpLedger]] exception: rows = released cells, never
+    * corpus rows); k is a literal LIMIT on top.
+    */
+  def dpTopK(
+      release: DataFrame,
+      quasiCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"need k >= 1, got $k")
+    require(
+      release.columns.contains("n_dp") && release.columns.contains("epsilon_micro"),
+      "input must be a DP histogram release (n_dp, epsilon_micro) — see dpCellCounts"
+    )
+    import org.apache.spark.sql.expressions.Window
+    val order = col("n_dp").desc +: quasiCols.map(col(_).asc)
+    release
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .filter(col("rank") <= k)
+      .select((quasiCols.map(col) :+ col("n_dp") :+ col("rank") :+ col("epsilon_micro")): _*)
+  }
+
   /** t-closeness for CATEGORICAL sensitive attributes — the paper's
     * equal-distance ground metric, where the EMD degenerates to the
     * total variation distance: TVD = ½·Σ_v |p_v − q_v|. Same exact

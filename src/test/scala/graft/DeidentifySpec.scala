@@ -722,6 +722,36 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.dpCellMeans(counts, sums, Seq()))
   }
 
+  test("dpTopK: post-processing rank, deterministic ties, exactly k rows, ε carried") {
+    // ties on n_dp break by the quasi values ascending — reproducible release
+    val rel = Seq(
+      ("b", 5L), ("a", 5L), ("c", 9L), ("d", 1L), ("e", 5L)
+    ).toDF("q", "n_dp").withColumn("epsilon_micro", lit(750000L))
+    val top3 = Deidentify.dpTopK(rel, Seq("q"), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(top3.toSeq === Seq(
+      ("c", 9L, 1, 750000L), ("a", 5L, 2, 750000L), ("b", 5L, 3, 750000L)
+    ), "desc count, asc key tiebreak, ties not expanded past k")
+    // k larger than the release: every cell, still ranked
+    assert(Deidentify.dpTopK(rel, Seq("q"), 100).count() === 5L)
+    // composed with the real mechanism == driver-side sort of the release
+    val g = Deidentify.generalize(cust, "c_acctbal", 2000L, "bal_band")
+    val quasi = Seq("c_nationkey", "bal_band")
+    val release = Deidentify.dpCellCounts(g, quasi, 1000000L, "sT")
+    val want = release.collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1), r.getLong(2)))
+      .sortBy { case (nat, band, n) => (-n, nat, band) }
+      .take(10).toSeq
+    val got = Deidentify.dpTopK(release, quasi, 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1), r.getLong(2))).toSeq
+    assert(got === want)
+    intercept[IllegalArgumentException](Deidentify.dpTopK(rel, Seq("q"), 0))
+    intercept[IllegalArgumentException](Deidentify.dpTopK(rel.drop("n_dp"), Seq("q"), 3))
+    intercept[IllegalArgumentException](Deidentify.dpTopK(rel, Seq(), 3))
+  }
+
   test("dpManifest/dpLedger: salt-free domain digest, running ε, replayable") {
     import graft.functions.Kernels
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("q", "id")
