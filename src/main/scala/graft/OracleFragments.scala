@@ -192,8 +192,19 @@ object OracleFragments {
   def domainCellKey(parts: Seq[String]): String =
     s"('dom:' || ${lenPrefixedKey(parts)})"
 
+  /** Netstring component encoding, NULL-injective: non-NULL values are
+    * `<charlen>:<value>` (always digit-first), NULL is the bare tag `n`
+    * (no length prefix — outside the value space, so no string,
+    * including a literal sentinel character, can collide with NULL).
+    * Mirror of `Deidentify.cellKeyExpr`.
+    */
   private def lenPrefixedKey(parts: Seq[String]): String =
-    parts.map(p => s"(CAST(length($p) AS VARCHAR) || ':' || ($p))").mkString(" || '|' || ")
+    parts
+      .map(p =>
+        s"(CASE WHEN ($p) IS NULL THEN 'n' " +
+          s"ELSE CAST(length($p) AS VARCHAR) || ':' || ($p) END)"
+      )
+      .mkString(" || '|' || ")
 
   /** Pin every non-recursive CTE in an oracle to ONE evaluation by
     * rewriting `name AS (` → `name AS MATERIALIZED (`. DuckDB (≤1.1)

@@ -529,6 +529,32 @@ object SparkEntry {
         .dpTopK(rel, Seq("c_nationkey", "bal_band"), 10)
         .orderBy(col("rank"))
     }),
+    // DP budget ENFORCEMENT (VERDICT r14 №5): the q187 ledger extended
+    // with a third release over a DIFFERENT domain (orders cells), then
+    // enforceBudget(cap = 3.0) — per-domain cumulative ε (customer domain
+    // composes to exactly the cap, at-cap passes; orders 1.5) returned
+    // alongside the global running total, the over-cap path raising at
+    // execution (spec-gated in DeidentifySpec)
+    "q192_dp_budget" -> ((s, dir) => {
+      val D = graft.operators.Deidentify
+      val quasiC = Seq("c_nationkey", "bal_band")
+      val gc = D.generalize(t(s, dir, "customer"), "c_acctbal", 2000L, "bal_band")
+      val relA = D.dpCellCounts(gc, quasiC, 1000000L, "r14a")
+      val relB = D.dpCellSums(
+        gc.withColumn("orders_capped", pmod(col("c_custkey"), lit(13L))),
+        quasiC, "orders_capped", 8L, 2000000L, "r14b")
+      val quasiO = Seq("o_orderstatus", "price_band")
+      val go = D.generalize(t(s, dir, "orders"), "o_totalprice", 100000L, "price_band")
+      val relC = D.dpCellCounts(go, quasiO, 1500000L, "r15c")
+      D.enforceBudget(
+        D.dpLedger(Seq(
+          D.dpManifest(relA, quasiC, "rel_a_counts", "count", 1000000L, 1L, "r14a"),
+          D.dpManifest(relB, quasiC, "rel_b_sums", "sum", 2000000L, 8L, "r14b"),
+          D.dpManifest(relC, quasiO, "rel_c_orders", "count", 1500000L, 1L, "r15c")
+        )),
+        epsilonCapMicro = 3000000L
+      ).orderBy(col("release_id"))
+    }),
     // O2/O3/O4-class relational coverage --------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3871,7 +3897,7 @@ object SparkEntry {
        ), rd AS (
          SELECT ${OracleFragments.remix32("h0")} AS u FROM hd
        ), m AS (
-         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(SUM(u) AS BIGINT) AS domain_hash FROM rd
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(bit_xor(u) AS BIGINT) AS domain_hash FROM rd
        )
        SELECT 'rel_a_counts' AS release_id, 'count' AS kind,
          CAST(1000000 AS BIGINT) AS epsilon_micro, CAST(1 AS BIGINT) AS sensitivity,
@@ -3882,6 +3908,60 @@ object SparkEntry {
        SELECT 'rel_b_sums', 'sum', CAST(2000000 AS BIGINT), CAST(8 AS BIGINT),
          'r14b', n_cells, domain_hash, CAST(3000000 AS BIGINT)
        FROM m
+       ORDER BY release_id"""
+  }
+
+  /** DuckDB replay of the q192 budget-enforced ledger: the q187 pair's
+    * customer-cell domain digest plus a second digest over the orders
+    * cells; both the global running ε and the per-domain cumulative ε
+    * are literals per row (three releases in release_id order: customer
+    * 1.0 → 3.0, orders 1.5 — the Spark side's at-cap 3.0 passes the
+    * 3.0 cap, proving `<=` not `<`).
+    */
+  private def dpBudgetOracle: String = {
+    val domC = OracleFragments.domainCellKey(Seq("CAST(c_nationkey AS VARCHAR)", "bal_band"))
+    val domO = OracleFragments.domainCellKey(Seq("o_orderstatus", "price_band"))
+    s"""WITH g AS (
+         SELECT c_nationkey,
+           '[' || CAST(CAST(floor(c_acctbal/2000.0)*2000 AS BIGINT) AS VARCHAR) || ',' ||
+           CAST(CAST(floor(c_acctbal/2000.0)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')' AS bal_band
+         FROM customer
+       ), cells_c AS (
+         SELECT c_nationkey, bal_band FROM g GROUP BY 1, 2
+       ), hd_c AS (
+         SELECT ${OracleFragments.polyHash(domC)} AS h0 FROM cells_c
+       ), rd_c AS (
+         SELECT ${OracleFragments.remix32("h0")} AS u FROM hd_c
+       ), m_c AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(bit_xor(u) AS BIGINT) AS domain_hash FROM rd_c
+       ), og AS (
+         SELECT o_orderstatus,
+           '[' || CAST(CAST(floor(o_totalprice/100000.0)*100000 AS BIGINT) AS VARCHAR) || ',' ||
+           CAST(CAST(floor(o_totalprice/100000.0)*100000 + 100000 AS BIGINT) AS VARCHAR) || ')' AS price_band
+         FROM orders
+       ), cells_o AS (
+         SELECT o_orderstatus, price_band FROM og GROUP BY 1, 2
+       ), hd_o AS (
+         SELECT ${OracleFragments.polyHash(domO)} AS h0 FROM cells_o
+       ), rd_o AS (
+         SELECT ${OracleFragments.remix32("h0")} AS u FROM hd_o
+       ), m_o AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(bit_xor(u) AS BIGINT) AS domain_hash FROM rd_o
+       )
+       SELECT 'rel_a_counts' AS release_id, 'count' AS kind,
+         CAST(1000000 AS BIGINT) AS epsilon_micro, CAST(1 AS BIGINT) AS sensitivity,
+         'r14a' AS salt_id, n_cells, domain_hash,
+         CAST(1000000 AS BIGINT) AS eps_cum_micro,
+         CAST(1000000 AS BIGINT) AS eps_domain_cum_micro
+       FROM m_c
+       UNION ALL
+       SELECT 'rel_b_sums', 'sum', CAST(2000000 AS BIGINT), CAST(8 AS BIGINT),
+         'r14b', n_cells, domain_hash, CAST(3000000 AS BIGINT), CAST(3000000 AS BIGINT)
+       FROM m_c
+       UNION ALL
+       SELECT 'rel_c_orders', 'count', CAST(1500000 AS BIGINT), CAST(1 AS BIGINT),
+         'r15c', n_cells, domain_hash, CAST(4500000 AS BIGINT), CAST(1500000 AS BIGINT)
+       FROM m_o
        ORDER BY release_id"""
   }
 
@@ -3977,6 +4057,7 @@ object SparkEntry {
            CAST(1000000 AS BIGINT) AS epsilon_micro
          FROM ranked WHERE rank <= 10 ORDER BY rank"""
     },
+    "q192_dp_budget" -> dpBudgetOracle,
     "q185_dump_all" ->
       """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
          UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation

@@ -267,12 +267,16 @@ object Deidentify {
   }
 
   /** The deterministic per-cell uniform: remix32∘polyHash of
-    * `"dp:" ++ quasi values length-prefixed (NULL → ␀) and '|'-joined
-    * ++ ":" ++ salt` — uniform in [0, 2^32), replayable by the oracle's
-    * hash fragments. Exposed for the oracle builder; the sentinel ␀
-    * (U+2400) marks a NULL quasi component (an all-NULL cell is itself
-    * a cell, the [[suppressSmallGroups]] convention, and needs a stable
-    * key).
+    * `"dp:" ++ quasi values length-prefixed (NULL → bare `n` tag) and
+    * '|'-joined ++ ":" ++ salt` — uniform in [0, 2^32), replayable by
+    * the oracle's hash fragments. Exposed for the oracle builder; the
+    * tag `n` WITHOUT a length prefix marks a NULL quasi component (an
+    * all-NULL cell is itself a cell, the [[suppressSmallGroups]]
+    * convention, and needs a stable key). Every non-NULL component
+    * starts with a digit (its length), so `n` sits OUTSIDE the
+    * length-prefixed value space: no string value — including a literal
+    * `"␀"`-style sentinel, the r14 ADVICE residue where NULL and the
+    * sentinel character both encoded `1:␀` — can collide with NULL.
     *
     * Each component is encoded `<charlen>:<value>` BEFORE joining
     * (netstring-style, so the encoding is injective): a bare `'|'` join
@@ -289,17 +293,21 @@ object Deidentify {
       GraftExpressions.poly_hash(concat(lit("dp:"), cellKeyExpr(quasiCols), lit(":" + salt)))
     )
 
-  /** The shared netstring cell-key body: each quasi value (NULL → ␀)
-    * encoded `<charlen>:<value>`, '|'-joined. [[dpCellUniform]] wraps it
+  /** The shared netstring cell-key body: each non-NULL quasi value
+    * encoded `<charlen>:<value>`, NULL encoded as the bare tag `n` (no
+    * length prefix — disjoint from every value encoding, which starts
+    * with a digit), '|'-joined. [[dpCellUniform]] wraps it
     * `dp:<key>:<salt>` (the noise stream); [[dpManifest]] wraps it
     * `dom:<key>` (the SALT-FREE domain digest — two releases over the
     * same cells must hash to the same domain regardless of their noise
     * salts, or the ledger cannot show they compose over one domain).
+    * Mirrored bit-for-bit by `OracleFragments.lenPrefixedKey`.
     */
   private def cellKeyExpr(quasiCols: Seq[String]): org.apache.spark.sql.Column = {
     val parts = quasiCols.map { c =>
-      val v = coalesce(col(c).cast("string"), lit("␀"))
-      concat(length(v).cast("string"), lit(":"), v)
+      val v = col(c).cast("string")
+      when(v.isNull, lit("n"))
+        .otherwise(concat(length(v).cast("string"), lit(":"), v))
     }
     parts.reduce((a, b) => concat(a, lit("|"), b))
   }
@@ -452,6 +460,46 @@ object Deidentify {
       salt: String
   ): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    dpSumsFromTotals(cellSums(df, quasiCols, valueCol, clip), quasiCols, valueCol, clip, epsilonMicro, salt)
+  }
+
+  /** Per-cell CLIPPED-sum census in the [[cellCounts]] contract shape
+    * (`__graft_q_<c>` quasi columns + `__graft_cell_s`) — the
+    * sum-release analog of [[cellCounts]], split out (r15) so the
+    * streaming tier can LSM-maintain it: the row-level clamp commutes
+    * with batching and clipped sums ADD exactly across shards, so
+    * per-batch cellSums frames merge-on-read into the census of
+    * everything streamed ([[graft.streaming.StreamingOps
+    * .maintainSumCensus]]), and [[dpSumsFromTotals]] over the merged
+    * view is bit-identical to [[dpCellSums]] over the concatenation.
+    */
+  def cellSums(df: DataFrame, quasiCols: Seq[String], valueCol: String, clip: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(clip >= 1, s"need clip >= 1, got $clip")
+    val clamped = greatest(least(col(valueCol).cast("long"), lit(clip)), lit(0L))
+    quasiCols.foldLeft(
+      df.groupBy(quasiCols.map(col): _*).agg(sum(clamped).as("__graft_cell_s"))
+    ) { (d, c) => d.withColumnRenamed(c, s"__graft_q_$c") }
+  }
+
+  /** The geometric mechanism over an ALREADY-MAINTAINED clipped-sum
+    * census in [[cellSums]] shape — [[dpFromCounts]]' twin for sums and
+    * the streaming serve path's composition point: the draw is a pure
+    * function of cell key + the `salt:sum:<valueCol>` stream, so noise
+    * applied to the merged LSM view equals noise applied to the batch
+    * aggregate exactly. `valueCol` is part of the noise-stream key only
+    * (the totals frame already aggregated it away) — pass the same name
+    * the census was built with or the draws diverge by design.
+    */
+  def dpSumsFromTotals(
+      totals: DataFrame,
+      quasiCols: Seq[String],
+      valueCol: String,
+      clip: Long,
+      epsilonMicro: Long,
+      salt: String
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(clip >= 1, s"need clip >= 1, got $clip")
     require(
       epsilonMicro / clip >= 10000L,
@@ -461,18 +509,19 @@ object Deidentify {
     // integer division truncates ε/Δ downward → slightly MORE noise than
     // the nominal budget: conservative, still ε-DP
     val (kk, lut) = dpNoiseLut(epsilonMicro / clip)
-    val clamped = greatest(least(col(valueCol).cast("long"), lit(clip)), lit(0L))
-    df.groupBy(quasiCols.map(col): _*)
-      .agg(sum(clamped).as("__graft_s"))
+    val cells = quasiCols.foldLeft(totals) { (d, c) =>
+      d.withColumnRenamed(s"__graft_q_$c", c)
+    }
+    cells
       .withColumn("__graft_u", dpCellUniform(quasiCols, s"$salt:sum:$valueCol"))
       .withColumn(
         "__graft_z",
         lit(-kk) + size(filter(lit(lut.toArray), t => t <= col("__graft_u")))
       )
-      .withColumn("sum_dp", greatest(col("__graft_s") + col("__graft_z").cast("long"), lit(0L)))
+      .withColumn("sum_dp", greatest(col("__graft_cell_s") + col("__graft_z").cast("long"), lit(0L)))
       .withColumn("epsilon_micro", lit(epsilonMicro))
       .withColumn("clip", lit(clip))
-      .drop("__graft_s", "__graft_u", "__graft_z")
+      .drop("__graft_cell_s", "__graft_u", "__graft_z")
   }
 
   /** Deterministic per-entity contribution BOUNDING — the operator that
@@ -493,7 +542,10 @@ object Deidentify {
     * EARLIEST notes, skewing every downstream count toward enrollment).
     *
     * Requires a non-NULL unique `idCol` (the rank tiebreak; NULL ids
-    * would make the kept set nondeterministic). Scale shape: one
+    * would make the kept set nondeterministic) — ENFORCED at execution:
+    * the rank hash raises on the first NULL id it scans (short-circuit
+    * coalesce, no extra pass), so a violation is loud, never a silently
+    * engine-dependent kept set. Scale shape: one
     * shuffle on (entity ++ withinCols); the per-partition window sorts
     * each entity's rows only — bounded by the entity fan-out, never a
     * global sort. Entities with ≤ cap rows pass through untouched.
@@ -510,9 +562,20 @@ object Deidentify {
     require(df.columns.contains(entityCol), s"no such column: $entityCol")
     require(df.columns.contains(idCol), s"no such column: $idCol")
     import org.apache.spark.sql.expressions.Window
+    // The rank tiebreak requires non-NULL ids (a NULL id would make the
+    // hash NULL and the kept subset engine/ordering-dependent — silently
+    // breaking replayability). Fail FAST and scan-side: Coalesce
+    // short-circuits, so raise_error fires only on an actual NULL, with
+    // no extra pass over the data (r14 ADVICE).
+    val checkedId = coalesce(
+      col(idCol).cast("string"),
+      raise_error(
+        lit(s"boundContributions: NULL $idCol — the deterministic rank tiebreak requires non-NULL unique ids")
+      ).cast("string")
+    )
     val rankHash = GraftExpressions.remix32(
       GraftExpressions.poly_hash(
-        concat(lit("bc:"), col(idCol).cast("string"), lit(":" + salt))
+        concat(lit("bc:"), checkedId, lit(":" + salt))
       )
     )
     val w = Window
@@ -704,12 +767,21 @@ object Deidentify {
     * epsilon_micro`) and a [[dpCellSums]]-shaped frame (`quasi…,
     * sum_dp, epsilon_micro, clip`) over the SAME cells (same source
     * frame → identical observed support; closed-domain variants are
-    * dense on the same domain). Null-safe inner join on the quasi key —
-    * both sides cell-bounded, so the join broadcasts. `mean_milli` is
-    * the integer fixed-point ratio `sum_dp·1000 div n_dp` in
-    * decimal(38,0) (DuckDB `//` replays it); a cell whose noised count
-    * clamped to 0 has no defined mean and reports NULL (row kept,
-    * auditable). Output `epsilon_micro` = ε_count + ε_sum.
+    * dense on the same domain). Null-safe FULL OUTER join on the quasi
+    * key (r14 ADVICE): equal support reproduces the inner-join result
+    * bit-for-bit, while a support MISMATCH (e.g. closed-domain counts
+    * paired with observed-only sums) surfaces every unmatched cell as a
+    * row with a NULL `n_dp` or `sum_dp` — misuse is loud, never a
+    * silently vanished cell, the same "row kept, auditable" convention
+    * as the clamped-count NULL mean. Both sides are cell-bounded, so
+    * the full-outer shuffle moves released cells, never corpus rows
+    * (full outer cannot broadcast in Spark — irrelevant at cell
+    * cardinality). `mean_milli` is the integer fixed-point ratio
+    * `sum_dp·1000 div n_dp` in decimal(38,0) (DuckDB `//` replays it);
+    * a cell whose noised count clamped to 0 has no defined mean and
+    * reports NULL. Output `epsilon_micro` = ε_count + ε_sum on matched
+    * cells; an unmatched cell reports only the ε of the release that
+    * covers it.
     */
   def dpCellMeans(
       counts: DataFrame,
@@ -729,9 +801,12 @@ object Deidentify {
       sums.select((quasiCols.map(col) :+ col("sum_dp") :+ col("epsilon_micro").as("__graft_es")): _*)
     ) { (d, c) => d.withColumnRenamed(c, s"__graft_q_$c") }
     val cond = quasiCols.map(c => counts(c) <=> s(s"__graft_q_$c")).reduce(_ && _)
+    val quasiOut = quasiCols.map(c => coalesce(counts(c), s(s"__graft_q_$c")).as(c))
     counts
-      .join(s, cond, "inner")
-      .drop(quasiCols.map(c => s"__graft_q_$c"): _*)
+      .join(s, cond, "full_outer")
+      .select((quasiOut :+ col("n_dp") :+ col("sum_dp") :+
+        (coalesce(counts("epsilon_micro"), lit(0L)) + coalesce(col("__graft_es"), lit(0L)))
+          .as("epsilon_micro")): _*)
       .withColumn(
         "mean_milli",
         when(
@@ -742,7 +817,6 @@ object Deidentify {
           )
         )
       )
-      .withColumn("epsilon_micro", col("epsilon_micro") + col("__graft_es"))
       .select((quasiCols.map(col) :+ col("n_dp") :+ col("sum_dp") :+
         col("mean_milli") :+ col("epsilon_micro")): _*)
   }
@@ -853,11 +927,20 @@ object Deidentify {
     * caller; this is the table that makes the accounting AUDITABLE. One
     * row per release: `(release_id, kind, epsilon_micro, sensitivity,
     * salt_id, n_cells, domain_hash)` where `domain_hash` is the
-    * order-free sum of remix32∘polyHash("dom:" ++ cell key) over the
-    * released cells — SALT-FREE, so two releases over the same cell set
-    * provably share a domain (sequential composition applies: their ε
-    * add) while differing domains are visible at a glance. Deterministic
-    * integer discipline throughout; the oracle replays every column.
+    * order-free XOR-fold of remix32∘polyHash("dom:" ++ cell key) over
+    * the released cells — SALT-FREE, so two releases over the same cell
+    * set share a domain value (sequential composition applies: their ε
+    * add) while differing domains are visible at a glance. XOR (not
+    * SUM, r14 ADVICE): the fold stays in [0, 2^32) in BOTH engines — a
+    * sum wraps silently in a Spark long at extreme cell counts while
+    * DuckDB's SUM→HUGEINT→BIGINT cast errors instead, so the two
+    * replays could diverge exactly when the digest matters most. The
+    * digest is ADVISORY evidence (a 32-bit order-free combine is
+    * collidable by construction): equal hashes corroborate a shared
+    * domain for the ledger's composition view, they do not prove it —
+    * the authoritative domain statement is the release's quasi-column
+    * set + domain definition. Deterministic integer discipline
+    * throughout; the oracle replays every column.
     *
     * One aggregate over the (cell-bounded) release frame; the digest is
     * a scan-side projection. Stores no row data — a manifest can ship
@@ -883,7 +966,7 @@ object Deidentify {
     release
       .agg(
         count(lit(1)).as("n_cells"),
-        sum(domHash).cast("long").as("domain_hash")
+        bit_xor(domHash).cast("long").as("domain_hash")
       )
       .select(
         lit(releaseId).as("release_id"),
@@ -912,6 +995,55 @@ object Deidentify {
     manifests
       .reduce(_.unionByName(_))
       .withColumn("eps_cum_micro", sum(col("epsilon_micro")).over(w))
+  }
+
+  /** DP budget ENFORCEMENT over a ledger — the guard the q187 ledger
+    * records but (until r15, VERDICT r14 №5) nothing refused on: per
+    * `domain_hash`, the cumulative ε in `release_id` order must stay
+    * within `epsilonCapMicro`, because sequential composition ADDS the
+    * budgets of releases over the same domain while releases over
+    * disjoint domains compose in parallel (each individual appears in
+    * both, but each release constrains them independently — the
+    * per-domain cap is the conservative per-pipeline control knob).
+    * Returns the ledger with `eps_domain_cum_micro`; the FIRST
+    * over-cap release RAISES at execution time. The assert lives in a
+    * FILTER predicate over the cumulative column (coalesce(assert_true,
+    * true) — passes every in-budget row through untouched), NOT in a
+    * projected column: a projection can be pruned away by a downstream
+    * select, a filter cannot, and the predicate reads the window output
+    * so it can't be pushed below the accounting either — an over-budget
+    * release plan fails loudly the moment any action touches any column
+    * of it, it never ships quietly. No extra pass runs.
+    *
+    * The window partitions by domain over the RELEASE-count frame
+    * (rows = number of manifests — human-scale by construction, the
+    * [[dpLedger]] exception to the no-global-window rule).
+    */
+  def enforceBudget(ledger: DataFrame, epsilonCapMicro: Long): DataFrame = {
+    require(epsilonCapMicro >= 1, s"need epsilonCapMicro >= 1, got $epsilonCapMicro")
+    Seq("release_id", "epsilon_micro", "domain_hash").foreach { c =>
+      require(ledger.columns.contains(c), s"ledger must carry $c — see dpLedger/dpManifest")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("domain_hash"))
+      .orderBy(col("release_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ledger
+      .withColumn("eps_domain_cum_micro", sum(col("epsilon_micro")).over(w))
+      .filter(
+        coalesce(
+          assert_true(
+            col("eps_domain_cum_micro") <= lit(epsilonCapMicro),
+            concat(
+              lit("DP budget exceeded: domain "), col("domain_hash").cast("string"),
+              lit(" reaches "), col("eps_domain_cum_micro").cast("string"),
+              lit(s"µ > cap ${epsilonCapMicro}µ at release "), col("release_id")
+            )
+          ).cast("boolean"),
+          lit(true)
+        )
+      )
   }
 
   /** Re-identification risk audit across EVERY non-empty subset of the

@@ -1801,7 +1801,104 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** LOB-scale dump smoke (SURVEY §7 hard part; VERDICT r14 №4): the
+    * reference's 524,288-row shard template (`dump_table.py:182`) was
+    * tuned for narrow OMOP rows; NOTE_TEXT rows are multi-MB, so at the
+    * reference layout a full shard would be a ~0.5 TiB file. This
+    * measures the REAL sink on synthetic wide-text rows under (a) the
+    * reference layout and (b) a byte-targeted `maxRecordsPerFile`
+    * override (targetShardBytes / avgRowBytes), recording write/read
+    * times, shard count + max shard bytes, and peak JVM heap during the
+    * write — the write-side memory envelope is bounded by
+    * rowGroupBytes × concurrent tasks (parquet buffers ONE row group
+    * per open writer), independent of row width, while shard SIZE is
+    * what the override controls. Results → BASELINE.md stanza +
+    * [[graft.sources.ParquetLayout]] guidance.
+    *
+    * Run: `ScaleSmoke lob [nDocs] [noteBytes] [writeParts]`
+    */
+  private def lobMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 4096L
+    val noteBytes = if (args.length > 2) args(2).toInt else 1048576
+    val parts = if (args.length > 3) args(3).toInt else 4
+    val spark = GraftSession.local("scale-smoke-lob", 32)
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+    def resetPeaks(): Unit = pools.forEach(p => p.resetPeakUsage())
+    def peakHeapMb: Long = {
+      var s = 0L
+      pools.forEach { p =>
+        if (p.getType == java.lang.management.MemoryType.HEAP) s += p.getPeakUsage.getUsed
+      }
+      s / (1024 * 1024)
+    }
+    def time[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[lob] $name%-34s $dt%8.2f s")
+      (r, dt)
+    }
+    // deterministic multi-MB note: seeded token stream repeated to target
+    // bytes — snappy-compressible like clinical prose, not pathological
+    val notes = spark
+      .range(n)
+      .repartition(parts) // dump-shaped: few wide scan partitions
+      .map { id =>
+        val sb = new StringBuilder(noteBytes + 16)
+        var i = 0L
+        while (sb.length < noteBytes) {
+          sb.append('w').append(mix(id * 131L + i) % 99991L).append(' ')
+          i += 1
+        }
+        (id, sb.toString)
+      }
+      .toDF("note_id", "note_text")
+    println(s"[lob] corpus: $n notes x $noteBytes B (~${n * noteBytes.toLong / (1 << 30)} GiB raw) in $parts write partitions")
+
+    def shardStats(dir: String): (Int, Long, Long) = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sizes = fs
+        .listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen)
+      (sizes.length, sizes.max, sizes.sum)
+    }
+    def run(tag: String, dir: String, layout: graft.sources.ParquetLayout): Unit = {
+      resetPeaks()
+      val (_, wt) = time(s"$tag write")(graft.sources.ShardedParquetSink.write(notes, dir, layout))
+      val peak = peakHeapMb
+      val (rep, rt) = time(s"$tag read-back report")(
+        graft.sources.ShardedParquetSink.readBackReport(spark, dir))
+      val (files, maxB, sumB) = shardStats(dir)
+      require(rep.totalRows == n, s"$tag: read-back ${rep.totalRows} != $n")
+      println(
+        f"[lob] $tag%-12s files=$files%3d maxShard=${maxB / (1 << 20)}%6d MiB total=${sumB / (1 << 20)}%6d MiB " +
+          f"writePeakHeap=$peak%6d MiB write=$wt%.2f s readback=$rt%.2f s")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      ()
+    }
+    // (a) the reference layout verbatim: every partition under 2^19 rows
+    //     → one shard per partition, shard bytes = partition bytes
+    run("reference", "/tmp/graft_lob_ref", graft.sources.ParquetLayout())
+    // (b) byte-targeted override: ~512 MiB shards for this row width
+    val target = math.max(1L, (512L << 20) / noteBytes)
+    println(s"[lob] byte-targeted maxRecordsPerFile = $target rows (~512 MiB/shard)")
+    run("targeted", "/tmp/graft_lob_tgt", graft.sources.ParquetLayout(maxRecordsPerFile = target))
+    // (c) targeted + smaller row groups: the WRITER-MEMORY knob — one row
+    //     group is buffered per open writer, so wide-text tables that hit
+    //     task memory pressure shrink rowGroupBytes, not the shard
+    run("smallgroups", "/tmp/graft_lob_sg",
+      graft.sources.ParquetLayout(maxRecordsPerFile = target, rowGroupBytes = 32L * 1024 * 1024))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lob")) { lobMain(args); return }
     if (args.headOption.contains("resume")) { resumeMain(args); return }
     if (args.headOption.contains("deidfeed")) { deidFeedMain(args); return }
     if (args.headOption.contains("mondrian")) { mondrianMain(args); return }

@@ -22,8 +22,11 @@ class DeidentifySpec extends SparkSpec {
     * netstring-style length-prefixed components, '|'-joined (the
     * injective encoding that fixed the VERDICT r13 separator collision).
     */
+  // Driver-side replay of Deidentify.cellKeyExpr: non-NULL parts encode
+  // `<charlen>:<value>`, a scala null encodes the bare `n` tag (outside
+  // the digit-first value space, so NULL collides with NO string value)
   private def dpKey(parts: Seq[String], saltSuffix: String): String =
-    "dp:" + parts.map(p => s"${p.length}:$p").mkString("|") + s":$saltSuffix"
+    "dp:" + parts.map(p => if (p == null) "n" else s"${p.length}:$p").mkString("|") + s":$saltSuffix"
 
   test("pseudonyms are referentially consistent across tables") {
     // pseudonymize the two tables independently, join on the pseudonym:
@@ -398,17 +401,32 @@ class DeidentifySpec extends SparkSpec {
     //    above degenerates and the fixture should change)
     assert(out.values.forall(_._1 >= 0L))
     assert(clamped > 0, s"fixture too uniform: no cell hit the clamp (cells=${raw.size})")
-    // 5) NULL quasi values key via the ␀ sentinel — an all-NULL cell is a cell
+    // 5) NULL quasi values key via the bare `n` tag — an all-NULL cell is
+    //    a cell, and the tag sits outside the length-prefixed value space
+    //    so NULL collides with NO string (r14 ADVICE: the old ␀ sentinel
+    //    shared `1:␀` with the literal string "␀" — one noise draw for
+    //    two distinct cells, the correlated-noise leak class)
     import spark.implicits._
     val withNull = Seq((Some(1L), "a"), (None, "a"), (None, "a")).toDF("k", "v")
     val dpNull = Deidentify.dpCellCounts(withNull, Seq("k"), epsMicro, "spec")
     assert(dpNull.count() === 2L)
-    val uNull = Kernels.remix32(Kernels.polyHash(dpKey(Seq("␀"), "spec")))
+    val uNull = Kernels.remix32(Kernels.polyHash(dpKey(Seq(null), "spec")))
     val zNull = -kk + ts.count(_ <= uNull)
     assert(
       dpNull.filter(col("k").isNull).select("n_dp").head().getLong(0)
         === math.max(2L + zNull, 0L)
     )
+    // NULL and the literal sentinel string are DIFFERENT cells with
+    // INDEPENDENT draws — both replay exactly
+    val sentinel = Seq(Option("␀"), Option("␀"), None, None).toDF("k")
+    val dpSent = Deidentify.dpCellCounts(sentinel, Seq("k"), epsMicro, "spec")
+    val uSent = Kernels.remix32(Kernels.polyHash(dpKey(Seq("␀"), "spec")))
+    assert(uSent !== uNull, "NULL and literal-sentinel cells must draw from different streams")
+    val zSent = -kk + ts.count(_ <= uSent)
+    assert(dpSent.filter(col("k") === "␀").select("n_dp").head().getLong(0)
+      === math.max(2L + zSent, 0L))
+    assert(dpSent.filter(col("k").isNull).select("n_dp").head().getLong(0)
+      === math.max(2L + zNull, 0L))
     intercept[IllegalArgumentException](Deidentify.dpCellCounts(g, Seq(), epsMicro, "s"))
   }
 
@@ -717,6 +735,21 @@ class DeidentifySpec extends SparkSpec {
         Option(r.get(4)).map(_.asInstanceOf[Long]))
       .toMap
     assert(got === want)
+    // mismatched support SURFACES as NULL-sided rows — never a silently
+    // vanished cell (r14 ADVICE: the old inner join dropped them)
+    val counts2 = Seq(("a", 4L), ("x", 2L))
+      .toDF("q", "n_dp").withColumn("epsilon_micro", lit(1000000L))
+    val sums2 = Seq(("a", 10L), ("y", 3L))
+      .toDF("q", "sum_dp").withColumn("epsilon_micro", lit(2000000L))
+    val mm = Deidentify.dpCellMeans(counts2, sums2, Seq("q"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))))
+      .toMap
+    assert(mm.size === 3, "every cell of either release present")
+    assert(mm("a") === ((Some(4L), Some(10L), Some(2500L), 3000000L)))
+    assert(mm("x") === ((Some(2L), None, None, 1000000L)), "count-only cell: loud NULL sum/mean")
+    assert(mm("y") === ((None, Some(3L), None, 2000000L)), "sum-only cell: loud NULL count/mean")
     intercept[IllegalArgumentException](Deidentify.dpCellMeans(counts.drop("n_dp"), sums, Seq("q")))
     intercept[IllegalArgumentException](Deidentify.dpCellMeans(counts, sums.drop("sum_dp"), Seq("q")))
     intercept[IllegalArgumentException](Deidentify.dpCellMeans(counts, sums, Seq()))
@@ -767,9 +800,13 @@ class DeidentifySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7)))
     // the domain digest replays driver-side and is SALT-FREE: both releases
-    // over the same cells share it even though their noise salts differ
+    // over the same cells share it even though their noise salts differ.
+    // XOR-fold, not sum (r14 ADVICE): stays in [0, 2^32) at any cell count
+    // in both engines — a sum wraps a Spark long silently where DuckDB's
+    // HUGEINT→BIGINT cast errors, diverging the replays
     val wantDom = Seq("a", "b")
-      .map(v => Kernels.remix32(Kernels.polyHash(s"dom:${v.length}:$v"))).sum
+      .map(v => Kernels.remix32(Kernels.polyHash(s"dom:${v.length}:$v")))
+      .reduce(_ ^ _)
     assert(ledger(0) === (("r1", "count", 1000000L, 1L, "sA", 2L, wantDom, 1000000L)))
     assert(ledger(1) === (("r2", "count", 500000L, 1L, "sB", 2L, wantDom, 1500000L)))
     // a release over DIFFERENT cells shows a different domain at a glance
@@ -780,6 +817,52 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.dpLedger(Seq.empty))
     intercept[IllegalArgumentException](
       Deidentify.dpManifest(rel1.drop("q"), Seq("q"), "r", "count", 1L, 1L, "s"))
+  }
+
+  test("enforceBudget: per-domain cumulative ε, at-cap passes, over-cap raises, unprunable") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("q", "id")
+    val rel1 = Deidentify.dpCellCounts(df, Seq("q"), 1000000L, "sA")
+    val rel2 = Deidentify.dpCellCounts(df, Seq("q"), 500000L, "sB")
+    val relO = Deidentify.dpCellCounts(df, Seq("id"), 500000L, "sC") // disjoint domain
+    val ledger = Deidentify.dpLedger(Seq(
+      Deidentify.dpManifest(rel1, Seq("q"), "r1", "count", 1000000L, 1L, "sA"),
+      Deidentify.dpManifest(rel2, Seq("q"), "r2", "count", 500000L, 1L, "sB"),
+      Deidentify.dpManifest(relO, Seq("id"), "r3", "count", 500000L, 1L, "sC")
+    ))
+    // cap exactly the q-domain total: at-cap PASSES (≤, not <), and the
+    // disjoint domain's 0.5 composes in parallel — per-domain, not global
+    // (the GLOBAL running total is 2.0 > cap and must NOT trip the guard)
+    val ok = Deidentify.enforceBudget(ledger, 1500000L).orderBy("release_id").collect()
+    assert(ok.map(r => (r.getString(0), r.getLong(r.length - 1))).toSeq ===
+      Seq(("r1", 1000000L), ("r2", 1500000L), ("r3", 500000L)))
+    // one µ under the q-domain total: its second release crosses → any
+    // ACTION over the frame raises with the offending domain and release
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val e = intercept[Exception](Deidentify.enforceBudget(ledger, 1499999L).collect())
+    assert(messages(e).exists(m => m.contains("DP budget exceeded") && m.contains("r2")),
+      s"budget violation must name the release: ${messages(e)}")
+    // the guard is a FILTER, not a projected column: selecting an
+    // unrelated column cannot prune the enforcement away
+    val e2 = intercept[Exception](
+      Deidentify.enforceBudget(ledger, 1499999L).select("release_id").collect())
+    assert(messages(e2).exists(_.contains("DP budget exceeded")))
+    intercept[IllegalArgumentException](Deidentify.enforceBudget(ledger, 0L))
+    intercept[IllegalArgumentException](
+      Deidentify.enforceBudget(ledger.drop("domain_hash"), 1L))
+  }
+
+  test("boundContributions: NULL ids raise at execution — never a silent nondeterministic keep") {
+    val df = Seq((Some(1L), "e1"), (None, "e1"), (Some(3L), "e1"))
+      .toDF("id", "ent")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val e = intercept[Exception](
+      Deidentify.boundContributions(df, "ent", "id", 2, "s").collect())
+    assert(messages(e).exists(_.contains("NULL id")), s"got: ${messages(e)}")
+    // non-NULL frames are untouched by the guard (short-circuit coalesce)
+    val clean = df.filter(col("id").isNotNull)
+    assert(Deidentify.boundContributions(clean, "ent", "id", 2, "s").count() === 2L)
   }
 
   test("dpCellUniform: colliding-by-concatenation cells draw DIFFERENT noise (VERDICT r13)") {

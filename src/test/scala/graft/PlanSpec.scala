@@ -227,12 +227,21 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, s"q189: one table read:\n$p")
   }
 
-  test("q190: DP means join two CELL-BOUNDED releases under a broadcast — never a shuffle join") {
+  test("q190: DP means FULL-OUTER two CELL-BOUNDED releases — support mismatch surfaces, never crosses") {
     val p = plan("q190_dp_means")
-    assert(p.contains("BroadcastHashJoin"), s"release join must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"no shuffle join of cell-bounded frames:\n$p")
+    // r15: the release join is FULL OUTER (mismatched support must surface
+    // as NULL-sided rows, r14 ADVICE) — full outer cannot broadcast in
+    // Spark, and that is fine AT ANY SCALE because both join inputs are
+    // post-aggregate release frames (rows = released cells, never corpus
+    // rows); the corpus-sized work stays in the two census aggregates
+    // upstream of the join
+    assert(p.contains("FullOuter"), s"release join must be full outer:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"never a cross of anything:\n$p")
+    // both join children are aggregates (cell-bounded), not scans: the
+    // corpus never shuffles through the join
     assert("Scan parquet".r.findAllIn(p).size == 2, s"one read per release:\n$p")
+    assert(p.contains("HashAggregate"), s"join inputs are census aggregates:\n$p")
   }
 
   test("q187: the DP ledger never shuffles a corpus — censuses aggregate, manifests are 1-row frames") {
@@ -249,5 +258,86 @@ class PlanSpec extends SparkSpec {
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // ---- global-window discipline (VERDICT r14 №6) -----------------------
+  // A Window with an EMPTY partition spec is a single-partition sort of its
+  // whole input — fine over a census/domain/release-bounded frame, fatal
+  // over a corpus. Two gates pin the discipline: the SITE INVENTORY below
+  // fails the moment anyone adds a new global-window construction to main
+  // (forcing them to justify its bounded input here), and the plan gate
+  // after it checks every site's actual optimized plan keeps an AGGREGATE
+  // between the global window and any scan — the structural property that
+  // makes the window input aggregate-bounded rather than corpus-sized.
+
+  test("global-window SITE INVENTORY: every unpartitioned window in main is enumerated + justified") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala/graft")
+    val direct = raw"Window\s*\.\s*orderBy".r // Window.orderBy with no partitionBy in the chain
+    val emptyPart = raw"Window\s*\.\s*partitionBy\(\)".r // explicit empty partition spec
+    val walk = Files.walk(root)
+    val found =
+      try
+        walk.iterator().asScala
+          .filter(_.toString.endsWith(".scala"))
+          .map { p =>
+            val s = Files.readString(p)
+            root.relativize(p).toString ->
+              (direct.findAllIn(s).size + emptyPart.findAllIn(s).size)
+          }
+          .filter(_._2 > 0)
+          .toMap
+      finally walk.close()
+    val inventory = Map(
+      // packedOffsets: prefix sum over BUCKET sums (≤ `buckets` rows)
+      "operators/SequencePack.scala" -> 1,
+      // waterfillBudgets: supply frame + its total (≤ |sources| rows)
+      "operators/Sampling.scala" -> 2,
+      // rankTop: ONE query's posting-bounded score frame (per-doc agg below)
+      "operators/Retrieval.scala" -> 1,
+      // build/subwordVocab: vocab-bounded symbol/token rank (tf agg below)
+      "operators/Vocabulary.scala" -> 2,
+      // rarityBuckets: bucket-bounded rarity table
+      "operators/NgramLM.scala" -> 1,
+      // dpTopK (cell-bounded release rank), dpLedger (release-count cum ε),
+      // tClosenessAudit global distribution: domain cum + m/n totals (×3),
+      // tClosenessCategorical domain total — every input census/domain-bounded
+      "operators/Deidentify.scala" -> 6
+    )
+    assert(found === inventory,
+      s"global-window sites changed: $found — a NEW unpartitioned window needs its bounded-input " +
+        "justification added HERE and coverage in the aggregate-below-global-window plan gate")
+  }
+
+  test("every global window in the gated plans sits above an aggregate — never directly over a corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // the gates that exercise every inventory site end-to-end
+    val gates = Seq(
+      "q172_t_closeness", // Deidentify.tClosenessAudit (domain cum + totals)
+      "q177_t_closeness_cat", // Deidentify.tClosenessCategorical (domain total)
+      "q187_dp_ledger", "q192_dp_budget", // Deidentify.dpLedger/enforceBudget
+      "q191_dp_topk", // Deidentify.dpTopK
+      "q103_bm25", // Retrieval.rankTop
+      "q123_waterfill_budget", // Sampling.waterfillBudgets
+      "q130_pack_ids", "q131_pack_across", "q155_pack_boundaries", // SequencePack.packedOffsets
+      "q90_rarity_buckets", // NgramLM.rarityBuckets
+      "q100_bpe_merges", "q134_wp_greedy_encode" // Vocabulary.build/subwordVocab
+    )
+    var seen = 0
+    gates.foreach { q =>
+      val lp = SparkEntry.queries(q)(spark, Sf0001).queryExecution.optimizedPlan
+      lp.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          seen += 1
+          assert(
+            w.child.collectFirst { case a: Aggregate => a }.isDefined,
+            s"$q: global window over NON-AGGREGATED input — a corpus-wide single-partition sort:\n$w"
+          )
+        case _ =>
+      }
+    }
+    // the gate must actually be exercising the sites, not vacuously passing
+    assert(seen >= 8, s"expected the inventory's global windows in these plans, saw only $seen")
   }
 }

@@ -1048,6 +1048,53 @@ class StreamingSpec extends SparkSpec {
     assert(viaLsm === batch, "streamed-census quantiles must equal the batch quantiles exactly")
   }
 
+  test("streaming DP means + top-k: the census LSM pair == the batch releases (VERDICT r14 №7)") {
+    // means need BOTH halves streamed: counts from the count census,
+    // clipped sums from the r15 sum census (clamp is per-row, clipped
+    // sums add — merge-on-read == batch cellSums exactly). The two LSMs
+    // are maintained with DIFFERENT micro-batch sizes on purpose: the
+    // law must not depend on batch boundaries. Top-k is pure
+    // post-processing of the streamed count release.
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val full = sources.Tables
+      .load(spark, Sf0001, "customer")
+      .select(
+        col("c_custkey"),
+        col("c_nationkey").cast("long").as("nation"),
+        pmod(col("c_custkey"), lit(13L)).as("v")
+      )
+    val rows = full.as[(Long, Long, Long)].collect().toSeq
+    val cdir = s"$testOut/census_means_counts"
+    val sdir = s"$testOut/census_means_sums"
+    val cs = MemoryStream[(Long, Long, Long)]
+    rows.grouped(40).foreach(cs.addData(_))
+    val q1 = StreamingOps.maintainCensus(
+      cs.toDF().toDF("c_custkey", "nation", "v"), cdir, s"$cdir/_ckpt", Seq("nation"))
+    q1.processAllAvailable(); q1.stop()
+    val ss = MemoryStream[(Long, Long, Long)]
+    rows.grouped(37).foreach(ss.addData(_))
+    val q2 = StreamingOps.maintainSumCensus(
+      ss.toDF().toDF("c_custkey", "nation", "v"), sdir, s"$sdir/_ckpt", Seq("nation"), "v", 8L)
+    q2.processAllAvailable(); q2.stop()
+    val countsLsm = Deidentify
+      .dpFromCounts(StreamingOps.currentCensus(spark, cdir), Seq("nation"), 1000000L, "mA")
+    val sumsLsm = Deidentify.dpSumsFromTotals(
+      StreamingOps.currentSumCensus(spark, sdir), Seq("nation"), "v", 8L, 2000000L, "mB")
+    val batchCounts = Deidentify.dpCellCounts(full, Seq("nation"), 1000000L, "mA")
+    val batchSums = Deidentify.dpCellSums(full, Seq("nation"), "v", 8L, 2000000L, "mB")
+    def means(c: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame) =
+      Deidentify.dpCellMeans(c, s, Seq("nation"))
+        .as[(Long, Long, Long, Option[Long], Long)].collect().toSet
+    assert(means(countsLsm, sumsLsm) === means(batchCounts, batchSums),
+      "streamed-census means must equal the batch means exactly")
+    def topk(rel: org.apache.spark.sql.DataFrame) =
+      Deidentify.dpTopK(rel, Seq("nation"), 5)
+        .as[(Long, Long, Int, Long)].collect().toSet
+    assert(topk(countsLsm) === topk(batchCounts),
+      "streamed-census top-k must equal the batch top-k exactly")
+  }
+
   test("streaming range join: live points vs static intervals — stateless, == batch") {
     // the attribution shape with a STATIC interval table (campaign
     // windows, maintenance windows): pointInInterval is explode +
