@@ -15,6 +15,17 @@ import scala.jdk.CollectionConverters._
   * in bytes (`parquet.block.size`), so the default here is 128 MiB — the
   * parquet-mr default, which lands in the same "a few row groups per shard"
   * envelope the reference tuned for.
+  *
+  * WIDE-TEXT GUIDANCE (measured, BASELINE.md "Round-15 LOB-scale dump
+  * smoke"): the row-count template assumes narrow OMOP rows. For LOB
+  * tables (multi-MB `NOTE_TEXT`), override `maxRecordsPerFile ≈
+  * targetShardBytes / avgRowBytes` (e.g. 512 for 1 MiB notes at a
+  * 512 MiB shard target) — at the default a FULL 2^19-row shard of
+  * 1 MiB notes would be ~0.5 TiB per file. Shard size is the only
+  * thing at risk: write-side memory is bounded by ONE buffered row
+  * group per open writer regardless of row width (measured
+  * layout-insensitive), so keep `rowGroupBytes` at the default unless
+  * task memory is genuinely tight, and throughput does not move.
   */
 final case class ParquetLayout(
     maxRecordsPerFile: Long = 524288L, // 2^19, dump_table.py:182

@@ -1815,12 +1815,17 @@ object ScaleSmoke {
     * what the override controls. Results → BASELINE.md stanza +
     * [[graft.sources.ParquetLayout]] guidance.
     *
-    * Run: `ScaleSmoke lob [nDocs] [noteBytes] [writeParts]`
+    * Run: `ScaleSmoke lob [nDocs] [noteBytes] [writeParts] [config]`
+    * where config ∈ all|reference|targeted|smallgroups. Per-config runs
+    * in FRESH JVMs are the honest protocol — in one JVM the later
+    * configs inherit the earlier ones' JIT, grown heap, and page cache
+    * (measured: the same write read 35 s first and 13 s third).
     */
   private def lobMain(args: Array[String]): Unit = {
     val n = if (args.length > 1) args(1).toLong else 4096L
     val noteBytes = if (args.length > 2) args(2).toInt else 1048576
     val parts = if (args.length > 3) args(3).toInt else 4
+    val config = if (args.length > 4) args(4) else "all"
     val spark = GraftSession.local("scale-smoke-lob", 32)
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
@@ -1855,7 +1860,16 @@ object ScaleSmoke {
         (id, sb.toString)
       }
       .toDF("note_id", "note_text")
-    println(s"[lob] corpus: $n notes x $noteBytes B (~${n * noteBytes.toLong / (1 << 30)} GiB raw) in $parts write partitions")
+      // DISK_ONLY: the timed runs must measure the SINK, not regeneration —
+      // and a MEMORY cache of the corpus would pollute the peak-heap metric
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    println(s"[lob] corpus: ${notes.count()} notes x $noteBytes B (~${n * noteBytes.toLong / (1 << 30)} GiB raw) in $parts write partitions")
+    // absorb writer JIT/codegen before any timed pass
+    graft.sources.ShardedParquetSink.write(
+      notes.limit(64), "/tmp/graft_lob_warm", graft.sources.ParquetLayout())
+    new org.apache.hadoop.fs.Path("/tmp/graft_lob_warm")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_lob_warm"), true)
 
     def shardStats(dir: String): (Int, Long, Long) = {
       val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1882,18 +1896,22 @@ object ScaleSmoke {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       ()
     }
+    val target = math.max(1L, (512L << 20) / noteBytes)
     // (a) the reference layout verbatim: every partition under 2^19 rows
     //     → one shard per partition, shard bytes = partition bytes
-    run("reference", "/tmp/graft_lob_ref", graft.sources.ParquetLayout())
+    if (config == "all" || config == "reference")
+      run("reference", "/tmp/graft_lob_ref", graft.sources.ParquetLayout())
     // (b) byte-targeted override: ~512 MiB shards for this row width
-    val target = math.max(1L, (512L << 20) / noteBytes)
-    println(s"[lob] byte-targeted maxRecordsPerFile = $target rows (~512 MiB/shard)")
-    run("targeted", "/tmp/graft_lob_tgt", graft.sources.ParquetLayout(maxRecordsPerFile = target))
+    if (config == "all" || config == "targeted") {
+      println(s"[lob] byte-targeted maxRecordsPerFile = $target rows (~512 MiB/shard)")
+      run("targeted", "/tmp/graft_lob_tgt", graft.sources.ParquetLayout(maxRecordsPerFile = target))
+    }
     // (c) targeted + smaller row groups: the WRITER-MEMORY knob — one row
     //     group is buffered per open writer, so wide-text tables that hit
     //     task memory pressure shrink rowGroupBytes, not the shard
-    run("smallgroups", "/tmp/graft_lob_sg",
-      graft.sources.ParquetLayout(maxRecordsPerFile = target, rowGroupBytes = 32L * 1024 * 1024))
+    if (config == "all" || config == "smallgroups")
+      run("smallgroups", "/tmp/graft_lob_sg",
+        graft.sources.ParquetLayout(maxRecordsPerFile = target, rowGroupBytes = 32L * 1024 * 1024))
     spark.stop()
   }
 
