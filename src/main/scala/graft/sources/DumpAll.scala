@@ -68,26 +68,30 @@ object DumpAll {
     val outcomes = specs.map { spec =>
       val dir = s"$outputRoot/${spec.table}"
       try {
-        spec.keyCol match {
-          case Some(key) =>
-            val bounds = spec.bounds.getOrElse {
-              val r = spec.source.scan(spark).agg(min(col(key)), max(col(key))).head()
-              require(!r.isNullAt(0), s"${spec.table}: empty table or all-NULL key '$key'")
-              (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
-            }
-            val res = ResumableDump.run(spark, spec.source, key, bounds, dir, spec.chunks, layout)
-            TableOutcome(spec.table, res.report.totalRows, res.report.numFiles,
-              res.ranChunks.size, res.skippedChunks.size, None)
-          case None =>
-            // unkeyed dimension: one guarded write — the committer's
-            // _SUCCESS is the whole-table checkpoint
-            val fs = new Path(dir).getFileSystem(conf)
-            val ran =
-              if (fs.exists(new Path(dir, "_SUCCESS"))) 0
-              else { ShardedParquetSink.write(spec.source.scan(spark), dir, layout); 1 }
-            val report = ShardedParquetSink.readBackReport(spark, dir)
-            TableOutcome(spec.table, report.totalRows, report.numFiles, ran, 1 - ran, None)
-        }
+        // live per-task progress while this table dumps — the reference's
+        // tqdm line (dump_table.py:209-213), for the headless CLI run
+        DumpProgress.withProgress(spark, spec.table) {
+          spec.keyCol match {
+            case Some(key) =>
+              val bounds = spec.bounds.getOrElse {
+                val r = spec.source.scan(spark).agg(min(col(key)), max(col(key))).head()
+                require(!r.isNullAt(0), s"${spec.table}: empty table or all-NULL key '$key'")
+                (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
+              }
+              val res = ResumableDump.run(spark, spec.source, key, bounds, dir, spec.chunks, layout)
+              TableOutcome(spec.table, res.report.totalRows, res.report.numFiles,
+                res.ranChunks.size, res.skippedChunks.size, None)
+            case None =>
+              // unkeyed dimension: one guarded write — the committer's
+              // _SUCCESS is the whole-table checkpoint
+              val fs = new Path(dir).getFileSystem(conf)
+              val ran =
+                if (fs.exists(new Path(dir, "_SUCCESS"))) 0
+                else { ShardedParquetSink.write(spec.source.scan(spark), dir, layout); 1 }
+              val report = ShardedParquetSink.readBackReport(spark, dir)
+              TableOutcome(spec.table, report.totalRows, report.numFiles, ran, 1 - ran, None)
+          }
+        }._1
       } catch {
         // NonFatal ONLY (VERDICT r13 №2): an OOM / LinkageError must kill
         // the run, not become a per-table "outcome" the strict check

@@ -39,6 +39,25 @@ class DumpSpec extends SparkSpec {
     }
   }
 
+  test("DumpProgress: per-task progress ticks during the dump, totals exact (tqdm parity)") {
+    // the reference ticks a bar per fetchmany batch (dump_table.py:209-213);
+    // the Spark analog ticks per completed write task with cumulative rows
+    // from executor-reported output metrics — assert the LIVE ticks fired
+    // during a real multi-shard dump and the drained total is exact
+    import scala.jdk.CollectionConverters._
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val (res, progress) = graft.sources.DumpProgress.withProgress(
+      spark, "omop_notes", s => { lines.add(s); () }) {
+      OmopDump.run(spark, src(), s"$testOut/dump_progress", None, ParquetLayout(maxRecordsPerFile = 11L))
+    }
+    assert(progress.rowsWritten === res.report.totalRows, "drained listener total == footer total")
+    assert(progress.writeTasksCompleted >= 1L)
+    assert(!lines.isEmpty, "at least one live progress tick")
+    assert(lines.asScala.forall(_.contains("omop_notes")), s"ticks name the table: $lines")
+    // cumulative: the last tick reports the full row count
+    assert(lines.asScala.last.contains(f"${res.report.totalRows}%,d"))
+  }
+
   test("non-positive limit fails") {
     intercept[IllegalArgumentException] {
       OmopDump.run(spark, src(), s"$testOut/dump_zero", Some(0L), ParquetLayout())
