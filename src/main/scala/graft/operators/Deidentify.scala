@@ -303,6 +303,16 @@ object Deidentify {
     * salts, or the ledger cannot show they compose over one domain).
     * Mirrored bit-for-bit by `OracleFragments.lenPrefixedKey`.
     */
+  /** The cell-key STRING itself — the audit surface for the encoding the
+    * privacy tier's noise/domain hashing rests on. Exposed (r15) so
+    * injectivity is a TESTED property over adversarial inputs, not a
+    * doc-comment: CellKeySpec drives it with tuples built from the
+    * separators themselves ('|', ':'), the digit prefix space, the old
+    * ␀ sentinel, and NULLs, and asserts distinct tuples ⇔ distinct keys
+    * plus exact driver replay.
+    */
+  def cellKey(quasiCols: Seq[String]): org.apache.spark.sql.Column = cellKeyExpr(quasiCols)
+
   private def cellKeyExpr(quasiCols: Seq[String]): org.apache.spark.sql.Column = {
     val parts = quasiCols.map { c =>
       val v = col(c).cast("string")
