@@ -256,6 +256,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "the ledger's cumulative budget window")
   }
 
+  test("q192: budget enforcement adds no corpus work — censuses aggregate, the guard rides the ledger window") {
+    val p = plan("q192_dp_budget")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"ledger must not shuffle-join or cross anything:\n$p")
+    // three releases → three census scans, nothing more
+    assert("Scan parquet".r.findAllIn(p).size == 3, s"q192: one read per release:\n$p")
+    // the per-domain cumulative window + the assert-bearing filter both
+    // survive into the executed plan (the guard is not optimized away)
+    assert(p.contains("Window"), "per-domain cumulative budget window")
+    // assert_true lowers to if(cond) null else raise_error(...) — the
+    // raise_error in the Filter IS the surviving guard
+    assert(p.contains("raise_error") && p.contains("DP budget exceeded"),
+      s"the budget guard must survive planning:\n${p.take(3000)}")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

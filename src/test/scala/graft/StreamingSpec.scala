@@ -1093,6 +1093,28 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Int, Long)].collect().toSet
     assert(topk(countsLsm) === topk(batchCounts),
       "streamed-census top-k must equal the batch top-k exactly")
+
+    // ledger/enforcement law rides the same fixtures: a manifest of the
+    // LSM release equals the batch release's manifest column-for-column
+    // (same cells ⇒ same n_cells AND same salt-free domain digest), so
+    // budget accounting cannot tell streamed from batch — and the
+    // enforcement guard behaves identically over it (at-cap passes,
+    // over-cap raises)
+    def manifest(rel: org.apache.spark.sql.DataFrame, id: String, eps: Long) =
+      Deidentify.dpManifest(rel, Seq("nation"), id, "count", eps, 1L, "mA")
+    val mLsm = manifest(countsLsm, "r1", 1000000L).head()
+    val mBatch = manifest(batchCounts, "r1", 1000000L).head()
+    assert(mLsm === mBatch, "LSM manifest must equal the batch manifest (n_cells + domain digest)")
+    val ledger = Deidentify.dpLedger(Seq(
+      manifest(countsLsm, "r1", 1000000L),
+      manifest(Deidentify.dpFromCounts(
+        StreamingOps.currentCensus(spark, cdir), Seq("nation"), 500000L, "mC"), "r2", 500000L)
+    ))
+    assert(Deidentify.enforceBudget(ledger, 1500000L).count() === 2L, "at-cap passes on the streamed ledger")
+    val e = intercept[Exception](Deidentify.enforceBudget(ledger, 1499999L).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("DP budget exceeded")), s"over-cap raises: ${msgs(e)}")
   }
 
   test("streaming range join: live points vs static intervals — stateless, == batch") {
