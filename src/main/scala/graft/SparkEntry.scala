@@ -3897,7 +3897,7 @@ object SparkEntry {
        ), rd AS (
          SELECT ${OracleFragments.remix32("h0")} AS u FROM hd
        ), m AS (
-         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(bit_xor(u) AS BIGINT) AS domain_hash FROM rd
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(coalesce(bit_xor(u), 0) AS BIGINT) AS domain_hash FROM rd
        )
        SELECT 'rel_a_counts' AS release_id, 'count' AS kind,
          CAST(1000000 AS BIGINT) AS epsilon_micro, CAST(1 AS BIGINT) AS sensitivity,
@@ -3933,7 +3933,7 @@ object SparkEntry {
        ), rd_c AS (
          SELECT ${OracleFragments.remix32("h0")} AS u FROM hd_c
        ), m_c AS (
-         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(bit_xor(u) AS BIGINT) AS domain_hash FROM rd_c
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(coalesce(bit_xor(u), 0) AS BIGINT) AS domain_hash FROM rd_c
        ), og AS (
          SELECT o_orderstatus,
            '[' || CAST(CAST(floor(o_totalprice/100000.0)*100000 AS BIGINT) AS VARCHAR) || ',' ||
@@ -3946,7 +3946,7 @@ object SparkEntry {
        ), rd_o AS (
          SELECT ${OracleFragments.remix32("h0")} AS u FROM hd_o
        ), m_o AS (
-         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(bit_xor(u) AS BIGINT) AS domain_hash FROM rd_o
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(coalesce(bit_xor(u), 0) AS BIGINT) AS domain_hash FROM rd_o
        )
        SELECT 'rel_a_counts' AS release_id, 'count' AS kind,
          CAST(1000000 AS BIGINT) AS epsilon_micro, CAST(1 AS BIGINT) AS sensitivity,

@@ -949,8 +949,10 @@ object Deidentify {
     * collidable by construction): equal hashes corroborate a shared
     * domain for the ledger's composition view, they do not prove it —
     * the authoritative domain statement is the release's quasi-column
-    * set + domain definition. Deterministic integer discipline
-    * throughout; the oracle replays every column.
+    * set + domain definition. An EMPTY release manifests domain 0 (the
+    * NULL-free sentinel; `n_cells = 0` disambiguates and the ε still
+    * counts against it). Deterministic integer discipline throughout;
+    * the oracle replays every column.
     *
     * One aggregate over the (cell-bounded) release frame; the digest is
     * a scan-side projection. Stores no row data — a manifest can ship
@@ -976,7 +978,11 @@ object Deidentify {
     release
       .agg(
         count(lit(1)).as("n_cells"),
-        bit_xor(domHash).cast("long").as("domain_hash")
+        // empty release → bit_xor over zero rows is NULL in both engines;
+        // pin the sentinel 0 so the ledger row is NULL-free (all empty
+        // releases share domain 0 — n_cells=0 disambiguates, and their ε
+        // still counts against it, the conservative direction)
+        coalesce(bit_xor(domHash), lit(0L)).cast("long").as("domain_hash")
       )
       .select(
         lit(releaseId).as("release_id"),

@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Scale shape: one atomic add per task completion on the driver's
   * listener bus — no executor-side work, no extra action, zero effect on
-  * the write path itself. Attach around an action with
+  * the write path itself. The listener is SESSION-wide: it counts every
+  * task that wrote rows while attached, so attach it around exactly one
+  * dump at a time (the `DumpAll` usage — tables run sequentially);
+  * concurrent unrelated writes on the same session would tick into the
+  * same counter. Attach around an action with
   * [[DumpProgress.withProgress]]; the listener is removed afterward even
   * on failure, and the bus is drained before totals are read, so
   * [[rowsWritten]] is deterministic the moment the block returns.

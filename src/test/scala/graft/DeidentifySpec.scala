@@ -814,6 +814,12 @@ class DeidentifySpec extends SparkSpec {
     val dom3 = Deidentify.dpManifest(rel3, Seq("q"), "r3", "count", 1000000L, 1L, "sA")
       .head().getLong(6)
     assert(dom3 !== wantDom)
+    // an EMPTY release manifests with the sentinel domain 0 (bit_xor over
+    // zero rows is NULL in both engines — pinned NULL-free; n_cells=0
+    // disambiguates, the ε still counts against it)
+    val relEmpty = Deidentify.dpCellCounts(df.filter(col("q") === "zzz"), Seq("q"), 1000000L, "sA")
+    val mEmpty = Deidentify.dpManifest(relEmpty, Seq("q"), "r4", "count", 1000000L, 1L, "sA").head()
+    assert(mEmpty.getLong(5) === 0L && mEmpty.getLong(6) === 0L)
     intercept[IllegalArgumentException](Deidentify.dpLedger(Seq.empty))
     intercept[IllegalArgumentException](
       Deidentify.dpManifest(rel1.drop("q"), Seq("q"), "r", "count", 1L, 1L, "s"))
