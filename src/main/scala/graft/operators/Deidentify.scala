@@ -1000,7 +1000,10 @@ object Deidentify {
     * sequential-composition total an auditor checks against the enclave's
     * budget. The single-partition window is safe here by construction:
     * the ledger has one row per RELEASE (a human-scale count), never
-    * per cell or per row.
+    * per cell or per row. `release_id` values must be UNIQUE across the
+    * ledger (they are the windows' total order, here and in
+    * [[enforceBudget]]): duplicate ids leave every TOTAL exact but make
+    * the tied rows' intermediate cumulative values order-dependent.
     */
   def dpLedger(manifests: Seq[DataFrame]): DataFrame = {
     require(manifests.nonEmpty, "need at least one release manifest")

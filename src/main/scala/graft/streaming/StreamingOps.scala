@@ -1262,6 +1262,12 @@ object StreamingOps {
     val parts = listParts(spark, dir)
     require(parts.nonEmpty, s"no sum-census parts under $dir")
     val all = parts.map(p => spark.read.parquet(s"$dir/part=$p")).reduce(_ unionByName _)
+    // fail loudly on a COUNT census dir — treating __graft_cell_n as a
+    // quasi column would silently produce a nonsense merge
+    require(
+      all.columns.contains("__graft_cell_s"),
+      s"not a sum census (no __graft_cell_s; found ${all.columns.mkString(", ")}): $dir"
+    )
     val quasi = all.columns.filter(_ != "__graft_cell_s").toSeq
     all
       .groupBy(quasi.map(org.apache.spark.sql.functions.col): _*)

@@ -1115,6 +1115,8 @@ class StreamingSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("DP budget exceeded")), s"over-cap raises: ${msgs(e)}")
+    // a COUNT census dir is not a sum census — fail loudly, not nonsense
+    intercept[IllegalArgumentException](StreamingOps.currentSumCensus(spark, cdir))
   }
 
   test("streaming range join: live points vs static intervals — stateless, == batch") {
