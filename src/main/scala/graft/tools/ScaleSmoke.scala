@@ -1915,7 +1915,86 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Streamed DP serve-path smoke (`ScaleSmoke dpserve [nRows] [batches]`,
+    * r15): the StreamingSpec law (streamed census pair → means == batch)
+    * proven at fixture scale, measured at LSM scale — N rows streamed in
+    * B micro-batches into BOTH census LSMs (counts + clipped sums), then
+    * the full release chain (dpFromCounts + dpSumsFromTotals +
+    * dpCellMeans) served from the merged views and checked EQUAL to the
+    * batch release of the whole frame. The numbers that matter: per-LSM
+    * maintenance stays O(batch) (each micro-batch writes one cell-bounded
+    * census part), and the merge-on-read serve cost is bounded by parts ×
+    * cells, independent of the row count.
+    */
+  private def dpServeMain(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 20000000L
+    val batches = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.local("scale-smoke-dpserve", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Deidentify
+    val base = "/tmp/graft-dpserve-smoke"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[dpserve] $name%-46s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val quasi = Seq("nation", "band")
+    spark
+      .range(n)
+      .select(
+        pmod(col("id"), lit(200L)).as("nation"),
+        // quotient-derived: independent of id%200, so the grid is the
+        // full 200×50 = 10k cells
+        (pmod(expr("id div 200"), lit(50L)) * 2000L).as("band"),
+        pmod(col("id") * 7L, lit(13L)).as("v")
+      )
+      .repartition(batches)
+      .write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def stream() = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    time(s"maintainCensus ($batches batches over $n rows)") {
+      graft.streaming.StreamingOps
+        .maintainCensus(stream(), s"$base/counts", s"$base/counts-ckpt", quasi)
+        .awaitTermination()
+    }
+    time(s"maintainSumCensus ($batches batches, clip 8)") {
+      graft.streaming.StreamingOps
+        .maintainSumCensus(stream(), s"$base/sums", s"$base/sums-ckpt", quasi, "v", 8L)
+        .awaitTermination()
+    }
+    def collectMeans(m: org.apache.spark.sql.DataFrame) = m
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5))))
+      .toMap
+    val streamed = time("serve: dpCellMeans over the two merged LSM views") {
+      collectMeans(Deidentify.dpCellMeans(
+        Deidentify.dpFromCounts(
+          graft.streaming.StreamingOps.currentCensus(spark, s"$base/counts"), quasi, 1000000L, "smk"),
+        Deidentify.dpSumsFromTotals(
+          graft.streaming.StreamingOps.currentSumCensus(spark, s"$base/sums"), quasi, "v", 8L, 2000000L, "smk"),
+        quasi
+      ))
+    }
+    val full = spark.read.parquet(s"$base/in")
+    val batch = time(s"batch: dpCellMeans over the full $n-row frame") {
+      collectMeans(Deidentify.dpCellMeans(
+        Deidentify.dpCellCounts(full, quasi, 1000000L, "smk"),
+        Deidentify.dpCellSums(full, quasi, "v", 8L, 2000000L, "smk"),
+        quasi
+      ))
+    }
+    require(streamed == batch, "streamed means != batch means — the LSM law broke at scale")
+    println(s"[dpserve] streamed == batch over ${streamed.size} cells at $n rows — the law holds")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dpserve")) { dpServeMain(args); return }
     if (args.headOption.contains("lob")) { lobMain(args); return }
     if (args.headOption.contains("resume")) { resumeMain(args); return }
     if (args.headOption.contains("deidfeed")) { deidFeedMain(args); return }
