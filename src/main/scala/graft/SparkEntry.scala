@@ -3902,11 +3902,12 @@ object SparkEntry {
        SELECT 'rel_a_counts' AS release_id, 'count' AS kind,
          CAST(1000000 AS BIGINT) AS epsilon_micro, CAST(1 AS BIGINT) AS sensitivity,
          'r14a' AS salt_id, n_cells, domain_hash,
+         'bal_band,c_nationkey' AS domain,
          CAST(1000000 AS BIGINT) AS eps_cum_micro
        FROM m
        UNION ALL
        SELECT 'rel_b_sums', 'sum', CAST(2000000 AS BIGINT), CAST(8 AS BIGINT),
-         'r14b', n_cells, domain_hash, CAST(3000000 AS BIGINT)
+         'r14b', n_cells, domain_hash, 'bal_band,c_nationkey', CAST(3000000 AS BIGINT)
        FROM m
        ORDER BY release_id"""
   }
@@ -3951,16 +3952,19 @@ object SparkEntry {
        SELECT 'rel_a_counts' AS release_id, 'count' AS kind,
          CAST(1000000 AS BIGINT) AS epsilon_micro, CAST(1 AS BIGINT) AS sensitivity,
          'r14a' AS salt_id, n_cells, domain_hash,
+         'bal_band,c_nationkey' AS domain,
          CAST(1000000 AS BIGINT) AS eps_cum_micro,
          CAST(1000000 AS BIGINT) AS eps_domain_cum_micro
        FROM m_c
        UNION ALL
        SELECT 'rel_b_sums', 'sum', CAST(2000000 AS BIGINT), CAST(8 AS BIGINT),
-         'r14b', n_cells, domain_hash, CAST(3000000 AS BIGINT), CAST(3000000 AS BIGINT)
+         'r14b', n_cells, domain_hash, 'bal_band,c_nationkey',
+         CAST(3000000 AS BIGINT), CAST(3000000 AS BIGINT)
        FROM m_c
        UNION ALL
        SELECT 'rel_c_orders', 'count', CAST(1500000 AS BIGINT), CAST(1 AS BIGINT),
-         'r15c', n_cells, domain_hash, CAST(4500000 AS BIGINT), CAST(1500000 AS BIGINT)
+         'r15c', n_cells, domain_hash, 'o_orderstatus,price_band',
+         CAST(4500000 AS BIGINT), CAST(1500000 AS BIGINT)
        FROM m_o
        ORDER BY release_id"""
   }

@@ -949,7 +949,10 @@ object Deidentify {
     * collidable by construction): equal hashes corroborate a shared
     * domain for the ledger's composition view, they do not prove it —
     * the authoritative domain statement is the release's quasi-column
-    * set + domain definition. An EMPTY release manifests domain 0 (the
+    * set, carried as the `domain` column (the SORTED comma-joined
+    * quasi-column names, order-free so `Seq(a,b)` and `Seq(b,a)` name
+    * one domain) — [[enforceBudget]] keys on IT, not on the collidable
+    * digest (ADVICE r15). An EMPTY release manifests domain 0 (the
     * NULL-free sentinel; `n_cells = 0` disambiguates and the ε still
     * counts against it). Deterministic integer discipline throughout;
     * the oracle replays every column.
@@ -991,7 +994,8 @@ object Deidentify {
         lit(sensitivity).as("sensitivity"),
         lit(saltId).as("salt_id"),
         col("n_cells"),
-        col("domain_hash")
+        col("domain_hash"),
+        lit(quasiCols.sorted.mkString(",")).as("domain")
       )
   }
 
@@ -1003,7 +1007,10 @@ object Deidentify {
     * per cell or per row. `release_id` values must be UNIQUE across the
     * ledger (they are the windows' total order, here and in
     * [[enforceBudget]]): duplicate ids leave every TOTAL exact but make
-    * the tied rows' intermediate cumulative values order-dependent.
+    * the tied rows' intermediate cumulative values order-dependent —
+    * [[enforceBudget]] RAISES on a duplicate at execution (VERDICT r15
+    * №4), the same runtime discipline as the NULL-entity raise in
+    * [[boundContributions]].
     */
   def dpLedger(manifests: Seq[DataFrame]): DataFrame = {
     require(manifests.nonEmpty, "need at least one release manifest")
@@ -1018,44 +1025,71 @@ object Deidentify {
 
   /** DP budget ENFORCEMENT over a ledger — the guard the q187 ledger
     * records but (until r15, VERDICT r14 №5) nothing refused on: per
-    * `domain_hash`, the cumulative ε in `release_id` order must stay
+    * `domain`, the cumulative ε in `release_id` order must stay
     * within `epsilonCapMicro`, because sequential composition ADDS the
     * budgets of releases over the same domain while releases over
     * disjoint domains compose in parallel (each individual appears in
     * both, but each release constrains them independently — the
     * per-domain cap is the conservative per-pipeline control knob).
-    * Returns the ledger with `eps_domain_cum_micro`; the FIRST
-    * over-cap release RAISES at execution time. The assert lives in a
-    * FILTER predicate over the cumulative column (coalesce(assert_true,
-    * true) — passes every in-budget row through untouched), NOT in a
-    * projected column: a projection can be pruned away by a downstream
-    * select, a filter cannot, and the predicate reads the window output
-    * so it can't be pushed below the accounting either — an over-budget
-    * release plan fails loudly the moment any action touches any column
-    * of it, it never ships quietly. No extra pass runs.
+    * Enforcement keys on the AUTHORITATIVE `domain` column (the sorted
+    * quasi-column set [[dpManifest]] carries), NOT on the 32-bit
+    * `domain_hash` (ADVICE r15): the digest is collidable by
+    * construction — two genuinely distinct domains that collide (all
+    * EMPTY releases share sentinel 0) would have their ε summed against
+    * one cap and raise on a pipeline that is within budget per real
+    * domain. Two releases naming the same quasi-column set still share
+    * a cap even when their cell SETS differ — the conservative
+    * direction (over-counting ε can only refuse, never leak); the hash
+    * stays in the output as corroboration. Returns the ledger with
+    * `eps_domain_cum_micro`; the FIRST over-cap release RAISES at
+    * execution time, as does a DUPLICATE `release_id` (VERDICT r15 №4:
+    * duplicates make the tied rows' intermediate cumulative values
+    * order-dependent — exactly the quiet nondeterminism this module
+    * raises on elsewhere, cf. the NULL-entity raise in
+    * [[boundContributions]]). Both asserts live in one FILTER predicate
+    * over the window outputs (coalesce(assert_true, true) — passes
+    * every in-budget row through untouched), NOT in a projected column:
+    * a projection can be pruned away by a downstream select, a filter
+    * cannot, and the predicate reads the window output so it can't be
+    * pushed below the accounting either — a bad ledger plan fails
+    * loudly the moment any action touches any column of it, it never
+    * ships quietly. No extra pass runs.
     *
-    * The window partitions by domain over the RELEASE-count frame
-    * (rows = number of manifests — human-scale by construction, the
-    * [[dpLedger]] exception to the no-global-window rule).
+    * Both windows partition over the RELEASE-count frame (rows = number
+    * of manifests — human-scale by construction, the [[dpLedger]]
+    * exception to the no-global-window rule).
     */
   def enforceBudget(ledger: DataFrame, epsilonCapMicro: Long): DataFrame = {
     require(epsilonCapMicro >= 1, s"need epsilonCapMicro >= 1, got $epsilonCapMicro")
-    Seq("release_id", "epsilon_micro", "domain_hash").foreach { c =>
+    Seq("release_id", "epsilon_micro", "domain_hash", "domain").foreach { c =>
       require(ledger.columns.contains(c), s"ledger must carry $c — see dpLedger/dpManifest")
     }
     import org.apache.spark.sql.expressions.Window
     val w = Window
-      .partitionBy(col("domain_hash"))
+      .partitionBy(col("domain"))
       .orderBy(col("release_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wId = Window.partitionBy(col("release_id"))
     ledger
+      .withColumn("__graft_rid_n", count(lit(1)).over(wId))
       .withColumn("eps_domain_cum_micro", sum(col("epsilon_micro")).over(w))
       .filter(
         coalesce(
           assert_true(
+            col("__graft_rid_n") === 1L,
+            concat(
+              lit("duplicate release_id in ledger: "), col("release_id"),
+              lit(" appears "), col("__graft_rid_n").cast("string"),
+              lit(" times — cumulative ε would be order-dependent")
+            )
+          ).cast("boolean"),
+          lit(true)
+        ) &&
+        coalesce(
+          assert_true(
             col("eps_domain_cum_micro") <= lit(epsilonCapMicro),
             concat(
-              lit("DP budget exceeded: domain "), col("domain_hash").cast("string"),
+              lit("DP budget exceeded: domain "), col("domain"),
               lit(" reaches "), col("eps_domain_cum_micro").cast("string"),
               lit(s"µ > cap ${epsilonCapMicro}µ at release "), col("release_id")
             )
@@ -1063,6 +1097,7 @@ object Deidentify {
           lit(true)
         )
       )
+      .drop("__graft_rid_n")
   }
 
   /** Re-identification risk audit across EVERY non-empty subset of the

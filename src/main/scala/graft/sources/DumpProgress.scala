@@ -39,7 +39,10 @@ final class DumpProgress(table: String, report: String => Unit)
 
   override def onTaskEnd(end: SparkListenerTaskEnd): Unit = {
     val m = end.taskMetrics
-    if (m != null && m.outputMetrics != null) {
+    // successful attempts only (ADVICE r15): a failed or speculative
+    // attempt reports the rows it wrote before dying, and its retry
+    // reports them again — counting both would overcount vs totalRows
+    if (end.reason == org.apache.spark.Success && m != null && m.outputMetrics != null) {
       val w = m.outputMetrics.recordsWritten
       if (w > 0L) {
         val total = rows.addAndGet(w)

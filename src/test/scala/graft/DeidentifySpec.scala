@@ -798,7 +798,7 @@ class DeidentifySpec extends SparkSpec {
       .orderBy("release_id")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        r.getString(4), r.getLong(5), r.getLong(6), r.getString(7), r.getLong(8)))
     // the domain digest replays driver-side and is SALT-FREE: both releases
     // over the same cells share it even though their noise salts differ.
     // XOR-fold, not sum (r14 ADVICE): stays in [0, 2^32) at any cell count
@@ -807,8 +807,8 @@ class DeidentifySpec extends SparkSpec {
     val wantDom = Seq("a", "b")
       .map(v => Kernels.remix32(Kernels.polyHash(s"dom:${v.length}:$v")))
       .reduce(_ ^ _)
-    assert(ledger(0) === (("r1", "count", 1000000L, 1L, "sA", 2L, wantDom, 1000000L)))
-    assert(ledger(1) === (("r2", "count", 500000L, 1L, "sB", 2L, wantDom, 1500000L)))
+    assert(ledger(0) === (("r1", "count", 1000000L, 1L, "sA", 2L, wantDom, "q", 1000000L)))
+    assert(ledger(1) === (("r2", "count", 500000L, 1L, "sB", 2L, wantDom, "q", 1500000L)))
     // a release over DIFFERENT cells shows a different domain at a glance
     val rel3 = Deidentify.dpCellCounts(df.filter(col("q") === "a"), Seq("q"), 1000000L, "sA")
     val dom3 = Deidentify.dpManifest(rel3, Seq("q"), "r3", "count", 1000000L, 1L, "sA")
@@ -856,6 +856,51 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.enforceBudget(ledger, 0L))
     intercept[IllegalArgumentException](
       Deidentify.enforceBudget(ledger.drop("domain_hash"), 1L))
+    intercept[IllegalArgumentException](
+      Deidentify.enforceBudget(ledger.drop("domain"), 1L))
+  }
+
+  test("enforceBudget: keys on the authoritative domain, not the collidable digest (ADVICE r15)") {
+    // two EMPTY releases over DIFFERENT quasi-column sets: both carry the
+    // digest sentinel 0, but they are distinct domains — under hash-keyed
+    // enforcement their ε summed to 2.0 against one cap and raised on a
+    // pipeline that is within budget per real domain. Domain-keyed
+    // enforcement composes them in parallel.
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("q", "id")
+    val none = df.filter(col("q") === "zzz")
+    val eQ = Deidentify.dpCellCounts(none, Seq("q"), 1000000L, "sA")
+    val eI = Deidentify.dpCellCounts(none, Seq("id"), 1000000L, "sB")
+    val ledger = Deidentify.dpLedger(Seq(
+      Deidentify.dpManifest(eQ, Seq("q"), "r1", "count", 1000000L, 1L, "sA"),
+      Deidentify.dpManifest(eI, Seq("id"), "r2", "count", 1000000L, 1L, "sB")
+    ))
+    val rows = Deidentify.enforceBudget(ledger, 1000000L).orderBy("release_id").collect()
+    assert(rows.map(r => (r.getAs[Long]("domain_hash"), r.getAs[String]("domain"),
+      r.getAs[Long]("eps_domain_cum_micro"))).toSeq ===
+      Seq((0L, "q", 1000000L), (0L, "id", 1000000L)),
+      "colliding digests must not share a budget partition")
+    // the domain identity is ORDER-FREE: Seq(a,b) and Seq(b,a) name one
+    // domain (sorted column set), so their ε compose sequentially
+    val two = Deidentify.dpCellCounts(df, Seq("q", "id"), 500000L, "sA")
+    val m1 = Deidentify.dpManifest(two, Seq("q", "id"), "ra", "count", 500000L, 1L, "sA")
+    val m2 = Deidentify.dpManifest(two, Seq("id", "q"), "rb", "count", 500000L, 1L, "sA")
+    assert(m1.head().getAs[String]("domain") === m2.head().getAs[String]("domain"))
+  }
+
+  test("enforceBudget: duplicate release_id raises at execution (VERDICT r15 №4)") {
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("q", "id")
+    val rel = Deidentify.dpCellCounts(df, Seq("q"), 500000L, "sA")
+    def m(id: String) = Deidentify.dpManifest(rel, Seq("q"), id, "count", 500000L, 1L, "sA")
+    val dup = Deidentify.dpLedger(Seq(m("r1"), m("r1")))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // well within the ε cap — the raise is about the id, not the budget,
+    // and fires even through a narrowing select (same unprunable filter)
+    val e = intercept[Exception](
+      Deidentify.enforceBudget(dup, 10000000L).select("kind").collect())
+    assert(messages(e).exists(_.contains("duplicate release_id")), s"got: ${messages(e)}")
+    assert(Deidentify.enforceBudget(Deidentify.dpLedger(Seq(m("r1"), m("r2"))), 10000000L)
+      .count() === 2L, "distinct ids pass")
   }
 
   test("boundContributions: NULL ids raise at execution — never a silent nondeterministic keep") {
