@@ -27,6 +27,14 @@ import sys
 # ±30% -> 1.3x, ±50% -> 1.5x, ±2x -> 2.0x (single reading)
 BAND_FACTOR = {"scan": 1.3, "shuffle": 1.5, "ann": 1.5, "fileio": 1.5, "cluster": 2.0}
 
+# Anchors below this grade against the floor instead (VERDICT r15 №6):
+# under ~0.3 s a query's wall time is dominated by per-job scheduler /
+# codegen jitter, which is ADDITIVE — a ratio against a 0.15 s anchor
+# flags noise, not work (q39/q56/q88 flagged on every quiet board while
+# probes showed the board readings ARE the floor). The slow-side
+# threshold becomes max(anchor, ANCHOR_FLOOR) * band.
+ANCHOR_FLOOR = 0.30
+
 # Queries newer than the last hand-written family-table edit, plus rows
 # the table's prose assigns specially. Everything else resolves from the
 # parsed members lists; unlisted queries default to shuffle (±50%).
@@ -95,7 +103,10 @@ def parse_baseline(path):
                 anchor = float(c)
                 break
         if anchor is None:
-            m = re.search(r"median of 5 = (\d+(?:\.\d+)?)", cells[-1])
+            # prose re-anchors: "QueryProbe median of N = X" with any N
+            # (q109's "median of 7" silently escaped the old "of 5"-only
+            # pattern and a 4-second query went ungraded — VERDICT r15 №3)
+            m = re.search(r"median of \d+ = (\d+(?:\.\d+)?)", cells[-1])
             if m:
                 anchor = float(m.group(1))
         if anchor is None:
@@ -143,9 +154,34 @@ def load_bench(path):
     return {k: float(v) for k, v in pairs}
 
 
+def selftest():
+    """Every anchor format BASELINE.md actually uses must parse — a prose
+    re-anchor that escapes the parser silently ungrades a query."""
+    import tempfile
+    rows = "\n".join([
+        "| q01_numeric | — | 1.50 | 2.00 | notes |",
+        "| q02_median5 | — | — | — | old anchor 9; QueryProbe median of 5 = 3.25 (min 3.0) |",
+        "| q03_median7 | — | — | — | NEW anchor = idle-host QueryProbe median of 7 = 5.70 |",
+        "| q04_pairedmin | — | — | — | re-anchor: paired-run min = 0.42 |",
+    ])
+    with tempfile.NamedTemporaryFile("w", suffix=".md", delete=False) as f:
+        f.write(rows)
+        path = f.name
+    anchors, _ = parse_baseline(path)
+    want = {"q01_numeric": 2.00, "q02_median5": 3.25,
+            "q03_median7": 5.70, "q04_pairedmin": 0.42}
+    assert anchors == want, f"anchor parser regressed: {anchors} != {want}"
+    # floor rule: a 0.15s-anchor scan reading 0.28 must NOT flag; 0.5 must
+    assert 0.28 <= max(0.15, ANCHOR_FLOOR) * BAND_FACTOR["scan"] < 0.5
+    print("band_check selftest OK")
+
+
 def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
+    if sys.argv[1] == "--selftest":
+        selftest()
+        return
     bench_path = sys.argv[1]
     baseline_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
     anchors, families = parse_baseline(baseline_path)
@@ -164,7 +200,7 @@ def main():
             no_anchor.append(name)
         else:
             ratio = reading / anchor
-            if ratio > factor:
+            if reading > max(anchor, ANCHOR_FLOOR) * factor:
                 verdict = "OUT-OF-BAND"
                 out_of_band.append((name, reading, anchor, ratio, fam, factor))
             elif ratio < 1.0 / factor:
