@@ -154,8 +154,15 @@ object Bench {
     def recall(approx: Set[(Long, Long)]): Double = (exact & approx).size.toDouble / exact.size
     val rLsh = recall(recallOf(graft.operators.Similarity.annLsh(emb, qids, 10)))
     val rIvf = recall(recallOf(graft.operators.Similarity.annIvf(emb, qids, 10)))
+    // the board summary rides the END of the line (VERDICT r15 №8): the
+    // driver's artifact keeps only the LAST ~2 KB of stdout, so the
+    // leading "metric"/"value" headline is exactly what truncation eats —
+    // repeating the totals after "sf" makes the retained tail
+    // self-sufficient ("parsed": null stops mattering)
+    val summary =
+      s""""summary":{"total_sec":${f"$total%.3f"},"n_queries":${results.length},"n_ok":${ok.length},"n_failed":${results.length - ok.length}}"""
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.length - ok.length},"recall_at_10":{"ann_lsh":${f"$rLsh%.3f"},"ann_ivf":${f"$rIvf%.3f"}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.length - ok.length},"recall_at_10":{"ann_lsh":${f"$rLsh%.3f"},"ann_ivf":${f"$rIvf%.3f"}},"sf":"$sfDir",$summary}"""
     println(json)
     // sbt wraps stdout lines in "[info] " — a consumer grepping for a bare
     // JSON line never finds one. Emit the same line to a file (path

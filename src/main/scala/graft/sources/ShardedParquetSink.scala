@@ -34,6 +34,33 @@ final case class ParquetLayout(
     codec: String = "snappy"
 )
 
+object ParquetLayout {
+
+  /** The measured wide-row rule as API (VERDICT r15 №5): a layout whose
+    * shard size targets `targetShardBytes` given the table's average row
+    * width — `maxRecordsPerFile = targetShardBytes / avgRowBytes`,
+    * floored at one row per file. A user dumping multi-MB `NOTE_TEXT`
+    * should not hand-compute the one knob that prevents a 0.5 TiB shard
+    * (the default 2^19-row template at 1 MiB rows). Everything else
+    * stays at the default on purpose: the LOB smoke measured write-side
+    * memory bounded by one buffered row group per writer REGARDLESS of
+    * row width, and throughput layout-insensitive — shard size is the
+    * only thing at risk (BASELINE.md "Round-15 LOB-scale dump smoke").
+    * `avgRowBytes` comes from the source's own stats (e.g.
+    * `avg(octet_length(note_text))` on a sample, or the JDBC column
+    * width) — estimate HIGH when unsure: the failure mode of a low
+    * estimate is the oversized shard this exists to prevent.
+    */
+  def forWideRows(
+      avgRowBytes: Long,
+      targetShardBytes: Long = 512L * 1024 * 1024
+  ): ParquetLayout = {
+    require(avgRowBytes >= 1, s"need avgRowBytes >= 1, got $avgRowBytes")
+    require(targetShardBytes >= 1, s"need targetShardBytes >= 1, got $targetShardBytes")
+    ParquetLayout(maxRecordsPerFile = math.max(1L, targetShardBytes / avgRowBytes))
+  }
+}
+
 /** One output shard as seen by the read-back verifier: path + footer row count. */
 final case class ShardInfo(path: String, rows: Long)
 

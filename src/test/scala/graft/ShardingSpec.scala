@@ -38,6 +38,31 @@ class ShardingSpec extends SparkSpec {
   test("sharding invariant: exact multiple") { roundTrip(4000, 1000, 2) }
   test("sharding invariant: n < maxRecordsPerFile") { roundTrip(37, 1000, 3) }
   test("sharding invariant: single row") { roundTrip(1, 1000, 1) }
+  test("ParquetLayout.forWideRows: shard-size targeting as API (VERDICT r15 №5)") {
+    // the measured rule: maxRecordsPerFile = targetShardBytes / avgRowBytes
+    assert(ParquetLayout.forWideRows(1024 * 1024).maxRecordsPerFile === 512L,
+      "1 MiB rows at the 512 MiB default target -> 512 rows per shard")
+    assert(ParquetLayout.forWideRows(4L * 1024 * 1024).maxRecordsPerFile === 128L)
+    assert(ParquetLayout.forWideRows(2048, targetShardBytes = 1024 * 1024).maxRecordsPerFile === 512L)
+    // a row wider than the target still writes — one row per file, never zero
+    assert(ParquetLayout.forWideRows(10, targetShardBytes = 4).maxRecordsPerFile === 1L)
+    // everything else stays at the measured-safe defaults
+    val d = ParquetLayout()
+    val w = ParquetLayout.forWideRows(1024 * 1024)
+    assert((w.rowGroupBytes, w.pageBytes, w.codec) === ((d.rowGroupBytes, d.pageBytes, d.codec)))
+    intercept[IllegalArgumentException](ParquetLayout.forWideRows(0))
+    intercept[IllegalArgumentException](ParquetLayout.forWideRows(1, targetShardBytes = 0))
+    // and the knob drives the real write path: ~2 KiB rows at a 64 KiB
+    // target -> 32-row shards, footer-verified
+    val dir = s"$testOut/shard_wide"
+    val wide = spark.range(100).select(col("id"), rpad(lit("x"), 2048, "x").as("payload")).coalesce(1)
+    ShardedParquetSink.write(wide, dir, ParquetLayout.forWideRows(2048, targetShardBytes = 64 * 1024))
+    val report = ShardedParquetSink.readBackReport(spark, dir)
+    assert(report.totalRows === 100L)
+    assert(report.shards.forall(_.rows <= 32L), "per-file cap from the wide-row rule")
+    assert(report.numFiles >= 4)
+  }
+
   test("sharding invariant: reference layout constant 2^19") {
     assert(ParquetLayout().maxRecordsPerFile == 524288L)
   }
