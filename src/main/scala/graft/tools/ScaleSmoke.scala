@@ -1993,7 +1993,77 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Census-LSM compaction at long-lived-stream part counts (VERDICT r15
+    * №2): a streamed DP release running for months accumulates one
+    * `part=<batchId>` census per micro-batch — this smoke builds
+    * `nParts` (default 1200) parts and measures the merge-on-read cost
+    * three ways: (a) the OLD per-part union-tree plan (one scan node per
+    * part — the shape the verdict flagged as the bottleneck at 10k
+    * batches), (b) the shipped single multi-path-scan [[graft.streaming
+    * .StreamingOps.currentCensus]], and (c) the same view after
+    * [[graft.streaming.StreamingOps.compactCensus]] folds everything to
+    * one part. The law check rides along: the merged cell set and grand
+    * total are identical at every point.
+    */
+  private def censusMain(args: Array[String]): Unit = {
+    val nParts = if (args.length > 1) args(1).toInt else 1200
+    val cells = if (args.length > 2) args(2).toLong else 1000L
+    val spark = GraftSession.local("scale-smoke-census", 32)
+    val root = "/tmp/graft-census-smoke"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    import org.apache.spark.sql.functions._
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[census] $name%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // one partitioned write materializes every part dir (each part: the
+    // full cell domain with deterministic counts — the worst case, since
+    // no cell ever drops out of the merge)
+    time(s"build $nParts census parts x $cells cells") {
+      spark
+        .range(nParts.toLong * cells)
+        .select(
+          (col("id") / cells).cast("long").as("part"),
+          (col("id") % cells).as("cell_key"),
+          (pmod(col("id"), lit(97L)) + 1L).as("__graft_cell_n")
+        )
+        .repartition(nParts, col("part"))
+        .write.partitionBy("part").parquet(root)
+    }
+    def summarize(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("__graft_cell_n"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // (a) the pre-r16 union-tree shape, reproduced locally for comparison
+    val unionTree = time(s"OLD union-tree merge over $nParts parts (agg)") {
+      val all = (0 until nParts)
+        .map(p => spark.read.parquet(s"$root/part=$p"))
+        .reduce(_ unionByName _)
+      summarize(
+        all.groupBy(col("cell_key")).agg(sum(col("__graft_cell_n")).as("__graft_cell_n"))
+      )
+    }
+    val singleScan = time(s"currentCensus single-scan view over $nParts parts (agg)") {
+      summarize(graft.streaming.StreamingOps.currentCensus(spark, root))
+    }
+    time("compactCensus (quiesced fold to one part)") {
+      graft.streaming.StreamingOps.compactCensus(spark, root)
+    }
+    val afterCompact = time("currentCensus after compaction (agg)") {
+      summarize(graft.streaming.StreamingOps.currentCensus(spark, root))
+    }
+    require(singleScan == unionTree && afterCompact == unionTree,
+      s"views diverged: union=$unionTree single=$singleScan compacted=$afterCompact")
+    println(s"[census] cells=${singleScan._1} total=${singleScan._2} — identical across all three reads")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("census")) { censusMain(args); return }
     if (args.headOption.contains("dpserve")) { dpServeMain(args); return }
     if (args.headOption.contains("lob")) { lobMain(args); return }
     if (args.headOption.contains("resume")) { resumeMain(args); return }

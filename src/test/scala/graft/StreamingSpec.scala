@@ -1239,6 +1239,14 @@ class StreamingSpec extends SparkSpec {
       .collect()
       .toSeq
     assert(pcStream === pcBatch)
+    // the sketch LSM shares the compaction protocol (r16): folding the
+    // three per-batch partials into one changes nothing in the view
+    assert(new java.io.File(s"$dir/moments").list().count(_.startsWith("part=")) === 3)
+    StreamingOps.compactMoments(spark, s"$dir/moments")
+    assert(new java.io.File(s"$dir/moments").list().count(_.startsWith("part=")) === 1)
+    val afterCompact = Spectral
+      .secondMomentFromSketch(StreamingOps.currentMoments(spark, s"$dir/moments"))
+    assert(afterCompact.except(batch).count() === 0L && batch.except(afterCompact).count() === 0L)
   }
 
   test("streaming CMS maintenance: merge-on-read == one-pass sketch of everything streamed") {
@@ -1372,6 +1380,110 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.compactIndex(spark, idxDir)
     assert(!new java.io.File(s"$idxDir/_compacting").exists())
     assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
+  }
+
+  test("census LSM compaction: folded view == uncompacted view == batch census; maintenance resumes (VERDICT r15 №2)") {
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val full = sources.Tables
+      .load(spark, Sf0001, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+        (col("c_custkey") % 100L).as("v"))
+    val rows = full.as[(Long, Long, Long)].collect().toSeq
+    val (b12, b3) = rows.splitAt(rows.length * 2 / 3)
+    // fresh dir per run: a checkpoint surviving under the fixed testOut
+    // would desync a re-created MemoryStream's offsets
+    val base = java.nio.file.Files.createTempDirectory("graft-census-compact").toString
+    val cdir = s"$base/census_compact"
+    val sdir = s"$base/sumcensus_compact"
+    def censusSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def partCount(d: String) = new java.io.File(d).list().count(_.startsWith("part="))
+    // maintain both censuses over two micro-batches (explicit batch
+    // boundaries: ProcessingTime + processAllAvailable per group —
+    // AvailableNow folds everything queued into one batch/part)
+    val cs = MemoryStream[(Long, Long, Long)]
+    val q1 = StreamingOps.maintainCensus(
+      cs.toDF().toDF("c_custkey", "nation", "v"), cdir, s"$cdir/_ckpt", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    b12.grouped((b12.length + 1) / 2).foreach { b => cs.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    val ss = MemoryStream[(Long, Long, Long)]
+    val q2 = StreamingOps.maintainSumCensus(
+      ss.toDF().toDF("c_custkey", "nation", "v"), sdir, s"$sdir/_ckpt", Seq("nation"), "v", 40L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    b12.grouped((b12.length + 1) / 2).foreach { b => ss.addData(b); q2.processAllAvailable() }
+    q2.stop()
+    assert(partCount(cdir) >= 2 && partCount(sdir) >= 2)
+    val b12df = b12.toDF("c_custkey", "nation", "v")
+    val wantC = censusSet(Deidentify.cellCounts(b12df, Seq("nation")))
+    val wantS = censusSet(Deidentify.cellSums(b12df, Seq("nation"), "v", 40L))
+    assert(censusSet(StreamingOps.currentCensus(spark, cdir)) === wantC)
+    assert(censusSet(StreamingOps.currentSumCensus(spark, sdir)) === wantS)
+    // compaction (quiesced) folds to ONE part and changes nothing
+    StreamingOps.compactCensus(spark, cdir)
+    StreamingOps.compactSumCensus(spark, sdir)
+    assert(partCount(cdir) === 1 && partCount(sdir) === 1)
+    assert(censusSet(StreamingOps.currentCensus(spark, cdir)) === wantC)
+    assert(censusSet(StreamingOps.currentSumCensus(spark, sdir)) === wantS)
+    // the kind check survives compaction: a COUNT dir read as sums raises
+    intercept[IllegalArgumentException](StreamingOps.currentSumCensus(spark, cdir))
+    // maintenance resumes on top of the folded part; view == full batch
+    val cs2 = MemoryStream[(Long, Long, Long)]
+    cs2.addData(b3)
+    val q3 = StreamingOps.maintainCensus(
+      cs2.toDF().toDF("c_custkey", "nation", "v"), cdir, s"$cdir/_ckpt2", Seq("nation"))
+    q3.processAllAvailable(); q3.stop()
+    assert(censusSet(StreamingOps.currentCensus(spark, cdir)) ===
+      censusSet(Deidentify.cellCounts(full, Seq("nation"))))
+    // and the DP serve path reads the compacted LSM identically
+    val viaLsm = Deidentify
+      .dpFromCounts(StreamingOps.currentCensus(spark, cdir), Seq("nation"), 1000000L, "rel")
+      .as[(Long, Long, Long)].collect().toSet
+    val batchRel = Deidentify
+      .dpCellCounts(full, Seq("nation"), 1000000L, "rel")
+      .select("nation", "n_dp", "epsilon_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaLsm === batchRel)
+  }
+
+  test("compactCensus crash points: every interruption leaves a complete census view") {
+    import graft.operators.Deidentify
+    val dir = java.nio.file.Files.createTempDirectory("graft-census-crash").toString
+    val cdir = s"$dir/census"
+    val rows = (0L until 300L).map(i => (i, i % 7))
+    val (b1, b2) = rows.splitAt(150)
+    Deidentify.cellCounts(b1.toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$cdir/part=0")
+    Deidentify.cellCounts(b2.toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$cdir/part=1")
+    def view = StreamingOps.currentCensus(spark, cdir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Deidentify.cellCounts(rows.toDF("id", "nation"), Seq("nation"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // crash state A — staged fold written, marker NOT yet committed:
+    // the staged dir is invisible, the plain parts serve
+    StreamingOps.currentCensus(spark, cdir).write.parquet(s"$cdir/part=1.compacted")
+    assert(view === want)
+    // crash state B — marker committed, superseded parts mid-delete:
+    // the staged dir is authoritative, the view complete throughout
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$cdir/_compacting"), "1")
+    assert(view === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$cdir/part=0"))
+    assert(view === want)
+    // resume from B: deletes + rename + uncommit finish, nothing lost
+    StreamingOps.compactCensus(spark, cdir)
+    val names = new java.io.File(cdir).list().toSet
+    assert(names.contains("part=1") && !names.contains("_compacting"), s"got $names")
+    assert(!names.exists(_.endsWith(".compacted")), s"staged dir must be renamed away: $names")
+    assert(view === want)
+    // crash state C — rename landed but the marker survived: a resume
+    // only uncommits
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$cdir/_compacting"), "1")
+    assert(view === want)
+    StreamingOps.compactCensus(spark, cdir)
+    assert(!new java.io.File(s"$cdir/_compacting").exists())
+    assert(view === want)
   }
 
   test("currentIvf skips a generation whose centroids are not durable yet (ADVICE r10)") {
