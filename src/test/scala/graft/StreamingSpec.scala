@@ -1111,10 +1111,23 @@ class StreamingSpec extends SparkSpec {
         StreamingOps.currentCensus(spark, cdir), Seq("nation"), 500000L, "mC"), "r2", 500000L)
     ))
     assert(Deidentify.enforceBudget(ledger, 1500000L).count() === 2L, "at-cap passes on the streamed ledger")
+    // the enforced frame itself is row-identical to the batch-assembled
+    // ledger's (VERDICT r15 №7): budget accounting cannot tell streamed
+    // from batch in any column, cumulative ε included
+    val batchLedger = Deidentify.dpLedger(Seq(
+      manifest(batchCounts, "r1", 1000000L),
+      manifest(Deidentify.dpCellCounts(full, Seq("nation"), 500000L, "mC"), "r2", 500000L)
+    ))
+    assert(
+      Deidentify.enforceBudget(ledger, 1500000L).orderBy("release_id").collect().toSeq ===
+        Deidentify.enforceBudget(batchLedger, 1500000L).orderBy("release_id").collect().toSeq,
+      "enforceBudget over the streamed ledger must equal the batch ledger row for row")
     val e = intercept[Exception](Deidentify.enforceBudget(ledger, 1499999L).collect())
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("DP budget exceeded")), s"over-cap raises: ${msgs(e)}")
+    val eBatch = intercept[Exception](Deidentify.enforceBudget(batchLedger, 1499999L).collect())
+    assert(msgs(eBatch).exists(_.contains("DP budget exceeded")), "the raise fires identically on batch")
     // a COUNT census dir is not a sum census — fail loudly, not nonsense
     intercept[IllegalArgumentException](StreamingOps.currentSumCensus(spark, cdir))
   }
