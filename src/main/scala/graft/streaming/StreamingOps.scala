@@ -793,9 +793,15 @@ object StreamingOps {
     * crash point of [[compactIndex]].
     */
   def currentIndexMerged(spark: SparkSession, indexDir: String): DataFrame = {
-    val frames = livePartFrames(spark, indexDir)
-    require(frames.nonEmpty, s"no index partials under $indexDir")
-    graft.operators.Retrieval.mergeIndexes(frames: _*)
+    // one multi-path scan feeds the q115 merge (r16): the per-part
+    // explode projections used to union-tree k scan nodes before the
+    // re-aggregate, growing the plan linearly in the part count; the
+    // merge algebra is row-set equal on the concatenated frame, so a
+    // single scan + ONE explode + the same groupBy is the identical
+    // index with an O(1) plan
+    val paths = livePartPaths(spark, indexDir)
+    require(paths.nonEmpty, s"no index partials under $indexDir")
+    graft.operators.Retrieval.mergeIndexes(spark.read.parquet(paths: _*))
   }
 
   /** The live part frames of an LSM dir under the [[compactIndex]]
@@ -988,10 +994,22 @@ object StreamingOps {
     * [[graft.operators.Similarity.annLshServe]].
     */
   def currentLshIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val parts = listParts(spark, indexDir)
-    require(parts.nonEmpty, s"no LSH index parts under $indexDir")
-    parts.map(p => spark.read.parquet(s"$indexDir/part=$p")).reduce(_.unionByName(_))
+    // the union of parts IS the index, so ONE multi-path scan is the
+    // whole read — one FileScan node at any part count (r16, the census
+    // plan-growth fix applied here), marker-aware so [[compactLshIndex]]
+    // is crash-safe
+    val paths = livePartPaths(spark, indexDir)
+    require(paths.nonEmpty, s"no LSH index parts under $indexDir")
+    spark.read.parquet(paths: _*)
   }
+
+  /** Fold the LSH part dirs into one ([[compactLsm]] protocol). The LSH
+    * LSM has no merge step — the fold is a plain rewrite of the union —
+    * so compaction here only bounds file-listing/footer cost; the read
+    * PLAN is already O(1) via the multi-path scan.
+    */
+  def compactLshIndex(spark: SparkSession, indexDir: String): Unit =
+    compactLsm(spark, indexDir, () => currentLshIndex(spark, indexDir))
 
   /** Streaming maintenance of the IVF serve artifact — the third ANN
     * maintenance mode, and the one with real re-training pressure: a

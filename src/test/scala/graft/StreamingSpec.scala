@@ -800,6 +800,17 @@ class StreamingSpec extends SparkSpec {
       rows(Similarity.annLshServe(live, queries, 10))
         === rows(Similarity.annLsh(emb, Seq(0L, 1L, 2L), 10))
     )
+    // compaction (r16, shared compactLsm protocol) folds the parts to
+    // one and changes neither the index nor the serve results
+    assert(new java.io.File(s"$dir/index").list().count(_.startsWith("part=")) === 2)
+    StreamingOps.compactLshIndex(spark, s"$dir/index")
+    assert(new java.io.File(s"$dir/index").list().count(_.startsWith("part=")) === 1)
+    val folded = StreamingOps.currentLshIndex(spark, s"$dir/index")
+    assert(folded.except(batch).count() === 0L && batch.except(folded).count() === 0L)
+    assert(
+      rows(Similarity.annLshServe(folded, queries, 10))
+        === rows(Similarity.annLsh(emb, Seq(0L, 1L, 2L), 10))
+    )
   }
 
   test("streaming IVF maintenance: refit generations, fresh tail searchable, boundary == batch") {
