@@ -1047,9 +1047,12 @@ object StreamingOps {
           .select(col("vec_id"), col("embedding"))
           .write.mode("overwrite").parquet(s"$dir/vectors/part=$batchId")
         if ((batchId + 1) % refitEvery == 0) {
-          val all = listParts(sp, s"$dir/vectors")
-            .map(p => sp.read.parquet(s"$dir/vectors/part=$p"))
-            .reduce(_.unionByName(_))
+          // one multi-path scan over every vector part (r16): the refit
+          // reads the WHOLE history, so a per-part union tree would grow
+          // the plan linearly in the batch count
+          val all = sp.read.parquet(
+            listParts(sp, s"$dir/vectors").map(p => s"$dir/vectors/part=$p").toSeq: _*
+          )
           val cb = graft.operators.Similarity
             .persistCodebook(graft.operators.Similarity.trainCodebook(all, sampleEvery))
           try {
@@ -1120,7 +1123,8 @@ object StreamingOps {
       spark.read.parquet(s"$dir/gen=$g/centroids"),
       spark.read.parquet(s"$dir/gen=$g/index"),
       if (tailParts.isEmpty) None
-      else Some(tailParts.map(p => spark.read.parquet(s"$dir/vectors/part=$p")).reduce(_.unionByName(_)))
+      // bounded by refitEvery, but the single scan is free to do anyway
+      else Some(spark.read.parquet(tailParts.map(p => s"$dir/vectors/part=$p").toSeq: _*))
     )
   }
 
