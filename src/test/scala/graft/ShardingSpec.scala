@@ -63,6 +63,22 @@ class ShardingSpec extends SparkSpec {
     assert(report.numFiles >= 4)
   }
 
+  test("readBackReport: the distributed footer walk == the driver pool, shard for shard (r16)") {
+    val dir = s"$testOut/shard_dist_report"
+    val df = spark
+      .range(5000)
+      .repartition(4)
+      .select(col("id"), concat(lit("row-"), col("id")).as("payload"))
+    ShardedParquetSink.write(df, dir, ParquetLayout(maxRecordsPerFile = 100))
+    // ~13 files per task partition -> >= 50 shards; force both paths
+    val pooled = ShardedParquetSink.readBackReport(spark, dir)
+    val distributed = ShardedParquetSink.readBackReport(spark, dir, distributedThreshold = 1)
+    assert(pooled.shards.size >= 50, s"need enough shards to mean anything: ${pooled.shards.size}")
+    assert(distributed.shards === pooled.shards, "same shards, same counts, same order")
+    assert(distributed.schemaDdl === pooled.schemaDdl)
+    assert(distributed.totalRows === 5000L)
+  }
+
   test("sharding invariant: reference layout constant 2^19") {
     assert(ParquetLayout().maxRecordsPerFile == 524288L)
   }
