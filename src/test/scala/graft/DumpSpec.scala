@@ -58,6 +58,22 @@ class DumpSpec extends SparkSpec {
     assert(lines.asScala.last.contains(f"${res.report.totalRows}%,d"))
   }
 
+  test("DumpProgress: a killed attempt's rows are not counted — the retry counts once (ADVICE r15)") {
+    // a speculative/preempted attempt reports the rows it wrote before
+    // dying; counting it AND its retry would overcount vs totalRows.
+    // Drive the listener directly with the events such a scenario
+    // delivers (GraftTestBridge builds the private[spark] payloads).
+    import org.apache.spark.GraftTestBridge
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val p = new graft.sources.DumpProgress("t", s => { lines.add(s); () })
+    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.success, 100L))
+    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.killed, 50L)) // dies mid-write
+    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.success, 50L)) // its retry
+    assert(p.rowsWritten === 150L, "killed attempt excluded, retry counted once")
+    assert(p.writeTasksCompleted === 2L)
+    assert(lines.size === 2, "no tick for the killed attempt")
+  }
+
   test("non-positive limit fails") {
     intercept[IllegalArgumentException] {
       OmopDump.run(spark, src(), s"$testOut/dump_zero", Some(0L), ParquetLayout())
