@@ -1340,6 +1340,12 @@ object StreamingOps {
     * maintainer aggregate, so the multi-path read is exact. Fails
     * loudly on the wrong census kind (a COUNT dir read as sums would
     * otherwise silently treat the count column as a quasi column).
+    * Contract note: all parts of one dir share one maintainer and hence
+    * one column set — that is what [[maintainCensus]] writes. Hand-mixing
+    * censuses with DIFFERENT quasi sets into one dir is outside the
+    * contract either way (the old union failed loudly; the multi-path
+    * scan would null-fill) — the kind check above catches the realistic
+    * mistake, a count dir served as sums or vice versa.
     */
   private def mergedCensusView(
       spark: SparkSession,
