@@ -776,9 +776,9 @@ object StreamingOps {
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Retrieval
-          .invertedIndex(batch, textCol, idCol)
-          .write.mode("overwrite").parquet(s"$indexDir/part=$batchId")
+        writeLsmPart(
+          graft.operators.Retrieval.invertedIndex(batch, textCol, idCol),
+          indexDir, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -812,11 +812,8 @@ object StreamingOps {
     * marker whose staged dir is GONE means the rename already landed —
     * plain parts again.
     */
-  private def livePartFrames(spark: SparkSession, indexDir: String): Seq[DataFrame] =
-    livePartPaths(spark, indexDir).map(spark.read.parquet(_))
-
   /** The live part PATHS of an LSM dir under the compaction marker
-    * protocol — the path-level twin of [[livePartFrames]], for readers
+    * protocol — the live-part resolver for readers
     * that can consume all live parts through ONE multi-path scan
     * ([[currentCensus]]/[[currentSumCensus]]): the plan then carries a
     * single FileScan node regardless of part count, instead of one scan
@@ -826,7 +823,7 @@ object StreamingOps {
   private def livePartPaths(spark: SparkSession, indexDir: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = listParts(spark, indexDir)
+    val parts = listParts(spark, indexDir).sorted // oldest-first, deterministic
     readCompactMarker(fs, indexDir) match {
       case Some(hi) if fs.exists(new org.apache.hadoop.fs.Path(compactedStaging(indexDir, hi))) =>
         compactedStaging(indexDir, hi) +:
@@ -838,6 +835,41 @@ object StreamingOps {
 
   private def compactedStaging(indexDir: String, hi: Long): String =
     s"$indexDir/part=$hi.compacted"
+
+  /** Marker file inside a compacted fold's part dir (underscore-prefixed,
+    * so parquet directory reads ignore it). It lets [[writeLsmPart]]
+    * distinguish the one part a maintainer must NEVER overwrite — the
+    * fold holds the dir's entire pre-compaction history — from the
+    * maintainer's own parts, which a retried micro-batch legitimately
+    * rewrites with identical content.
+    */
+  private val CompactedFoldMarker = "_graft_compacted"
+
+  /** The single write path for per-batch LSM parts (census, sums census,
+    * index partials, LSH, CMS, moments, IVF vectors). Refuses to
+    * overwrite a compacted fold: a maintainer restarted on a FRESH
+    * checkpoint re-begins batch numbering at 0, and once its batchId
+    * reaches the fold's id the overwrite would silently replace the
+    * dir's full history with one micro-batch's partial — a quiet
+    * corruption of everything served from the view (for the census,
+    * a privacy regression: suppression would judge against undercounts).
+    * New batches landing in NEW part ids still compose correctly (the
+    * merge is content-addressed, not order-addressed); only the
+    * collision with the fold is fatal, and it fails BEFORE any data
+    * moves. The real contract remains: one checkpoint lineage per dir.
+    */
+  private def writeLsmPart(df: DataFrame, dir: String, batchId: Long): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$dir/part=$batchId")
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    require(
+      !fs.exists(new org.apache.hadoop.fs.Path(target, CompactedFoldMarker)),
+      s"part=$batchId under $dir is a compacted fold holding this dir's full history; " +
+        "a maintainer with a fresh checkpoint has re-begun batch numbering and would " +
+        "overwrite it — resume with the original checkpoint (the checkpoint is the " +
+        "batch-lineage contract) or maintain into a fresh dir"
+    )
+    df.write.mode("overwrite").parquet(target.toString)
+  }
 
   private def compactMarkerPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(s"$indexDir/_compacting")
@@ -867,7 +899,7 @@ object StreamingOps {
     *     [[listParts]] — a crash here leaves the old parts untouched);
     *  2. COMMIT by writing the `_compacting` marker naming `hi` —
     *     readers now treat the staged dir as authoritative for parts
-    *     ≤ hi ([[livePartFrames]]), so the deletes that follow never
+    *     ≤ hi ([[livePartPaths]]), so the deletes that follow never
     *     make data unreachable;
     *  3. delete the superseded parts, atomically rename the staged dir
     *     to `part=<hi>`, drop the marker.
@@ -927,6 +959,12 @@ object StreamingOps {
         val boundary = parts.max
         merged()
           .write.mode("overwrite").parquet(compactedStaging(indexDir, boundary))
+        // brand the fold BEFORE committing it: [[writeLsmPart]] must be
+        // able to tell it from a maintainer part at every later point
+        fs.create(
+          new org.apache.hadoop.fs.Path(
+            compactedStaging(indexDir, boundary), CompactedFoldMarker), true
+        ).close()
         val out = fs.create(compactMarkerPath(indexDir), true)
         try out.write(boundary.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
@@ -979,9 +1017,7 @@ object StreamingOps {
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity
-          .lshIndex(batch)
-          .write.mode("overwrite").parquet(s"$indexDir/part=$batchId")
+        writeLsmPart(graft.operators.Similarity.lshIndex(batch), indexDir, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1043,9 +1079,7 @@ object StreamingOps {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        batch
-          .select(col("vec_id"), col("embedding"))
-          .write.mode("overwrite").parquet(s"$dir/vectors/part=$batchId")
+        writeLsmPart(batch.select(col("vec_id"), col("embedding")), s"$dir/vectors", batchId)
         if ((batchId + 1) % refitEvery == 0) {
           // one multi-path scan over every vector part (r16): the refit
           // reads the WHOLE history, so a per-part union tree would grow
@@ -1163,9 +1197,7 @@ object StreamingOps {
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Sketch
-          .cmsSketch(batch, keyCol, depth, width)
-          .write.mode("overwrite").parquet(s"$dir/part=$batchId")
+        writeLsmPart(graft.operators.Sketch.cmsSketch(batch, keyCol, depth, width), dir, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1176,12 +1208,17 @@ object StreamingOps {
     * sketch of the concatenated stream, exactly.
     */
   def currentCms(spark: SparkSession, dir: String): DataFrame = {
-    val parts = listParts(spark, dir)
-    require(parts.nonEmpty, s"no CMS parts under $dir")
-    graft.operators.Sketch.cmsMerge(
-      parts.map(p => spark.read.parquet(s"$dir/part=$p")).toSeq: _*
-    )
+    // single multi-path scan (r16): the (row, cms_col, cnt) sum-merge is
+    // row-set equal on the concatenated frame — O(1) plan in part count,
+    // marker-aware for [[compactCms]]
+    val paths = livePartPaths(spark, dir)
+    require(paths.nonEmpty, s"no CMS parts under $dir")
+    graft.operators.Sketch.cmsMerge(spark.read.parquet(paths: _*))
   }
+
+  /** [[compactCensus]] for the CMS LSM — cell counts add, same fold. */
+  def compactCms(spark: SparkSession, dir: String): Unit =
+    compactLsm(spark, dir, () => currentCms(spark, dir))
 
   /** The COMPOSED streaming de-identified release feed — the q167
     * enclave-exit path as a live pipeline: every arriving batch is
@@ -1263,9 +1300,7 @@ object StreamingOps {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Deidentify
-          .cellCounts(batch, quasiCols)
-          .write.mode("overwrite").parquet(s"$dir/part=$batchId")
+        writeLsmPart(graft.operators.Deidentify.cellCounts(batch, quasiCols), dir, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1311,9 +1346,7 @@ object StreamingOps {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Deidentify
-          .cellSums(batch, quasiCols, valueCol, clip)
-          .write.mode("overwrite").parquet(s"$dir/part=$batchId")
+        writeLsmPart(graft.operators.Deidentify.cellSums(batch, quasiCols, valueCol, clip), dir, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1341,11 +1374,11 @@ object StreamingOps {
     * loudly on the wrong census kind (a COUNT dir read as sums would
     * otherwise silently treat the count column as a quasi column).
     * Contract note: all parts of one dir share one maintainer and hence
-    * one column set — that is what [[maintainCensus]] writes. Hand-mixing
-    * censuses with DIFFERENT quasi sets into one dir is outside the
-    * contract either way (the old union failed loudly; the multi-path
-    * scan would null-fill) — the kind check above catches the realistic
-    * mistake, a count dir served as sums or vice versa.
+    * one column set — that is what [[maintainCensus]] writes. The
+    * oldest-vs-newest column-set check below keeps the old union's
+    * loud-failure property against quasi-set drift (which is monotone
+    * in batch id, so the two endpoints witness any transition), and the
+    * kind check catches a count dir served as sums or vice versa.
     */
   private def mergedCensusView(
       spark: SparkSession,
@@ -1355,6 +1388,22 @@ object StreamingOps {
   ): DataFrame = {
     val paths = livePartPaths(spark, dir)
     require(paths.nonEmpty, s"no $kind parts under $dir")
+    // the loud-failure property the old unionByName gave for free, kept
+    // cheap: quasi-set drift is monotone in batch id (a redeploy with
+    // changed quasiCols), so the OLDEST and NEWEST live parts disagree
+    // at the transition — two footer-sample reads catch it before the
+    // multi-path scan would silently null-fill the missing columns and
+    // the census would feed corrupted counts to suppression / DP serve
+    if (paths.size > 1) {
+      val oldest = spark.read.parquet(paths.head).columns.toSet
+      val newest = spark.read.parquet(paths.last).columns.toSet
+      require(
+        oldest == newest,
+        s"$kind parts disagree on columns (quasi-set drift) under $dir: " +
+          s"oldest=$oldest newest=$newest — all parts of one census dir must " +
+          "come from one maintainer with one quasi-column set"
+      )
+    }
     val all = spark.read.parquet(paths: _*)
     require(
       all.columns.contains(cellCol),
@@ -1388,9 +1437,7 @@ object StreamingOps {
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Spectral
-          .momentSketch(batch)
-          .write.mode("overwrite").parquet(s"$dir/part=$batchId")
+        writeLsmPart(graft.operators.Spectral.momentSketch(batch), dir, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1398,12 +1445,15 @@ object StreamingOps {
       .start()
 
   /** Merge-on-read view of a [[maintainMoments]] artifact — live parts
-    * under the marker protocol, so [[compactMoments]] is crash-safe.
+    * under the marker protocol (so [[compactMoments]] is crash-safe),
+    * read through ONE multi-path scan: the (j, k, v) sum-merge is
+    * row-set equal on the concatenated frame, so the view plan is O(1)
+    * in part count like the census and index views.
     */
   def currentMoments(spark: SparkSession, dir: String): DataFrame = {
-    val frames = livePartFrames(spark, dir)
-    require(frames.nonEmpty, s"no moment-sketch parts under $dir")
-    graft.operators.Spectral.mergeMoments(frames: _*)
+    val paths = livePartPaths(spark, dir)
+    require(paths.nonEmpty, s"no moment-sketch parts under $dir")
+    graft.operators.Spectral.mergeMoments(spark.read.parquet(paths: _*))
   }
 
   private def listParts(spark: SparkSession, indexDir: String): Array[Long] = {

@@ -1299,6 +1299,11 @@ class StreamingSpec extends SparkSpec {
     val merged = StreamingOps.currentCms(spark, s"$dir/cms")
     val whole = Sketch.cmsSketch(docs.toDF("tok"), "tok", depth = 3, width = 256)
     assert(merged.except(whole).count() === 0L && whole.except(merged).count() === 0L)
+    // compaction (r16, shared protocol) folds to one part, sketch unchanged
+    StreamingOps.compactCms(spark, s"$dir/cms")
+    assert(new java.io.File(s"$dir/cms").list().count(_.startsWith("part=")) === 1)
+    val folded = StreamingOps.currentCms(spark, s"$dir/cms")
+    assert(folded.except(whole).count() === 0L && whole.except(folded).count() === 0L)
   }
 
   test("LSM index maintenance: append-only partials, merge-on-read == rebuild, compaction preserves") {
@@ -1508,6 +1513,57 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.compactCensus(spark, cdir)
     assert(!new java.io.File(s"$cdir/_compacting").exists())
     assert(view === want)
+  }
+
+  test("a fresh-checkpoint maintainer cannot overwrite a compacted fold (r16 review)") {
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-fold-guard").toString
+    val cdir = s"$base/census"
+    val rows = (0L until 200L).map(i => (i, i % 5))
+    // two batches, then compact: the fold at part=1 holds ALL history
+    val cs = MemoryStream[(Long, Long)]
+    val q1 = StreamingOps.maintainCensus(
+      cs.toDF().toDF("id", "nation"), cdir, s"$base/ckpt1", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    rows.grouped(100).foreach { b => cs.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    StreamingOps.compactCensus(spark, cdir)
+    assert(new java.io.File(s"$cdir/part=1/_graft_compacted").exists(), "fold is branded")
+    // a maintainer restarted on a FRESH checkpoint re-begins batch ids:
+    // batch 0 lands in a NEW part (counts still compose), but batch 1
+    // would overwrite the fold — it must fail BEFORE any data moves
+    val cs2 = MemoryStream[(Long, Long)]
+    val q2 = StreamingOps.maintainCensus(
+      cs2.toDF().toDF("id", "nation"), cdir, s"$base/ckpt2", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    cs2.addData(rows.take(10)); q2.processAllAvailable() // batch 0 -> part=0, fine
+    cs2.addData(rows.take(10))
+    val e = intercept[Exception](q2.processAllAvailable()) // batch 1 -> fold collision
+    q2.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("compacted fold")), s"got: ${msgs(e)}")
+    // the fold survived untouched: its counts still carry the full history
+    val fold = spark.read.parquet(s"$cdir/part=1")
+    assert(fold.agg(sum(col("__graft_cell_n"))).head().getLong(0) === 200L)
+  }
+
+  test("census views raise on quasi-set drift across parts (r16 review)") {
+    import graft.operators.Deidentify
+    val base = java.nio.file.Files.createTempDirectory("graft-census-drift").toString
+    val cdir = s"$base/census"
+    // a redeploy that changed quasiCols mid-dir: the multi-path scan
+    // would silently null-fill the missing column — the endpoint
+    // schema check must refuse instead
+    Deidentify.cellCounts((0L until 50L).map(i => (i, i % 5)).toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$cdir/part=0")
+    Deidentify.cellCounts(
+      (0L until 50L).map(i => (i, i % 5, i % 3)).toDF("id", "nation", "segment"),
+      Seq("nation", "segment"))
+      .write.parquet(s"$cdir/part=1")
+    val e = intercept[IllegalArgumentException](StreamingOps.currentCensus(spark, cdir))
+    assert(e.getMessage.contains("quasi-set drift"), e.getMessage)
   }
 
   test("currentIvf skips a generation whose centroids are not durable yet (ADVICE r10)") {

@@ -154,9 +154,13 @@ def load_bench(path):
     return {k: float(v) for k, v in pairs}
 
 
-def selftest():
+def selftest(baseline_path="BASELINE.md"):
     """Every anchor format BASELINE.md actually uses must parse — a prose
-    re-anchor that escapes the parser silently ungrades a query."""
+    re-anchor that escapes the parser silently ungrades a query. Two
+    layers: a fixture pins the known formats, and the LIVE baseline is
+    swept so a NEW prose format escaping the parser fails here instead of
+    silently grading NO-ANCHOR (the exact VERDICT r15 №3 failure)."""
+    import os
     import tempfile
     rows = "\n".join([
         "| q01_numeric | — | 1.50 | 2.00 | notes |",
@@ -167,13 +171,27 @@ def selftest():
     with tempfile.NamedTemporaryFile("w", suffix=".md", delete=False) as f:
         f.write(rows)
         path = f.name
-    anchors, _ = parse_baseline(path)
+    try:
+        anchors, _ = parse_baseline(path)
+    finally:
+        os.unlink(path)
     want = {"q01_numeric": 2.00, "q02_median5": 3.25,
             "q03_median7": 5.70, "q04_pairedmin": 0.42}
     assert anchors == want, f"anchor parser regressed: {anchors} != {want}"
     # floor rule: a 0.15s-anchor scan reading 0.28 must NOT flag; 0.5 must
     assert 0.28 <= max(0.15, ANCHOR_FLOOR) * BAND_FACTOR["scan"] < 0.5
-    print("band_check selftest OK")
+    # live sweep: every query row in the real baseline must yield an anchor
+    text = open(baseline_path).read()
+    row_names = set()
+    for line in text.splitlines():
+        if line.startswith("| q"):
+            name = line.strip().strip("|").split("|")[0].strip()
+            if re.match(r"^q\d+_\w+$", name):
+                row_names.add(name)
+    live_anchors, _ = parse_baseline(baseline_path)
+    escaped = sorted(row_names - set(live_anchors))
+    assert not escaped, f"anchor rows escaping the parser: {escaped}"
+    print(f"band_check selftest OK ({len(row_names)} live rows, all anchored)")
 
 
 def main():
