@@ -30,6 +30,8 @@ final class DumpProgress(table: String, report: String => Unit)
     extends SparkListener {
   private val rows = new AtomicLong(0L)
   private val tasks = new AtomicLong(0L)
+  private val counted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int, Int)]()
 
   /** Cumulative rows written by completed tasks (exact once drained). */
   def rowsWritten: Long = rows.get
@@ -41,10 +43,16 @@ final class DumpProgress(table: String, report: String => Unit)
     val m = end.taskMetrics
     // successful attempts only (ADVICE r15): a failed or speculative
     // attempt reports the rows it wrote before dying, and its retry
-    // reports them again — counting both would overcount vs totalRows
+    // reports them again — counting both would overcount vs totalRows.
+    // One success per TASK, not per attempt (ADVICE r16): under
+    // speculation an original and a speculative attempt can BOTH finish
+    // with Success, so successes are deduped per
+    // (stageId, stageAttemptId, task index) — first one counts.
     if (end.reason == org.apache.spark.Success && m != null && m.outputMetrics != null) {
+      val firstSuccess = end.taskInfo == null ||
+        counted.add((end.stageId, end.stageAttemptId, end.taskInfo.index))
       val w = m.outputMetrics.recordsWritten
-      if (w > 0L) {
+      if (firstSuccess && w > 0L) {
         val total = rows.addAndGet(w)
         val n = tasks.incrementAndGet()
         report(f"[dump] $table: $total%,d rows written ($n write tasks done)")

@@ -771,14 +771,17 @@ object StreamingOps {
       checkpointDir: String,
       textCol: String = "text",
       idCol: String = "doc_id",
+      autoCompactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        maybeAutoCompact(sp, indexDir, autoCompactEvery, batchId, indexFold)
         writeLsmPart(
           graft.operators.Retrieval.invertedIndex(batch, textCol, idCol),
-          indexDir, batchId)
+          indexDir, batchId, lineageOf(sp, checkpointDir))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -845,20 +848,63 @@ object StreamingOps {
     */
   private val CompactedFoldMarker = "_graft_compacted"
 
-  /** The single write path for per-batch LSM parts (census, sums census,
-    * index partials, LSH, CMS, moments, IVF vectors). Refuses to
-    * overwrite a compacted fold: a maintainer restarted on a FRESH
-    * checkpoint re-begins batch numbering at 0, and once its batchId
-    * reaches the fold's id the overwrite would silently replace the
-    * dir's full history with one micro-batch's partial — a quiet
-    * corruption of everything served from the view (for the census,
-    * a privacy regression: suppression would judge against undercounts).
-    * New batches landing in NEW part ids still compose correctly (the
-    * merge is content-addressed, not order-addressed); only the
-    * collision with the fold is fatal, and it fails BEFORE any data
-    * moves. The real contract remains: one checkpoint lineage per dir.
+  /** Marker file inside every maintainer-written part naming the
+    * checkpoint LINEAGE that wrote it (underscore-prefixed — parquet
+    * directory reads ignore it). The lineage id is the streaming
+    * checkpoint's own query id, which Spark regenerates exactly when the
+    * checkpoint is wiped — the event that resets batch numbering and
+    * makes part-id collisions possible at all.
     */
-  private def writeLsmPart(df: DataFrame, dir: String, batchId: Long): Unit = {
+  private val LineageMarker = "_graft_lineage"
+
+  /** The maintainer's lineage id: the unique query id from the
+    * checkpoint's `metadata` file (`{"id":"<uuid>"}`), written by Spark
+    * at query start and regenerated on a fresh checkpoint — even one
+    * recreated at the SAME path, which a checkpoint-dir-string token
+    * could not distinguish. Falls back to the checkpoint path when the
+    * file is absent/unreadable (markerless fallback: same path ⇒ same
+    * token, so retries still pass).
+    */
+  private def lineageOf(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) checkpointDir
+      else {
+        val in = fs.open(p)
+        val txt =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse(checkpointDir)
+      }
+    } catch { case scala.util.control.NonFatal(_) => checkpointDir }
+  }
+
+  /** The single write path for per-batch LSM parts (census, sums census,
+    * index partials, LSH, CMS, moments, IVF vectors). Two guards, both
+    * failing BEFORE any data moves:
+    *  - never overwrite a compacted fold: a maintainer restarted on a
+    *    FRESH checkpoint re-begins batch numbering at 0, and once its
+    *    batchId reaches the fold's id the overwrite would silently
+    *    replace the dir's full history with one micro-batch's partial —
+    *    a quiet corruption of everything served from the view (for the
+    *    census, a privacy regression: suppression would judge against
+    *    undercounts);
+    *  - never overwrite a PLAIN part across lineages (ADVICE r16): the
+    *    same fresh-checkpoint maintainer silently replaces part=0..k
+    *    dirs holding uncompacted history long before it reaches a fold.
+    *    Every part is branded with its writer's lineage id; an existing
+    *    part with a DIFFERENT lineage is refused, while a same-lineage
+    *    retry (the at-least-once replay this write path exists to
+    *    absorb) overwrites idempotently as before. A part with no brand
+    *    (hand-built fixtures, pre-r17 dirs) stays overwritable — a
+    *    crashed attempt that wrote parquet but died before branding must
+    *    not wedge its own retry.
+    * New batches landing in NEW part ids still compose correctly (the
+    * merge is content-addressed, not order-addressed). The contract
+    * remains: one checkpoint lineage per dir.
+    */
+  private def writeLsmPart(df: DataFrame, dir: String, batchId: Long, lineage: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(s"$dir/part=$batchId")
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     require(
@@ -868,7 +914,24 @@ object StreamingOps {
         "overwrite it — resume with the original checkpoint (the checkpoint is the " +
         "batch-lineage contract) or maintain into a fresh dir"
     )
+    val brand = new org.apache.hadoop.fs.Path(target, LineageMarker)
+    if (fs.exists(brand)) {
+      val in = fs.open(brand)
+      val prev =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      require(
+        prev == lineage,
+        s"part=$batchId under $dir was written by checkpoint lineage $prev, not $lineage — " +
+          "a maintainer with a fresh checkpoint has re-begun batch numbering and would " +
+          "overwrite this part's history; resume with the original checkpoint or " +
+          "maintain into a fresh dir"
+      )
+    }
     df.write.mode("overwrite").parquet(target.toString)
+    val out = fs.create(brand, true)
+    try out.write(lineage.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def compactMarkerPath(indexDir: String) =
@@ -907,7 +970,13 @@ object StreamingOps {
     * skips the merge and finishes steps 3 (all idempotent).
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit =
-    compactLsm(spark, indexDir, () => currentIndexMerged(spark, indexDir))
+    compactLsm(spark, indexDir, indexFold)
+
+  /** The index LSM's fold of an explicit part-path set — the q115
+    * re-aggregation [[currentIndexMerged]] applies to the live set.
+    */
+  private def indexFold(spark: SparkSession, paths: Seq[String]): DataFrame =
+    graft.operators.Retrieval.mergeIndexes(spark.read.parquet(paths: _*))
 
   /** [[compactIndex]]'s protocol for the k-anonymity release census
     * (VERDICT r15 №2): fold every [[maintainCensus]] partial into one,
@@ -920,20 +989,28 @@ object StreamingOps {
     * the view is identical before/after — law-gated like the index.
     */
   def compactCensus(spark: SparkSession, dir: String): Unit =
-    compactLsm(spark, dir, () => currentCensus(spark, dir))
+    compactLsm(spark, dir, censusFold(dir, "__graft_cell_n", "census"))
 
   /** [[compactCensus]] for the clipped-sum census ([[maintainSumCensus]]
     * artifacts) — clipped sums add, so the fold is exact the same way.
     */
   def compactSumCensus(spark: SparkSession, dir: String): Unit =
-    compactLsm(spark, dir, () => currentSumCensus(spark, dir))
+    compactLsm(spark, dir, censusFold(dir, "__graft_cell_s", "sum census"))
+
+  private def censusFold(dir: String, cellCol: String, kind: String)(
+      spark: SparkSession,
+      paths: Seq[String]
+  ): DataFrame = mergedCensusViewOf(spark, dir, paths, cellCol, kind)
 
   /** [[compactCensus]] for the moment-sketch LSM ([[maintainMoments]]
     * artifacts) — raw moment sums add cell-wise, so one folded sketch
     * replaces the per-batch partials exactly.
     */
   def compactMoments(spark: SparkSession, dir: String): Unit =
-    compactLsm(spark, dir, () => currentMoments(spark, dir))
+    compactLsm(spark, dir, momentsFold)
+
+  private def momentsFold(spark: SparkSession, paths: Seq[String]): DataFrame =
+    graft.operators.Spectral.mergeMoments(spark.read.parquet(paths: _*))
 
   /** The shared stage→commit→swap compaction under every exact-merge
     * LSM in this module ([[compactIndex]]'s crash-safety argument,
@@ -943,21 +1020,32 @@ object StreamingOps {
     * superseded parts, rename, and uncommit. Resumable at every crash
     * point; the marker is never dropped while the staged fold is still
     * present.
+    *
+    * `merged` folds an EXPLICIT part-path set (not the whole live view):
+    * the auto-compaction path (VERDICT r16 №4) must fold only parts
+    * `< below` — parts from batches whose checkpoint commit is durable.
+    * Folding the in-flight batch's own part would name the fold after
+    * it, and a crash-then-replay of that batch would collide with its
+    * own fold; capping the fold at the current batchId makes the hazard
+    * structurally impossible. Manual compaction passes no cap (every
+    * existing part is from a committed batch once the maintainer is
+    * quiesced).
     */
   private def compactLsm(
       spark: SparkSession,
       indexDir: String,
-      merged: () => DataFrame
+      merged: (SparkSession, Seq[String]) => DataFrame,
+      below: Long = Long.MaxValue
   ): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hi = readCompactMarker(fs, indexDir) match {
       case Some(prev) => prev // resume a crashed run — its fold is committed
       case None =>
-        val parts = listParts(spark, indexDir)
+        val parts = listParts(spark, indexDir).filter(_ < below)
         require(parts.nonEmpty, s"no LSM partials under $indexDir")
         val boundary = parts.max
-        merged()
+        merged(spark, parts.sorted.toSeq.map(p => s"$indexDir/part=$p"))
           .write.mode("overwrite").parquet(compactedStaging(indexDir, boundary))
         // brand the fold BEFORE committing it: [[writeLsmPart]] must be
         // able to tell it from a maintainer part at every later point
@@ -992,6 +1080,41 @@ object StreamingOps {
     ()
   }
 
+  /** The auto-compaction policy hook (VERDICT r16 №4) every LSM
+    * maintainer runs at the TOP of its micro-batch when
+    * `autoCompactEvery > 0`: once the committed live-part count reaches
+    * the threshold, fold them through the maintainer family's own
+    * [[compactLsm]] — same stage→commit→swap protocol, same crash
+    * safety, so a long-lived streamed release is self-bounding instead
+    * of relying on an operator remembering to call `compact*`.
+    *
+    * Replay-safety is positional, not incidental: the fold considers
+    * only parts `< batchId` — batches whose checkpoint commit is
+    * durable (Spark replays at most the current uncommitted batch). A
+    * crashed attempt's own stale `part=<batchId>` therefore never enters
+    * a fold, so the subsequent [[writeLsmPart]] retry never collides
+    * with a fold named after itself. A marker left by a crashed fold is
+    * finished first regardless of the count (the fold is committed; only
+    * steps 3 remain), exactly like a manual re-invocation. Single-writer
+    * is preserved — the fold runs inside the maintainer's own serialized
+    * batch slot — and concurrent readers follow the same marker protocol
+    * they already follow under manual compaction.
+    */
+  private def maybeAutoCompact(
+      spark: SparkSession,
+      dir: String,
+      every: Int,
+      batchId: Long,
+      merged: (SparkSession, Seq[String]) => DataFrame
+  ): Unit =
+    if (every > 0) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = listParts(spark, dir).count(_ < batchId)
+      if (committed >= every || readCompactMarker(fs, dir).isDefined)
+        compactLsm(spark, dir, merged, below = batchId)
+    }
+
   /** Streaming maintenance of the [[graft.operators.Similarity.lshIndex]]
     * ANN artifact — the degenerate-and-therefore-ideal case of the index
     * LSM: the hyperplanes are DATA-INDEPENDENT, so a new vector's bucket
@@ -1012,12 +1135,17 @@ object StreamingOps {
       stream: DataFrame,
       indexDir: String,
       checkpointDir: String,
+      autoCompactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeLsmPart(graft.operators.Similarity.lshIndex(batch), indexDir, batchId)
+        val sp = batch.sparkSession
+        maybeAutoCompact(sp, indexDir, autoCompactEvery, batchId, lshFold)
+        writeLsmPart(
+          graft.operators.Similarity.lshIndex(batch), indexDir, batchId,
+          lineageOf(sp, checkpointDir))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1045,7 +1173,10 @@ object StreamingOps {
     * PLAN is already O(1) via the multi-path scan.
     */
   def compactLshIndex(spark: SparkSession, indexDir: String): Unit =
-    compactLsm(spark, indexDir, () => currentLshIndex(spark, indexDir))
+    compactLsm(spark, indexDir, lshFold)
+
+  private def lshFold(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
 
   /** Streaming maintenance of the IVF serve artifact — the third ANN
     * maintenance mode, and the one with real re-training pressure: a
@@ -1079,7 +1210,9 @@ object StreamingOps {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        writeLsmPart(batch.select(col("vec_id"), col("embedding")), s"$dir/vectors", batchId)
+        writeLsmPart(
+          batch.select(col("vec_id"), col("embedding")), s"$dir/vectors", batchId,
+          lineageOf(sp, checkpointDir))
         if ((batchId + 1) % refitEvery == 0) {
           // one multi-path scan over every vector part (r16): the refit
           // reads the WHOLE history, so a per-part union tree would grow
@@ -1192,12 +1325,17 @@ object StreamingOps {
       keyCol: String,
       depth: Int = 4,
       width: Int = 1024,
+      autoCompactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeLsmPart(graft.operators.Sketch.cmsSketch(batch, keyCol, depth, width), dir, batchId)
+        val sp = batch.sparkSession
+        maybeAutoCompact(sp, dir, autoCompactEvery, batchId, cmsFold)
+        writeLsmPart(
+          graft.operators.Sketch.cmsSketch(batch, keyCol, depth, width), dir, batchId,
+          lineageOf(sp, checkpointDir))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1218,7 +1356,10 @@ object StreamingOps {
 
   /** [[compactCensus]] for the CMS LSM — cell counts add, same fold. */
   def compactCms(spark: SparkSession, dir: String): Unit =
-    compactLsm(spark, dir, () => currentCms(spark, dir))
+    compactLsm(spark, dir, cmsFold)
+
+  private def cmsFold(spark: SparkSession, paths: Seq[String]): DataFrame =
+    graft.operators.Sketch.cmsMerge(spark.read.parquet(paths: _*))
 
   /** The COMPOSED streaming de-identified release feed — the q167
     * enclave-exit path as a live pipeline: every arriving batch is
@@ -1294,13 +1435,19 @@ object StreamingOps {
       dir: String,
       checkpointDir: String,
       quasiCols: Seq[String],
+      autoCompactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeLsmPart(graft.operators.Deidentify.cellCounts(batch, quasiCols), dir, batchId)
+        val sp = batch.sparkSession
+        maybeAutoCompact(
+          sp, dir, autoCompactEvery, batchId, censusFold(dir, "__graft_cell_n", "census"))
+        writeLsmPart(
+          graft.operators.Deidentify.cellCounts(batch, quasiCols), dir, batchId,
+          lineageOf(sp, checkpointDir))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1340,13 +1487,19 @@ object StreamingOps {
       quasiCols: Seq[String],
       valueCol: String,
       clip: Long,
+      autoCompactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeLsmPart(graft.operators.Deidentify.cellSums(batch, quasiCols, valueCol, clip), dir, batchId)
+        val sp = batch.sparkSession
+        maybeAutoCompact(
+          sp, dir, autoCompactEvery, batchId, censusFold(dir, "__graft_cell_s", "sum census"))
+        writeLsmPart(
+          graft.operators.Deidentify.cellSums(batch, quasiCols, valueCol, clip), dir, batchId,
+          lineageOf(sp, checkpointDir))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1385,23 +1538,55 @@ object StreamingOps {
       dir: String,
       cellCol: String,
       kind: String
+  ): DataFrame = mergedCensusViewOf(spark, dir, livePartPaths(spark, dir), cellCol, kind)
+
+  /** [[mergedCensusView]] over an EXPLICIT path set — the live view and
+    * the compaction fold share one implementation, so compacting can
+    * never produce a frame the view would not have served.
+    */
+  private def mergedCensusViewOf(
+      spark: SparkSession,
+      dir: String,
+      paths: Seq[String],
+      cellCol: String,
+      kind: String
   ): DataFrame = {
-    val paths = livePartPaths(spark, dir)
     require(paths.nonEmpty, s"no $kind parts under $dir")
-    // the loud-failure property the old unionByName gave for free, kept
-    // cheap: quasi-set drift is monotone in batch id (a redeploy with
-    // changed quasiCols), so the OLDEST and NEWEST live parts disagree
-    // at the transition — two footer-sample reads catch it before the
-    // multi-path scan would silently null-fill the missing columns and
-    // the census would feed corrupted counts to suppression / DP serve
+    // the loud-failure property the old unionByName gave for free
+    // (ADVICE r16 — full version): EVERY live part must agree on the
+    // full schema, names AND types. The r16 oldest-vs-newest name check
+    // only caught monotone drift; a redeploy A→B then rollback to A
+    // leaves B-schema parts in the MIDDLE, and a same-name type change
+    // passes any name-set comparison — after either, the multi-path
+    // scan silently null-fills or coerces and the census feeds
+    // corrupted counts to suppression / the DP serve path. Footer-only
+    // schema reads through a driver pool (the readBackReport pattern)
+    // are cheap relative to the scan, and bounded once auto-compaction
+    // bounds the live-part count.
     if (paths.size > 1) {
-      val oldest = spark.read.parquet(paths.head).columns.toSet
-      val newest = spark.read.parquet(paths.last).columns.toSet
+      def fields(p: String) = spark.read.parquet(p).schema.fields.toSeq
+        .map(f => (f.name, f.dataType))
+        .sortBy(_._1)
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(32, paths.size))
+      val schemas =
+        try {
+          val futures = paths.map { p =>
+            pool.submit(new java.util.concurrent.Callable[
+              (String, Seq[(String, org.apache.spark.sql.types.DataType)])] {
+              def call() = (p, fields(p))
+            })
+          }
+          futures.map(_.get())
+        } finally pool.shutdown()
+      val want = schemas.head._2
+      val bad = schemas.find(_._2 != want)
       require(
-        oldest == newest,
-        s"$kind parts disagree on columns (quasi-set drift) under $dir: " +
-          s"oldest=$oldest newest=$newest — all parts of one census dir must " +
-          "come from one maintainer with one quasi-column set"
+        bad.isEmpty,
+        s"$kind parts disagree on schema (quasi-set drift) under $dir: " +
+          s"${schemas.head._1} has ${want.mkString(", ")} but ${bad.get._1} has " +
+          s"${bad.get._2.mkString(", ")} — all parts of one census dir must " +
+          "come from one maintainer with one quasi-column set (names and types)"
       )
     }
     val all = spark.read.parquet(paths: _*)
@@ -1432,12 +1617,17 @@ object StreamingOps {
       stream: DataFrame,
       dir: String,
       checkpointDir: String,
+      autoCompactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeLsmPart(graft.operators.Spectral.momentSketch(batch), dir, batchId)
+        val sp = batch.sparkSession
+        maybeAutoCompact(sp, dir, autoCompactEvery, batchId, momentsFold)
+        writeLsmPart(
+          graft.operators.Spectral.momentSketch(batch), dir, batchId,
+          lineageOf(sp, checkpointDir))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -1993,6 +1993,74 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Auto-compaction policy at long-lived-stream batch counts (VERDICT
+    * r16 №4): `nBatches` micro-batches (default 120) drive
+    * [[graft.streaming.StreamingOps.maintainCensus]] with
+    * `autoCompactEvery = every` (default 16) — the maintainer must keep
+    * the dir bounded at `every + 1` live parts at EVERY point of the run
+    * with no operator-invoked compaction, and the merged view at the end
+    * must equal the one-pass batch census exactly. The part count is
+    * sampled while the stream runs, so the bound is observed, not
+    * inferred from the final state.
+    */
+  private def autoCensusMain(args: Array[String]): Unit = {
+    val nBatches = if (args.length > 1) args(1).toInt else 120
+    val every = if (args.length > 2) args(2).toInt else 16
+    val rowsPer = if (args.length > 3) args(3).toLong else 100000L
+    val spark = GraftSession.local("scale-smoke-autocensus", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Deidentify
+    val base = "/tmp/graft-autocensus-smoke"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[autocensus] $name%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val quasi = Seq("nation", "band")
+    time(s"build $nBatches input files x $rowsPer rows") {
+      spark
+        .range(nBatches.toLong * rowsPer)
+        .select(
+          pmod(col("id"), lit(200L)).as("nation"),
+          (pmod(expr("id div 200"), lit(50L)) * 2000L).as("band")
+        )
+        .repartition(nBatches)
+        .write.parquet(s"$base/in")
+    }
+    val schema = spark.read.parquet(s"$base/in").schema
+    val cdir = s"$base/census"
+    def liveParts = Option(new java.io.File(cdir).list())
+      .map(_.count(s => s.startsWith("part=") && !s.endsWith(".compacted")))
+      .getOrElse(0)
+    var maxParts = 0
+    time(s"maintainCensus($nBatches batches, autoCompactEvery=$every)") {
+      val q = graft.streaming.StreamingOps.maintainCensus(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+        cdir, s"$base/ckpt", quasi, autoCompactEvery = every)
+      while (!q.awaitTermination(100L))
+        maxParts = math.max(maxParts, liveParts)
+    }
+    maxParts = math.max(maxParts, liveParts)
+    println(s"[autocensus] max live parts observed: $maxParts (bound: ${every + 1}); final: $liveParts")
+    require(maxParts <= every + 1,
+      s"auto-compaction failed to bound the dir: $maxParts parts > ${every + 1}")
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = time("currentCensus over the self-bounded dir") {
+      cells(graft.streaming.StreamingOps.currentCensus(spark, cdir))
+    }
+    val batch = time("batch cellCounts over the full input") {
+      cells(Deidentify.cellCounts(spark.read.parquet(s"$base/in"), quasi))
+    }
+    require(streamed == batch, "auto-compacted census != batch census — the law broke")
+    println(s"[autocensus] streamed == batch over ${streamed.size} cells after " +
+      s"$nBatches micro-batches — self-bounding and exact")
+    spark.stop()
+  }
+
   /** Census-LSM compaction at long-lived-stream part counts (VERDICT r15
     * №2): a streamed DP release running for months accumulates one
     * `part=<batchId>` census per micro-batch — this smoke builds
@@ -2063,6 +2131,7 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("autocensus")) { autoCensusMain(args); return }
     if (args.headOption.contains("census")) { censusMain(args); return }
     if (args.headOption.contains("dpserve")) { dpServeMain(args); return }
     if (args.headOption.contains("lob")) { lobMain(args); return }

@@ -66,12 +66,27 @@ class DumpSpec extends SparkSpec {
     import org.apache.spark.GraftTestBridge
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val p = new graft.sources.DumpProgress("t", s => { lines.add(s); () })
-    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.success, 100L))
-    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.killed, 50L)) // dies mid-write
-    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.success, 50L)) // its retry
+    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.success, 100L, index = 0))
+    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.killed, 50L, index = 1)) // dies mid-write
+    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.success, 50L, index = 1, attemptNumber = 1)) // its retry
     assert(p.rowsWritten === 150L, "killed attempt excluded, retry counted once")
     assert(p.writeTasksCompleted === 2L)
     assert(lines.size === 2, "no tick for the killed attempt")
+  }
+
+  test("DumpProgress: duplicate speculative SUCCESSES count once per task (ADVICE r16)") {
+    // under speculation an original and a speculative attempt can BOTH
+    // finish with Success — Spark posts a TaskEnd(Success) for each, so
+    // reason-filtering alone still double-counts; successes dedupe per
+    // (stageId, stageAttemptId, task index)
+    import org.apache.spark.GraftTestBridge
+    val p = new graft.sources.DumpProgress("t", _ => ())
+    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.success, 100L, index = 0))
+    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.success, 100L, index = 0,
+      attemptNumber = 1, speculative = true)) // the speculative twin also succeeds
+    p.onTaskEnd(GraftTestBridge.taskEnd(GraftTestBridge.success, 40L, index = 1))
+    assert(p.rowsWritten === 140L, "speculative duplicate success not double-counted")
+    assert(p.writeTasksCompleted === 2L)
   }
 
   test("non-positive limit fails") {

@@ -1566,6 +1566,150 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("quasi-set drift"), e.getMessage)
   }
 
+  test("census views raise on NON-monotone and same-name TYPE drift across parts (ADVICE r16)") {
+    import graft.operators.Deidentify
+    val base = java.nio.file.Files.createTempDirectory("graft-census-drift2").toString
+    // rollback drift: a redeploy A→B then rollback to A leaves B-schema
+    // parts in the MIDDLE — the r16 oldest-vs-newest endpoint check
+    // passed this and the scan silently null-filled the extra column
+    val cdir = s"$base/rollback"
+    Deidentify.cellCounts((0L until 50L).map(i => (i, i % 5)).toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$cdir/part=0")
+    Deidentify.cellCounts(
+      (0L until 50L).map(i => (i, i % 5, i % 3)).toDF("id", "nation", "segment"),
+      Seq("nation", "segment"))
+      .write.parquet(s"$cdir/part=1")
+    Deidentify.cellCounts((50L until 90L).map(i => (i, i % 5)).toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$cdir/part=2")
+    val e1 = intercept[IllegalArgumentException](StreamingOps.currentCensus(spark, cdir))
+    assert(e1.getMessage.contains("quasi-set drift"), e1.getMessage)
+    // type drift: identical column NAMES, but the quasi column changed
+    // type mid-dir — any name-set comparison passes, after which the
+    // multi-path scan would coerce/corrupt; the full-schema check refuses
+    val tdir = s"$base/typedrift"
+    Deidentify.cellCounts((0L until 50L).map(i => (i, i % 5)).toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$tdir/part=0")
+    Deidentify.cellCounts(
+      (0L until 50L).map(i => (i, (i % 5).toString)).toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$tdir/part=1")
+    val e2 = intercept[IllegalArgumentException](StreamingOps.currentCensus(spark, tdir))
+    assert(e2.getMessage.contains("quasi-set drift"), e2.getMessage)
+  }
+
+  test("a fresh-checkpoint maintainer cannot overwrite a PLAIN part; same-lineage retry can (ADVICE r16)") {
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-lineage-guard").toString
+    val cdir = s"$base/census"
+    val rows = (0L until 200L).map(i => (i, i % 5))
+    def censusSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two batches into parts 0,1 — UNCOMPACTED history, lineage-branded
+    val cs = MemoryStream[(Long, Long)]
+    val q1 = StreamingOps.maintainCensus(
+      cs.toDF().toDF("id", "nation"), cdir, s"$base/ckpt1", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    rows.grouped(100).foreach { b => cs.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    assert(new java.io.File(s"$cdir/part=0/_graft_lineage").exists(), "parts are branded")
+    val before = censusSet(StreamingOps.currentCensus(spark, cdir))
+    // same-lineage REPLAY: delete the newest commit so the restarted
+    // query re-executes its last batch — the retry overwrites part=1
+    // idempotently (the at-least-once contract the write path absorbs)
+    val commits = new java.io.File(s"$base/ckpt1/commits").listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit))
+    val newest = commits.map(_.toInt).max
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$base/ckpt1/commits/$newest"))
+    // the local checksum FS keeps a shadow .crc — a stale one makes the
+    // replayed commit's atomic rename fail as a concurrent-writer error
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/ckpt1/commits/.$newest.crc"))
+    val q1b = StreamingOps.maintainCensus(
+      cs.toDF().toDF("id", "nation"), cdir, s"$base/ckpt1", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q1b.processAllAvailable(); q1b.stop()
+    assert(censusSet(StreamingOps.currentCensus(spark, cdir)) === before,
+      "same-lineage retry overwrote its own part idempotently")
+    // a maintainer on a FRESH checkpoint re-begins at batch 0: part=0
+    // holds uncompacted history it would silently replace — refused
+    // BEFORE any data moves (the pre-r17 guard only protected folds)
+    val cs2 = MemoryStream[(Long, Long)]
+    val q2 = StreamingOps.maintainCensus(
+      cs2.toDF().toDF("id", "nation"), cdir, s"$base/ckpt2", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    cs2.addData(rows.take(10))
+    val e = intercept[Exception](q2.processAllAvailable())
+    q2.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("lineage")), s"got: ${msgs(e)}")
+    // part=0 survived untouched
+    assert(censusSet(StreamingOps.currentCensus(spark, cdir)) === before)
+  }
+
+  test("autoCompactEvery: census LSM is self-bounding — auto == manual == uncompacted == batch; crash mid-fold resumes (VERDICT r16 №4)") {
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-autocompact").toString
+    val adir = s"$base/auto"
+    val udir = s"$base/plain"
+    val rows = (0L until 400L).map(i => (i, i % 7))
+    val batches = rows.grouped(50).toSeq // 8 micro-batches
+    def run(dir: String, ckpt: String, every: Int): Unit = {
+      val st = MemoryStream[(Long, Long)]
+      val q = StreamingOps.maintainCensus(
+        st.toDF().toDF("id", "nation"), dir, ckpt, Seq("nation"),
+        autoCompactEvery = every,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      batches.foreach { b => st.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    run(adir, s"$base/ckptA", 3)
+    run(udir, s"$base/ckptU", 0)
+    def partCount(d: String) = new java.io.File(d).list()
+      .count(s => s.startsWith("part=") && !s.endsWith(".compacted"))
+    // self-bounding: the fold fires whenever >= 3 committed parts exist,
+    // so the live count never exceeds every + 1 (fold + in-flight part)
+    assert(partCount(adir) <= 4, s"auto dir should stay bounded, got ${partCount(adir)}")
+    assert(partCount(udir) >= 8, s"control dir grows one part per batch, got ${partCount(udir)}")
+    def censusSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = censusSet(Deidentify.cellCounts(rows.toDF("id", "nation"), Seq("nation")))
+    assert(censusSet(StreamingOps.currentCensus(spark, adir)) === want, "auto == batch")
+    assert(censusSet(StreamingOps.currentCensus(spark, udir)) === want, "uncompacted == batch")
+    StreamingOps.compactCensus(spark, udir)
+    assert(censusSet(StreamingOps.currentCensus(spark, udir)) === want, "manual == batch")
+    // crash mid-auto-fold at the COMMIT point (state B of the compactLsm
+    // walk): stage a fold of everything live, brand it, commit the
+    // marker — then die. The view stays complete, and the NEXT maintainer
+    // batch finishes the fold first (marker-resume inside
+    // maybeAutoCompact) before writing its own part.
+    val hi = new java.io.File(adir).list()
+      .collect { case s if s.startsWith("part=") && s.stripPrefix("part=").forall(_.isDigit) =>
+        s.stripPrefix("part=").toLong }
+      .max
+    StreamingOps.currentCensus(spark, adir).write.parquet(s"$adir/part=$hi.compacted")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$adir/part=$hi.compacted/_graft_compacted"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$adir/_compacting"), hi.toString)
+    assert(censusSet(StreamingOps.currentCensus(spark, adir)) === want,
+      "view complete at the crash point")
+    val extra = (400L until 450L).map(i => (i, i % 7))
+    val st2 = MemoryStream[(Long, Long)]
+    val q2 = StreamingOps.maintainCensus(
+      st2.toDF().toDF("id", "nation"), adir, s"$base/ckptA2", Seq("nation"),
+      autoCompactEvery = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    st2.addData(extra); q2.processAllAvailable(); q2.stop()
+    assert(!new java.io.File(s"$adir/_compacting").exists(), "crashed fold finished")
+    val wantAll = censusSet(
+      Deidentify.cellCounts((rows ++ extra).toDF("id", "nation"), Seq("nation")))
+    assert(censusSet(StreamingOps.currentCensus(spark, adir)) === wantAll,
+      "resumed fold + new batch == batch census of everything")
+    assert(partCount(adir) <= 4, "still bounded after the resume")
+  }
+
   test("currentIvf skips a generation whose centroids are not durable yet (ADVICE r10)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-gen").toString

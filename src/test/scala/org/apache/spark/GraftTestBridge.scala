@@ -11,10 +11,19 @@ import org.apache.spark.scheduler.SparkListenerTaskEnd
   */
 object GraftTestBridge {
 
-  def taskEnd(reason: TaskEndReason, recordsWritten: Long): SparkListenerTaskEnd = {
+  def taskEnd(
+      reason: TaskEndReason,
+      recordsWritten: Long,
+      index: Int = 0,
+      attemptNumber: Int = 0,
+      speculative: Boolean = false
+  ): SparkListenerTaskEnd = {
     val tm = TaskMetrics.empty
     tm.outputMetrics.setRecordsWritten(recordsWritten)
-    SparkListenerTaskEnd(0, 0, "ResultTask", reason, null, null, tm)
+    val info = new org.apache.spark.scheduler.TaskInfo(
+      index.toLong * 10 + attemptNumber, index, attemptNumber, index, 0L,
+      "exec-1", "host-1", org.apache.spark.scheduler.TaskLocality.ANY, speculative)
+    SparkListenerTaskEnd(0, 0, "ResultTask", reason, info, null, tm)
   }
 
   def success: TaskEndReason = Success
