@@ -32,8 +32,20 @@ BAND_FACTOR = {"scan": 1.3, "shuffle": 1.5, "ann": 1.5, "fileio": 1.5, "cluster"
 # codegen jitter, which is ADDITIVE — a ratio against a 0.15 s anchor
 # flags noise, not work (q39/q56/q88 flagged on every quiet board while
 # probes showed the board readings ARE the floor). The slow-side
-# threshold becomes max(anchor, ANCHOR_FLOOR) * band.
+# threshold becomes max(anchor, floor) * band. The floor is MODE-aware
+# (r17): a median-of-3 reading carries the typical jitter, not the
+# best-of-2 minimum, and the r17 cutover measured the old sub-floor
+# class (66 sub-0.5s anchors) reading 1.32x higher under median mode
+# (the 32 old sub-0.30 rows now read up to 0.43 s on quiet boards) — so
+# median boards grade against 0.30 x 1.32 ~= 0.40 while best-of-2 /
+# unknown-mode artifacts keep the original 0.30.
 ANCHOR_FLOOR = 0.30
+ANCHOR_FLOOR_MEDIAN = 0.40
+
+
+def floor_for(summary):
+    mode = (summary or {}).get("bench_mode", "")
+    return ANCHOR_FLOOR_MEDIAN if mode.startswith("median") else ANCHOR_FLOOR
 
 # Queries newer than the last hand-written family-table edit, plus rows
 # the table's prose assigns specially. Everything else resolves from the
@@ -207,6 +219,16 @@ def selftest(baseline_path="BASELINE.md"):
         return anchor >= ANCHOR_FLOOR and reading / anchor < 1.0 / factor
     assert not grades_fast(0.11, 0.17, BAND_FACTOR["scan"]), "sub-floor anchor graded FAST"
     assert grades_fast(0.30, 0.50, BAND_FACTOR["scan"]), "real speedup must still grade FAST"
+    # mode-aware floor (r17): median boards carry typical jitter, not the
+    # best-of-2 minimum — they grade against the scaled floor; artifacts
+    # with no summary stay on the conservative original
+    assert floor_for({"bench_mode": "median_of_3"}) == ANCHOR_FLOOR_MEDIAN
+    assert floor_for({"bench_mode": "best_of_2"}) == ANCHOR_FLOOR
+    assert floor_for(None) == ANCHOR_FLOOR
+    # a 0.43s median-mode reading on a 0.32s anchor (the measured r17
+    # sub-floor class ceiling) must NOT flag; it would have under 0.30
+    assert 0.43 <= max(0.32, ANCHOR_FLOOR_MEDIAN) * BAND_FACTOR["scan"]
+    assert 0.43 > max(0.32, ANCHOR_FLOOR) * BAND_FACTOR["scan"]
     # front-truncated driver artifact: the leading {"metric":...} headline
     # is cut, per-query pairs are scraped from the tail, and the trailing
     # summary block still grades the WHOLE board (VERDICT r16 №6)
@@ -248,6 +270,7 @@ def main():
     baseline_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
     anchors, families = parse_baseline(baseline_path)
     queries, summary = load_bench(bench_path)
+    floor = floor_for(summary)
 
     rows, out_of_band, no_anchor = [], [], []
     for name in sorted(queries):
@@ -262,10 +285,10 @@ def main():
             no_anchor.append(name)
         else:
             ratio = reading / anchor
-            if reading > max(anchor, ANCHOR_FLOOR) * factor:
+            if reading > max(anchor, floor) * factor:
                 verdict = "OUT-OF-BAND"
                 out_of_band.append((name, reading, anchor, ratio, fam, factor))
-            elif anchor >= ANCHOR_FLOOR and ratio < 1.0 / factor:
+            elif anchor >= floor and ratio < 1.0 / factor:
                 # FAST only grades against anchors the floor rule trusts
                 # (ADVICE r16): under the floor a query's wall time is
                 # additive scheduler/codegen jitter, so a "fast" ratio on
@@ -276,6 +299,8 @@ def main():
                 verdict = "IN-BAND"
         rows.append((name, reading, anchor, ratio, fam + ("*" if defaulted else ""), verdict))
 
+    mode = (summary or {}).get("bench_mode", "unknown (no summary)")
+    print(f"bench mode: {mode}; sub-anchor floor {floor:.2f}s\n")
     print(f"{'query':34} {'read':>7} {'anchor':>7} {'ratio':>6}  {'family':10} verdict")
     for name, reading, anchor, ratio, fam, verdict in rows:
         a = f"{anchor:7.3f}" if anchor is not None else "      —"
