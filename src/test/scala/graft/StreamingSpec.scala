@@ -1647,6 +1647,54 @@ class StreamingSpec extends SparkSpec {
     assert(censusSet(StreamingOps.currentCensus(spark, cdir)) === before)
   }
 
+  test("autoCompactEvery wires the right fold per family: LSH and CMS self-bound and stay exact (VERDICT r16 №4)") {
+    // every maintainer passes ITS OWN fold function to the shared
+    // auto-compaction hook — a census fold wired into the LSH maintainer
+    // would corrupt the dir silently, so a second and third family pin
+    // the per-family wiring, not just the census path
+    import graft.operators.{Similarity, Sketch}
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-autocompact2").toString
+    val vecs = spark.read
+      .parquet(s"$Sf001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .collect()
+      .toSeq
+    def partCount(d: String) = new java.io.File(d).list()
+      .count(s => s.startsWith("part=") && !s.endsWith(".compacted"))
+    // LSH: 5 batches, fold every 2 — the fold is a plain union rewrite
+    val ls = MemoryStream[(Long, Seq[Float])]
+    val q1 = StreamingOps.maintainLshIndex(
+      ls.toDF().toDF("vec_id", "embedding"), s"$base/lsh", s"$base/lshckpt",
+      autoCompactEvery = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    vecs.grouped((vecs.length + 4) / 5).foreach { b => ls.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    assert(partCount(s"$base/lsh") <= 3, s"lsh parts: ${partCount(s"$base/lsh")}")
+    val live = StreamingOps.currentLshIndex(spark, s"$base/lsh")
+    val batch = Similarity.lshIndex(vecs.toDF("vec_id", "embedding"))
+    assert(live.except(batch).count() === 0L && batch.except(live).count() === 0L,
+      "auto-compacted LSH index == batch build")
+    // CMS: counter grids add — the folded sketch must equal the one-pass build
+    val rows = (0L until 600L).map(i => (i, s"k${i % 37}"))
+    val cs = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.maintainCms(
+      cs.toDF().toDF("id", "k"), s"$base/cms", s"$base/cmsckpt", "k",
+      autoCompactEvery = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    rows.grouped(120).foreach { b => cs.addData(b); q2.processAllAvailable() }
+    q2.stop()
+    assert(partCount(s"$base/cms") <= 3, s"cms parts: ${partCount(s"$base/cms")}")
+    def grid(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("row").cast("long"), col("cms_col").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(
+      grid(StreamingOps.currentCms(spark, s"$base/cms"))
+        === grid(Sketch.cmsSketch(rows.toDF("id", "k"), "k")),
+      "auto-compacted CMS == one-pass sketch")
+  }
+
   test("autoCompactEvery: census LSM is self-bounding — auto == manual == uncompacted == batch; crash mid-fold resumes (VERDICT r16 №4)") {
     import graft.operators.Deidentify
     implicit val sqlCtx = spark.sqlContext
