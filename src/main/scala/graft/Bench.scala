@@ -114,12 +114,15 @@ object Bench {
     // still land last on the line, where the tail keeps them.
     val bestOf2 = args.contains("--best-of-2") ||
       sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("best_of_2")
-    val reps =
-      if (bestOf2) 2
-      else
-        args.sliding(2).collectFirst { case Array("--reps", n) => n.toInt }
-          .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt))
-          .getOrElse(3)
+    val explicitReps = args.sliding(2).collectFirst { case Array("--reps", n) => n.toInt }
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt))
+    // conflicting modes must fail, not silently pick one (r17 review:
+    // `--best-of-2 --reps 5` used to run 2 reps with no warning)
+    require(
+      !(bestOf2 && explicitReps.isDefined),
+      "--best-of-2 and --reps are mutually exclusive (best-of-2 is exactly 2 reps, min)"
+    )
+    val reps = if (bestOf2) 2 else explicitReps.getOrElse(3)
     require(reps >= 1, s"need --reps >= 1, got $reps")
     val benchMode = if (bestOf2) "best_of_2" else s"median_of_$reps"
     def median(ts: Seq[Double]): Double = {
@@ -207,9 +210,13 @@ object Bench {
     // tripling the per-query payload would push most of the board out of
     // the retained tail — the spread is a local diagnosis artifact
     val stats = ok
-      .map { case (k, v, runs, _) =>
+      .map { case (k, _, runs, _) =>
+        // "med" is the true median of the reps in EVERY mode — in
+        // best-of-2 the REPORTED number is the min, and writing that
+        // into "med" would hand a wrong median to anyone diagnosing
+        // rep spread from this file (r17 review)
         "\"" + k + "\":{" +
-          f""""min":${runs.min}%.3f,"med":$v%.3f,"max":${runs.max}%.3f""" + "}"
+          f""""min":${runs.min}%.3f,"med":${median(runs.toSeq)}%.3f,"max":${runs.max}%.3f""" + "}"
       }
       .mkString(
         s"""{"bench_mode":"$benchMode","reps":$reps,"sf":"$sfDir","queries":{""",

@@ -822,18 +822,62 @@ object StreamingOps {
     * single FileScan node regardless of part count, instead of one scan
     * node per micro-batch part glued by a linear union tree (VERDICT
     * r15 — at thousands of parts the PLAN itself became the bottleneck).
+    *
+    * Resolution is a STABLE-SNAPSHOT loop (r17 review): the marker read
+    * and the part listing are two filesystem reads, and a compaction
+    * swap advancing between them could resolve a view that silently
+    * MISSES the fold (list taken after the superseded-part deletes,
+    * marker read after the uncommit — only parts > hi survive both).
+    * Before auto-compaction that interleaving required racing a rare
+    * quiesced manual fold; with [[maybeAutoCompact]] the swap is
+    * routine, so the resolver now re-reads (marker, parts) until two
+    * consecutive snapshots agree — a swap step between the paired reads
+    * changes one of the two, so an agreeing pair brackets no mutation.
+    * (The only mutation-invisible pair is a single-part fold replacing
+    * `part=hi` with its own exact merge — content-identical, so the
+    * view is still right.) Files can still vanish between resolution
+    * and the SCAN (any merge-on-read over a mutating dir has that
+    * window); that failure mode is LOUD (FileNotFound — re-run the
+    * view), never a silent undercount.
     */
   private def livePartPaths(spark: SparkSession, indexDir: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = listParts(spark, indexDir).sorted // oldest-first, deterministic
-    readCompactMarker(fs, indexDir) match {
-      case Some(hi) if fs.exists(new org.apache.hadoop.fs.Path(compactedStaging(indexDir, hi))) =>
-        compactedStaging(indexDir, hi) +:
-          parts.filter(_ > hi).toSeq.map(p => s"$indexDir/part=$p")
-      case _ =>
-        parts.toSeq.map(p => s"$indexDir/part=$p")
+    // the staged dir's existence is PART of the snapshot: checking it
+    // after agreement would reopen the same window (marker stable, but
+    // the rename lands between the paired reads and the late exists()
+    // sees it gone — the fold would silently drop out of the view)
+    def snapshot(): (Option[Long], Seq[Long], Boolean) = {
+      val marker = readCompactMarker(fs, indexDir)
+      val parts = listParts(spark, indexDir).sorted.toSeq
+      val staged = marker.exists(hi =>
+        fs.exists(new org.apache.hadoop.fs.Path(compactedStaging(indexDir, hi)))
+      )
+      (marker, parts, staged)
     }
+    var prev = snapshot()
+    var attempts = 0
+    while (attempts < 100) {
+      val cur = snapshot()
+      if (cur == prev) {
+        val (marker, parts, staged) = cur
+        return marker match {
+          case Some(hi) if staged =>
+            compactedStaging(indexDir, hi) +:
+              parts.filter(_ > hi).map(p => s"$indexDir/part=$p")
+          case _ =>
+            // no marker, or the rename already landed on BOTH reads —
+            // the fold (if any) is a plain part=hi in the listing
+            parts.map(p => s"$indexDir/part=$p")
+        }
+      }
+      prev = cur
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"live-part snapshot of $indexDir would not stabilize after $attempts attempts — " +
+        "a compaction appears to be churning continuously; quiesce the maintainer or retry"
+    )
   }
 
   private def compactedStaging(indexDir: String, hi: Long): String =
@@ -857,27 +901,58 @@ object StreamingOps {
     */
   private val LineageMarker = "_graft_lineage"
 
+  /** Read a small UTF-8 text file (marker/metadata) — the one Hadoop-FS
+    * idiom under every marker in this module.
+    */
+  private def readUtf8(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path
+  ): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** [[readUtf8]] when the file may legitimately not exist. */
+  private def readUtf8IfExists(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path
+  ): Option[String] =
+    if (fs.exists(p)) Some(readUtf8(fs, p)) else None
+
+  private def writeUtf8(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      s: String
+  ): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** The maintainer's lineage id: the unique query id from the
     * checkpoint's `metadata` file (`{"id":"<uuid>"}`), written by Spark
     * at query start and regenerated on a fresh checkpoint — even one
     * recreated at the SAME path, which a checkpoint-dir-string token
-    * could not distinguish. Falls back to the checkpoint path when the
-    * file is absent/unreadable (markerless fallback: same path ⇒ same
-    * token, so retries still pass).
+    * could not distinguish. Falls back to the checkpoint path only when
+    * the file is ABSENT (a markerless configuration: same path ⇒ same
+    * token, so retries still pass). An IO failure reading an EXISTING
+    * metadata file propagates loudly (r17 review): silently degrading
+    * to the path token would brand/compare mismatched tokens — a
+    * transient blip during a replay would kill a legitimate stream with
+    * a false fresh-checkpoint error, and a persistent one would quietly
+    * downgrade the guard to the token the uuid exists to be stronger
+    * than. A loud batch failure retries under Spark's own restart
+    * machinery instead.
     */
   private def lineageOf(spark: SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
-    try {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) checkpointDir
-      else {
-        val in = fs.open(p)
-        val txt =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readUtf8IfExists(fs, p)
+      .map(txt =>
         """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse(checkpointDir)
-      }
-    } catch { case scala.util.control.NonFatal(_) => checkpointDir }
+      )
+      .getOrElse(checkpointDir)
   }
 
   /** The single write path for per-batch LSM parts (census, sums census,
@@ -899,11 +974,27 @@ object StreamingOps {
     *    absorb) overwrites idempotently as before. A part with no brand
     *    (hand-built fixtures, pre-r17 dirs) stays overwritable — a
     *    crashed attempt that wrote parquet but died before branding must
-    *    not wedge its own retry.
-    * New batches landing in NEW part ids still compose correctly (the
-    * merge is content-addressed, not order-addressed). The contract
-    * remains: one checkpoint lineage per dir.
+    *    not wedge its own retry;
+    *  - never write into a dir holding ANY part of a different lineage
+    *    (r17 review): the per-id collision check alone lets a
+    *    fresh-checkpoint maintainer interleave its parts 0..k-1 into a
+    *    compacted dir (those ids were folded away, so nothing collides
+    *    until the fold id) — and a restarted-from-scratch checkpoint
+    *    replays the SOURCE from zero, so those foreign parts
+    *    double-count every cell the fold already holds. The dir scan
+    *    runs once per (dir, lineage) per process (brands are only ever
+    *    written by refused-or-same writers after that, so the verdict
+    *    cannot go stale); [[compactLsm]] propagates the brand onto its
+    *    fold so a compacted dir stays owned.
+    * Unbranded dirs (hand-built fixtures, pre-r17 history) remain
+    * writable by anyone once — the first r17 maintainer brands them.
+    * The contract, now enforced rather than documented: one checkpoint
+    * lineage per dir; to migrate, resume the original checkpoint or
+    * maintain into a fresh dir.
     */
+  private val verifiedDirLineage =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
   private def writeLsmPart(df: DataFrame, dir: String, batchId: Long, lineage: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(s"$dir/part=$batchId")
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -914,24 +1005,32 @@ object StreamingOps {
         "overwrite it — resume with the original checkpoint (the checkpoint is the " +
         "batch-lineage contract) or maintain into a fresh dir"
     )
-    val brand = new org.apache.hadoop.fs.Path(target, LineageMarker)
-    if (fs.exists(brand)) {
-      val in = fs.open(brand)
-      val prev =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      require(
-        prev == lineage,
-        s"part=$batchId under $dir was written by checkpoint lineage $prev, not $lineage — " +
-          "a maintainer with a fresh checkpoint has re-begun batch numbering and would " +
-          "overwrite this part's history; resume with the original checkpoint or " +
-          "maintain into a fresh dir"
-      )
+    if (!verifiedDirLineage.contains((dir, lineage))) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(root)) {
+        val foreign = fs
+          .listStatus(root)
+          .map(_.getPath)
+          .filter(_.getName.startsWith("part="))
+          .flatMap(p =>
+            readUtf8IfExists(fs, new org.apache.hadoop.fs.Path(p, LineageMarker))
+              .map(_.trim)
+              .filter(_ != lineage)
+              .map((p.getName, _))
+          )
+        require(
+          foreign.isEmpty,
+          s"$dir already holds ${foreign.length} part(s) written by a different checkpoint " +
+            s"lineage (${foreign.head._1} carries ${foreign.head._2}, this maintainer is " +
+            s"$lineage) — a fresh-checkpoint maintainer replays its source from zero, so " +
+            "interleaving its parts would double-count the dir's history; resume with the " +
+            "original checkpoint or maintain into a fresh dir"
+        )
+      }
+      verifiedDirLineage.put((dir, lineage), ())
     }
     df.write.mode("overwrite").parquet(target.toString)
-    val out = fs.create(brand, true)
-    try out.write(lineage.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeUtf8(fs, new org.apache.hadoop.fs.Path(target, LineageMarker), lineage)
   }
 
   private def compactMarkerPath(indexDir: String) =
@@ -940,15 +1039,8 @@ object StreamingOps {
   private def readCompactMarker(
       fs: org.apache.hadoop.fs.FileSystem,
       indexDir: String
-  ): Option[Long] = {
-    val p = compactMarkerPath(indexDir)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
-  }
+  ): Option[Long] =
+    readUtf8IfExists(fs, compactMarkerPath(indexDir)).map(_.trim.toLong)
 
   /** Fold all partials into one (named for the highest batch folded).
     * Run QUIESCED — with the maintaining stream stopped — like every
@@ -1053,9 +1145,22 @@ object StreamingOps {
           new org.apache.hadoop.fs.Path(
             compactedStaging(indexDir, boundary), CompactedFoldMarker), true
         ).close()
-        val out = fs.create(compactMarkerPath(indexDir), true)
-        try out.write(boundary.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        // and propagate the maintainer's LINEAGE brand onto the fold
+        // (r17 review): an unbranded fold reopens the dir to a foreign
+        // fresh-checkpoint maintainer — its parts 0..hi-1 would land in
+        // ids the fold absorbed, nothing colliding until the fold id
+        // itself, double-counting the dir's whole history in the view
+        readUtf8IfExists(
+          fs,
+          new org.apache.hadoop.fs.Path(s"$indexDir/part=$boundary", LineageMarker)
+        ).foreach(brand =>
+          writeUtf8(
+            fs,
+            new org.apache.hadoop.fs.Path(compactedStaging(indexDir, boundary), LineageMarker),
+            brand.trim
+          )
+        )
+        writeUtf8(fs, compactMarkerPath(indexDir), boundary.toString)
         boundary
     }
     val staged = new org.apache.hadoop.fs.Path(compactedStaging(indexDir, hi))
@@ -1544,6 +1649,13 @@ object StreamingOps {
     * the compaction fold share one implementation, so compacting can
     * never produce a frame the view would not have served.
     */
+  /** Footer schemas already verified, keyed by part path — sound because
+    * a part is immutable once written (same-lineage retries rewrite the
+    * same aggregate shape; foreign-lineage rewrites are refused).
+    */
+  private val censusSchemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, org.apache.spark.sql.types.DataType)]]
+
   private def mergedCensusViewOf(
       spark: SparkSession,
       dir: String,
@@ -1564,21 +1676,30 @@ object StreamingOps {
     // are cheap relative to the scan, and bounded once auto-compaction
     // bounds the live-part count.
     if (paths.size > 1) {
+      // per-path schema CACHE (r17 review): a part is immutable once
+      // written (a retry overwrites with the same maintainer aggregate,
+      // hence the same schema), so each path pays its footer read ONCE
+      // per process — a long-lived serve loop over an uncompacted dir
+      // re-checks only the parts new since its last call, and the
+      // comparison over cached entries is in-memory. Cold paths still
+      // read through a bounded driver pool (the readBackReport pattern).
       def fields(p: String) = spark.read.parquet(p).schema.fields.toSeq
         .map(f => (f.name, f.dataType))
         .sortBy(_._1)
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(32, paths.size))
-      val schemas =
+      val cold = paths.filterNot(censusSchemaCache.contains)
+      if (cold.nonEmpty) {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(32, cold.size))
         try {
-          val futures = paths.map { p =>
-            pool.submit(new java.util.concurrent.Callable[
-              (String, Seq[(String, org.apache.spark.sql.types.DataType)])] {
-              def call() = (p, fields(p))
+          val futures = cold.map { p =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = { censusSchemaCache.put(p, fields(p)); () }
             })
           }
-          futures.map(_.get())
+          futures.foreach(_.get())
         } finally pool.shutdown()
+      }
+      val schemas = paths.map(p => (p, censusSchemaCache(p)))
       val want = schemas.head._2
       val bad = schemas.find(_._2 != want)
       require(

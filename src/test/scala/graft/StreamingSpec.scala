@@ -1349,15 +1349,17 @@ class StreamingSpec extends SparkSpec {
       flat(StreamingOps.currentIndexMerged(spark, idxDir))
         === flat(Retrieval.invertedIndex((b1 ++ b2).toDF("doc_id", "text")))
     )
-    // maintenance resumes on top of the compacted part
-    val stream2 = MemoryStream[(Long, String)]
+    // maintenance resumes on top of the compacted part — with the
+    // ORIGINAL checkpoint: that is the contract the r17 lineage guard
+    // enforces (a fresh checkpoint replays its source from zero and
+    // would double-count the dir's folded history; it is refused)
     val q2 = StreamingOps.maintainIndexPartials(
-      stream2.toDF().toDF("doc_id", "text"),
+      stream.toDF().toDF("doc_id", "text"),
       idxDir,
-      s"$dir/ckpt2",
+      s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
     )
-    stream2.addData(b3); q2.processAllAvailable()
+    stream.addData(b3); q2.processAllAvailable()
     q2.stop()
     assert(
       flat(StreamingOps.currentIndexMerged(spark, idxDir))
@@ -1457,11 +1459,14 @@ class StreamingSpec extends SparkSpec {
     assert(censusSet(StreamingOps.currentSumCensus(spark, sdir)) === wantS)
     // the kind check survives compaction: a COUNT dir read as sums raises
     intercept[IllegalArgumentException](StreamingOps.currentSumCensus(spark, cdir))
-    // maintenance resumes on top of the folded part; view == full batch
-    val cs2 = MemoryStream[(Long, Long, Long)]
-    cs2.addData(b3)
+    // maintenance resumes on top of the folded part; view == full batch.
+    // Resumed with the ORIGINAL checkpoint (same MemoryStream instance,
+    // offsets align) — the r17 lineage guard refuses a fresh checkpoint
+    // here, because a real fresh checkpoint replays the source from zero
+    // and would double-count the folded history
+    cs.addData(b3)
     val q3 = StreamingOps.maintainCensus(
-      cs2.toDF().toDF("c_custkey", "nation", "v"), cdir, s"$cdir/_ckpt2", Seq("nation"))
+      cs.toDF().toDF("c_custkey", "nation", "v"), cdir, s"$cdir/_ckpt", Seq("nation"))
     q3.processAllAvailable(); q3.stop()
     assert(censusSet(StreamingOps.currentCensus(spark, cdir)) ===
       censusSet(Deidentify.cellCounts(full, Seq("nation"))))
@@ -1515,24 +1520,28 @@ class StreamingSpec extends SparkSpec {
     assert(view === want)
   }
 
-  test("a fresh-checkpoint maintainer cannot overwrite a compacted fold (r16 review)") {
+  test("a maintainer cannot overwrite a compacted fold in an UNBRANDED legacy dir (r16 review)") {
     import graft.operators.Deidentify
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-fold-guard").toString
     val cdir = s"$base/census"
     val rows = (0L until 200L).map(i => (i, i % 5))
-    // two batches, then compact: the fold at part=1 holds ALL history
-    val cs = MemoryStream[(Long, Long)]
-    val q1 = StreamingOps.maintainCensus(
-      cs.toDF().toDF("id", "nation"), cdir, s"$base/ckpt1", Seq("nation"),
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-    rows.grouped(100).foreach { b => cs.addData(b); q1.processAllAvailable() }
-    q1.stop()
+    // a pre-r17 dir: parts written WITHOUT lineage brands, then folded —
+    // the dir-level lineage check cannot protect it (nothing is branded,
+    // so the fold carries no brand either), which is exactly why the
+    // fold marker stays a separate, unconditional guard
+    Deidentify.cellCounts(rows.take(100).toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$cdir/part=0")
+    Deidentify.cellCounts(rows.drop(100).toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$cdir/part=1")
     StreamingOps.compactCensus(spark, cdir)
-    assert(new java.io.File(s"$cdir/part=1/_graft_compacted").exists(), "fold is branded")
-    // a maintainer restarted on a FRESH checkpoint re-begins batch ids:
-    // batch 0 lands in a NEW part (counts still compose), but batch 1
-    // would overwrite the fold — it must fail BEFORE any data moves
+    assert(new java.io.File(s"$cdir/part=1/_graft_compacted").exists(), "fold is marked")
+    assert(!new java.io.File(s"$cdir/part=1/_graft_lineage").exists(),
+      "legacy fold carries no lineage brand")
+    // a maintainer pointed at the legacy dir re-begins batch ids: batch 0
+    // lands in a NEW part (counts still compose — no brand refuses it),
+    // but batch 1 would overwrite the fold — it must fail BEFORE any
+    // data moves
     val cs2 = MemoryStream[(Long, Long)]
     val q2 = StreamingOps.maintainCensus(
       cs2.toDF().toDF("id", "nation"), cdir, s"$base/ckpt2", Seq("nation"),
@@ -1547,6 +1556,43 @@ class StreamingSpec extends SparkSpec {
     // the fold survived untouched: its counts still carry the full history
     val fold = spark.read.parquet(s"$cdir/part=1")
     assert(fold.agg(sum(col("__graft_cell_n"))).head().getLong(0) === 200L)
+  }
+
+  test("a compacted fold inherits the maintainer's lineage brand: a fresh checkpoint is refused at batch 0 (r17 review)") {
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-fold-lineage").toString
+    val cdir = s"$base/census"
+    val rows = (0L until 200L).map(i => (i, i % 5))
+    val cs = MemoryStream[(Long, Long)]
+    val q1 = StreamingOps.maintainCensus(
+      cs.toDF().toDF("id", "nation"), cdir, s"$base/ckpt1", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    rows.grouped(100).foreach { b => cs.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    StreamingOps.compactCensus(spark, cdir)
+    // the fold keeps the dir OWNED: without brand propagation a foreign
+    // maintainer's parts 0..hi-1 would interleave into ids the fold
+    // absorbed — nothing collides until the fold id, and a
+    // restarted-from-scratch checkpoint replays its source from zero,
+    // double-counting the dir's whole history in the served view
+    assert(new java.io.File(s"$cdir/part=1/_graft_lineage").exists(), "fold carries the brand")
+    val before = StreamingOps.currentCensus(spark, cdir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cs2 = MemoryStream[(Long, Long)]
+    val q2 = StreamingOps.maintainCensus(
+      cs2.toDF().toDF("id", "nation"), cdir, s"$base/ckpt2", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    cs2.addData(rows.take(10))
+    val e = intercept[Exception](q2.processAllAvailable()) // batch 0 — refused at once
+    q2.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("lineage")), s"got: ${msgs(e)}")
+    // nothing landed, the view is intact
+    assert(!new java.io.File(s"$cdir/part=0").exists(), "no foreign part was written")
+    assert(StreamingOps.currentCensus(spark, cdir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === before)
   }
 
   test("census views raise on quasi-set drift across parts (r16 review)") {
@@ -1703,7 +1749,7 @@ class StreamingSpec extends SparkSpec {
     val udir = s"$base/plain"
     val rows = (0L until 400L).map(i => (i, i % 7))
     val batches = rows.grouped(50).toSeq // 8 micro-batches
-    def run(dir: String, ckpt: String, every: Int): Unit = {
+    def run(dir: String, ckpt: String, every: Int): MemoryStream[(Long, Long)] = {
       val st = MemoryStream[(Long, Long)]
       val q = StreamingOps.maintainCensus(
         st.toDF().toDF("id", "nation"), dir, ckpt, Seq("nation"),
@@ -1711,8 +1757,9 @@ class StreamingSpec extends SparkSpec {
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       batches.foreach { b => st.addData(b); q.processAllAvailable() }
       q.stop()
+      st
     }
-    run(adir, s"$base/ckptA", 3)
+    val stA = run(adir, s"$base/ckptA", 3)
     run(udir, s"$base/ckptU", 0)
     def partCount(d: String) = new java.io.File(d).list()
       .count(s => s.startsWith("part=") && !s.endsWith(".compacted"))
@@ -1744,12 +1791,13 @@ class StreamingSpec extends SparkSpec {
     assert(censusSet(StreamingOps.currentCensus(spark, adir)) === want,
       "view complete at the crash point")
     val extra = (400L until 450L).map(i => (i, i % 7))
-    val st2 = MemoryStream[(Long, Long)]
+    // resume with the ORIGINAL checkpoint (same MemoryStream instance) —
+    // the lineage guard refuses a fresh checkpoint over a branded dir
     val q2 = StreamingOps.maintainCensus(
-      st2.toDF().toDF("id", "nation"), adir, s"$base/ckptA2", Seq("nation"),
+      stA.toDF().toDF("id", "nation"), adir, s"$base/ckptA", Seq("nation"),
       autoCompactEvery = 3,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-    st2.addData(extra); q2.processAllAvailable(); q2.stop()
+    stA.addData(extra); q2.processAllAvailable(); q2.stop()
     assert(!new java.io.File(s"$adir/_compacting").exists(), "crashed fold finished")
     val wantAll = censusSet(
       Deidentify.cellCounts((rows ++ extra).toDF("id", "nation"), Seq("nation")))
