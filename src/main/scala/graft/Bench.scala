@@ -11,7 +11,74 @@ import org.apache.spark.sql.SparkSession
   * A warmup action first absorbs session/codegen startup cost.
   */
 object Bench {
+
+  /** True median (every mode reports it into `.stats.json`; median_of_N
+    * also reports it on the board line).
+    */
+  def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Adaptive-rep trigger (VERDICT r17 №5): a median of 3 absorbs ONE
+    * stalled rep by construction, but a sticky host window long enough
+    * to swallow TWO reps drags the median itself out of band (q85
+    * official r17: reps 6.47 / 28.12 / 28.90 — the in-band minimum
+    * proves the plan, the median still flags). When the median of the
+    * runs so far exceeds 2x their minimum, the spread is a stall
+    * signature, not steady-state variance — run another rep in the same
+    * JVM (up to `maxReps` total) so the reported median is taken over
+    * enough post-stall runs to self-heal. A real regression moves every
+    * rep together (med ≈ min), so it never triggers extra reps and can
+    * never be averaged away by them.
+    */
+  def extraRepNeeded(runs: Seq[Double], maxReps: Int): Boolean =
+    runs.length >= 2 && runs.length < maxReps && median(runs) > 2.0 * runs.min
+
+  /** One host-context sample (VERDICT r17 №4): 1-min loadavg plus the
+    * cumulative (iowait, total) jiffies from `/proc/stat`'s aggregate
+    * cpu line. Sampled before/after every query so the `.stats.json`
+    * side file carries machine evidence for each reading's window —
+    * the residual flag class is "sticky host window", previously
+    * adjudicated by prose and separate probe rounds. Returns zeros when
+    * /proc is unreadable (non-Linux host): the instrumentation must
+    * never fail the bench.
+    */
+  final case class HostStat(load1: Double, iowaitJiffies: Long, totalJiffies: Long)
+
+  def sampleHost(): HostStat =
+    try {
+      val load = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0)
+        .toDouble
+      val cpu = scala.io.Source
+        .fromFile("/proc/stat")
+        .getLines()
+        .find(_.startsWith("cpu "))
+        .getOrElse("cpu 0")
+      // cpu user nice system idle iowait irq softirq steal guest guest_nice
+      val fields = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      val iowait = if (fields.length > 4) fields(4) else 0L
+      HostStat(load1 = load, iowaitJiffies = iowait, totalJiffies = fields.sum)
+    } catch { case _: Exception => HostStat(0.0, 0L, 0L) }
+
+  /** Percent of the window's cpu jiffies spent in iowait — the write-path
+    * discriminator for the fileio family (a loaded disk window reads
+    * high here while a pure-cpu stall does not).
+    */
+  def iowaitPct(before: HostStat, after: HostStat): Double = {
+    val dt = after.totalJiffies - before.totalJiffies
+    if (dt <= 0) 0.0
+    else 100.0 * (after.iowaitJiffies - before.iowaitJiffies).toDouble / dt.toDouble
+  }
+
   def main(args: Array[String]): Unit = {
+    // board-level host context bracket (№4): the warmup is inside the
+    // bracket on purpose — a loaded window during warmup shifts first
+    // readings too
+    val hostStart = sampleHost()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
@@ -114,6 +181,13 @@ object Bench {
     // still land last on the line, where the tail keeps them.
     val bestOf2 = args.contains("--best-of-2") ||
       sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("best_of_2")
+    // a trailing `--reps` with no value never forms a sliding(2) window,
+    // so it used to be SILENTLY ignored and the run defaulted to 3 reps
+    // (ADVICE r17) — inconsistent with the loud conflicting-modes require
+    require(
+      !args.lastOption.contains("--reps"),
+      "--reps requires a value (usage: --reps N)"
+    )
     val explicitReps = args.sliding(2).collectFirst { case Array("--reps", n) => n.toInt }
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt))
     // conflicting modes must fail, not silently pick one (r17 review:
@@ -125,14 +199,24 @@ object Bench {
     val reps = if (bestOf2) 2 else explicitReps.getOrElse(3)
     require(reps >= 1, s"need --reps >= 1, got $reps")
     val benchMode = if (bestOf2) "best_of_2" else s"median_of_$reps"
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
+    // adaptive ceiling (VERDICT r17 №5): median mode may add up to 2
+    // extra reps when the base reps read med > 2x min (a two-rep sticky
+    // window); best-of-2 keeps its legacy fixed pair (its min already
+    // ignores one stall, and anchor-compat comparisons need exactly 2)
+    val maxReps = if (bestOf2) reps else reps + 2
     val ordered = QueryCost.orderedCheapFirst(SparkEntry.queries.keys)
     val queryFns = SparkEntry.queries
-    // (name, reported, all reps, error)
+    // one measured reading per query: the reported number, the full rep
+    // spread, the host context of the query's window, and any error
+    case class Reading(
+        name: String,
+        reported: Double,
+        runs: Seq[Double],
+        err: Option[String],
+        load1Before: Double,
+        load1After: Double,
+        iowait: Double
+    )
     val results = ordered.map(name => (name, queryFns(name))).map { case (name, fn) =>
       // per-query honesty: drop cache entries leaked by EARLIER queries
       // (CacheManager dedups identical persisted plans, so without this the
@@ -151,6 +235,7 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      val hostBefore = sampleHost()
       val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var i = 0
@@ -160,15 +245,29 @@ object Bench {
         if (e.isEmpty) runs += t
         i += 1
       }
+      // adaptive reps: only median mode, only on the stall signature
+      while (err.isEmpty && !bestOf2 && extraRepNeeded(runs.toSeq, maxReps)) {
+        val (t, e) = once()
+        err = e
+        if (e.isEmpty) runs += t
+      }
+      val hostAfter = sampleHost()
+      if (err.isEmpty && runs.length > reps)
+        System.err.println(
+          f"[bench] $name: med>2x min after $reps reps — ran ${runs.length} total " +
+            f"(spread ${runs.min}%.3f/${median(runs.toSeq)}%.3f/${runs.max}%.3f)"
+        )
       val reported =
         if (runs.isEmpty) 0.0
         else if (bestOf2) runs.min
         else median(runs.toSeq)
-      (name, reported, runs.toSeq, err)
+      Reading(
+        name, reported, runs.toSeq, err,
+        hostBefore.load1, hostAfter.load1, iowaitPct(hostBefore, hostAfter))
     }
-    val ok = results.filter(_._4.isEmpty)
+    val ok = results.filter(_.err.isEmpty)
     val qs = ok
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map(r => "\"" + r.name + "\":" + f"${r.reported}%.3f")
       .mkString("{", ",", "}")
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -176,9 +275,10 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
-    val errs = results.collect { case (k, _, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+    val errs = results
+      .collect { case r if r.err.isDefined => "\"" + r.name + "\":\"" + esc(r.err.get) + "\"" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ok.map(_.reported).sum
     // measured ANN quality next to the timings (VERDICT r01: correct-vs-
     // mirror is not correct-vs-purpose) — recall@10 of each approximate
     // path against exact brute force on this scale factor
@@ -209,17 +309,26 @@ object Bench {
     // stdout line: the driver keeps only the line's last ~2 KB, and
     // tripling the per-query payload would push most of the board out of
     // the retained tail — the spread is a local diagnosis artifact
+    val hostEnd = sampleHost()
     val stats = ok
-      .map { case (k, _, runs, _) =>
+      .map { r =>
         // "med" is the true median of the reps in EVERY mode — in
         // best-of-2 the REPORTED number is the min, and writing that
         // into "med" would hand a wrong median to anyone diagnosing
-        // rep spread from this file (r17 review)
-        "\"" + k + "\":{" +
-          f""""min":${runs.min}%.3f,"med":${median(runs.toSeq)}%.3f,"max":${runs.max}%.3f""" + "}"
+        // rep spread from this file (r17 review). "reps_run" records
+        // adaptive extensions (№5); the load/iowait stamps are the
+        // query's own window (№4) so a flagged reading carries its
+        // machine evidence inline instead of needing a probe round.
+        "\"" + r.name + "\":{" +
+          f""""min":${r.runs.min}%.3f,"med":${median(r.runs)}%.3f,"max":${r.runs.max}%.3f""" +
+          f""","reps_run":${r.runs.length},"load1_before":${r.load1Before}%.2f""" +
+          f""","load1_after":${r.load1After}%.2f,"iowait_pct":${r.iowait}%.2f""" + "}"
       }
       .mkString(
-        s"""{"bench_mode":"$benchMode","reps":$reps,"sf":"$sfDir","queries":{""",
+        s"""{"bench_mode":"$benchMode","reps":$reps,"sf":"$sfDir",""" +
+          s""""host":{"cpus":${Runtime.getRuntime.availableProcessors}""" +
+          f""","load1_start":${hostStart.load1}%.2f,"load1_end":${hostEnd.load1}%.2f""" +
+          f""","iowait_pct":${iowaitPct(hostStart, hostEnd)}%.2f},"queries":{""",
         ",",
         "}}"
       )

@@ -981,11 +981,29 @@ object StreamingOps {
     *    compacted dir (those ids were folded away, so nothing collides
     *    until the fold id) — and a restarted-from-scratch checkpoint
     *    replays the SOURCE from zero, so those foreign parts
-    *    double-count every cell the fold already holds. The dir scan
-    *    runs once per (dir, lineage) per process (brands are only ever
-    *    written by refused-or-same writers after that, so the verdict
-    *    cannot go stale); [[compactLsm]] propagates the brand onto its
-    *    fold so a compacted dir stays owned.
+    *    double-count every cell the fold already holds. [[compactLsm]]
+    *    propagates the brand onto its fold so a compacted dir stays
+    *    owned.
+    * The foreign-lineage scan is INCREMENTAL per batch, not
+    * once-per-process (ADVICE r17, both items): the cache remembers the
+    * (part name, mtime) pairs already verified for this (dir, lineage),
+    * each write lists the dir and reads markers only for UNSEEN pairs —
+    * a part is "seen" only as the exact on-disk incarnation that was
+    * verified, so
+    *  - a dir wiped and recreated at the same path in a long-lived
+    *    driver (fixed tmp paths in dev/test loops) re-presents even
+    *    same-NAMED parts with fresh mtimes — the stale verdict stops
+    *    matching and the recreated parts are re-verified instead of
+    *    being served the pre-wipe answer (mtime resolution bounds the
+    *    detectable window; an adversarial same-millisecond wipe is out
+    *    of scope);
+    *  - two maintainers with different lineages racing an empty dir
+    *    (the first-verification TOCTOU) both pass batch 0's scan of
+    *    nothing, but the interloper's branded parts are UNSEEN pairs at
+    *    this maintainer's very next batch and refused there — detection
+    *    moved from "a later process" to "the next micro-batch", at the
+    *    cost of one `listStatus` per batch and marker reads amortized
+    *    O(1) (own parts enter the seen-set as they are written).
     * Unbranded dirs (hand-built fixtures, pre-r17 history) remain
     * writable by anyone once — the first r17 maintainer brands them.
     * The contract, now enforced rather than documented: one checkpoint
@@ -993,7 +1011,7 @@ object StreamingOps {
     * maintain into a fresh dir.
     */
   private val verifiedDirLineage =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Set[(String, Long)]]
 
   private def writeLsmPart(df: DataFrame, dir: String, batchId: Long, lineage: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(s"$dir/part=$batchId")
@@ -1005,32 +1023,41 @@ object StreamingOps {
         "overwrite it — resume with the original checkpoint (the checkpoint is the " +
         "batch-lineage contract) or maintain into a fresh dir"
     )
-    if (!verifiedDirLineage.contains((dir, lineage))) {
-      val root = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(root)) {
-        val foreign = fs
-          .listStatus(root)
-          .map(_.getPath)
-          .filter(_.getName.startsWith("part="))
-          .flatMap(p =>
-            readUtf8IfExists(fs, new org.apache.hadoop.fs.Path(p, LineageMarker))
-              .map(_.trim)
-              .filter(_ != lineage)
-              .map((p.getName, _))
-          )
-        require(
-          foreign.isEmpty,
-          s"$dir already holds ${foreign.length} part(s) written by a different checkpoint " +
-            s"lineage (${foreign.head._1} carries ${foreign.head._2}, this maintainer is " +
-            s"$lineage) — a fresh-checkpoint maintainer replays its source from zero, so " +
-            "interleaving its parts would double-count the dir's history; resume with the " +
-            "original checkpoint or maintain into a fresh dir"
-        )
-      }
-      verifiedDirLineage.put((dir, lineage), ())
+    val key = (dir, lineage)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val live: Set[(String, Long)] =
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .filter(_.getPath.getName.startsWith("part="))
+          .map(st => (st.getPath.getName, st.getModificationTime))
+          .toSet
+      else Set.empty
+    val seen = verifiedDirLineage.getOrElse(key, Set.empty)
+    val foreign = (live -- seen).toSeq.sorted.flatMap { case (name, _) =>
+      readUtf8IfExists(fs, new org.apache.hadoop.fs.Path(s"$dir/$name", LineageMarker))
+        .map(_.trim)
+        .filter(_ != lineage)
+        .map((name, _))
     }
+    require(
+      foreign.isEmpty,
+      s"$dir already holds ${foreign.length} part(s) written by a different checkpoint " +
+        s"lineage (${foreign.head._1} carries ${foreign.head._2}, this maintainer is " +
+        s"$lineage) — a fresh-checkpoint maintainer replays its source from zero, so " +
+        "interleaving its parts would double-count the dir's history; resume with the " +
+        "original checkpoint or maintain into a fresh dir"
+    )
     df.write.mode("overwrite").parquet(target.toString)
     writeUtf8(fs, new org.apache.hadoop.fs.Path(target, LineageMarker), lineage)
+    // remember the LIVE incarnations this write verified, with our own
+    // part re-stat'ed AFTER the brand landed (the marker write bumps the
+    // part dir's mtime — storing the pre-brand time would make the very
+    // next batch re-read our own marker forever)
+    val ownMtime = fs.getFileStatus(target).getModificationTime
+    verifiedDirLineage.put(
+      key,
+      live.filterNot(_._1 == target.getName) + ((target.getName, ownMtime))
+    )
   }
 
   private def compactMarkerPath(indexDir: String) =
@@ -1649,12 +1676,18 @@ object StreamingOps {
     * the compaction fold share one implementation, so compacting can
     * never produce a frame the view would not have served.
     */
-  /** Footer schemas already verified, keyed by part path — sound because
-    * a part is immutable once written (same-lineage retries rewrite the
-    * same aggregate shape; foreign-lineage rewrites are refused).
+  /** Footer schemas already verified, keyed by (part path, dir mtime) —
+    * NOT path alone (ADVICE r17): a part is immutable only while the dir
+    * is never wiped, and a long-lived driver re-running a fixture loop
+    * at a fixed tmp path would otherwise be served the PRE-WIPE schema —
+    * the exact silent null-fill/coercion corruption this check exists
+    * to catch. Rewriting a part dir (wipe-recreate, retry overwrite)
+    * bumps its modification time, so the stale entry simply stops being
+    * addressable; stale keys are dropped eagerly per path (one live key
+    * each) so the map stays bounded by the live-part count.
     */
   private val censusSchemaCache = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[(String, org.apache.spark.sql.types.DataType)]]
+    .empty[(String, Long), Seq[(String, org.apache.spark.sql.types.DataType)]]
 
   private def mergedCensusViewOf(
       spark: SparkSession,
@@ -1676,30 +1709,41 @@ object StreamingOps {
     // are cheap relative to the scan, and bounded once auto-compaction
     // bounds the live-part count.
     if (paths.size > 1) {
-      // per-path schema CACHE (r17 review): a part is immutable once
-      // written (a retry overwrites with the same maintainer aggregate,
-      // hence the same schema), so each path pays its footer read ONCE
-      // per process — a long-lived serve loop over an uncompacted dir
-      // re-checks only the parts new since its last call, and the
-      // comparison over cached entries is in-memory. Cold paths still
-      // read through a bounded driver pool (the readBackReport pattern).
+      // per-path schema CACHE (r17 review; keyed on (path, mtime) per
+      // ADVICE r17): an unmodified part pays its footer read ONCE per
+      // process — a long-lived serve loop over an uncompacted dir
+      // re-checks only parts new OR rewritten since its last call, and
+      // the comparison over cached entries is in-memory. Cold paths
+      // still read through a bounded driver pool (readBackReport
+      // pattern). The mtime probe is one getFileStatus per part per
+      // call — cheap next to the scan the view feeds.
+      val fsv = new org.apache.hadoop.fs.Path(paths.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def keyOf(p: String): (String, Long) =
+        (p, fsv.getFileStatus(new org.apache.hadoop.fs.Path(p)).getModificationTime)
       def fields(p: String) = spark.read.parquet(p).schema.fields.toSeq
         .map(f => (f.name, f.dataType))
         .sortBy(_._1)
-      val cold = paths.filterNot(censusSchemaCache.contains)
+      val keyed = paths.map(p => (p, keyOf(p)))
+      val cold = keyed.filterNot { case (_, k) => censusSchemaCache.contains(k) }
       if (cold.nonEmpty) {
         val pool = java.util.concurrent.Executors
           .newFixedThreadPool(math.min(32, cold.size))
         try {
-          val futures = cold.map { p =>
+          val futures = cold.map { case (p, k) =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = { censusSchemaCache.put(p, fields(p)); () }
+              def call(): Unit = {
+                // one live key per path: evict superseded mtimes first
+                censusSchemaCache.keys.filter(_._1 == p).foreach(censusSchemaCache.remove)
+                censusSchemaCache.put(k, fields(p))
+                ()
+              }
             })
           }
           futures.foreach(_.get())
         } finally pool.shutdown()
       }
-      val schemas = paths.map(p => (p, censusSchemaCache(p)))
+      val schemas = keyed.map { case (p, k) => (p, censusSchemaCache(k)) }
       val want = schemas.head._2
       val bad = schemas.find(_._2 != want)
       require(

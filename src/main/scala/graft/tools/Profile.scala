@@ -177,10 +177,88 @@ object Profile {
     spark.stop()
   }
 
+  /** `Profile fileio [sfDir] [reps]` — stage decomposition of the two
+    * standing fileio-family flags (VERDICT r17 №2/№3): q105's ORC
+    * round-trip split into write / read-back digest / shard listing
+    * (plus a parquet write of the SAME frame and a snappy ORC write, to
+    * separate "ORC path" from "this disk"), and q53's bucketed join
+    * split into the two saveAsTable writes and the join+agg read. Each
+    * stage runs `reps` times with min/median printed and the window's
+    * iowait share next to it — the flags' rep MINIMA were elevated on
+    * the official board, so the question is WHICH stage carries the
+    * elevation and whether the disk was loaded while it did.
+    */
+  private def fileioMain(args: Array[String]): Unit = {
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 5
+    val spark = GraftSession.local("prof-fileio", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fileio-prof").toString
+    def time(name: String)(f: => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val h0 = Bench.sampleHost()
+        val t0 = System.nanoTime()
+        f
+        val w = (System.nanoTime() - t0) / 1e9
+        (w, Bench.iowaitPct(h0, Bench.sampleHost()))
+      }
+      val sorted = ts.map(_._1).sorted
+      println(
+        f"[fileio] $name%-34s min=${sorted.head}%6.3f med=${sorted(reps / 2)}%6.3f " +
+          f"max=${sorted.last}%6.3f  iowait med=${ts.map(_._2).sorted.apply(reps / 2)}%5.1f%%"
+      )
+    }
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .coalesce(1)
+      .persist()
+    println(s"[fileio] docs=${docs.count()} -> 50 shards of 100 rows (the q105 shape)")
+    time("q105a orc write (zlib, 100/file)") {
+      graft.sources.OrcSink.write(docs, s"$tmp/orc", maxRecordsPerFile = 100L)
+    }
+    time("q105a' orc write (snappy)") {
+      graft.sources.OrcSink.write(docs, s"$tmp/orcsnappy", maxRecordsPerFile = 100L, codec = "snappy")
+    }
+    time("q105a'' parquet write (same frame)") {
+      docs.write.mode("overwrite").option("maxRecordsPerFile", 100L).parquet(s"$tmp/parq")
+    }
+    time("q105b orc read-back digest") {
+      graft.sources.OrcSink
+        .read(spark, s"$tmp/orc", Some("doc_id BIGINT, lang STRING, text STRING"))
+        .select(graft.functions.GraftExpressions.poly_hash(col("text")).as("ph"))
+        .agg(org.apache.spark.sql.functions.expr("bit_xor(ph)"))
+        .collect()
+      ()
+    }
+    time("q105c shard listing") {
+      val n = graft.sources.OrcSink.shardCount(spark, s"$tmp/orc")
+      require(n == 50L, s"expected 50 shards, got $n")
+    }
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    time("q53a bucketed write orders (150k)") {
+      graft.sources.Layouts.writeBucketed(orders, "graft_prof_orders", 8, "o_custkey")
+    }
+    time("q53b bucketed write customer (15k)") {
+      graft.sources.Layouts.writeBucketed(customer, "graft_prof_customer", 8, "o_custkey")
+    }
+    time("q53c co-bucketed join+agg read") {
+      spark.table("graft_prof_orders")
+        .join(spark.table("graft_prof_customer"), "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+        .collect()
+      ()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pipeline")) { pipelineMain(args); return }
     if (args.headOption.contains("micro")) { microMain(args); return }
     if (args.headOption.contains("decon")) { deconMain(args); return }
+    if (args.headOption.contains("fileio")) { fileioMain(args); return }
     val spark = GraftSession.local("prof", 32)
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val docs = Tables.load(spark, dir, "documents")

@@ -2130,7 +2130,91 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** `ScaleSmoke semdedup [sfDir] [mult]` — the q85 adjudication point
+    * (VERDICT r17 №1): run [[graft.operators.Similarity.semDedupBalanced]]
+    * on the REAL embeddings fixture and on a `mult`× tiling of it
+    * (fixture distribution preserved: replicas are the fixture vectors
+    * with a small deterministic id-hashed perturbation), and measure the
+    * two things the n^1.5 design claims — pair work growing ~ mult^1.5,
+    * and per-cell occupancy staying skew-free (max/mean O(1), so no
+    * single cell turns into a straggler task). Pair work is recomputed
+    * from the output's own `cell` column (Σ occ·(occ−1)/2 — the exact
+    * in-cell candidate count the blocked join enumerates), so the number
+    * is the plan's real cardinality, not a model. A q85 wall reading
+    * stalling at ~5× the anchor with THESE ratios clean is a host
+    * window, not data-dependent skew.
+    */
+  private def semdedupMain(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.local("scale-smoke-semdedup", 32)
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val fixture = graft.sources.Tables
+      .load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    val n = fixture.count()
+    val dim = fixture.select(size(col("embedding"))).head().getInt(0)
+    // mult× tiling: replica k offsets ids by k·n and perturbs each
+    // coordinate by <2% of the coordinate range via the id-hash — same
+    // cluster structure, no duplicate points
+    val big = fixture
+      .crossJoin(spark.range(mult.toLong).toDF("rep"))
+      .select(
+        (col("vec_id") + col("rep") * n).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, j) =>
+            x + (pmod(
+              (col("vec_id") + col("rep") * n) * 131L + j.cast("long") * 7L,
+              lit(97L)
+            ).cast("float") - 48f) / 2400f
+        ).as("embedding")
+      )
+      .persist()
+    println(s"[semdedup] fixture n=$n dim=$dim; tiled ${big.count()} (${mult}x)")
+    def point(label: String, e: org.apache.spark.sql.DataFrame): (Double, Long, Double) = {
+      val t0 = System.nanoTime()
+      val out = graft.operators.Similarity.semDedupBalanced(e, 0.9).persist()
+      val keepers = out.filter(col("keep")).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val occ = out.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      val r = occ
+        .agg(
+          sum(col("occ") * (col("occ") - 1) / 2).cast("long").as("pairs"),
+          max(col("occ")).cast("double").as("maxOcc"),
+          avg(col("occ")).as("meanOcc"),
+          count(lit(1)).as("cells")
+        )
+        .head()
+      val (pairs, maxOcc, meanOcc, cells) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+      out.unpersist()
+      println(
+        f"[semdedup] $label%-10s wall=$wall%7.2f s keepers=$keepers cells=$cells " +
+          f"pairs=$pairs occSkew(max/mean)=${maxOcc / meanOcc}%.2f"
+      )
+      (wall, pairs, maxOcc / meanOcc)
+    }
+    val (w1, p1, s1) = point("fixture", fixture)
+    val (w2, p2, s2) = point(s"${mult}x", big)
+    val designed = math.pow(mult.toDouble, 1.5)
+    println(
+      f"[semdedup] pair-work ratio ${p2.toDouble / p1}%.1f vs designed mult^1.5 = $designed%.1f; " +
+        f"wall ratio ${w2 / w1}%.1f (fixed overheads make this <= the work ratio); " +
+        f"occ skew $s1%.2f -> $s2%.2f (O(1) = no per-cell straggler)"
+    )
+    require(s2 < 4.0, f"per-cell occupancy skew $s2%.2f — data-dependent straggler")
+    require(
+      p2.toDouble / p1 < designed * 2.0,
+      f"pair work grew ${p2.toDouble / p1}%.1fx — super-n^1.5 (cell structure collapsed)"
+    )
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("semdedup")) { semdedupMain(args); return }
     if (args.headOption.contains("autocensus")) { autoCensusMain(args); return }
     if (args.headOption.contains("census")) { censusMain(args); return }
     if (args.headOption.contains("dpserve")) { dpServeMain(args); return }

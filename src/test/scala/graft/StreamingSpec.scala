@@ -1905,6 +1905,103 @@ class StreamingSpec extends SparkSpec {
     assert(!names.exists(_.endsWith(".compacted")), s"staged dir renamed away: $names")
     assert(flat(StreamingOps.currentIndexMerged(spark, idxDir)) === want)
   }
+
+  test("lineage guard re-verifies per batch: a foreign part appearing AFTER first verification is refused at the next micro-batch (ADVICE r17)") {
+    import graft.operators.Deidentify
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-lineage-toctou").toString
+    val cdir = s"$base/census"
+    // maintainer A verifies an EMPTY dir at batch 0 — the one-shot cache
+    // of r17 froze that verdict for the process lifetime, so an
+    // interloper's parts written after it interleaved undetected
+    val cs = MemoryStream[(Long, Long)]
+    val q1 = StreamingOps.maintainCensus(
+      cs.toDF().toDF("id", "nation"), cdir, s"$base/ckpt1", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    cs.addData((0L until 50L).map(i => (i, i % 5)))
+    q1.processAllAvailable()
+    assert(new java.io.File(s"$cdir/part=0/_graft_lineage").exists())
+    // an interloper (emulating the TOCTOU loser: it verified the same
+    // empty dir concurrently, then wrote) lands a foreign-branded part
+    Deidentify.cellCounts((0L until 20L).map(i => (i, i % 3)).toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$cdir/part=7")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$cdir/part=7/_graft_lineage"),
+      "foreign-lineage-toctou".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // maintainer A's NEXT batch must refuse — detection moved from "a
+    // later process" to "the next micro-batch"
+    cs.addData((50L until 100L).map(i => (i, i % 5)))
+    val e = intercept[Exception](q1.processAllAvailable())
+    q1.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("lineage")), s"got: ${msgs(e)}")
+  }
+
+  test("lineage guard verdict does not outlive a wiped-and-recreated dir at the same path (ADVICE r17)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-lineage-wipe").toString
+    val cdir = s"$base/census"
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf))
+      p.delete(); ()
+    }
+    // maintainer A owns the dir and caches its verdict
+    val cs = MemoryStream[(Long, Long)]
+    val q1 = StreamingOps.maintainCensus(
+      cs.toDF().toDF("id", "nation"), cdir, s"$base/ckpt1", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    cs.addData((0L until 50L).map(i => (i, i % 5)))
+    q1.processAllAvailable()
+    // the dev-loop pattern the advice names: the dir is wiped and a NEW
+    // maintainer (fresh checkpoint = new lineage) recreates it at the
+    // same path, reusing even the same part NAMES
+    rmrf(new java.io.File(cdir))
+    Thread.sleep(50) // stay above local-FS mtime resolution
+    val cs2 = MemoryStream[(Long, Long)]
+    val q2 = StreamingOps.maintainCensus(
+      cs2.toDF().toDF("id", "nation"), cdir, s"$base/ckpt2", Seq("nation"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    cs2.addData((0L until 30L).map(i => (i, i % 3)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(new java.io.File(s"$cdir/part=0/_graft_lineage").exists())
+    // maintainer A writes again: its cached verdict covered the PRE-WIPE
+    // part=0, not this incarnation — the recreated part's fresh mtime
+    // makes it unseen, its foreign brand is read, and the write refused
+    // (the r17 one-shot cache let A interleave into B's dir here)
+    cs.addData((50L until 100L).map(i => (i, i % 5)))
+    val e = intercept[Exception](q1.processAllAvailable())
+    q1.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("lineage")), s"got: ${msgs(e)}")
+  }
+
+  test("census schema check re-reads a part REWRITTEN at the same path: type drift after a wipe is still refused (ADVICE r17)") {
+    import graft.operators.Deidentify
+    val base = java.nio.file.Files.createTempDirectory("graft-schema-stale").toString
+    val cdir = s"$base/census"
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf))
+      p.delete(); ()
+    }
+    val good = (0L until 50L).map(i => (i, i % 5)).toDF("id", "nation")
+    Deidentify.cellCounts(good, Seq("nation")).write.parquet(s"$cdir/part=0")
+    Deidentify.cellCounts(good, Seq("nation")).write.parquet(s"$cdir/part=1")
+    // first read verifies and CACHES both part schemas
+    assert(StreamingOps.currentCensus(spark, cdir).count() === 5)
+    // part=1 is wiped and recreated at the same path with a type-drifted
+    // quasi column (string nation) — the r17 path-keyed cache kept
+    // serving the pre-wipe schema and the view silently coerced
+    rmrf(new java.io.File(s"$cdir/part=1"))
+    Thread.sleep(50) // stay above local-FS mtime resolution
+    Deidentify
+      .cellCounts((0L until 50L).map(i => (i, (i % 5).toString)).toDF("id", "nation"), Seq("nation"))
+      .write.parquet(s"$cdir/part=1")
+    val e = intercept[IllegalArgumentException](StreamingOps.currentCensus(spark, cdir))
+    assert(e.getMessage.contains("quasi-set drift"), e.getMessage)
+  }
 }
 
 /** A local filesystem whose `rename` into a `part=<n>` destination can be

@@ -185,6 +185,83 @@ def load_bench(path):
     return {k: float(v) for k, v in pairs}, summary
 
 
+def load_stats(bench_path, queries, summary):
+    """The `.stats.json` side file Bench writes next to its board line
+    (min/med/max, reps_run, per-query load/iowait stamps — VERDICT r17
+    №4/№5). Tried in order: `<bench>.stats.json`, then the repo-local
+    `BENCH_OUT.stats.json` (the driver archives only Bench's stdout as
+    BENCH_r{N}.json; the side file of the SAME invocation lands at the
+    default output path). A candidate is accepted only if its per-query
+    numbers REPRODUCE the board's readings (med for median mode, min for
+    best-of-2, to the line's 3-decimal formatting) — a stale side file
+    from an older run must annotate nothing rather than mislabel."""
+    import os
+    cands = []
+    if bench_path.endswith(".json"):
+        cands.append(bench_path[:-5] + ".stats.json")
+    cands.append(os.path.join(os.path.dirname(bench_path) or ".", "BENCH_OUT.stats.json"))
+    mode = (summary or {}).get("bench_mode", "")
+    rep_key = "min" if mode.startswith("best_of_2") else "med"
+    for cand in cands:
+        if not os.path.exists(cand):
+            continue
+        try:
+            d = json.load(open(cand))
+        except json.JSONDecodeError:
+            continue
+        sq = d.get("queries", {})
+        shared = [q for q in queries if q in sq]
+        if not shared:
+            continue
+        if all(abs(sq[q][rep_key] - queries[q]) < 0.0015 for q in shared):
+            return d, cand
+    return None, None
+
+
+# window-context thresholds for annotation (heuristics, documented in
+# BASELINE.md "Variance bands"): load1 above the core count means more
+# runnable threads than cores — external contention on a host the bench
+# already saturates up to its parallelism; iowait share of the window
+# above 15% marks a loaded disk (the fileio-family discriminator).
+IOWAIT_LOADED_PCT = 15.0
+
+
+def annotate(name, anchor, factor, floor, stats):
+    """One evidence line for an out-of-band reading, from the stats side
+    file: rep spread + reps_run, the window's load/iowait stamps, a
+    LOADED-WINDOW mark when the machine context explains the number, and
+    the standing sticky-window verdict (rep MIN in-band = the plan is
+    fine, the window was not). Returns None when the stats carry no
+    entry for the query."""
+    st = (stats or {}).get("queries", {}).get(name)
+    if not st:
+        return None
+    cpus = (stats.get("host") or {}).get("cpus", 0)
+    marks = []
+    threshold = max(anchor, floor) * factor
+    if st["min"] <= threshold:
+        marks.append(f"rep min {st['min']:.3f} = {st['min'] / anchor:.2f}x IN-BAND "
+                     "(sticky window, not a plan change)")
+    loaded = []
+    if "load1_before" in st:
+        peak_load = max(st["load1_before"], st["load1_after"])
+        if cpus and peak_load > cpus:
+            loaded.append(f"load1 {st['load1_before']:.1f}->{st['load1_after']:.1f} "
+                          f"above {cpus} cpus")
+    if st.get("iowait_pct", 0.0) >= IOWAIT_LOADED_PCT:
+        loaded.append(f"iowait {st['iowait_pct']:.1f}%")
+    if loaded:
+        marks.append("LOADED WINDOW (" + ", ".join(loaded) + ")")
+    spread = (f"reps {st.get('reps_run', '?')}, spread "
+              f"{st['min']:.3f}/{st['med']:.3f}/{st['max']:.3f}")
+    if "load1_before" in st:
+        spread += (f"; load1 {st['load1_before']:.1f}->{st['load1_after']:.1f}, "
+                   f"iowait {st.get('iowait_pct', 0.0):.1f}%")
+    else:
+        spread += "; no host stamps (pre-r18 side file)"
+    return spread + ("; " + "; ".join(marks) if marks else "")
+
+
 def selftest(baseline_path="BASELINE.md"):
     """Every anchor format BASELINE.md actually uses must parse — a prose
     re-anchor that escapes the parser silently ungrades a query. Two
@@ -214,11 +291,23 @@ def selftest(baseline_path="BASELINE.md"):
     # fast-side floor (ADVICE r16): a sub-floor anchor must never grade
     # FAST — mirror of the slow-side rule (0.11 on a 0.17 anchor is the
     # additive-jitter regime, not a speedup); an above-floor anchor keeps
-    # the raw-ratio FAST grade
-    def grades_fast(reading, anchor, factor):
-        return anchor >= ANCHOR_FLOOR and reading / anchor < 1.0 / factor
-    assert not grades_fast(0.11, 0.17, BAND_FACTOR["scan"]), "sub-floor anchor graded FAST"
-    assert grades_fast(0.30, 0.50, BAND_FACTOR["scan"]), "real speedup must still grade FAST"
+    # the raw-ratio FAST grade. The helper takes the FLOOR as a parameter
+    # (ADVICE r17: a hardcoded ANCHOR_FLOOR here let the mode-aware rule
+    # main() actually gates on drift untested) — same condition as
+    # main()'s `anchor >= floor and ratio < 1/factor`.
+    def grades_fast(reading, anchor, factor, floor):
+        return anchor >= floor and reading / anchor < 1.0 / factor
+    assert not grades_fast(0.11, 0.17, BAND_FACTOR["scan"], ANCHOR_FLOOR), \
+        "sub-floor anchor graded FAST"
+    assert grades_fast(0.30, 0.50, BAND_FACTOR["scan"], ANCHOR_FLOOR), \
+        "real speedup must still grade FAST"
+    # median-mode mirror of main(): an anchor in [0.30, 0.40) is trusted
+    # under the best-of-2 floor but NOT under the median floor — the r17
+    # behavior change the old hardcoded helper could not express
+    assert grades_fast(0.20, 0.35, BAND_FACTOR["scan"], ANCHOR_FLOOR), \
+        "0.35 anchor must grade FAST under the best-of-2 floor"
+    assert not grades_fast(0.20, 0.35, BAND_FACTOR["scan"], ANCHOR_FLOOR_MEDIAN), \
+        "0.35 anchor graded FAST under the median floor (must be floor-suppressed)"
     # mode-aware floor (r17): median boards carry typical jitter, not the
     # best-of-2 minimum — they grade against the scaled floor; artifacts
     # with no summary stay on the conservative original
@@ -246,6 +335,47 @@ def selftest(baseline_path="BASELINE.md"):
         os.unlink(tpath)
     assert qs == {"q90_rarity_buckets": 0.761, "q91_boilerplate_segments": 0.832}, qs
     assert summ and summ["total_sec"] == 188.402 and summ["bench_mode"] == "median_of_3", summ
+    # stats side-file annotation (VERDICT r17 №4/№5): a side file whose
+    # numbers REPRODUCE the board annotates out-of-band rows with the rep
+    # spread + machine stamps; a stale one annotates nothing
+    import json as _json
+    board = {"q85_semdedup_balanced": 28.118, "q105_orc_roundtrip": 3.333}
+    stats_doc = {
+        "bench_mode": "median_of_3", "reps": 3, "sf": "sfX",
+        "host": {"cpus": 32, "load1_start": 2.1, "load1_end": 3.0, "iowait_pct": 4.0},
+        "queries": {
+            "q85_semdedup_balanced": {"min": 6.473, "med": 28.118, "max": 28.895,
+                                      "reps_run": 3, "load1_before": 33.1,
+                                      "load1_after": 35.0, "iowait_pct": 22.0},
+            "q105_orc_roundtrip": {"min": 3.072, "med": 3.333, "max": 3.874,
+                                   "reps_run": 3, "load1_before": 2.0,
+                                   "load1_after": 2.2, "iowait_pct": 1.0},
+        },
+    }
+    bdir = tempfile.mkdtemp()
+    bpath = os.path.join(bdir, "BENCH_t.json")
+    open(bpath, "w").write(_json.dumps({"queries": board}))
+    open(bpath[:-5] + ".stats.json", "w").write(_json.dumps(stats_doc))
+    st, spath = load_stats(bpath, board, {"bench_mode": "median_of_3"})
+    assert spath and st["host"]["cpus"] == 32, "matching side file must load"
+    # q85: sticky window (rep min in-band on its 5.707 anchor, 2.0x band)
+    # AND a loaded window (load above cpus + iowait over threshold)
+    note85 = annotate("q85_semdedup_balanced", 5.707, 2.0, 0.40, st)
+    assert "IN-BAND" in note85 and "LOADED WINDOW" in note85, note85
+    # q105: every rep elevated on a quiet window — NO exculpatory mark,
+    # just the spread (the "real drift" presentation)
+    note105 = annotate("q105_orc_roundtrip", 1.521, 1.5, 0.40, st)
+    assert "IN-BAND" not in note105 and "LOADED" not in note105, note105
+    assert "3.072/3.333/3.874" in note105, note105
+    # a STALE side file (board re-run, side file not) must be rejected
+    st2, _ = load_stats(bpath, {"q85_semdedup_balanced": 5.9,
+                                "q105_orc_roundtrip": 1.5}, {"bench_mode": "median_of_3"})
+    assert st2 is None, "stale side file must not annotate"
+    # best-of-2 boards reproduce against the stats MIN, not the median
+    st3, _ = load_stats(bpath, {"q85_semdedup_balanced": 6.473,
+                                "q105_orc_roundtrip": 3.072}, {"bench_mode": "best_of_2"})
+    assert st3 is not None, "best-of-2 board must match on rep minima"
+    os.unlink(bpath); os.unlink(bpath[:-5] + ".stats.json"); os.rmdir(bdir)
     # live sweep: every query row in the real baseline must yield an anchor
     text = open(baseline_path).read()
     row_names = set()
@@ -336,11 +466,25 @@ def main():
     if no_anchor:
         print(f"no anchor ({len(no_anchor)}): {' '.join(no_anchor)}")
     if out_of_band:
+        stats, stats_path = load_stats(bench_path, queries, summary)
+        if stats_path:
+            h = stats.get("host") or {}
+            ctx = (f"cpus {h['cpus']}, load1 {h['load1_start']:.1f}->"
+                   f"{h['load1_end']:.1f}, iowait {h['iowait_pct']:.1f}%"
+                   if "cpus" in h else "no host stamps (pre-r18 side file)")
+            print(f"stats side file: {stats_path} (board host: {ctx})")
+        else:
+            print("stats side file: none matched this board — flags carry no "
+                  "machine evidence (re-run Bench or pass the artifact's own "
+                  ".stats.json)")
         print(f"OUT-OF-BAND ({len(out_of_band)}) — re-probe before any verdict "
               "(BASELINE.md band rule):")
         for name, reading, anchor, ratio, fam, factor in out_of_band:
             print(f"  {name}: {reading:.3f} vs {anchor:.3f} = {ratio:.2f}x "
                   f"(band {factor:.1f}x, {fam})")
+            note = annotate(name, anchor, factor, floor, stats)
+            if note:
+                print(f"      {note}")
         sys.exit(2)
     print("all anchored queries in band")
 
