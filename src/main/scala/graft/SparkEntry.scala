@@ -1581,9 +1581,24 @@ object SparkEntry {
     // columnar envelope): write sharded ORC, read back, digest content
     "q105_orc_roundtrip" -> ((s, dir) => {
       val out = dumpPath("orc_q105", dir)
+      // parallel writers WITH pure shard arithmetic (r18, VERDICT r17 №2):
+      // the old coalesce(1) serialized all ~n/100 file creates in ONE
+      // task, so the gate measured the host's per-file-create latency
+      // era ×50 — the named mechanism behind the q105 flag history (a
+      // parquet write of the same frame costs the same; Profile fileio).
+      // RANGE-partitioning on the exact-100-row block id keeps every
+      // partition a run of whole blocks (row counts multiples of 100;
+      // only the corpus's last block can be partial), so with
+      // maxRecordsPerFile=100 the file count is ceil(n/100) under ANY
+      // boundary sampling — same arithmetic, compression + creates now
+      // spread across 10 writers. Range (not hash) partitioning because
+      // Spark writes a schema-bearing EMPTY file for write-partition 0
+      // when it gets no rows — range always lands the lowest block in
+      // partition 0, hash can leave it empty and add a phantom shard.
+      // The digest is placement-invariant.
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-        .coalesce(1) // single writer task -> shard count is pure arithmetic
+        .repartitionByRange(10, floor(col("doc_id") / 100L))
       graft.sources.OrcSink.write(docs, out, maxRecordsPerFile = 100L)
       val back = graft.sources.OrcSink
         .read(s, out, Some("doc_id BIGINT, lang STRING, text STRING"))
@@ -1602,9 +1617,11 @@ object SparkEntry {
     // part of CSV that silently corrupts when wrong
     "q106_csv_roundtrip" -> ((s, dir) => {
       val out = dumpPath("csv_q106", dir)
+      // same parallel block-sharded write as q105 (shard count stays
+      // pure arithmetic; see the q105 note)
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-        .coalesce(1)
+        .repartitionByRange(10, floor(col("doc_id") / 100L))
       graft.sources.CsvSink.write(docs, out, maxRecordsPerFile = 100L)
       val back = graft.sources.CsvSink
         .read(s, out, "doc_id BIGINT, lang STRING, text STRING")

@@ -2165,11 +2165,13 @@ object ScaleSmoke {
         (col("vec_id") + col("rep") * n).as("vec_id"),
         transform(
           col("embedding"),
+          // Divide always yields double in Spark SQL — cast back so the
+          // element type stays FLOAT (the cosine kernel's contract)
           (x, j) =>
-            x + (pmod(
+            (x + (pmod(
               (col("vec_id") + col("rep") * n) * 131L + j.cast("long") * 7L,
               lit(97L)
-            ).cast("float") - 48f) / 2400f
+            ).cast("float") - 48f) / 2400f).cast("float")
         ).as("embedding")
       )
       .persist()
