@@ -53,9 +53,11 @@ object Bench {
         .readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0)
         .toDouble
-      val cpu = scala.io.Source
-        .fromFile("/proc/stat")
-        .getLines()
+      // Files.readString, not Source.fromFile: an unclosed Source leaks
+      // one fd per sample and this runs 2x per query (r18 review)
+      val cpu = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator
         .find(_.startsWith("cpu "))
         .getOrElse("cpu 0")
       // cpu user nice system idle iowait irq softirq steal guest guest_nice
@@ -245,11 +247,23 @@ object Bench {
         if (e.isEmpty) runs += t
         i += 1
       }
-      // adaptive reps: only median mode, only on the stall signature
-      while (err.isEmpty && !bestOf2 && extraRepNeeded(runs.toSeq, maxReps)) {
+      // adaptive reps: only median mode, only on the stall signature.
+      // A failure HERE must not discard the complete base-rep
+      // measurement (r18 review): the extra reps are diagnostic — the
+      // query already measured successfully `reps` times, so log the
+      // failure and report the runs that exist instead of turning a
+      // flagged-but-valid reading into a board error.
+      var extraFailed = false
+      while (err.isEmpty && !extraFailed && !bestOf2 && extraRepNeeded(runs.toSeq, maxReps)) {
         val (t, e) = once()
-        err = e
         if (e.isEmpty) runs += t
+        else {
+          extraFailed = true
+          System.err.println(
+            s"[bench] $name: adaptive extra rep failed (${e.get}); keeping the " +
+              s"${runs.length} completed reps"
+          )
+        }
       }
       val hostAfter = sampleHost()
       if (err.isEmpty && runs.length > reps)

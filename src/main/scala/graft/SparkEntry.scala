@@ -1591,14 +1591,23 @@ object SparkEntry {
       // only the corpus's last block can be partial), so with
       // maxRecordsPerFile=100 the file count is ceil(n/100) under ANY
       // boundary sampling — same arithmetic, compression + creates now
-      // spread across 10 writers. Range (not hash) partitioning because
-      // Spark writes a schema-bearing EMPTY file for write-partition 0
-      // when it gets no rows — range always lands the lowest block in
-      // partition 0, hash can leave it empty and add a phantom shard.
-      // The digest is placement-invariant.
+      // spread across 10 writers. The block id is the doc_id RANK, not
+      // doc_id/100 (r18 review): a sparse-id corpus would give partial
+      // blocks everywhere and break the arithmetic — the rank window is
+      // the one single-task step (cheap: a 3-column sort, no IO), the
+      // compression + file creates it feeds stay parallel. Range (not
+      // hash) partitioning because Spark writes a schema-bearing EMPTY
+      // file for write-partition 0 when it gets no rows — range always
+      // lands the lowest block in partition 0, hash can leave it empty
+      // and add a phantom shard. The digest is placement-invariant.
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-        .repartitionByRange(10, floor(col("doc_id") / 100L))
+        .withColumn(
+          "__blk",
+          floor((row_number().over(Window.orderBy(col("doc_id"))) - 1) / 100L)
+        )
+        .repartitionByRange(10, col("__blk"))
+        .drop("__blk")
       graft.sources.OrcSink.write(docs, out, maxRecordsPerFile = 100L)
       val back = graft.sources.OrcSink
         .read(s, out, Some("doc_id BIGINT, lang STRING, text STRING"))
@@ -1621,7 +1630,12 @@ object SparkEntry {
       // pure arithmetic; see the q105 note)
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-        .repartitionByRange(10, floor(col("doc_id") / 100L))
+        .withColumn(
+          "__blk",
+          floor((row_number().over(Window.orderBy(col("doc_id"))) - 1) / 100L)
+        )
+        .repartitionByRange(10, col("__blk"))
+        .drop("__blk")
       graft.sources.CsvSink.write(docs, out, maxRecordsPerFile = 100L)
       val back = graft.sources.CsvSink
         .read(s, out, "doc_id BIGINT, lang STRING, text STRING")

@@ -1726,6 +1726,14 @@ object StreamingOps {
         .sortBy(_._1)
       val keyed = paths.map(p => (p, keyOf(p)))
       val cold = keyed.filterNot { case (_, k) => censusSchemaCache.contains(k) }
+      // cold schemas land in a LOCAL map first: a concurrent call's
+      // eviction of superseded mtimes must never strand THIS call's
+      // lookup between put and read (r18 review — the eviction made a
+      // bare censusSchemaCache(k) racy, a crash path the old
+      // never-evicting cache did not have)
+      val fresh = new scala.collection.concurrent.TrieMap[(String, Long), Seq[
+        (String, org.apache.spark.sql.types.DataType)
+      ]]
       if (cold.nonEmpty) {
         val pool = java.util.concurrent.Executors
           .newFixedThreadPool(math.min(32, cold.size))
@@ -1733,9 +1741,11 @@ object StreamingOps {
           val futures = cold.map { case (p, k) =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
               def call(): Unit = {
-                // one live key per path: evict superseded mtimes first
+                fresh.put(k, fields(p))
+                // one live key per path: evict superseded mtimes, then
+                // publish for later calls
                 censusSchemaCache.keys.filter(_._1 == p).foreach(censusSchemaCache.remove)
-                censusSchemaCache.put(k, fields(p))
+                censusSchemaCache.put(k, fresh(k))
                 ()
               }
             })
@@ -1743,7 +1753,9 @@ object StreamingOps {
           futures.foreach(_.get())
         } finally pool.shutdown()
       }
-      val schemas = keyed.map { case (p, k) => (p, censusSchemaCache(k)) }
+      val schemas = keyed.map { case (p, k) =>
+        (p, fresh.getOrElse(k, censusSchemaCache.getOrElse(k, fields(p))))
+      }
       val want = schemas.head._2
       val bad = schemas.find(_._2 != want)
       require(

@@ -84,15 +84,29 @@ class InterchangeSpec extends SparkSpec {
     // a schema-bearing EMPTY file when write-partition 0 gets no rows,
     // and hash placement can leave partition 0 empty (observed: 6 files
     // for 500 rows at 32 partitions) — range always lands the lowest
-    // block there. Exact-multiple n (the fixtures), partial-last-block
-    // n, and sub-block n are pinned across several partition counts.
+    // block there. The block id is the id's RANK, so the arithmetic is
+    // id-distribution-independent (r18 review: doc_id/100 blocks break
+    // on sparse ids). Exact-multiple n (the fixtures),
+    // partial-last-block n, sub-block n, and a SPARSE id space are
+    // pinned across several partition counts.
+    def blockSharded(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      df.withColumn(
+          "__blk",
+          floor((org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1) / 100L)
+        )
+        .repartitionByRange(parts, col("__blk"))
+        .drop("__blk")
     for ((n, want) <- Seq((500, 5L), (437, 5L), (99, 1L))) {
-      val df = (0 until n).map(i => (i.toLong, s"row $i")).toDF("doc_id", "s")
-      for (parts <- Seq(3, 10, 32)) {
-        val sharded = df.repartitionByRange(parts, floor(col("doc_id") / 100L))
-        val out = s"$testOut/orc_block_${n}_$parts"
-        OrcSink.write(sharded, out, maxRecordsPerFile = 100L)
-        assert(OrcSink.shardCount(spark, out) === want, s"n=$n parts=$parts")
+      // dense ids AND a sparse id space (every 7th id): rank-blocking
+      // must give the same file count for both
+      for (stride <- Seq(1, 7)) {
+        val df = (0 until n).map(i => ((i * stride).toLong, s"row $i")).toDF("doc_id", "s")
+        for (parts <- Seq(3, 10, 32)) {
+          val out = s"$testOut/orc_block_${n}_${stride}_$parts"
+          OrcSink.write(blockSharded(df, parts), out, maxRecordsPerFile = 100L)
+          assert(OrcSink.shardCount(spark, out) === want, s"n=$n stride=$stride parts=$parts")
+        }
       }
     }
   }

@@ -205,16 +205,19 @@ def load_stats(bench_path, queries, summary):
     for cand in cands:
         if not os.path.exists(cand):
             continue
+        # the whole candidate validation sits in one try: a structurally
+        # odd file at either path (a copied board JSON whose "queries"
+        # maps to floats, a truncated side file missing med/min) must be
+        # skipped, not crash the checker at out-of-band report time
+        # (r18 review)
         try:
             d = json.load(open(cand))
-        except json.JSONDecodeError:
+            sq = d.get("queries", {})
+            shared = [q for q in queries if q in sq]
+            if shared and all(abs(sq[q][rep_key] - queries[q]) < 0.0015 for q in shared):
+                return d, cand
+        except (json.JSONDecodeError, TypeError, KeyError, AttributeError):
             continue
-        sq = d.get("queries", {})
-        shared = [q for q in queries if q in sq]
-        if not shared:
-            continue
-        if all(abs(sq[q][rep_key] - queries[q]) < 0.0015 for q in shared):
-            return d, cand
     return None, None
 
 
@@ -375,6 +378,11 @@ def selftest(baseline_path="BASELINE.md"):
     st3, _ = load_stats(bpath, {"q85_semdedup_balanced": 6.473,
                                 "q105_orc_roundtrip": 3.072}, {"bench_mode": "best_of_2"})
     assert st3 is not None, "best-of-2 board must match on rep minima"
+    # a structurally odd candidate (board-shaped: queries -> floats) must
+    # be SKIPPED, not crash the checker (r18 review)
+    open(bpath[:-5] + ".stats.json", "w").write(_json.dumps({"queries": board}))
+    st4, _ = load_stats(bpath, board, {"bench_mode": "median_of_3"})
+    assert st4 is None, "malformed side file must be skipped, not crash"
     os.unlink(bpath); os.unlink(bpath[:-5] + ".stats.json"); os.rmdir(bdir)
     # live sweep: every query row in the real baseline must yield an anchor
     text = open(baseline_path).read()
