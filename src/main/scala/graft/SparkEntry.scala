@@ -1586,28 +1586,17 @@ object SparkEntry {
       // task, so the gate measured the host's per-file-create latency
       // era ×50 — the named mechanism behind the q105 flag history (a
       // parquet write of the same frame costs the same; Profile fileio).
-      // RANGE-partitioning on the exact-100-row block id keeps every
-      // partition a run of whole blocks (row counts multiples of 100;
-      // only the corpus's last block can be partial), so with
-      // maxRecordsPerFile=100 the file count is ceil(n/100) under ANY
-      // boundary sampling — same arithmetic, compression + creates now
-      // spread across 10 writers. The block id is the doc_id RANK, not
-      // doc_id/100 (r18 review): a sparse-id corpus would give partial
-      // blocks everywhere and break the arithmetic — the rank window is
-      // the one single-task step (cheap: a 3-column sort, no IO), the
-      // compression + file creates it feeds stay parallel. Range (not
-      // hash) partitioning because Spark writes a schema-bearing EMPTY
-      // file for write-partition 0 when it gets no rows — range always
-      // lands the lowest block in partition 0, hash can leave it empty
-      // and add a phantom shard. The digest is placement-invariant.
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
-        .withColumn(
-          "__blk",
-          floor((row_number().over(Window.orderBy(col("doc_id"))) - 1) / 100L)
-        )
-        .repartitionByRange(10, col("__blk"))
-        .drop("__blk")
+      // parallel writers with the shard count still pure arithmetic:
+      // see [[graft.sources.BlockShard]] — exact-100-row blocks over the
+      // (loudly required) contiguous doc_id space, range-partitioned
+      // across 10 writers; the old coalesce(1) serialized all ~n/100
+      // file creates in one task, making the gate measure the host's
+      // per-file-create latency era ×50 (Profile fileio named it: a
+      // parquet write of the same frame costs the same — the format was
+      // never the problem). The digest is placement-invariant.
+      val docs = graft.sources.BlockShard(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", rowsPerFile = 100L, writers = 10)
       graft.sources.OrcSink.write(docs, out, maxRecordsPerFile = 100L)
       val back = graft.sources.OrcSink
         .read(s, out, Some("doc_id BIGINT, lang STRING, text STRING"))
@@ -1627,15 +1616,10 @@ object SparkEntry {
     "q106_csv_roundtrip" -> ((s, dir) => {
       val out = dumpPath("csv_q106", dir)
       // same parallel block-sharded write as q105 (shard count stays
-      // pure arithmetic; see the q105 note)
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
-        .withColumn(
-          "__blk",
-          floor((row_number().over(Window.orderBy(col("doc_id"))) - 1) / 100L)
-        )
-        .repartitionByRange(10, col("__blk"))
-        .drop("__blk")
+      // pure arithmetic; see the q105 note + [[graft.sources.BlockShard]])
+      val docs = graft.sources.BlockShard(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", rowsPerFile = 100L, writers = 10)
       graft.sources.CsvSink.write(docs, out, maxRecordsPerFile = 100L)
       val back = graft.sources.CsvSink
         .read(s, out, "doc_id BIGINT, lang STRING, text STRING")

@@ -15,6 +15,43 @@ import org.apache.spark.sql.types.StructType
   * Reference analog: none (`dump_table.py:189` emits parquet only) —
   * north-star interchange surface.
   */
+/** Block-sharding for interchange writes whose shard COUNT is part of
+  * the contract: range-partition on the exact-`rowsPerFile`-row block id
+  * so every partition is a run of whole blocks (only the corpus's last
+  * block can be partial) and, with `maxRecordsPerFile = rowsPerFile`,
+  * the file count is `ceil(n / rowsPerFile)` under ANY boundary
+  * sampling — while compression and file creates spread across
+  * `writers` tasks instead of serializing in one coalesced task (the
+  * per-file-create latency ×(n/rowsPerFile) mechanism behind the r17
+  * q105 flag history). Range, not hash, partitioning: Spark writes a
+  * schema-bearing EMPTY file when write-partition 0 gets no rows, and
+  * hash placement can leave it empty — a phantom extra shard.
+  *
+  * The block id is `(id - min) / rowsPerFile`, which is exact-100-row
+  * blocks ONLY over a contiguous id space — REQUIRED loudly here
+  * (min/max/count is one tiny aggregate). The alternative, a rank
+  * window, would be a corpus-wide single-partition sort: exactly the
+  * global-window anti-pattern the plan gates forbid. A sparse corpus
+  * should dump through [[ShardedParquetSink]]'s count-free sharding
+  * instead; this helper is for contracts that pin the shard count.
+  */
+object BlockShard {
+  import org.apache.spark.sql.functions.{col, count, floor, lit, max, min}
+
+  def apply(df: DataFrame, idCol: String, rowsPerFile: Long, writers: Int): DataFrame = {
+    val b = df.agg(min(col(idCol)), max(col(idCol)), count(lit(1))).head()
+    require(!b.isNullAt(2) && b.getLong(2) > 0L, s"block-sharded write of an empty frame")
+    val (lo, hi, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    require(
+      hi - lo + 1L == n,
+      s"block-sharded write needs a CONTIGUOUS $idCol space (got [$lo,$hi] over $n rows): " +
+        "with id gaps the blocks are not exact and the shard count stops being " +
+        "ceil(n/rowsPerFile) — use ShardedParquetSink for sparse corpora"
+    )
+    df.repartitionByRange(writers, floor((col(idCol) - lo) / rowsPerFile))
+  }
+}
+
 object OrcSink {
 
   def write(

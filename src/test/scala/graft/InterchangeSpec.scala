@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{CsvSink, OrcSink}
+import graft.sources.{BlockShard, CsvSink, OrcSink}
 
 /** Round-trip laws for the ORC and CSV interchange sinks — the adversarial
   * content (delimiters, quotes, CR/LF, unicode) is the part of an export
@@ -75,39 +75,37 @@ class InterchangeSpec extends SparkSpec {
   }
 
   test("block-sharded PARALLEL write keeps the file count pure arithmetic (r18: the q105/q106 gate shape)") {
-    import org.apache.spark.sql.functions.{col, floor}
-    // the gate's claim: RANGE-partitioning on the exact-B-row block id
-    // keeps every partition a run of whole blocks (only the LAST block
-    // can be partial), so the file count is ceil(n/B) under ANY boundary
-    // sampling — the writers parallelize without the coalesce(1)
-    // serialization of n/B file creates. Range, not hash: Spark writes
-    // a schema-bearing EMPTY file when write-partition 0 gets no rows,
-    // and hash placement can leave partition 0 empty (observed: 6 files
-    // for 500 rows at 32 partitions) — range always lands the lowest
-    // block there. The block id is the id's RANK, so the arithmetic is
-    // id-distribution-independent (r18 review: doc_id/100 blocks break
-    // on sparse ids). Exact-multiple n (the fixtures),
-    // partial-last-block n, sub-block n, and a SPARSE id space are
-    // pinned across several partition counts.
-    def blockSharded(df: org.apache.spark.sql.DataFrame, parts: Int) =
-      df.withColumn(
-          "__blk",
-          floor((org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1) / 100L)
-        )
-        .repartitionByRange(parts, col("__blk"))
-        .drop("__blk")
+    // the gate's claim (BlockShard): RANGE-partitioning on the
+    // exact-B-row block id keeps every partition a run of whole blocks
+    // (only the LAST block can be partial), so the file count is
+    // ceil(n/B) under ANY boundary sampling — the writers parallelize
+    // without the coalesce(1) serialization of n/B file creates. Range,
+    // not hash: Spark writes a schema-bearing EMPTY file when
+    // write-partition 0 gets no rows, and hash placement can leave
+    // partition 0 empty (observed: 6 files for 500 rows at 32
+    // partitions) — range always lands the lowest block there. The
+    // arithmetic requires a CONTIGUOUS id space and must say so LOUDLY
+    // (r18 review: silent doc_id/100 blocks broke on sparse ids; a rank
+    // window would fix that only by becoming the corpus-wide
+    // single-task sort the plan gates forbid). Exact-multiple n (the
+    // fixtures), partial-last-block n, sub-block n, and an OFFSET but
+    // contiguous id space are pinned across several writer counts; a
+    // sparse id space is refused with the ShardedParquetSink pointer.
     for ((n, want) <- Seq((500, 5L), (437, 5L), (99, 1L))) {
-      // dense ids AND a sparse id space (every 7th id): rank-blocking
-      // must give the same file count for both
-      for (stride <- Seq(1, 7)) {
-        val df = (0 until n).map(i => ((i * stride).toLong, s"row $i")).toDF("doc_id", "s")
+      for (offset <- Seq(0L, 1000L)) {
+        val df = (0 until n).map(i => (i.toLong + offset, s"row $i")).toDF("doc_id", "s")
         for (parts <- Seq(3, 10, 32)) {
-          val out = s"$testOut/orc_block_${n}_${stride}_$parts"
-          OrcSink.write(blockSharded(df, parts), out, maxRecordsPerFile = 100L)
-          assert(OrcSink.shardCount(spark, out) === want, s"n=$n stride=$stride parts=$parts")
+          val out = s"$testOut/orc_block_${n}_${offset}_$parts"
+          OrcSink.write(BlockShard(df, "doc_id", 100L, parts), out, maxRecordsPerFile = 100L)
+          assert(OrcSink.shardCount(spark, out) === want, s"n=$n offset=$offset parts=$parts")
         }
       }
     }
+    val sparse = (0 until 300).map(i => ((i * 7).toLong, s"row $i")).toDF("doc_id", "s")
+    val e = intercept[IllegalArgumentException](BlockShard(sparse, "doc_id", 100L, 10))
+    assert(e.getMessage.contains("CONTIGUOUS"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      BlockShard(sparse.filter(col("doc_id") < 0), "doc_id", 100L, 10))
+    assert(e2.getMessage.contains("empty frame"), e2.getMessage)
   }
 }
