@@ -192,6 +192,17 @@ object OracleFragments {
   def domainCellKey(parts: Seq[String]): String =
     s"('dom:' || ${lenPrefixedKey(parts)})"
 
+  /** The pseudonym key string `len:domain|len:value|len:salt` — mirror of
+    * `Deidentify.pseudonymExpr`'s netstring encoding (r18: the bare
+    * `domain:value:salt` form was not injective across domains for
+    * ':'-bearing string values). `valueSql` must already be a VARCHAR
+    * expression; a NULL value propagates to a NULL key (and so a NULL
+    * pseudonym) through `||`, matching Spark's concat.
+    */
+  def pseudoKey(domain: String, valueSql: String, salt: String): String =
+    s"('${domain.length}:$domain|' || CAST(length($valueSql) AS VARCHAR) || ':' || " +
+      s"($valueSql) || '|${salt.length}:$salt')"
+
   /** Netstring component encoding, NULL-injective: non-NULL values are
     * `<charlen>:<value>` (always digit-first), NULL is the bare tag `n`
     * (no length prefix — outside the value space, so no string,

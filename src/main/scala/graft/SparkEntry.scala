@@ -4012,7 +4012,7 @@ object SparkEntry {
     "q178_k_release" -> (
       mondrianOracle(50L, 4) +
         s""", rel AS (
-           SELECT ${OracleFragments.polyHash("('cust:' || CAST(s.c_custkey AS VARCHAR) || ':rel2')")} AS h0,
+           SELECT ${OracleFragments.polyHash(OracleFragments.pseudoKey("cust", "CAST(s.c_custkey AS VARCHAR)", "rel2"))} AS h0,
              x.cell_n, x.a_lo, x.a_hi, x.b_lo, x.b_hi
            FROM s4 s JOIN boxes x USING (pid)
          )
@@ -4112,12 +4112,12 @@ object SparkEntry {
     // fragment inlines its argument), remix in the next
     "q159_pseudonymize" ->
       s"""WITH ch AS (
-           SELECT ${polyHash("('cust:' || CAST(c_custkey AS VARCHAR) || ':r11')")} AS h0
+           SELECT ${polyHash(OracleFragments.pseudoKey("cust", "CAST(c_custkey AS VARCHAR)", "r11"))} AS h0
            FROM customer
          ), cust AS (SELECT ${OracleFragments.remix32("h0")} AS p_cust FROM ch),
          oh AS (
-           SELECT ${polyHash("('cust:' || CAST(o_custkey AS VARCHAR) || ':r11')")} AS hc,
-             ${polyHash("('order:' || CAST(o_orderkey AS VARCHAR) || ':r11')")} AS ho
+           SELECT ${polyHash(OracleFragments.pseudoKey("cust", "CAST(o_custkey AS VARCHAR)", "r11"))} AS hc,
+             ${polyHash(OracleFragments.pseudoKey("order", "CAST(o_orderkey AS VARCHAR)", "r11"))} AS ho
            FROM orders
          ), ords AS (
            SELECT ${OracleFragments.remix32("hc")} AS p_cust,
@@ -4130,7 +4130,7 @@ object SparkEntry {
     "q160_date_shift" ->
       s"""WITH h AS (
            SELECT o_orderkey, o_custkey, o_orderdate,
-             ${polyHash("('dateshift:' || CAST(o_custkey AS VARCHAR) || ':r11')")} AS h0
+             ${polyHash(OracleFragments.pseudoKey("dateshift", "CAST(o_custkey AS VARCHAR)", "r11"))} AS h0
            FROM orders
          ), r AS (
            SELECT o_orderkey, o_custkey, o_orderdate,
@@ -4194,9 +4194,9 @@ object SparkEntry {
     "q167_deid_release" ->
       s"""WITH h AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
-             ${polyHash("('dateshift:' || CAST(o_custkey AS VARCHAR) || ':rel1')")} AS hs,
-             ${polyHash("('order:' || CAST(o_orderkey AS VARCHAR) || ':rel1')")} AS ho,
-             ${polyHash("('cust:' || CAST(o_custkey AS VARCHAR) || ':rel1')")} AS hc
+             ${polyHash(OracleFragments.pseudoKey("dateshift", "CAST(o_custkey AS VARCHAR)", "rel1"))} AS hs,
+             ${polyHash(OracleFragments.pseudoKey("order", "CAST(o_orderkey AS VARCHAR)", "rel1"))} AS ho,
+             ${polyHash(OracleFragments.pseudoKey("cust", "CAST(o_custkey AS VARCHAR)", "rel1"))} AS hc
            FROM orders
          )
          SELECT ${OracleFragments.remix32("ho")} AS o_orderkey,

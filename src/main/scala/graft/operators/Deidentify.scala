@@ -59,12 +59,28 @@ object Deidentify {
     * (see [[GraftExpressions.remix32]]), which would leak key ORDER —
     * for a sequential patient id that is an enrollment-date leak.
     */
-  def pseudonymExpr(domain: String, value: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column =
+  /** The hashed key string is netstring-encoded per component —
+    * `len:domain|len:value|len:salt` — the same injective encoding as
+    * [[cellKey]] (VERDICT r13 №1): the former bare `domain:value:salt`
+    * concatenation was not injective across domains when a string value
+    * contains ':' (domain "visit" with value "1:x" == domain "visit:1"
+    * with value "x"), quietly collapsing two key spaces the domain
+    * exists to separate (r18 review). A NULL value still pseudonymizes
+    * to NULL (concat propagates), as before. Lengths are CHARACTER
+    * counts on both engines; mirrored by `OracleFragments.pseudoKey`.
+    */
+  def pseudonymExpr(domain: String, value: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column = {
+    val v = value.cast("string")
     GraftExpressions.remix32(
       GraftExpressions.poly_hash(
-        concat(lit(domain), lit(":"), value.cast("string"), lit(":"), lit(salt))
+        concat(
+          lit(s"${domain.length}:$domain|"),
+          length(v).cast("string"), lit(":"), v,
+          lit(s"|${salt.length}:$salt")
+        )
       )
     )
+  }
 
   /** Replace each listed key column with its pseudonym, in place (same
     * column name, LongType). `keys` maps column name → domain.
@@ -98,8 +114,24 @@ object Deidentify {
   ): DataFrame = {
     require(maxDays > 0, s"need maxDays > 0, got $maxDays")
     require(df.columns.contains(tsCol), s"no such column: $tsCol")
+    require(df.columns.contains(entityCol), s"no such column: $entityCol")
     val span = 2L * maxDays + 1L
-    val off = (pseudonymExpr(domain, col(entityCol), salt) % span - maxDays).cast("int")
+    // a NULL entity has no per-entity offset and BOTH silent treatments
+    // are wrong — a NULL offset destroys the timestamp, an unshifted
+    // timestamp leaks the true date — so raise at execution, scan-side
+    // and short-circuit like boundContributions' NULL-id guard (r18
+    // review: the bare expression silently NULLed the timestamp).
+    val checkedEntity = coalesce(
+      col(entityCol).cast("string"),
+      raise_error(
+        lit(
+          s"dateShift: NULL $entityCol — a NULL entity has no per-entity offset; " +
+            "filter or impute the entity key first (silently NULLing the timestamp " +
+            "destroys data, leaving it unshifted leaks the true date)"
+        )
+      ).cast("string")
+    )
+    val off = (pseudonymExpr(domain, checkedEntity, salt) % span - maxDays).cast("int")
     // (ADVICE r11) Column-API form — the previous string-SQL
     // interpolation (`expr(s"timestampadd(DAY, …, $tsCol)")`) broke on
     // backtick-needing names (dots, spaces, hyphens) or silently bound a
@@ -116,7 +148,20 @@ object Deidentify {
     */
   def generalize(df: DataFrame, numCol: String, width: Long, outCol: String): DataFrame = {
     require(width > 0, s"need width > 0, got $width")
-    val lo = (floor(col(numCol) / width.toDouble) * width).cast("long")
+    // integral inputs band in exact integer arithmetic: v − pmod(v, w)
+    // == floor(v/w)·w for every long (pmod is non-negative), where the
+    // double-division form rounds v to the nearest representable double
+    // first and can land values above 2^53 in the adjacent band (r18
+    // review) — the module's exact-integer discipline applies to its
+    // oldest primitive too. DuckDB's integer `//` was already exact, so
+    // this MATCHES the oracle where the double form could diverge.
+    // Fractional inputs keep floor semantics (−0.5 lands in [−w, 0)).
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val lo = df.schema(numCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(numCol) - pmod(col(numCol), lit(width))).cast("long")
+      case _ => (floor(col(numCol) / width.toDouble) * width).cast("long")
+    }
     df.withColumn(outCol, concat(lit("["), lo.cast("string"), lit(","), (lo + width).cast("string"), lit(")")))
   }
 
@@ -144,7 +189,15 @@ object Deidentify {
     */
   def topCode(df: DataFrame, numCol: String, cap: Long): DataFrame =
     df.withColumn("top_coded", col(numCol) >= cap)
-      .withColumn(numCol, least(col(numCol), lit(cap).cast(df.schema(numCol).dataType)))
+      // Spark's least() SKIPS NULLs (returns the non-null argument), so a
+      // bare least(col, cap) would rewrite a NULL age to the cap —
+      // fabricating a "cap or older" record out of missing data (r18
+      // review). NULL stays NULL, with a NULL top_coded flag.
+      .withColumn(
+        numCol,
+        when(col(numCol).isNull, lit(null).cast(df.schema(numCol).dataType))
+          .otherwise(least(col(numCol), lit(cap).cast(df.schema(numCol).dataType)))
+      )
 
   /** k-anonymity cell suppression: count each quasi-identifier
     * combination (NULL-safe — all-null is itself a cell) and NULL every
@@ -486,7 +539,13 @@ object Deidentify {
   def cellSums(df: DataFrame, quasiCols: Seq[String], valueCol: String, clip: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(clip >= 1, s"need clip >= 1, got $clip")
-    val clamped = greatest(least(col(valueCol).cast("long"), lit(clip)), lit(0L))
+    // NULL contributes ZERO, explicitly: least/greatest SKIP NULLs in
+    // Spark, so without the coalesce a NULL value row would clamp to
+    // `clip` — each missing value silently adding a full clip to its
+    // cell's released sum (r18 review). The gated oracles synthesize
+    // non-NULL values, so this changes no gate; DeidentifySpec pins it.
+    val clamped =
+      greatest(least(coalesce(col(valueCol).cast("long"), lit(0L)), lit(clip)), lit(0L))
     quasiCols.foldLeft(
       df.groupBy(quasiCols.map(col): _*).agg(sum(clamped).as("__graft_cell_s"))
     ) { (d, c) => d.withColumnRenamed(c, s"__graft_q_$c") }
@@ -591,7 +650,28 @@ object Deidentify {
     val w = Window
       .partitionBy((entityCol +: withinCols).map(col): _*)
       .orderBy(rankHash, col(idCol))
-    df.withColumn("__graft_rn", row_number().over(w))
+    // duplicate-id guard (r18 review): the doc contract says unique ids,
+    // and the NULL raise exists because a non-deterministic kept set
+    // breaks oracle replay — but two rows SHARING an id tie on the full
+    // (rankHash, id) sort key and row_number breaks the tie by partition
+    // order, the same quiet nondeterminism. Duplicates sort ADJACENT
+    // under this very window (equal id ⇒ equal hash), so lag(id) over w
+    // detects every duplicate pair with no extra window spec or shuffle.
+    // The raise rides INSIDE the rank column (evaluated before the cap
+    // filter reads it), so it fires even for a duplicate beyond the cap
+    // and no predicate reordering can skip it.
+    val dup = lag(col(idCol), 1).over(w) === col(idCol)
+    val rn = when(
+      dup,
+      raise_error(
+        lit(
+          s"boundContributions: duplicate $idCol within an entity — the deterministic " +
+            "rank tiebreak requires unique ids (which duplicate survives the cap would " +
+            "be engine/partition-order dependent, silently breaking replay)"
+        )
+      ).cast("int")
+    ).otherwise(row_number().over(w))
+    df.withColumn("__graft_rn", rn)
       .filter(col("__graft_rn") <= cap)
       .drop("__graft_rn")
   }
@@ -667,6 +747,11 @@ object Deidentify {
       salt: String
   ): DataFrame = {
     require(maxRowsPerEntity >= 1, s"need maxRowsPerEntity >= 1, got $maxRowsPerEntity")
+    // clip must validate BEFORE the ε/(cap·clip) division below: clip=0
+    // was a raw ArithmeticException and clip<0 failed the ε floor with a
+    // misleading message (r18 review); dpCellSums' own require sits
+    // after this arithmetic and was never reached
+    require(clip >= 1, s"need clip >= 1, got $clip")
     require(
       epsilonMicro / (clip * maxRowsPerEntity) >= 10000L,
       s"ε/(cap·Δ) = $epsilonMicro/(${maxRowsPerEntity}·$clip) µ is below the supported 0.01 " +
@@ -859,7 +944,12 @@ object Deidentify {
       "input must be a DP histogram release (n_dp, epsilon_micro) — see dpCellCounts"
     )
     import org.apache.spark.sql.expressions.Window
-    val order = col("n_dp").desc +: quasiCols.map(col(_).asc)
+    // asc_NULLS_LAST, not plain asc: Spark's ASC default is NULLS FIRST
+    // while DuckDB's is NULLS LAST, so an all-NULL quasi cell (the
+    // suppression convention) tied on n_dp would rank differently in the
+    // two engines and the bit-for-bit replay contract breaks at the k
+    // boundary (r18 review) — pin the DuckDB order on the Spark side.
+    val order = col("n_dp").desc +: quasiCols.map(col(_).asc_nulls_last)
     release
       .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
       .filter(col("rank") <= k)

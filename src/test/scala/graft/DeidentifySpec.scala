@@ -949,4 +949,105 @@ class DeidentifySpec extends SparkSpec {
     intercept[IllegalArgumentException](Deidentify.suppressSmallGroups(cust, Seq("c_nationkey"), 0L))
     intercept[IllegalArgumentException](Deidentify.lDiversityAudit(cust, Seq(), "c_acctbal", 2L))
   }
+
+  test("topCode preserves NULL: missing data must not fabricate a cap-or-older record (r18 review)") {
+    // Spark's least() SKIPS NULLs, so the unguarded form rewrote NULL -> cap
+    val df = Seq[(Long, java.lang.Long)]((1L, 95L), (2L, 40L), (3L, null))
+      .toDF("id", "age")
+    val out = Deidentify.topCode(df, "age", 90L).orderBy("id").collect()
+    assert(out(0).getLong(1) === 90L && out(0).getBoolean(2))
+    assert(out(1).getLong(1) === 40L && !out(1).getBoolean(2))
+    assert(out(2).isNullAt(1), "NULL age must stay NULL, not become the cap")
+    assert(out(2).isNullAt(2), "flag on a NULL value is NULL, not a claim")
+  }
+
+  test("cellSums: a NULL value contributes ZERO, not a full clip (r18 review)") {
+    val df = Seq[(String, java.lang.Long)](("a", 7L), ("a", null), ("a", 500L), ("b", null))
+      .toDF("g", "v")
+    val sums = Deidentify.cellSums(df, Seq("g"), "v", clip = 100L)
+      .orderBy("__graft_q_g").collect()
+    // cell a: 7 + 0 (NULL) + 100 (clipped) = 107 — the old clamp read 207
+    assert(sums(0).getLong(1) === 107L, s"got ${sums(0).getLong(1)}")
+    // cell b: only a NULL row -> 0, not clip
+    assert(sums(1).getLong(1) === 0L, s"got ${sums(1).getLong(1)}")
+  }
+
+  test("dpTopK ranks NULL quasi cells LAST on ties — the DuckDB replay order (r18 review)") {
+    // two cells tied on n_dp, one the all-NULL suppression cell: Spark's
+    // default ASC is NULLS FIRST, DuckDB's is NULLS LAST — the release
+    // must pin the oracle's order or the k boundary diverges
+    val rel = Seq[(String, Long, Long)](("x", 5L, 1000000L), (null, 5L, 1000000L), ("m", 9L, 1000000L))
+      .toDF("g", "n_dp", "epsilon_micro")
+    val top = Deidentify.dpTopK(rel, Seq("g"), 2).orderBy("rank").collect()
+    assert(top(0).getString(0) === "m")
+    assert(top(1).getString(0) === "x", "the NULL cell must rank after 'x' on the tie")
+  }
+
+  test("dateShift raises on a NULL entity instead of silently NULLing the timestamp (r18 review)") {
+    val df = Seq[(java.lang.Long, Timestamp)](
+      (1L, Timestamp.valueOf("2024-03-01 00:00:00")),
+      (null, Timestamp.valueOf("2024-03-02 00:00:00"))
+    ).toDF("ent", "ts")
+    val e = intercept[Exception](Deidentify.dateShift(df, "ts", "ent", 30, "s").collect())
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("NULL ent")), s"got: ${msgs(e)}")
+    // and a typo'd entity column fails with the module's clear message
+    intercept[IllegalArgumentException](Deidentify.dateShift(df, "ts", "nope", 30, "s"))
+  }
+
+  test("generalize bands integral values exactly above 2^53 (r18 review)") {
+    // 2^53 + 1 is not representable as a double: the old double-division
+    // form rounded it to 2^53 and banded it one bucket low when the true
+    // band boundary sits between them
+    val big = (1L << 53) + 1L // 9007199254740993, band [9007199254740993, ...) for width 1
+    val df = Seq(big).toDF("v")
+    val out = Deidentify.generalize(df, "v", 1L, "band").head().getString(1)
+    assert(out === s"[$big,${big + 1})", s"got $out")
+    // floor semantics on negatives unchanged
+    val neg = Deidentify.generalize(Seq(-1L).toDF("v"), "v", 1000L, "band").head().getString(1)
+    assert(neg === "[-1000,0)")
+  }
+
+  test("dpUserCellSums validates clip BEFORE the budget arithmetic (r18 review)") {
+    val df = Seq(("e1", 1L, "g", 5L)).toDF("ent", "id", "g", "v")
+    // clip = 0 used to throw a raw ArithmeticException from the plan-time
+    // division; it must be the module's own require message
+    val e = intercept[IllegalArgumentException](
+      Deidentify.dpUserCellSums(df, "ent", "id", Seq("g"), "v", 0L, 4, 40000000L, "s"))
+    assert(e.getMessage.contains("clip >= 1"), e.getMessage)
+  }
+
+  test("pseudonym key encoding is injective across domains for ':'-bearing string values (r18 review)") {
+    // the bare domain:value:salt concatenation collapsed these two:
+    // ("visit", "1:x") and ("visit:1", "x") concatenate identically
+    val df = Seq("1:x").toDF("v")
+    val a = df.select(Deidentify.pseudonymExpr("visit", col("v"), "s").as("p")).head().getLong(0)
+    val b = Seq("x").toDF("v")
+      .select(Deidentify.pseudonymExpr("visit:1", col("v"), "s").as("p")).head().getLong(0)
+    assert(a !== b, "cross-domain collision: two key spaces pseudonymized equally")
+    // NULL value still pseudonymizes to NULL (the pre-r18 contract)
+    val n = Seq[java.lang.Long](null.asInstanceOf[java.lang.Long]).toDF("v")
+      .select(Deidentify.pseudonymExpr("visit", col("v"), "s").as("p")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("boundContributions raises on duplicate ids — a tied rank key is a nondeterministic kept set (r18 review)") {
+    val dup = Seq(("e1", 7L, 1), ("e1", 7L, 2), ("e1", 8L, 3)).toDF("ent", "id", "payload")
+    val e = intercept[Exception](
+      Deidentify.boundContributions(dup, "ent", "id", cap = 2, "s").collect())
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("duplicate id")), s"got: ${msgs(e)}")
+    // duplicates BEYOND the cap still raise (the guard rides the rank
+    // column itself, before the cap filter)
+    val dupTail = Seq(("e1", 1L, 1), ("e1", 2L, 2), ("e1", 9L, 3), ("e1", 9L, 4))
+      .toDF("ent", "id", "payload")
+    val e2 = intercept[Exception](
+      Deidentify.boundContributions(dupTail, "ent", "id", cap = 2, "s").collect())
+    assert(msgs(e2).exists(_.contains("duplicate id")), s"got: ${msgs(e2)}")
+    // the same id in DIFFERENT entities is legal (ids are ranked per entity)
+    val ok = Seq(("e1", 7L, 1), ("e2", 7L, 2)).toDF("ent", "id", "payload")
+    assert(Deidentify.boundContributions(ok, "ent", "id", cap = 2, "s").count() === 2L)
+  }
 }

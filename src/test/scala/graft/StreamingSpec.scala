@@ -969,7 +969,11 @@ class StreamingSpec extends SparkSpec {
       .load(spark, Sf0001, "customer")
       .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
     val rows = full.as[(Long, Long)].collect().toSeq
-    val dir = s"$testOut/census_lsm"
+    // fresh per run: a persisted fixed dir+ckpt pair resumes the old
+    // checkpoint, skips reprocessing, and the assertions silently grade
+    // the PREVIOUS run's parts (the deid_feed stale-state class, r18)
+val dir =
+      java.nio.file.Files.createTempDirectory("graft-census-lsm").toString + "/census"
     val stream = MemoryStream[(Long, Long)]
     rows.grouped(40).foreach(stream.addData(_))
     val q = StreamingOps.maintainCensus(
@@ -1004,7 +1008,8 @@ class StreamingSpec extends SparkSpec {
       .load(spark, Sf0001, "customer")
       .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
     val rows = full.as[(Long, Long)].collect().toSeq
-    val dir = s"$testOut/census_dp_lsm"
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-census-dp-lsm").toString + "/census"
     val stream = MemoryStream[(Long, Long)]
     rows.grouped(35).foreach(stream.addData(_))
     val q = StreamingOps.maintainCensus(
@@ -1039,7 +1044,8 @@ class StreamingSpec extends SparkSpec {
         (floor(col("c_acctbal") / 2000d) * 2000).cast("long").as("band_lo")
       )
     val rows = full.as[(Long, String, Long)].collect().toSeq
-    val dir = s"$testOut/census_dpq_lsm"
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-census-dpq-lsm").toString + "/census"
     val stream = MemoryStream[(Long, String, Long)]
     rows.grouped(40).foreach(stream.addData(_))
     val q = StreamingOps.maintainCensus(
@@ -1076,8 +1082,9 @@ class StreamingSpec extends SparkSpec {
         pmod(col("c_custkey"), lit(13L)).as("v")
       )
     val rows = full.as[(Long, Long, Long)].collect().toSeq
-    val cdir = s"$testOut/census_means_counts"
-    val sdir = s"$testOut/census_means_sums"
+    val mbase = java.nio.file.Files.createTempDirectory("graft-census-means").toString
+    val cdir = s"$mbase/counts"
+    val sdir = s"$mbase/sums"
     val cs = MemoryStream[(Long, Long, Long)]
     rows.grouped(40).foreach(cs.addData(_))
     val q1 = StreamingOps.maintainCensus(
@@ -1180,7 +1187,13 @@ class StreamingSpec extends SparkSpec {
     val banded = Deidentify.generalize(orders, "o_totalprice", 50000L, "price_band")
     val census = Deidentify.cellCounts(banded, Seq("price_band")).localCheckpoint(true)
 
-    val dir = s"$testOut/deid_feed"
+    // a FRESH dir+checkpoint per run: the old fixed `$testOut/deid_feed`
+    // path made re-runs read back the PREVIOUS run's appended rows while
+    // the persisted checkpoint skipped reprocessing — the law held only
+    // while the chain's outputs were bit-identical across code versions,
+    // i.e. the test silently compared stale state (caught by the r18
+    // pseudonym-encoding change, which the stale rows predated)
+    val dir = java.nio.file.Files.createTempDirectory("graft-deid-feed").toString + "/out"
     val rows = orders.collect().toSeq
     val tupleStream = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
     rows
