@@ -653,27 +653,40 @@ object Deidentify {
     // duplicate-id guard (r18 review): the doc contract says unique ids,
     // and the NULL raise exists because a non-deterministic kept set
     // breaks oracle replay — but two rows SHARING an id tie on the full
-    // (rankHash, id) sort key and row_number breaks the tie by partition
-    // order, the same quiet nondeterminism. Duplicates sort ADJACENT
-    // under this very window (equal id ⇒ equal hash), so lag(id) over w
-    // detects every duplicate pair with no extra window spec or shuffle.
-    // The raise rides INSIDE the rank column (evaluated before the cap
-    // filter reads it), so it fires even for a duplicate beyond the cap
-    // and no predicate reordering can skip it.
-    val dup = lag(col(idCol), 1).over(w) === col(idCol)
-    val rn = when(
-      dup,
-      raise_error(
-        lit(
-          s"boundContributions: duplicate $idCol within an entity — the deterministic " +
-            "rank tiebreak requires unique ids (which duplicate survives the cap would " +
-            "be engine/partition-order dependent, silently breaking replay)"
+    // (rankHash, id) sort key and the cap breaks the tie by partition
+    // order, the same quiet nondeterminism. The guard is a SEPARATE
+    // scan-shaped aggregate (max per-(entity, within, id) multiplicity,
+    // map-side partials, one scalar row) broadcast-crossed into the
+    // result via an unprunable filter (the enforceBudget pattern) — NOT
+    // a lag() inside the rank window: any second window function there
+    // disables Spark's WindowGroupLimit rank-limit pushdown, losing the
+    // map-side top-`cap` pre-pruning that keeps a skewed hot entity from
+    // shuffling and sorting all its rows (verified in the dumped plan).
+    // The guard sees every row, so duplicates beyond the cap still
+    // raise; the extra pass is embarrassingly parallel.
+    val dupGuard = broadcast(
+      df.groupBy((entityCol +: withinCols :+ idCol).map(col): _*)
+        .agg(count(lit(1)).as("__graft_n"))
+        .agg(max(col("__graft_n")).as("__graft_mx"))
+        .select(
+          when(
+            col("__graft_mx") > 1L,
+            raise_error(
+              lit(
+                s"boundContributions: duplicate $idCol within an entity — the deterministic " +
+                  "rank tiebreak requires unique ids (which duplicate survives the cap would " +
+                  "be engine/partition-order dependent, silently breaking replay)"
+              )
+            ).cast("boolean")
+          ).otherwise(lit(true)).as("__graft_ids_unique")
         )
-      ).cast("int")
-    ).otherwise(row_number().over(w))
-    df.withColumn("__graft_rn", rn)
+    )
+    df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= cap)
       .drop("__graft_rn")
+      .crossJoin(dupGuard)
+      .filter(col("__graft_ids_unique"))
+      .drop("__graft_ids_unique")
   }
 
   /** USER-level ε-DP cell histogram — [[dpCellCounts]] with the

@@ -204,17 +204,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window:\n$p")
   }
 
-  test("q186/q188: user-level DP — the bound is an ENTITY-partitioned window, census join-free, noise scan-side") {
+  test("q186/q188: user-level DP — entity-partitioned bound with rank pushdown, noise join-free, guard broadcast-scalar") {
     for (q <- Seq("q186_dp_user_counts", "q188_dp_user_sums")) {
       val p = plan(q)
-      assert(!p.contains("Join"), s"$q: noise must not join:\n$p")
       assert(p.contains("Window"), s"$q: the contribution bound is a window")
       // the window partitions by the entity key (per-entity sort, bounded by
       // entity fan-out) — an UNpartitioned window here would be the global
       // single-partition sort that dies at scale
       assert(p.contains("hashpartitioning(o_custkey"), s"$q: bound window must partition by entity:\n$p")
+      // the rank-limit PUSHDOWN must survive (r18): WindowGroupLimit
+      // pre-prunes each entity to its top `cap` rows map-side, which is
+      // what keeps a skewed hot entity from shuffling and sorting all
+      // its rows — the duplicate-id guard was specifically designed as a
+      // separate aggregate so no second window function disables this
+      assert(p.contains("WindowGroupLimit"), s"$q: rank-limit pushdown lost:\n$p")
       assert(p.contains("HashAggregate"), s"$q: the census aggregate")
-      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q: one table read:\n$p")
+      // r18 duplicate-id guard shape: exactly TWO reads — the release
+      // read plus the guard's COLUMN-PRUNED (entity, id) multiplicity
+      // scan — and exactly one join, the 1-row broadcast-scalar guard
+      // crossed in as an unprunable filter. The noise path itself still
+      // joins nothing (no hash/merge join anywhere in the plan).
+      assert("Scan parquet".r.findAllIn(p).size == 2, s"$q: release read + pruned guard read:\n$p")
+      assert(
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+        s"$q: exactly the scalar guard join:\n$p"
+      )
+      assert(
+        !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q: noise must not join:\n$p"
+      )
+      assert(
+        p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+        s"$q: guard read must prune to (entity, id):\n$p"
+      )
     }
   }
 
