@@ -106,7 +106,12 @@ object SequencePack {
     * Output `(chunk_idx, ids, n_ids)`: every window exactly `seqLen`
     * except the single global tail. Documents with empty `ids` are
     * dropped (they contribute no tokens, and a lone separator for an
-    * empty document is noise, not signal).
+    * empty document is noise, not signal). `idCol` must be non-NULL and
+    * unique — the stream order is id order — and both violations RAISE
+    * at execution (a NULL id's tokens would otherwise ride the offset
+    * prefix sums while its rows drop at the bucket join, silently
+    * shifting every later window; a duplicate would double-join its ids
+    * with engine-order offsets).
     *
     * Where [[chunkIds]] nests windows INSIDE documents (attention masks
     * per document), this is the zero-padding-waste layout; the two are
@@ -182,8 +187,27 @@ object SequencePack {
       .select(col(idCol), withEos.as("ids"))
       .localCheckpoint(true)
     // the offset arithmetic never needs the arrays — it runs on the slim
-    // (id, n) projection of the checkpointed base
-    val slim = base.select(col(idCol), size(col("ids")).cast("long").as("n"))
+    // (id, n) projection of the checkpointed base.
+    // The global stream order is `idCol` order, so the contract REQUIRES
+    // non-NULL unique ids — and a violation here corrupts SILENTLY, not
+    // loudly: a NULL id's tokens ride the bucket prefix sums (NULL is a
+    // groupBy group) but its rows drop at the null-rejecting bucket join,
+    // shifting every later document's window offset; a duplicate id ties
+    // the within-bucket running sum (engine-order cum) AND double-joins
+    // its array back. Both fail fast: NULL scan-side, duplicates via
+    // lag over the bucket window below (same-id rows always share a
+    // bucket — the bucket is a function of the id — so adjacency
+    // detection is complete, and the lag rides the window pass the
+    // offsets already pay: no extra shuffle, no extra scan).
+    val slim = base
+      .filter(
+        when(col(idCol).isNotNull, lit(true)).otherwise(
+          raise_error(
+            lit(s"chunkIdsAcross: NULL $idCol — the global stream order needs non-NULL unique ids")
+          ).cast("boolean")
+        )
+      )
+      .select(col(idCol), size(col("ids")).cast("long").as("n"))
     // id-range buckets: monotone in idCol, so (bucket, idCol) order IS
     // idCol order; the id span comes from a broadcast 1-row aggregate
     // (no driver action), width rounded up so bucket < `buckets`
@@ -212,13 +236,29 @@ object SequencePack {
       .partitionBy(col("__b"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // duplicate-id raise: same window spec as `inBucket`, so Spark
+    // computes the lag and the running sum in ONE Window exec
+    val dup = lag(col(idCol), 1)
+      .over(Window.partitionBy(col("__b")).orderBy(col(idCol))) === col(idCol)
     val offs = bucketed
       .join(broadcast(prefixes), col("__b") === col("__pb"))
-      .select(
-        col(idCol),
-        (col("__prefix") + sum(col("n")).over(inBucket) - col("n")).as("off"),
-        col("n")
+      .withColumn(
+        "off",
+        col("__prefix") + sum(col("n")).over(inBucket) - col("n")
       )
+      .withColumn("__dup", dup)
+      .filter(
+        when(!coalesce(col("__dup"), lit(false)), lit(true)).otherwise(
+          raise_error(
+            lit(
+              s"chunkIdsAcross: duplicate $idCol — the global stream admits each document " +
+                "once; a duplicate would double-join its ids and make the running offsets " +
+                "engine-order dependent"
+            )
+          ).cast("boolean")
+        )
+      )
+      .select(col(idCol), col("off"), col("n"))
     base.join(offs, Seq(idCol))
   }
 
@@ -314,7 +354,18 @@ object SequencePack {
       .partitionBy(col(idCol))
       .orderBy(col("chunk_idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL ids fail fast: every NULL-id document lands in ONE window
+    // partition where their chunk_idx values TIE (each doc restarts at
+    // 0), so the running sum — and therefore seq_id — would interleave
+    // unrelated documents in engine order, silently
     chunkFrame(docs, chunkSize, overlap, textCol, idCol, carry)
+      .filter(
+        when(col(idCol).isNotNull, lit(true)).otherwise(
+          raise_error(
+            lit(s"SequencePack.assign: NULL $idCol — per-document packing needs non-NULL doc ids")
+          ).cast("boolean")
+        )
+      )
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
   }

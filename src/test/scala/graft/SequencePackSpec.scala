@@ -217,6 +217,52 @@ class SequencePackSpec extends SparkSpec {
     intercept[IllegalArgumentException](SequencePack.chunkIdsAcross(crafted, 0))
   }
 
+  test("chunkIdsAcross / assign: NULL and duplicate ids raise — never a silently shifted stream (r18 review)") {
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // NULL id: its tokens would ride the offset prefix sums (NULL is a
+    // groupBy group) while its rows drop at the bucket join — every
+    // later document's windows would shift by its token count, silently
+    val withNull = Seq(
+      (Some(1L), Seq(10L, 11L)),
+      (None, Seq(90L, 91L, 92L)),
+      (Some(3L), Seq(30L))
+    ).toDF("doc_id", "ids")
+    val eNull = intercept[Exception](
+      SequencePack.chunkIdsAcross(withNull, 4, None, buckets = 2).collect()
+    )
+    assert(messages(eNull).exists(_.contains("NULL doc_id")), s"got: ${messages(eNull)}")
+    // duplicate id: double-joins its ids with engine-order offsets; the
+    // lag guard sees the pair because equal ids always share a bucket
+    val withDup = Seq(
+      (1L, Seq(10L, 11L)),
+      (2L, Seq(20L)),
+      (2L, Seq(21L, 22L))
+    ).toDF("doc_id", "ids")
+    val eDup = intercept[Exception](
+      SequencePack.chunkIdsAcross(withDup, 4, None, buckets = 2).collect()
+    )
+    assert(messages(eDup).exists(_.contains("duplicate doc_id")), s"got: ${messages(eDup)}")
+    // clean frames pass both guards untouched (and the boundaries twin
+    // shares packedOffsets, so one clean read covers it)
+    val clean = Seq((1L, Seq(10L, 11L)), (2L, Seq(20L))).toDF("doc_id", "ids")
+    assert(
+      SequencePack
+        .chunkIdsAcrossWithBoundaries(clean, 4, None, buckets = 2)
+        .agg(sum(col("n_ids")))
+        .as[Long]
+        .head() === 3L
+    )
+    // assign: every NULL-id doc lands in ONE window partition where
+    // chunk_idx TIES across documents — engine-order seq ids, silently
+    val docs = Seq((Some(1L), "a b c"), (None, "d e f")).toDF("doc_id", "text")
+    val eAssign = intercept[Exception](
+      SequencePack.assign(docs, budget = 2, chunkSize = 2, overlap = 0).collect()
+    )
+    assert(messages(eAssign).exists(_.contains("NULL doc_id")), s"got: ${messages(eAssign)}")
+  }
+
   test("hand-checked packing on a crafted document") {
     import spark.implicits._
     // 130 tokens, chunkSize 10, overlap 0, budget 25:
