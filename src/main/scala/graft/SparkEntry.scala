@@ -4494,7 +4494,7 @@ object SparkEntry {
          SELECT coalesce(olds.doc_id, news.doc_id) AS doc_id,
            CASE WHEN olds.doc_id IS NULL THEN 'added'
                 WHEN news.doc_id IS NULL THEN 'removed'
-                WHEN old_ph <> new_ph THEN 'changed'
+                WHEN old_ph IS DISTINCT FROM new_ph THEN 'changed'
                 ELSE 'unchanged' END AS status
          FROM olds FULL JOIN news ON olds.doc_id = news.doc_id
          ORDER BY doc_id""",

@@ -99,15 +99,25 @@ object Report {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    def hashed(df: DataFrame, as: String) =
-      df.select(col(idCol), GraftExpressions.poly_hash(col(textCol)).as(as))
-    hashed(oldSnap, "old_ph")
-      .join(hashed(newSnap, "new_ph"), Seq(idCol), "full_outer")
+    // presence is a PRESENCE FLAG, not hash non-nullness (r18 review): a
+    // document present with NULL text would otherwise read added/removed,
+    // and a text→NULL transition would compare NULL ≠ NULL → NULL and
+    // fall through to "unchanged" — the null-safe <=> and the flags make
+    // every NULL-text combination classify exactly (oracle twin uses
+    // doc_id-presence + IS DISTINCT FROM, the same semantics)
+    def hashed(df: DataFrame, p: String, as: String) =
+      df.select(
+        col(idCol),
+        lit(true).as(p),
+        GraftExpressions.poly_hash(col(textCol)).as(as)
+      )
+    hashed(oldSnap, "old_present", "old_ph")
+      .join(hashed(newSnap, "new_present", "new_ph"), Seq(idCol), "full_outer")
       .select(
         col(idCol),
-        when(col("old_ph").isNull, lit("added"))
-          .when(col("new_ph").isNull, lit("removed"))
-          .when(col("old_ph") =!= col("new_ph"), lit("changed"))
+        when(col("old_present").isNull, lit("added"))
+          .when(col("new_present").isNull, lit("removed"))
+          .when(!(col("old_ph") <=> col("new_ph")), lit("changed"))
           .otherwise(lit("unchanged"))
           .as("status")
       )
@@ -239,7 +249,20 @@ object Report {
       groupCol: String
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = docs
+    // NULL scores fail fast (r18 review): they would drop silently at
+    // the null-rejecting (group, score) join below — breaking the
+    // "no source silently wiped out" guarantee for all-NULL sources —
+    // and "strictly below NULL" has no engine-stable meaning anyway
+    // (Spark windows sort NULLS FIRST, DuckDB NULLS LAST — the dpTopK
+    // divergence class)
+    val checked = docs.filter(
+      when(col(scoreCol).isNotNull, lit(true)).otherwise(
+        raise_error(
+          lit(s"percentile rank: NULL $scoreCol — percentile calibration needs non-NULL scores")
+        ).cast("boolean")
+      )
+    )
+    val hist = checked
       .groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__cnt"))
     val w = Window
@@ -250,8 +273,8 @@ object Report {
       .withColumn("__n_le", sum(col("__cnt")).over(w))
       .withColumn("__n_less", col("__n_le") - col("__cnt"))
       .drop("__cnt")
-    val totals = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    docs
+    val totals = checked.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    checked
       .join(ranks, Seq(groupCol, scoreCol))
       .join(broadcast(totals), Seq(groupCol))
   }

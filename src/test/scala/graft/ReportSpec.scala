@@ -81,6 +81,43 @@ class ReportSpec extends SparkSpec {
     assert(summary === Map("removed" -> 1L, "unchanged" -> 1L, "changed" -> 1L, "added" -> 1L))
   }
 
+  test("snapshotDiff: NULL-text documents classify by PRESENCE, not hash nullness (r18 review)") {
+    // old: 1 has text, 2 has NULL text, 3 has text
+    // new: 1 went NULL (changed), 2 still NULL (unchanged), 4 arrives NULL (added)
+    val oldSnap = Seq(
+      (1L, Some("one")),
+      (2L, Option.empty[String]),
+      (3L, Some("three"))
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, Option.empty[String]),
+      (2L, Option.empty[String]),
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = Report.snapshotDiff(oldSnap, newSnap).as[(Long, String)].collect().toMap
+    // the old hash-null form read 1 -> unchanged (NULL ≠ NULL -> NULL ->
+    // fall-through), 2 -> added AND removed is impossible but presence
+    // came from the hash, and 4 -> nothing distinguishable from absent
+    assert(got === Map(1L -> "changed", 2L -> "unchanged", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("percentileRanks / keepTopBy: NULL scores raise — never a silent drop or engine-order rank (r18 review)") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val withNull = Seq(
+      (1L, "s1", Some(100L)),
+      (2L, "s1", Option.empty[Long]),
+      (3L, "s1", Some(300L))
+    ).toDF("doc_id", "source", "score_micro")
+    val e = intercept[Exception](Report.percentileRanks(withNull, "score_micro").collect())
+    assert(messages(e).exists(_.contains("NULL score_micro")), s"got: ${messages(e)}")
+    val e2 = intercept[Exception](Report.keepTopBy(withNull, "score_micro", 500L).collect())
+    assert(messages(e2).exists(_.contains("NULL score_micro")), s"got: ${messages(e2)}")
+    // clean frames untouched by the guard
+    val clean = withNull.filter(col("score_micro").isNotNull)
+    assert(Report.percentileRanks(clean, "score_micro").count() === 2L)
+  }
+
   test("profileTable: exact null/distinct/min/max per column; sketch mode bounded; empty fails") {
     val crafted = Seq(
       (Some(1L), Some("b"), Some(2.5)),
