@@ -4429,7 +4429,7 @@ object SparkEntry {
          SELECT COALESCE(o.w, n.w) AS w,
            CASE WHEN o.w IS NULL THEN 'added'
                 WHEN n.w IS NULL THEN 'removed'
-                WHEN o.syms <> n.syms THEN 'changed'
+                WHEN o.syms IS DISTINCT FROM n.syms THEN 'changed'
                 ELSE 'unchanged' END AS status,
            CAST(COALESCE(len(o.syms), 0) AS BIGINT) AS n_syms_old,
            CAST(COALESCE(len(n.syms), 0) AS BIGINT) AS n_syms_new,

@@ -39,6 +39,22 @@ object Decontaminate {
     */
   val DefaultK = 13
 
+  /** NULL corpus ids fail fast (r18 review): the removal/cut joins are
+    * id-keyed and NULL never equi-matches — a NULL-id contaminated
+    * document would survive [[clean]]'s anti join, pass [[redactOverlaps]]
+    * uncut, and read 0/0 in [[memorizationProfile]], all silently. A
+    * decontamination pass that quietly exempts rows is worse than one
+    * that fails loudly.
+    */
+  private def requireIds(corpus: DataFrame, idCol: String, op: String): DataFrame =
+    corpus.filter(
+      when(col(idCol).isNotNull, lit(true)).otherwise(
+        raise_error(
+          lit(s"$op: NULL $idCol — id-keyed contamination accounting needs non-NULL doc ids")
+        ).cast("boolean")
+      )
+    )
+
   /** One row per DISTINCT k-gram hash in the benchmark — the index the
     * corpus is checked against.
     */
@@ -75,18 +91,20 @@ object Decontaminate {
     * side of [[overlapReport]] (anti join on the contaminated id set).
     */
   def clean(
-      corpus: DataFrame,
+      corpus0: DataFrame,
       benchmark: DataFrame,
       k: Int = DefaultK,
       textCol: String = "text",
       idCol: String = "doc_id",
       broadcastIndex: Boolean = true
-  ): DataFrame =
+  ): DataFrame = {
+    val corpus = requireIds(corpus0, idCol, "Decontaminate.clean")
     corpus.join(
       overlapReport(corpus, benchmark, k, textCol, idCol, broadcastIndex).select(col(idCol)),
       Seq(idCol),
       "left_anti"
     )
+  }
 
   /** The REVERSE direction — per BENCHMARK item, how exposed it is in
     * the training corpus: `(bench_id, n_corpus_docs, n_shared_grams)`
@@ -156,8 +174,9 @@ object Decontaminate {
       broadcastIndex: Boolean = true
   ): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
+    val corpusChecked = requireIds(corpus, idCol, "redactOverlaps")
     val idx = benchmarkIndex(benchmark, k, textCol)
-    val cutStarts = corpus
+    val cutStarts = corpusChecked
       .select(
         col(idCol),
         posexplode(TextFunctions.positionalShingleHashes(col(textCol), k)).as(Seq("i", "gh"))
@@ -166,7 +185,7 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("i").cast("long"))).as("__cuts"))
     SegmentDedup.rebuildWithoutCuts(
-      corpus.select(col(idCol), col(textCol)),
+      corpusChecked.select(col(idCol), col(textCol)),
       cutStarts,
       k,
       textCol,
@@ -209,8 +228,9 @@ object Decontaminate {
   ): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     import org.apache.spark.sql.expressions.Window
+    val corpusChecked = requireIds(corpus, idCol, "memorizationProfile")
     val idx = benchmarkIndex(benchmark, k, textCol)
-    val hits = corpus
+    val hits = corpusChecked
       .select(
         col(idCol),
         posexplode(TextFunctions.positionalShingleHashes(col(textCol), k)).as(Seq("i", "gh"))
@@ -228,7 +248,7 @@ object Decontaminate {
         sum(col("__run")).as("n_hit_windows"),
         (max(col("__run")) + lit(k.toLong - 1L)).as("max_span_tokens")
       )
-    corpus
+    corpusChecked
       .select(col(idCol))
       .join(runs, Seq(idCol), "left")
       .select(

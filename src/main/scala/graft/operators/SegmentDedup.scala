@@ -37,16 +37,33 @@ import graft.functions.{GraftExpressions, TextFunctions}
   */
 object SegmentDedup {
 
+  /** NULL doc ids fail fast (r18 review): the keep policy is "min
+    * `(doc id, position)` stays" and struct minimums order NULLS FIRST —
+    * a NULL-id document would WIN every first-occurrence race, cutting
+    * the segment from every real document, while its own occurrences
+    * drop at the null-rejecting keep equality: the segment text would
+    * silently vanish from the whole corpus.
+    */
+  private def requireIds(docs: DataFrame, idCol: String, op: String): DataFrame =
+    docs.filter(
+      when(col(idCol).isNotNull, lit(true)).otherwise(
+        raise_error(
+          lit(s"$op: NULL $idCol — the global (doc id, position) first-occurrence order needs non-NULL doc ids")
+        ).cast("boolean")
+      )
+    )
+
   /** Per-occurrence keep/cut decision: `(idCol, seg_idx, seg, keep)` —
     * the audit view; [[dedupSegments]] is its reassembled form.
     */
   def segmentOccurrences(
-      docs: DataFrame,
+      docs0: DataFrame,
       segTokens: Int = 5,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
     require(segTokens > 0, s"need segTokens > 0, got $segTokens")
+    val docs = requireIds(docs0, idCol, "segmentOccurrences")
     val segs = docs
       .select(
         col(idCol),
@@ -83,12 +100,13 @@ object SegmentDedup {
     * text after one doc-id join — see the class doc for the byte math.
     */
   def dedupSegments(
-      docs: DataFrame,
+      docs0: DataFrame,
       segTokens: Int = 5,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
     require(segTokens > 0, s"need segTokens > 0, got $segTokens")
+    val docs = requireIds(docs0, idCol, "dedupSegments")
     val occ = docs
       .select(
         col(idCol),
@@ -151,7 +169,7 @@ object SegmentDedup {
     * in the final doc-id join.
     */
   def dropBoilerplateSegments(
-      docs: DataFrame,
+      docs0: DataFrame,
       segTokens: Int = 5,
       maxDf: Long = 2L,
       textCol: String = "text",
@@ -159,6 +177,9 @@ object SegmentDedup {
   ): DataFrame = {
     require(segTokens > 0, s"need segTokens > 0, got $segTokens")
     require(maxDf >= 1, s"need maxDf >= 1 (maxDf = 0 would drop every document), got $maxDf")
+    // (the countDistinct df additionally IGNORES a NULL id, so a hot
+    // banner could also undercount its way past maxDf — same guard)
+    val docs = requireIds(docs0, idCol, "dropBoilerplateSegments")
     val occ = docs
       .select(
         col(idCol),
@@ -250,13 +271,14 @@ object SegmentDedup {
     * price of position-independence; L is the knob.
     */
   def dedupSubstrings(
-      docs: DataFrame,
+      docs0: DataFrame,
       minTokens: Int = 8,
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
     require(minTokens > 0, s"need minTokens > 0, got $minTokens")
     val L = minTokens
+    val docs = requireIds(docs0, idCol, "dedupSubstrings")
     val occ = docs
       .select(
         col(idCol),

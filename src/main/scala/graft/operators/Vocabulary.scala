@@ -767,18 +767,24 @@ object Vocabulary {
     * frames on the word — never corpus-sized.
     */
   def segmentationDiff(oldSegs: DataFrame, newSegs: DataFrame): DataFrame =
+    // presence via explicit flags + null-safe compare (the r18
+    // snapshotDiff fix applied to its vocab twin): the engine's trainers
+    // never emit a NULL syms, but a hand-fed table with one would
+    // otherwise read added/removed while present, and NULL ≠ NULL → NULL
+    // would fall through to "unchanged" — the oracle's presence is
+    // already w-keyed
     oldSegs
-      .select(col("w"), col("syms").as("syms_old"), col("cnt").as("cnt_old"))
+      .select(col("w"), lit(true).as("old_present"), col("syms").as("syms_old"), col("cnt").as("cnt_old"))
       .join(
-        newSegs.select(col("w"), col("syms").as("syms_new"), col("cnt").as("cnt_new")),
+        newSegs.select(col("w"), lit(true).as("new_present"), col("syms").as("syms_new"), col("cnt").as("cnt_new")),
         Seq("w"),
         "full_outer"
       )
       .select(
         col("w"),
-        when(col("syms_old").isNull, lit("added"))
-          .when(col("syms_new").isNull, lit("removed"))
-          .when(col("syms_old") =!= col("syms_new"), lit("changed"))
+        when(col("old_present").isNull, lit("added"))
+          .when(col("new_present").isNull, lit("removed"))
+          .when(!(col("syms_old") <=> col("syms_new")), lit("changed"))
           .otherwise(lit("unchanged"))
           .as("status"),
         coalesce(size(col("syms_old")).cast("long"), lit(0L)).as("n_syms_old"),

@@ -44,6 +44,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(clean.join(report, Seq("doc_id"), "left_semi").count() === 0L)
   }
 
+  test("segment dedup + decontamination: NULL doc ids raise — never a silent keep-race win or exempt row (r18 review)") {
+    import graft.operators.SegmentDedup
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // a NULL-id doc sharing a segment with doc 1: under NULLS-FIRST
+    // struct ordering it would WIN the first-occurrence race (cutting
+    // the segment from doc 1) while its own copy drops at the
+    // null-rejecting keep equality — the text would vanish from both
+    val withNull = Seq(
+      (Some(1L), "a b c d e f g h"),
+      (Option.empty[Long], "a b c d e x y z")
+    ).toDF("doc_id", "text")
+    for (
+      op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        d => SegmentDedup.segmentOccurrences(d, 4),
+        d => SegmentDedup.dedupSegments(d, 4),
+        d => SegmentDedup.dropBoilerplateSegments(d, 4, 1L),
+        d => SegmentDedup.dedupSubstrings(d, 4),
+        d => Decontaminate.clean(d, benchmark, 4),
+        d => Decontaminate.redactOverlaps(d, benchmark, 4),
+        d => Decontaminate.memorizationProfile(d, benchmark, 4)
+      )
+    ) {
+      val e = intercept[Exception](op(withNull).collect())
+      assert(messages(e).exists(_.contains("NULL doc_id")), s"got: ${messages(e)}")
+    }
+    // clean frames pass the guards untouched
+    val cleanDocs = withNull.filter(col("doc_id").isNotNull)
+    assert(SegmentDedup.dedupSegments(cleanDocs, 4).count() === 1L)
+    assert(Decontaminate.memorizationProfile(cleanDocs, benchmark, 4).count() === 1L)
+  }
+
   test("decontaminate: empty benchmark contaminates nothing") {
     val none = Decontaminate.overlapReport(corpus, benchmark.limit(0), 4)
     assert(none.count() === 0L)
@@ -1623,6 +1655,20 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(sum("changed") === (("changed", 1L, 6L, -6L))) // b: (1-2)*6
     assert(sum("added")._4 === 3L)
+    // NULL-syms rows classify by PRESENCE (the r18 snapshotDiff fix's
+    // vocab twin): present-with-NULL is not added/removed, syms→NULL is
+    // changed, NULL==NULL is unchanged
+    val oldNull = Seq(
+      ("x", Some(Seq("x")), 1L), ("y", Option.empty[Seq[String]], 1L),
+      ("z", Option.empty[Seq[String]], 1L)
+    ).toDF("w", "syms", "cnt")
+    val newNull = Seq(
+      ("x", Option.empty[Seq[String]], 1L), ("y", Option.empty[Seq[String]], 1L),
+      ("w2", Some(Seq("w")), 1L)
+    ).toDF("w", "syms", "cnt")
+    val gotNull = Vocabulary.segmentationDiff(oldNull, newNull)
+      .select("w", "status").as[(String, String)].collect().toMap
+    assert(gotNull === Map("x" -> "changed", "y" -> "unchanged", "z" -> "removed", "w2" -> "added"))
     // prefix-stability on the real trainer: diff(bpe6, bpe8) over one
     // corpus has NO added/removed (same word table), and the changed
     // words are exactly those containing merges 7-8's pairs
