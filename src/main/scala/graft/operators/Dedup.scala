@@ -451,7 +451,11 @@ object Dedup {
     * via localCheckpoint, so the result does not retain lineage into
     * `edges0`.
     */
-  def componentsOf(edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def componentsOf(
+      edges0: DataFrame,
+      maxRounds: Int = 30,
+      driverMaxEdges: Long = driverComponentsMaxEdges
+  ): DataFrame = {
 
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -491,6 +495,22 @@ object Dedup {
     // leaf. (On a cluster use reliable checkpoint() for fault tolerance.)
     var edges = sym(edges0).localCheckpoint(true)
     var edgeCount = edges.count()
+    // Two-regime split, the broadcast-join analogy (guide §3.1/§8): the
+    // edge frame after banding is a tiny PROXY of the corpus (near-dup
+    // pairs, not documents), and when it fits comfortably on the driver
+    // the exact union-find answer costs microseconds — while every star
+    // round below is ~8 exchanges + 3 actions of almost pure scheduling
+    // overhead at that size (measured 3.9 s for 477 edges at sf0.1).
+    // Component labels are a graph invariant (min member id per
+    // component), so both regimes produce IDENTICAL frames — spec-pinned
+    // by DedupSpec's regime-equality law. Above the threshold (or for
+    // non-long ids) nothing changes: the O(log n) contraction runs as
+    // before. The threshold is conf-shaped like the broadcast threshold:
+    // `-Dgraft.components.driverMaxEdges=N` (0 disables the driver path).
+    if (edgeCount > 0L && edgeCount <= driverMaxEdges &&
+      edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+      return driverComponents(edges)
+    }
     var rounds = 0
     var converged = edgeCount == 0L
     while (!converged && rounds < maxRounds) {
@@ -503,6 +523,52 @@ object Dedup {
     }
     require(converged, s"large-star/small-star did not converge within $maxRounds rounds")
     minsOf(edges).select(col("u").as("doc_id"), col("m").as("cluster_id"))
+  }
+
+  /** Edge-count ceiling for [[componentsOf]]'s driver union-find regime.
+    * 1M symmetric edges ≈ 16 MB of longs — the same order as a broadcast
+    * relation, which is the design precedent: a decision problem this
+    * small is solved where the data already is. Override with
+    * `-Dgraft.components.driverMaxEdges=N`; 0 disables the driver path
+    * (every call then runs the distributed contraction, which the
+    * regime-equality spec uses to pin identical labels).
+    */
+  private def driverComponentsMaxEdges: Long =
+    sys.props.get("graft.components.driverMaxEdges").map(_.toLong).getOrElse(1L << 20)
+
+  /** Exact union-find over a driver-collected symmetric edge frame —
+    * [[componentsOf]]'s small regime. Roots are maintained as the MIN id
+    * of their set (union attaches the larger root under the smaller), so
+    * after path compression every vertex's root IS its component's min
+    * member: the same labels the star contraction converges to.
+    */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    // one collect job (toLocalIterator would run one job PER partition —
+    // at 32 partitions that is 32 scheduling round-trips for one map)
+    val rows = edges.collect()
+    var i = 0
+    while (i < rows.length) {
+      val row = rows(i); i += 1
+      val (u, v) = (row.getLong(0), row.getLong(1))
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+    val keys = parent.keySet().iterator()
+    while (keys.hasNext) { val k = keys.next(); out += ((k, find(k))) }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("doc_id", "cluster_id")
   }
 
   /** Clustering strategy selector for [[dedupNear]]. Both produce

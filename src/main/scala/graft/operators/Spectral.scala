@@ -181,31 +181,78 @@ object Spectral {
     */
   def powerIterate(moment: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val cov = moment.localCheckpoint(true)
-    var v = cov
-      .select(col("j"))
-      .distinct()
-      .select(
-        col("j"),
-        (GraftExpressions.remix32(col("j")) % 2001L - 1000L).as("v")
-      )
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val w = cov
-        .join(broadcast(v.select(col("j").as("k"), col("v"))), Seq("k"))
-        .groupBy(col("j"))
-        .agg(sum(col("s") * col("v")).as("w"))
-      val smax = w.agg(max(abs(col("w"))).as("smax"))
-      v = w
-        .crossJoin(broadcast(smax))
-        .select(
-          col("j"),
-          expr(s"CAST((w + smax) * $Scale div (2 * greatest(smax, 1)) - ${Scale / 2} AS BIGINT)")
-            .as("v")
-        )
-        .localCheckpoint(true)
+    val spark = moment.sparkSession
+    // The moment frame is ≤ d² + O(d) rows BY CONSTRUCTION (d = embedding
+    // dim — 4096 cells at d = 64): broadcast-scale metadata, so the
+    // iteration runs where the data already is. Each round was previously
+    // 2-3 tiny cluster jobs (matvec join+agg, the |w| max, the checkpoint)
+    // of almost pure scheduling overhead — the componentsOf measurement
+    // (r18) applied here: ~12 × ~0.3 s of fixed cost for micro-work. The
+    // matvec and max are EXACT integer arithmetic (BigInteger replays the
+    // decimal(38,0) sums bit-for-bit absent overflow, and |s·v| sums are
+    // bounded ≤ ~1e26 by the quantization scales — far under decimal38),
+    // while the one step with engine-specific semantics — the offset
+    // renormalization's integral `div` — still evaluates through the SAME
+    // Catalyst expression, over a d-row LocalRelation, so its rounding
+    // replays exactly. Sign and iterate are bit-identical to the
+    // distributed form (the q138/q139 oracle gates pin the values
+    // tri-scale, and the streamed-moments law rides the same tail).
+    val cells = moment.select(col("j"), col("k"), col("s")).collect().map { r =>
+      (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))
     }
-    v
+    import spark.implicits._
+    // seed through the same expression as the distributed form
+    val js = cells.map(_._1).distinct.sorted.toSeq
+    var v: Map[Long, Long] = spark
+      .createDataset(js)
+      .toDF("j")
+      .select(col("j"), (GraftExpressions.remix32(col("j")) % 2001L - 1000L).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val wSchema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DecimalType(38, 0)),
+        org.apache.spark.sql.types.StructField("smax", org.apache.spark.sql.types.DecimalType(38, 0))
+      )
+    )
+    for (_ <- 1 to iters) {
+      // matvec: only cells whose k carries an iterate contribute (the old
+      // inner join on k), grouped by j — exact integer sums
+      val w = scala.collection.mutable.LinkedHashMap[Long, BigInt]()
+      cells.foreach { case (j, k, s) =>
+        v.get(k) match {
+          case Some(vk) => w.update(j, w.getOrElse(j, BigInt(0)) + s * vk)
+          case None     => ()
+        }
+      }
+      if (w.isEmpty) { v = Map.empty }
+      else {
+        val smax = w.valuesIterator.map(_.abs).max
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](w.size)
+        w.foreach { case (j, wv) =>
+          rows.add(
+            org.apache.spark.sql.Row(
+              j,
+              new java.math.BigDecimal(wv.bigInteger),
+              new java.math.BigDecimal(smax.bigInteger)
+            )
+          )
+        }
+        v = spark
+          .createDataFrame(rows, wSchema)
+          .select(
+            col("j"),
+            expr(s"CAST((w + smax) * $Scale div (2 * greatest(smax, 1)) - ${Scale / 2} AS BIGINT)")
+              .as("v")
+          )
+          .collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+      }
+    }
+    v.toSeq.sortBy(_._1).toDF("j", "v")
   }
 
   /** The top principal direction as a 64-row integer frame `(j, v)` —
